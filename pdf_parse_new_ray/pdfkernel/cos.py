@@ -1,0 +1,398 @@
+"""COS (Carousel Object System) layer: PDF tokenizer + object parser.
+
+From-scratch implementation of the PDF object model per the PDF 1.7 spec
+(ISO 32000-1 §7.2-7.3).  Behavior-parity targets in the reference:
+`Lexer` (reference build/pdf.worker.js:13943) and `Parser`
+(build/pdf.worker.js:13343) — we match *what* they accept, not how.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+# PDF character classes (ISO 32000-1 Table 1/2)
+WHITESPACE = b"\x00\t\n\x0c\r "
+DELIMITERS = b"()<>[]{}/%"
+
+
+class PDFError(Exception):
+    """Raised on unrecoverable malformed-PDF conditions (reference: whole-doc
+    parse rejection, test/03-invalid-default.js)."""
+
+
+class Name(str):
+    """A PDF name object (/Foo).  Subclasses str for ergonomic dict keys."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"/{str.__str__(self)}"
+
+
+class Ref:
+    """Indirect object reference `num gen R`."""
+
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num = num
+        self.gen = gen
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, Ref) and other.num == self.num and other.gen == self.gen
+
+    def __hash__(self) -> int:
+        return hash((self.num, self.gen))
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Ref({self.num},{self.gen})"
+
+
+class StreamObj:
+    """A PDF stream: dict + raw (still-encoded) bytes.
+
+    ``get_data(doc)`` applies the /Filter chain (see filters.py); doc is
+    needed to resolve indirect /Length or filter params.
+    """
+
+    __slots__ = ("dict", "raw", "_decoded")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.dict = d
+        self.raw = raw
+        self._decoded: Optional[bytes] = None
+
+    def get_data(self, resolve=None) -> bytes:
+        if self._decoded is None:
+            from .filters import decode_stream
+
+            self._decoded = decode_stream(self.dict, self.raw, resolve)
+        return self._decoded
+
+
+class Token:
+    __slots__ = ("kind", "value")
+
+    def __init__(self, kind: str, value: Any = None):
+        self.kind = kind  # num|int|str|name|op|dict_open|dict_close|arr_open|arr_close|eof
+        self.value = value
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Token({self.kind},{self.value!r})"
+
+
+class Lexer:
+    """Tokenizer over a bytes buffer.
+
+    Handles: numbers (incl. leading +/- and bare '.'), literal strings with
+    escapes & balanced parens, hex strings, names with #xx, comments,
+    delimiters, keyword/operator tokens.
+    """
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        data, n = self.data, len(self.data)
+        pos = self.pos
+        while pos < n:
+            c = data[pos]
+            if c in WHITESPACE:
+                pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                while pos < n and data[pos] not in b"\r\n":
+                    pos += 1
+            else:
+                break
+        self.pos = pos
+
+    def next_token(self) -> Token:
+        self._skip_ws()
+        data, n = self.data, len(self.data)
+        pos = self.pos
+        if pos >= n:
+            return Token("eof")
+        c = data[pos]
+        if c == 0x2F:  # /
+            return self._read_name()
+        if 0x30 <= c <= 0x39 or c in b"+-.":
+            return self._read_number()
+        if c == 0x28:  # (
+            return self._read_literal_string()
+        if c == 0x3C:  # <
+            if pos + 1 < n and data[pos + 1] == 0x3C:
+                self.pos = pos + 2
+                return Token("dict_open")
+            return self._read_hex_string()
+        if c == 0x3E:  # >
+            if pos + 1 < n and data[pos + 1] == 0x3E:
+                self.pos = pos + 2
+                return Token("dict_close")
+            self.pos = pos + 1
+            return Token("op", ">")
+        if c == 0x5B:
+            self.pos = pos + 1
+            return Token("arr_open")
+        if c == 0x5D:
+            self.pos = pos + 1
+            return Token("arr_close")
+        if c == 0x7B:
+            self.pos = pos + 1
+            return Token("op", "{")
+        if c == 0x7D:
+            self.pos = pos + 1
+            return Token("op", "}")
+        if c == 0x29:  # stray ')'
+            self.pos = pos + 1
+            return Token("op", ")")
+        # keyword / operator: run of regular characters
+        start = pos
+        while pos < n and data[pos] not in WHITESPACE and data[pos] not in DELIMITERS:
+            pos += 1
+        if pos == start:  # defensive: lone delimiter byte
+            pos += 1
+        self.pos = pos
+        kw = data[start:pos].decode("latin-1")
+        if kw == "true":
+            return Token("bool", True)
+        if kw == "false":
+            return Token("bool", False)
+        if kw == "null":
+            return Token("null", None)
+        return Token("op", kw)
+
+    def _read_number(self) -> Token:
+        data, n = self.data, len(self.data)
+        pos = self.pos
+        start = pos
+        if data[pos] in b"+-":
+            pos += 1
+        is_float = False
+        while pos < n:
+            c = data[pos]
+            if 0x30 <= c <= 0x39:
+                pos += 1
+            elif c == 0x2E:
+                is_float = True
+                pos += 1
+            elif c in b"+-":  # malformed embedded sign: stop (pdf.js tolerates)
+                pos += 1
+            else:
+                break
+        self.pos = pos
+        txt = data[start:pos].decode("latin-1")
+        try:
+            if is_float:
+                return Token("num", float(txt))
+            return Token("int", int(txt))
+        except ValueError:
+            # salvage digits
+            digits = "".join(ch for ch in txt if ch.isdigit() or ch in "+-.")
+            try:
+                return Token("num", float(digits)) if "." in digits else Token("int", int(digits or "0"))
+            except ValueError:
+                return Token("int", 0)
+
+    def _read_name(self) -> Token:
+        data, n = self.data, len(self.data)
+        pos = self.pos + 1
+        out = bytearray()
+        while pos < n:
+            c = data[pos]
+            if c in WHITESPACE or c in DELIMITERS:
+                break
+            if c == 0x23 and pos + 2 < n:  # #xx hex escape
+                try:
+                    out.append(int(data[pos + 1 : pos + 3], 16))
+                    pos += 3
+                    continue
+                except ValueError:
+                    pass
+            out.append(c)
+            pos += 1
+        self.pos = pos
+        return Token("name", Name(out.decode("latin-1")))
+
+    def _read_literal_string(self) -> Token:
+        data, n = self.data, len(self.data)
+        pos = self.pos + 1
+        out = bytearray()
+        depth = 1
+        while pos < n:
+            c = data[pos]
+            if c == 0x5C:  # backslash escape
+                pos += 1
+                if pos >= n:
+                    break
+                e = data[pos]
+                if e == 0x6E:
+                    out.append(0x0A)
+                elif e == 0x72:
+                    out.append(0x0D)
+                elif e == 0x74:
+                    out.append(0x09)
+                elif e == 0x62:
+                    out.append(0x08)
+                elif e == 0x66:
+                    out.append(0x0C)
+                elif e in b"()\\":
+                    out.append(e)
+                elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                    val = e - 0x30
+                    for _ in range(2):
+                        if pos + 1 < n and 0x30 <= data[pos + 1] <= 0x37:
+                            pos += 1
+                            val = val * 8 + (data[pos] - 0x30)
+                        else:
+                            break
+                    out.append(val & 0xFF)
+                elif e == 0x0A:
+                    pass  # line continuation
+                elif e == 0x0D:
+                    if pos + 1 < n and data[pos + 1] == 0x0A:
+                        pos += 1
+                else:
+                    out.append(e)
+                pos += 1
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    pos += 1
+                    break
+            out.append(c)
+            pos += 1
+        self.pos = pos
+        return Token("str", bytes(out))
+
+    def _read_hex_string(self) -> Token:
+        data, n = self.data, len(self.data)
+        pos = self.pos + 1
+        digits = []
+        while pos < n:
+            c = data[pos]
+            if c == 0x3E:
+                pos += 1
+                break
+            ch = chr(c)
+            if ch in "0123456789abcdefABCDEF":
+                digits.append(ch)
+            pos += 1
+        self.pos = pos
+        if len(digits) % 2:
+            digits.append("0")
+        return Token("str", bytes.fromhex("".join(digits)))
+
+
+class Parser:
+    """Object parser with 2-token lookahead for `num gen R` / `num gen obj`.
+
+    ``strict`` mirrors the reference's behavior of rejecting malformed
+    top-level structures while absorbing in-content oddities.
+    """
+
+    def __init__(self, data: bytes, pos: int = 0, resolve=None):
+        self.lexer = Lexer(data, pos)
+        self.resolve = resolve
+        self._buf: list[Token] = []
+
+    @property
+    def pos(self) -> int:
+        return self.lexer.pos if not self._buf else self.lexer.pos  # approximate
+
+    def _next(self) -> Token:
+        if self._buf:
+            return self._buf.pop(0)
+        return self.lexer.next_token()
+
+    def _peek(self, k: int = 0) -> Token:
+        while len(self._buf) <= k:
+            self._buf.append(self.lexer.next_token())
+        return self._buf[k]
+
+    def parse_object(self) -> Any:
+        tok = self._next()
+        return self._parse_from(tok)
+
+    def _parse_from(self, tok: Token) -> Any:
+        kind = tok.kind
+        if kind == "int":
+            # possible reference: int int R
+            if self._peek(0).kind == "int" and self._peek(1).kind == "op" and self._peek(1).value == "R":
+                gen = self._next().value
+                self._next()
+                return Ref(tok.value, gen)
+            return tok.value
+        if kind in ("num", "str", "name", "bool", "null"):
+            return tok.value
+        if kind == "arr_open":
+            arr = []
+            while True:
+                t = self._peek(0)
+                if t.kind == "arr_close":
+                    self._next()
+                    return arr
+                if t.kind == "eof":
+                    raise PDFError("unterminated array")
+                arr.append(self.parse_object())
+        if kind == "dict_open":
+            d: dict = {}
+            while True:
+                t = self._next()
+                if t.kind == "dict_close":
+                    break
+                if t.kind == "eof":
+                    raise PDFError("unterminated dict")
+                if t.kind != "name":
+                    # skip garbage key
+                    continue
+                d[str(t.value)] = self.parse_object()
+            # check for stream keyword
+            t = self._peek(0)
+            if t.kind == "op" and t.value == "stream":
+                self._next()
+                return self._read_stream(d)
+            return d
+        if kind == "eof":
+            raise PDFError("unexpected EOF")
+        return tok  # operator token — caller (content interpreter) handles
+
+    def _read_stream(self, d: dict) -> StreamObj:
+        data = self.lexer.data
+        pos = self.lexer.pos
+        # after 'stream' keyword: CRLF or LF
+        if pos < len(data) and data[pos] == 0x0D:
+            pos += 1
+        if pos < len(data) and data[pos] == 0x0A:
+            pos += 1
+        length = d.get("Length")
+        if isinstance(length, Ref) and self.resolve is not None:
+            length = self.resolve(length)
+        raw = None
+        if isinstance(length, int) and length >= 0 and pos + length <= len(data):
+            raw = data[pos : pos + length]
+            # validate endstream within a small window (reference Parser does
+            # a similar check and falls back to scanning)
+            tail = data[pos + length : pos + length + 20]
+            if b"endstream" not in tail:
+                idx = data.find(b"endstream", pos)
+                if idx != -1:
+                    raw = data[pos:idx]
+                    # strip trailing EOL
+                    raw = raw.rstrip(b"\r\n") if len(raw) - length > 2 else raw
+        if raw is None:
+            idx = data.find(b"endstream", pos)
+            if idx == -1:
+                raise PDFError("unterminated stream")
+            raw = data[pos:idx]
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+                raw = raw[:-1]
+        end = data.find(b"endstream", pos + len(raw))
+        self.lexer.pos = (end + 9) if end != -1 else pos + len(raw)
+        self._buf.clear()
+        return StreamObj(d, raw)

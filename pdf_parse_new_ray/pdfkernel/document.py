@@ -1,0 +1,437 @@
+"""PDF document structure: header, xref (table + stream), trailer chain,
+object fetch (incl. object streams), page tree, document info.
+
+Parity targets in the reference: `class XRef` (build/pdf.worker.js:58062),
+`readXRefTable`/`readXRefStream` (:58170-58264), `indexObjects` recovery
+(:58331), `get startXRef` (:59432), `get documentInfo` (:59807-59881),
+header-with-space tolerance (test/05-versions-space-default.js).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+from .cos import Lexer, Name, Parser, PDFError, Ref, StreamObj
+
+_MAX_STARTXREF_SCAN = 2048
+
+
+def _pdfdoc_decode(b: bytes) -> str:
+    """PDF text-string decode: UTF-16BE with BOM, UTF-8 with BOM, else
+    PDFDocEncoding (≈latin-1 for our purposes).  Mirrors stringToPDFString."""
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", "replace")
+    if b[:2] == b"\xff\xfe":
+        return b[2:].decode("utf-16-le", "replace")
+    if b[:3] == b"\xef\xbb\xbf":
+        return b[3:].decode("utf-8", "replace")
+    return b.decode("latin-1")
+
+
+class PDFDocument:
+    """Parsed PDF with lazy object fetch and a per-document object cache.
+
+    This object is the unit of warm state held by extractor actors (reference
+    analogue: PDFDocumentProxy reuse, lib/pdf-parse.js:84-89; SURVEY §2.3 T1).
+    """
+
+    def __init__(self, data: bytes):
+        if isinstance(data, (bytearray, memoryview)):
+            data = bytes(data)
+        self.data = data
+        self._cache: dict[tuple[int, int], Any] = {}
+        self._objstm_cache: dict[int, dict[int, Any]] = {}
+        self.xref: dict[int, tuple] = {}  # num -> ('n', offset, gen) | ('c', stm_num, idx)
+        self.trailer: dict = {}
+        self.version = self._parse_header()
+        try:
+            self._parse_xref()
+        except PDFError:
+            self._recover_xref()
+        if "Root" not in self.trailer:
+            self._recover_xref()
+            if "Root" not in self.trailer:
+                raise PDFError("no /Root catalog")
+        if self.resolve(self.trailer.get("Encrypt")) is not None:
+            raise PDFError("encrypted PDFs not supported")
+        self._pages: Optional[list[dict]] = None
+        # structural validation: the catalog must resolve to a real page tree
+        # (reference: getDocument rejects truncated files — test/03-invalid)
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise PDFError("catalog object missing or invalid")
+        pages_node = self.resolve(root.get("Pages"))
+        if not isinstance(pages_node, dict):
+            raise PDFError("page tree missing or invalid")
+
+    # -- header ---------------------------------------------------------
+    def _parse_header(self) -> str:
+        # tolerate leading junk and spaces inside the version (test/05)
+        head = self.data[:1024]
+        m = re.search(rb"%PDF-\s*(\d+)\s*\.\s*(\d+)", head)
+        if not m:
+            raise PDFError("not a PDF: missing %PDF header")
+        return f"{m.group(1).decode()}.{m.group(2).decode()}"
+
+    # -- xref -----------------------------------------------------------
+    def _find_startxref(self) -> int:
+        tail = self.data[-_MAX_STARTXREF_SCAN:]
+        idx = tail.rfind(b"startxref")
+        if idx == -1:
+            raise PDFError("startxref not found")
+        m = re.search(rb"startxref\s+(\d+)", tail[idx:])
+        if not m:
+            raise PDFError("startxref malformed")
+        return int(m.group(1))
+
+    def _parse_xref(self) -> None:
+        pos = self._find_startxref()
+        seen = set()
+        first = True
+        while pos is not None and pos not in seen:
+            seen.add(pos)
+            if pos < 0 or pos >= len(self.data):
+                raise PDFError("xref offset out of range")
+            lx = Lexer(self.data, pos)
+            tok = lx.next_token()
+            if tok.kind == "op" and tok.value == "xref":
+                trailer = self._read_xref_table(lx)
+            else:
+                trailer = self._read_xref_stream(pos)
+            if first:
+                self.trailer = dict(trailer)
+                first = False
+            else:
+                for k, v in trailer.items():
+                    self.trailer.setdefault(k, v)
+            # hybrid-reference files: /XRefStm points at an xref stream with
+            # entries that override the table's free markers
+            xrefstm = trailer.get("XRefStm")
+            if isinstance(xrefstm, int):
+                try:
+                    self._read_xref_stream(xrefstm)
+                except PDFError:
+                    pass
+            prev = trailer.get("Prev")
+            pos = prev if isinstance(prev, int) else None
+
+    def _read_xref_table(self, lx: Lexer) -> dict:
+        data = self.data
+        while True:
+            tok = lx.next_token()
+            if tok.kind == "op" and tok.value == "trailer":
+                break
+            if tok.kind != "int":
+                raise PDFError("malformed xref table")
+            start = tok.value
+            tok = lx.next_token()
+            if tok.kind != "int":
+                raise PDFError("malformed xref subsection")
+            count = tok.value
+            lx._skip_ws()
+            pos = lx.pos
+            for i in range(count):
+                # entries are nominally 20 bytes but be whitespace-tolerant
+                m = re.match(rb"\s*(\d{1,10})\s+(\d{1,5})\s+([nf])", data[pos : pos + 32])
+                if not m:
+                    raise PDFError("malformed xref entry")
+                off, gen, typ = int(m.group(1)), int(m.group(2)), m.group(3)
+                num = start + i
+                if typ == b"n" and num not in self.xref:
+                    self.xref[num] = ("n", off, gen)
+                pos += m.end()
+            lx.pos = pos
+        p = Parser(data, lx.pos, resolve=self.resolve)
+        trailer = p.parse_object()
+        if not isinstance(trailer, dict):
+            raise PDFError("malformed trailer")
+        return trailer
+
+    def _read_xref_stream(self, pos: int) -> dict:
+        p = Parser(self.data, pos, resolve=self.resolve)
+        # expect: num gen obj <<...>> stream — skip leading int/op tokens
+        obj = None
+        for _ in range(4):
+            obj = p.parse_object()
+            if isinstance(obj, StreamObj):
+                break
+        if not isinstance(obj, StreamObj):
+            raise PDFError("xref stream expected")
+        sd = obj.dict
+        if str(sd.get("Type", "")) != "XRef":
+            raise PDFError("not an XRef stream")
+        w = [self.resolve(x) for x in self.resolve(sd.get("W", []))]
+        if len(w) < 3:
+            raise PDFError("XRef stream missing W")
+        size = self.resolve(sd.get("Size", 0))
+        index = self.resolve(sd.get("Index", [0, size]))
+        raw = obj.get_data(self.resolve)
+        ew = sum(w)
+        ptr = 0
+
+        def read_field(width: int, default: int) -> int:
+            nonlocal ptr
+            if width == 0:
+                return default
+            v = int.from_bytes(raw[ptr : ptr + width], "big")
+            ptr += width
+            return v
+
+        for k in range(0, len(index), 2):
+            start, count = self.resolve(index[k]), self.resolve(index[k + 1])
+            for i in range(count):
+                if ptr + ew > len(raw):
+                    break
+                typ = read_field(w[0], 1)
+                f2 = read_field(w[1], 0)
+                f3 = read_field(w[2], 0)
+                num = start + i
+                if num in self.xref:
+                    continue
+                if typ == 1:
+                    self.xref[num] = ("n", f2, f3)
+                elif typ == 2:
+                    self.xref[num] = ("c", f2, f3)
+        return sd
+
+    def _recover_xref(self) -> None:
+        """Scan the whole file for `N G obj` markers (reference: XRef.indexObjects,
+        build/pdf.worker.js:58331)."""
+        for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", self.data):
+            num, gen = int(m.group(1)), int(m.group(2))
+            self.xref[num] = ("n", m.start(), gen)  # later wins (incremental updates)
+        if "Root" not in self.trailer:
+            m = re.search(rb"trailer", self.data)
+            trailers = [t.start() for t in re.finditer(rb"trailer", self.data)]
+            for tpos in reversed(trailers):
+                try:
+                    p = Parser(self.data, tpos + 7, resolve=self.resolve)
+                    t = p.parse_object()
+                    if isinstance(t, dict) and "Root" in t:
+                        for k, v in t.items():
+                            self.trailer.setdefault(k, v)
+                        break
+                except PDFError:
+                    continue
+            else:
+                # last resort: find a Catalog object
+                for num in list(self.xref):
+                    try:
+                        o = self.fetch(Ref(num, 0))
+                    except PDFError:
+                        continue
+                    if isinstance(o, dict) and str(o.get("Type", "")) == "Catalog":
+                        self.trailer["Root"] = Ref(num, 0)
+                        break
+        if not self.xref:
+            raise PDFError("xref recovery failed")
+
+    # -- object access --------------------------------------------------
+    def resolve(self, obj: Any) -> Any:
+        seen = 0
+        while isinstance(obj, Ref):
+            obj = self.fetch(obj)
+            seen += 1
+            if seen > 32:
+                raise PDFError("reference cycle")
+        return obj
+
+    def fetch(self, ref: Ref) -> Any:
+        key = (ref.num, ref.gen)
+        if key in self._cache:
+            return self._cache[key]
+        entry = self.xref.get(ref.num)
+        if entry is None:
+            return None
+        if entry[0] == "n":
+            obj = self._fetch_at(ref.num, entry[1])
+        else:
+            obj = self._fetch_compressed(entry[1], entry[2])
+        self._cache[key] = obj
+        return obj
+
+    def _fetch_at(self, num: int, offset: int) -> Any:
+        if offset >= len(self.data):
+            return None
+        p = Parser(self.data, offset, resolve=self.resolve)
+        o1 = p.parse_object()
+        if not isinstance(o1, int):
+            return None
+        if o1 != num:
+            # stale offset — fall back to scanning (recovery semantics)
+            m = re.search(rb"(?<![0-9])" + str(num).encode() + rb"\s+\d+\s+obj\b", self.data)
+            if not m:
+                return None
+            p = Parser(self.data, m.start(), resolve=self.resolve)
+            p.parse_object()
+        p.parse_object()  # gen
+        tok = p.parse_object()  # 'obj' keyword comes back as Token op
+        from .cos import Token
+
+        if isinstance(tok, Token) and tok.kind == "op" and tok.value == "obj":
+            return p.parse_object()
+        return tok  # some writers omit… be lenient
+
+    def _fetch_compressed(self, stm_num: int, idx: int) -> Any:
+        objs = self._objstm_cache.get(stm_num)
+        if objs is None:
+            stm = self.fetch(Ref(stm_num, 0))
+            if not isinstance(stm, StreamObj):
+                raise PDFError("bad object stream")
+            data = stm.get_data(self.resolve)
+            n = self.resolve(stm.dict.get("N", 0))
+            first = self.resolve(stm.dict.get("First", 0))
+            hl = Lexer(data, 0)
+            pairs = []
+            for _ in range(n):
+                t1 = hl.next_token()
+                t2 = hl.next_token()
+                if t1.kind != "int" or t2.kind != "int":
+                    break
+                pairs.append((t1.value, t2.value))
+            objs = {}
+            for i, (onum, ooff) in enumerate(pairs):
+                try:
+                    p = Parser(data, first + ooff, resolve=self.resolve)
+                    objs[i] = (onum, p.parse_object())
+                except PDFError:
+                    objs[i] = (onum, None)
+            self._objstm_cache[stm_num] = objs
+        pair = objs.get(idx)
+        return pair[1] if pair else None
+
+    # -- page tree ------------------------------------------------------
+    @property
+    def num_pages(self) -> int:
+        root = self.resolve(self.trailer["Root"])
+        pages = self.resolve(root.get("Pages")) if isinstance(root, dict) else None
+        if isinstance(pages, dict):
+            count = self.resolve(pages.get("Count"))
+            if isinstance(count, int) and count >= 0:
+                return count
+        return len(self.pages())
+
+    def pages(self) -> list[dict]:
+        """Flattened page dicts in document order, inherited attrs applied."""
+        if self._pages is not None:
+            return self._pages
+        root = self.resolve(self.trailer["Root"])
+        if not isinstance(root, dict):
+            raise PDFError("bad catalog")
+        tree = self.resolve(root.get("Pages"))
+        out: list[dict] = []
+        INHERIT = ("Resources", "MediaBox", "CropBox", "Rotate")
+
+        def walk(node: Any, inherited: dict, depth: int = 0) -> None:
+            if depth > 64 or not isinstance(node, dict):
+                return
+            t = str(node.get("Type", ""))
+            inh = dict(inherited)
+            for k in INHERIT:
+                if k in node:
+                    inh[k] = node[k]
+            kids = self.resolve(node.get("Kids"))
+            if t == "Page" or (t != "Pages" and kids is None):
+                page = dict(node)
+                for k, v in inh.items():
+                    page.setdefault(k, v)
+                out.append(page)
+                return
+            if isinstance(kids, list):
+                for kid in kids:
+                    walk(self.resolve(kid), inh, depth + 1)
+
+        walk(tree, {})
+        self._pages = out
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        """Concatenated decoded content streams of a page (spec: multiple
+        /Contents streams are joined with a whitespace byte)."""
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        if isinstance(contents, StreamObj):
+            return contents.get_data(self.resolve)
+        if isinstance(contents, list):
+            parts = []
+            for c in contents:
+                c = self.resolve(c)
+                if isinstance(c, StreamObj):
+                    parts.append(c.get_data(self.resolve))
+            return b"\n".join(parts)
+        return b""
+
+    def page_view(self, page: dict) -> list[float]:
+        """The reference's `page.view` = CropBox ∩ MediaBox, normalized."""
+        box = self.resolve(page.get("CropBox")) or self.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
+        box = [float(self.resolve(v)) for v in box]
+        x0, x1 = sorted((box[0], box[2]))
+        y0, y1 = sorted((box[1], box[3]))
+        return [x0, y0, x1, y1]
+
+    # -- metadata -------------------------------------------------------
+    _INFO_STR = ("Title", "Author", "Subject", "Keywords", "Creator", "Producer", "CreationDate", "ModDate")
+
+    def document_info(self) -> dict:
+        """Parity with pdf.js documentInfo (build/pdf.worker.js:59807-59881):
+        fixed keys + Custom map; plus PDFFormatVersion and structure flags."""
+        info: dict[str, Any] = {
+            "PDFFormatVersion": self.version,
+            "Language": None,
+            "EncryptFilterName": None,
+            "IsLinearized": False,
+            "IsAcroFormPresent": False,
+            "IsXFAPresent": False,
+            "IsCollectionPresent": False,
+            "IsSignaturesPresent": False,
+        }
+        try:
+            root = self.resolve(self.trailer.get("Root")) or {}
+            lang = self.resolve(root.get("Lang"))
+            if isinstance(lang, bytes):
+                info["Language"] = _pdfdoc_decode(lang)
+            acro = self.resolve(root.get("AcroForm"))
+            if isinstance(acro, dict):
+                info["IsAcroFormPresent"] = True
+                if self.resolve(acro.get("XFA")):
+                    info["IsXFAPresent"] = True
+            if self.resolve(root.get("Collection")) is not None:
+                info["IsCollectionPresent"] = True
+        except PDFError:
+            pass
+        try:
+            src = self.resolve(self.trailer.get("Info"))
+        except PDFError:
+            src = None
+        if isinstance(src, dict):
+            custom: dict[str, Any] = {}
+            for k, v in src.items():
+                v = self.resolve(v)
+                key = str(k)
+                if key in self._INFO_STR:
+                    if isinstance(v, bytes):
+                        info[key] = _pdfdoc_decode(v)
+                    elif isinstance(v, (Name, str)):
+                        info[key] = str(v)
+                elif key == "Trapped":
+                    info["Trapped"] = {"name": str(v)} if isinstance(v, (Name, str)) else None
+                else:
+                    if isinstance(v, bytes):
+                        custom[key] = _pdfdoc_decode(v)
+                    elif isinstance(v, (bool, int, float, str)):
+                        custom[key] = str(v) if isinstance(v, Name) else v
+            if custom:
+                info["Custom"] = custom
+        return info
+
+    def metadata_xml(self) -> Optional[str]:
+        try:
+            root = self.resolve(self.trailer.get("Root")) or {}
+            md = self.resolve(root.get("Metadata"))
+            if isinstance(md, StreamObj):
+                return md.get_data(self.resolve).decode("utf-8", "replace")
+        except PDFError:
+            pass
+        return None

@@ -1,0 +1,710 @@
+"""Content-stream interpreter + text-span assembly.
+
+This is the kernel's core: a from-scratch Python re-implementation of the
+*behavior* of pdf.js `PartialEvaluator.getTextContent`
+(reference build/pdf.worker.js:36326-37141) — operator dispatch (:36825-37121),
+TextState (:38133-38188), spacing/EOL heuristics with the exact constants
+(:36387-36392: TRACKING 0.102 / NOT_A_SPACE 0.03 / NEGATIVE −0.2 /
+SPACE_IN_FLOW [0.102, 0.6] / VERTICAL_SHIFT 0.25), fake spaces
+(:36759-36782), whitespace ring buffer (:36371-36386), Unicode
+normalization (:5303-5310), viewport clipping (:36530-36536) and Form
+XObject recursion (:36946-37034).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import unicodedata
+from typing import Any, Callable, Optional
+
+from .cos import Name, Parser, PDFError, Ref, StreamObj, Token
+from .fonts import FONT_IDENTITY_MATRIX, Font, Glyph
+
+IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+TRACKING_SPACE_FACTOR = 0.102
+NOT_A_SPACE_FACTOR = 0.03
+NEGATIVE_SPACE_FACTOR = -0.2
+SPACE_IN_FLOW_MIN_FACTOR = 0.102
+SPACE_IN_FLOW_MAX_FACTOR = 0.6
+VERTICAL_SHIFT_RATIO = 0.25
+
+
+def mat_mul(m1, m2):
+    """pdf.js Util.transform(m1, m2)."""
+    return (
+        m1[0] * m2[0] + m1[2] * m2[1],
+        m1[1] * m2[0] + m1[3] * m2[1],
+        m1[0] * m2[2] + m1[2] * m2[3],
+        m1[1] * m2[2] + m1[3] * m2[3],
+        m1[0] * m2[4] + m1[2] * m2[5] + m1[4],
+        m1[1] * m2[4] + m1[3] * m2[5] + m1[5],
+    )
+
+
+# normalizeUnicode (build/pdf.worker.js:5303-5310): NFKC over ligature /
+# presentation-form ranges only, plus the ﬅ→ſt special case.
+_NORM_RE = re.compile(
+    "([\u00a0\u00b5\u037e\u0eb3\u2000-\u200a\u202f\u2126"
+    "\ufb00-\ufb04\ufb06\ufb20-\ufb36\ufb38-\ufb3c\ufb3e\ufb40-\ufb41"
+    "\ufb43-\ufb44\ufb46-\ufba1\ufba4-\ufba9\ufbae-\ufbb1\ufbd3-\ufbdc"
+    "\ufbde-\ufbe7\ufbea-\ufbf8\ufbfc-\ufbfd\ufc00-\ufc5d\ufc64-\ufcf1"
+    "\ufcf5-\ufd3d\ufd88\ufdf4\ufdfa-\ufdfb\ufe71\ufe77\ufe79\ufe7b\ufe7d]+)"
+    "|(\ufb05+)"
+)
+
+
+def normalize_unicode(s: str) -> str:
+    def rep(m: "re.Match[str]") -> str:
+        if m.group(1):
+            return unicodedata.normalize("NFKC", m.group(1))
+        return "ſt" * len(m.group(2))
+
+    return _NORM_RE.sub(rep, s)
+
+
+_RTL_RE = re.compile("[\u0591-\u07ff\ufb1d-\ufdfd\ufe70-\ufefc]")
+
+
+def bidi_lite(s: str, vertical: bool) -> tuple[str, str]:
+    """Minimal analogue of pdf.js bidi (build/pdf.worker.js:32557): detect
+    direction; reverse pure-RTL runs into visual order.  Mixed-direction
+    refinement is out of scope (LTR corpora pass through unchanged)."""
+    if vertical or not s:
+        return s, "ttb" if vertical else "ltr"
+    n_rtl = len(_RTL_RE.findall(s))
+    if n_rtl == 0:
+        return s, "ltr"
+    strong = sum(1 for ch in s if ch.isalpha())
+    if strong and n_rtl / strong >= 0.3:
+        return s[::-1], "rtl"
+    return s, "ltr"
+
+
+class TextState:
+    """Parity with pdf.js TextState (build/pdf.worker.js:38133-38188)."""
+
+    __slots__ = (
+        "ctm", "font_name", "font_size", "loaded_name", "font", "font_matrix",
+        "text_matrix", "text_line_matrix", "char_spacing", "word_spacing",
+        "leading", "text_h_scale", "text_rise",
+    )
+
+    def __init__(self) -> None:
+        self.ctm = IDENTITY
+        self.font_name: Optional[str] = None
+        self.font_size = 0.0
+        self.loaded_name: Optional[str] = None
+        self.font: Optional[Font] = None
+        self.font_matrix = FONT_IDENTITY_MATRIX
+        self.text_matrix = list(IDENTITY)
+        self.text_line_matrix = list(IDENTITY)
+        self.char_spacing = 0.0
+        self.word_spacing = 0.0
+        self.leading = 0.0
+        self.text_h_scale = 1.0
+        self.text_rise = 0.0
+
+    def set_text_matrix(self, a, b, c, d, e, f) -> None:
+        self.text_matrix = [a, b, c, d, e, f]
+
+    def set_text_line_matrix(self, a, b, c, d, e, f) -> None:
+        self.text_line_matrix = [a, b, c, d, e, f]
+
+    def translate_text_matrix(self, x, y) -> None:
+        m = self.text_matrix
+        m[4] = m[0] * x + m[2] * y + m[4]
+        m[5] = m[1] * x + m[3] * y + m[5]
+
+    def translate_text_line_matrix(self, x, y) -> None:
+        m = self.text_line_matrix
+        m[4] = m[0] * x + m[2] * y + m[4]
+        m[5] = m[1] * x + m[3] * y + m[5]
+
+    def carriage_return(self) -> None:
+        self.translate_text_line_matrix(0, -self.leading)
+        self.text_matrix = list(self.text_line_matrix)
+
+    def clone(self) -> "TextState":
+        c = TextState.__new__(TextState)
+        for s in TextState.__slots__:
+            setattr(c, s, getattr(self, s))
+        c.text_matrix = list(self.text_matrix)
+        c.text_line_matrix = list(self.text_line_matrix)
+        return c
+
+
+class _FallbackFont(Font):
+    """Stand-in when a font fails to load (pdf.js falls back similarly)."""
+
+    def __init__(self, loaded_name: str):  # noqa: super-init-not-called
+        self.loaded_name = loaded_name
+        self.subtype = "Type1"
+        self.vertical = False
+        self.is_type3 = False
+        self.font_matrix = FONT_IDENTITY_MATRIX
+        self.base_font = "Helvetica"
+        self.fallback_name = "sans-serif"
+        self.ascent, self.descent = 0.75, -0.25
+        self.composite = False
+        self.symbolic = False
+        self._glyph_cache = {}
+        self.widths = {}
+        self.default_width = 500.0
+        self.to_unicode = None
+        from .encodings import encoding_table
+
+        self._enc_table = list(encoding_table("StandardEncoding"))
+        self._diff_names = {}
+
+
+class TextExtractor:
+    """Per-document text extractor with warm font caches (SURVEY §2.3 T1-T2)."""
+
+    def __init__(self, doc) -> None:
+        self.doc = doc
+        self._font_cache: dict[Any, Font] = {}
+        self._font_ctr = 0
+
+    # -- font loading (cached per doc) ----------------------------------
+    def load_font(self, font_name: Optional[str], font_ref, resources: dict) -> Font:
+        r = self.doc.resolve
+        key = None
+        font_obj = None
+        if font_ref is not None:
+            key = ("ref", font_ref.num, font_ref.gen) if isinstance(font_ref, Ref) else ("obj", id(font_ref))
+            if key in self._font_cache:
+                return self._font_cache[key]
+            font_obj = r(font_ref)
+        else:
+            fonts = r(resources.get("Font")) or {}
+            raw = fonts.get(font_name)
+            if isinstance(raw, Ref):
+                key = ("ref", raw.num, raw.gen)
+            else:
+                key = ("name", id(fonts), font_name)
+            if key in self._font_cache:
+                return self._font_cache[key]
+            font_obj = r(raw)
+        self._font_ctr += 1
+        loaded = f"g_f{self._font_ctr}"
+        if not isinstance(font_obj, dict):
+            font = _FallbackFont(loaded)
+        else:
+            try:
+                font = Font(self.doc, font_obj, loaded)
+            except (PDFError, ValueError, TypeError, OverflowError):
+                font = _FallbackFont(loaded)
+        self._font_cache[key] = font
+        return font
+
+    # -- main entry ------------------------------------------------------
+    def get_text_content(self, page: dict, include_marked_content: bool = False,
+                         disable_normalization: bool = False,
+                         keep_white_space: bool = False) -> dict:
+        view_box = self.doc.page_view(page)
+        content = self.doc.page_content(page)
+        resources = self.doc.resolve(page.get("Resources")) or {}
+        items: list[dict] = []
+        styles: dict[str, dict] = {}
+        self._run(content, resources, TextState(), items, styles, view_box,
+                  include_marked_content, disable_normalization, keep_white_space,
+                  depth=0, seen_styles=set(), marked_level=[0])
+        return {"items": items, "styles": styles}
+
+    # -- interpreter -----------------------------------------------------
+    def _run(self, content: bytes, resources: dict, initial_state: TextState,
+             items: list, styles: dict, view_box, include_marked_content: bool,
+             disable_normalization: bool, keep_white_space: bool, depth: int,
+             seen_styles: set, marked_level: list) -> None:
+        doc = self.doc
+        r = doc.resolve
+        state_stack: list[TextState] = []
+        ts = initial_state
+
+        # --- textContentItem state (mirrors the reference's closure) ----
+        tci: dict[str, Any] = {
+            "initialized": False, "str": [], "totalWidth": 0.0, "totalHeight": 0.0,
+            "width": 0.0, "height": 0.0, "vertical": False, "prevTransform": None,
+            "textAdvanceScale": 0.0, "spaceInFlowMin": 0.0, "spaceInFlowMax": 0.0,
+            "trackingSpaceMin": math.inf, "negativeSpaceMax": -math.inf,
+            "notASpace": -math.inf, "transform": None, "fontName": None, "hasEOL": False,
+        }
+        two_last = [" ", " "]
+        two_pos = [0]
+
+        def save_last_char(ch: str) -> bool:
+            next_pos = (two_pos[0] + 1) % 2
+            ret = two_last[two_pos[0]] != " " and two_last[next_pos] == " "
+            two_last[two_pos[0]] = ch
+            two_pos[0] = next_pos
+            return (not keep_white_space) and ret
+
+        def should_add_whitespace() -> bool:
+            return (not keep_white_space) and two_last[two_pos[0]] != " " and two_last[(two_pos[0] + 1) % 2] == " "
+
+        def reset_last_chars() -> None:
+            two_last[0] = two_last[1] = " "
+            two_pos[0] = 0
+
+        def get_current_text_transform():
+            font = ts.font
+            tsm = (ts.font_size * ts.text_h_scale, 0.0, 0.0, ts.font_size, 0.0, ts.text_rise)
+            if font is not None and font.is_type3 and ts.font_size <= 1 and ts.font_matrix != FONT_IDENTITY_MATRIX:
+                pass  # Type3 bbox scaling: glyph bbox data not tracked; rare
+            return mat_mul(ts.ctm, mat_mul(tuple(ts.text_matrix), tsm))
+
+        def push_whitespace(width=0.0, height=0.0, transform=None, font_name=None):
+            items.append({
+                "str": " ", "dir": "ltr", "width": width, "height": height,
+                "transform": transform if transform is not None else tci["prevTransform"],
+                "fontName": font_name if font_name is not None else tci["fontName"],
+                "hasEOL": False,
+            })
+
+        def ensure_tci():
+            if tci["initialized"]:
+                return tci
+            loaded = ts.loaded_name
+            font = ts.font
+            if loaded not in seen_styles and font is not None:
+                seen_styles.add(loaded)
+                styles[loaded] = {
+                    "fontFamily": font.fallback_name, "ascent": font.ascent,
+                    "descent": font.descent, "vertical": font.vertical,
+                }
+            tci["fontName"] = loaded
+            trm = get_current_text_transform()
+            tci["transform"] = trm
+            if font is None or not font.vertical:
+                tci["width"] = tci["totalWidth"] = 0.0
+                tci["height"] = tci["totalHeight"] = math.hypot(trm[2], trm[3])
+                tci["vertical"] = False
+            else:
+                tci["width"] = tci["totalWidth"] = math.hypot(trm[0], trm[1])
+                tci["height"] = tci["totalHeight"] = 0.0
+                tci["vertical"] = True
+            scale_line_x = math.hypot(ts.text_line_matrix[0], ts.text_line_matrix[1])
+            scale_ctm_x = math.hypot(ts.ctm[0], ts.ctm[1])
+            tci["textAdvanceScale"] = scale_ctm_x * scale_line_x
+            fs = ts.font_size
+            tci["trackingSpaceMin"] = fs * TRACKING_SPACE_FACTOR
+            tci["notASpace"] = fs * NOT_A_SPACE_FACTOR
+            tci["negativeSpaceMax"] = fs * NEGATIVE_SPACE_FACTOR
+            tci["spaceInFlowMin"] = fs * SPACE_IN_FLOW_MIN_FACTOR
+            tci["spaceInFlowMax"] = fs * SPACE_IN_FLOW_MAX_FACTOR
+            tci["hasEOL"] = False
+            tci["initialized"] = True
+            return tci
+
+        def update_advance_scale():
+            if not tci["initialized"]:
+                return
+            scale_line_x = math.hypot(ts.text_line_matrix[0], ts.text_line_matrix[1])
+            scale_ctm_x = math.hypot(ts.ctm[0], ts.ctm[1])
+            factor = scale_ctm_x * scale_line_x
+            if factor == tci["textAdvanceScale"]:
+                return
+            if not tci["vertical"]:
+                tci["totalWidth"] += tci["width"] * tci["textAdvanceScale"]
+                tci["width"] = 0.0
+            else:
+                tci["totalHeight"] += tci["height"] * tci["textAdvanceScale"]
+                tci["height"] = 0.0
+            tci["textAdvanceScale"] = factor
+
+        def run_bidi(chunk) -> dict:
+            text = "".join(chunk["str"])
+            if not disable_normalization:
+                text = normalize_unicode(text)
+            s, direction = bidi_lite(text, chunk["vertical"])
+            return {
+                "str": s, "dir": direction, "width": abs(chunk["totalWidth"]),
+                "height": abs(chunk["totalHeight"]), "transform": chunk["transform"],
+                "fontName": chunk["fontName"], "hasEOL": chunk["hasEOL"],
+            }
+
+        def flush_tci():
+            if not tci["initialized"]:
+                return
+            if not tci["vertical"]:
+                tci["totalWidth"] += tci["width"] * tci["textAdvanceScale"]
+            else:
+                tci["totalHeight"] += tci["height"] * tci["textAdvanceScale"]
+            items.append(run_bidi(tci))
+            tci["initialized"] = False
+            tci["str"] = []
+
+        def append_eol():
+            reset_last_chars()
+            if tci["initialized"]:
+                tci["hasEOL"] = True
+                flush_tci()
+            else:
+                items.append({
+                    "str": "", "dir": "ltr", "width": 0.0, "height": 0.0,
+                    "transform": get_current_text_transform(),
+                    "fontName": ts.loaded_name, "hasEOL": True,
+                })
+
+        def add_fake_spaces(width, transf, orientation) -> bool:
+            if orientation * tci["spaceInFlowMin"] <= width <= orientation * tci["spaceInFlowMax"]:
+                if tci["initialized"]:
+                    reset_last_chars()
+                    tci["str"].append(" ")
+                return False
+            font_name = tci["fontName"]
+            height = 0.0
+            if tci["vertical"]:
+                height = width
+                width = 0.0
+            flush_tci()
+            reset_last_chars()
+            push_whitespace(width=abs(width), height=abs(height),
+                            transform=transf if transf is not None else get_current_text_transform(),
+                            font_name=font_name)
+            return True
+
+        def apply_inverse_rotation(x, y, m):
+            scale = math.hypot(m[0], m[1])
+            if scale == 0:
+                return 0.0, 0.0
+            return (m[0] * x + m[1] * y) / scale, (m[2] * x + m[3] * y) / scale
+
+        def compare_with_last_position(glyph_width) -> bool:
+            cur = get_current_text_transform()
+            pos_x, pos_y = cur[4], cur[5]
+            font = ts.font
+            if font is not None and font.vertical:
+                if (pos_x < view_box[0] or pos_x > view_box[2]
+                        or pos_y + glyph_width < view_box[1] or pos_y > view_box[3]):
+                    return False
+            else:
+                if (pos_x + glyph_width < view_box[0] or pos_x > view_box[2]
+                        or pos_y < view_box[1] or pos_y > view_box[3]):
+                    return False
+            if font is None or tci["prevTransform"] is None:
+                return True
+            prev = tci["prevTransform"]
+            last_x, last_y = prev[4], prev[5]
+            if last_x == pos_x and last_y == pos_y:
+                return True
+            rotate = -1
+            if cur[0] and cur[1] == 0 and cur[2] == 0:
+                rotate = 0 if cur[0] > 0 else 180
+            elif cur[1] and cur[0] == 0 and cur[3] == 0:
+                rotate = 90 if cur[1] > 0 else 270
+            if rotate == 90:
+                pos_x, pos_y = pos_y, pos_x
+                last_x, last_y = last_y, last_x
+            elif rotate == 180:
+                pos_x, pos_y, last_x, last_y = -pos_x, -pos_y, -last_x, -last_y
+            elif rotate == 270:
+                pos_x, pos_y = -pos_y, -pos_x
+                last_x, last_y = -last_y, -last_x
+            elif rotate == -1:
+                pos_x, pos_y = apply_inverse_rotation(pos_x, pos_y, cur)
+                last_x, last_y = apply_inverse_rotation(last_x, last_y, prev)
+            if font.vertical:
+                advance_y = (last_y - pos_y) / tci["textAdvanceScale"]
+                advance_x = pos_x - last_x
+                orientation = _sign(tci["height"])
+                if advance_y < orientation * tci["negativeSpaceMax"]:
+                    if abs(advance_x) > 0.5 * tci["width"]:
+                        append_eol()
+                        return True
+                    reset_last_chars()
+                    flush_tci()
+                    return True
+                if abs(advance_x) > tci["width"]:
+                    append_eol()
+                    return True
+                if advance_y <= orientation * tci["notASpace"]:
+                    reset_last_chars()
+                if advance_y <= orientation * tci["trackingSpaceMin"]:
+                    if should_add_whitespace():
+                        reset_last_chars()
+                        flush_tci()
+                        push_whitespace(height=abs(advance_y))
+                    else:
+                        tci["height"] += advance_y
+                elif not add_fake_spaces(advance_y, tci["prevTransform"], orientation):
+                    if len(tci["str"]) == 0:
+                        reset_last_chars()
+                        push_whitespace(height=abs(advance_y))
+                    else:
+                        tci["height"] += advance_y
+                if abs(advance_x) > tci["width"] * VERTICAL_SHIFT_RATIO:
+                    flush_tci()
+                return True
+            advance_x = (pos_x - last_x) / tci["textAdvanceScale"]
+            advance_y = pos_y - last_y
+            orientation = _sign(tci["width"])
+            if advance_x < orientation * tci["negativeSpaceMax"]:
+                if abs(advance_y) > 0.5 * tci["height"]:
+                    append_eol()
+                    return True
+                reset_last_chars()
+                flush_tci()
+                return True
+            if abs(advance_y) > tci["height"]:
+                append_eol()
+                return True
+            if advance_x <= orientation * tci["notASpace"]:
+                reset_last_chars()
+            if advance_x <= orientation * tci["trackingSpaceMin"]:
+                if should_add_whitespace():
+                    reset_last_chars()
+                    flush_tci()
+                    push_whitespace(width=abs(advance_x))
+                else:
+                    tci["width"] += advance_x
+            elif not add_fake_spaces(advance_x, tci["prevTransform"], orientation):
+                if len(tci["str"]) == 0:
+                    reset_last_chars()
+                    push_whitespace(width=abs(advance_x))
+                else:
+                    tci["width"] += advance_x
+            if abs(advance_y) > tci["height"] * VERTICAL_SHIFT_RATIO:
+                flush_tci()
+            return True
+
+        def build_text_content_item(chars: Optional[bytes], extra_spacing: float) -> None:
+            font = ts.font
+            if not chars:
+                char_spacing = ts.char_spacing + extra_spacing
+                if char_spacing:
+                    if not font.vertical:
+                        ts.translate_text_matrix(char_spacing * ts.text_h_scale, 0)
+                    else:
+                        ts.translate_text_matrix(0, -char_spacing)
+                if keep_white_space:
+                    compare_with_last_position(0)
+                return
+            glyphs = font.chars_to_glyphs(chars)
+            scale = ts.font_matrix[0] * ts.font_size
+            n = len(glyphs)
+            for i, glyph in enumerate(glyphs):
+                if glyph.is_format_mark:
+                    continue
+                char_spacing = ts.char_spacing + (extra_spacing if i + 1 == n else 0.0)
+                glyph_width = glyph.width
+                if font.vertical:
+                    glyph_width = -glyph_width  # vmetrics not tracked
+                scaled_dim = glyph_width * scale
+                if not keep_white_space and glyph.is_space:
+                    if not font.vertical:
+                        char_spacing += scaled_dim + ts.word_spacing
+                        ts.translate_text_matrix(char_spacing * ts.text_h_scale, 0)
+                    else:
+                        char_spacing += -scaled_dim + ts.word_spacing
+                        ts.translate_text_matrix(0, -char_spacing)
+                    save_last_char(" ")
+                    continue
+                if not glyph.is_diacritic and not compare_with_last_position(scaled_dim):
+                    if not font.vertical:
+                        ts.translate_text_matrix(scaled_dim * ts.text_h_scale, 0)
+                    else:
+                        ts.translate_text_matrix(0, scaled_dim)
+                    continue
+                chunk = ensure_tci()
+                if glyph.is_diacritic:
+                    scaled_dim = 0.0
+                if not font.vertical:
+                    scaled_dim *= ts.text_h_scale
+                    ts.translate_text_matrix(scaled_dim, 0)
+                    chunk["width"] += scaled_dim
+                else:
+                    ts.translate_text_matrix(0, scaled_dim)
+                    scaled_dim = abs(scaled_dim)
+                    chunk["height"] += scaled_dim
+                if scaled_dim:
+                    chunk["prevTransform"] = get_current_text_transform()
+                gu = glyph.unicode
+                if save_last_char(gu):
+                    chunk["str"].append(" ")
+                chunk["str"].append(gu)
+                if char_spacing:
+                    if not font.vertical:
+                        ts.translate_text_matrix(char_spacing * ts.text_h_scale, 0)
+                    else:
+                        ts.translate_text_matrix(0, -char_spacing)
+
+        # --- operator loop ----------------------------------------------
+        parser = Parser(content, 0, resolve=r)
+        args: list = []
+        xobjs = None
+        while True:
+            try:
+                obj = parser.parse_object()
+            except PDFError:
+                break
+            if isinstance(obj, Token):
+                if obj.kind == "eof":
+                    break
+                op = obj.value
+            else:
+                args.append(obj)
+                if len(args) > 32:
+                    del args[: len(args) - 32]
+                continue
+            try:
+                prev_state = ts
+
+                if op == "Tf" and len(args) >= 2:
+                    fname = str(args[0]) if isinstance(args[0], (Name, str)) else None
+                    fsize = float(args[1]) if isinstance(args[1], (int, float)) else 0.0
+                    if not (ts.font is not None and fname == ts.font_name and fsize == ts.font_size):
+                        flush_tci()
+                        ts.font_name = fname
+                        ts.font_size = fsize
+                        font = self.load_font(fname, None, resources)
+                        ts.loaded_name = font.loaded_name
+                        ts.font = font
+                        ts.font_matrix = font.font_matrix or FONT_IDENTITY_MATRIX
+                elif op == "Ts" and args:
+                    ts.text_rise = _num(args[-1])
+                elif op == "Tz" and args:
+                    ts.text_h_scale = _num(args[-1]) / 100.0
+                elif op == "TL" and args:
+                    ts.leading = _num(args[-1])
+                elif op == "Td" and len(args) >= 2:
+                    ts.translate_text_line_matrix(_num(args[-2]), _num(args[-1]))
+                    ts.text_matrix = list(ts.text_line_matrix)
+                elif op == "TD" and len(args) >= 2:
+                    ts.leading = -_num(args[-1])
+                    ts.translate_text_line_matrix(_num(args[-2]), _num(args[-1]))
+                    ts.text_matrix = list(ts.text_line_matrix)
+                elif op == "T*":
+                    ts.carriage_return()
+                elif op == "Tm" and len(args) >= 6:
+                    a, b, c, d, e, f = (_num(v) for v in args[-6:])
+                    ts.set_text_matrix(a, b, c, d, e, f)
+                    ts.set_text_line_matrix(a, b, c, d, e, f)
+                    update_advance_scale()
+                elif op == "Tc" and args:
+                    ts.char_spacing = _num(args[-1])
+                elif op == "Tw" and args:
+                    ts.word_spacing = _num(args[-1])
+                elif op == "BT":
+                    ts.text_matrix = list(IDENTITY)
+                    ts.text_line_matrix = list(IDENTITY)
+                elif op == "TJ" and args:
+                    if ts.font is None:
+                        args = []
+                        continue
+                    space_factor = (1 if ts.font.vertical else -1) * ts.font_size / 1000.0
+                    buf: list[bytes] = []
+                    elements = args[-1] if isinstance(args[-1], list) else []
+                    for el in elements:
+                        if isinstance(el, bytes):
+                            buf.append(el)
+                        elif isinstance(el, (int, float)) and el != 0:
+                            s = b"".join(buf)
+                            buf = []
+                            build_text_content_item(s, el * space_factor)
+                    if buf:
+                        build_text_content_item(b"".join(buf), 0.0)
+                elif op == "Tj" and args:
+                    if ts.font is None:
+                        args = []
+                        continue
+                    build_text_content_item(args[-1] if isinstance(args[-1], bytes) else b"", 0.0)
+                elif op == "'" and args:
+                    if ts.font is None:
+                        args = []
+                        continue
+                    ts.carriage_return()
+                    build_text_content_item(args[-1] if isinstance(args[-1], bytes) else b"", 0.0)
+                elif op == '"' and len(args) >= 3:
+                    if ts.font is None:
+                        args = []
+                        continue
+                    ts.word_spacing = _num(args[-3])
+                    ts.char_spacing = _num(args[-2])
+                    ts.carriage_return()
+                    build_text_content_item(args[-1] if isinstance(args[-1], bytes) else b"", 0.0)
+                elif op == "q":
+                    state_stack.append(ts.clone())
+                elif op == "Q":
+                    if state_stack:
+                        new_ts = state_stack.pop()
+                        if (prev_state.font is not new_ts.font
+                                or prev_state.font_size != new_ts.font_size
+                                or prev_state.font_name != new_ts.font_name):
+                            flush_tci()
+                        ts = new_ts
+                elif op == "cm" and len(args) >= 6:
+                    m = tuple(_num(v) for v in args[-6:])
+                    ts.ctm = mat_mul(ts.ctm, m)
+                elif op == "Do" and args:
+                    flush_tci()
+                    if xobjs is None:
+                        xobjs = r(resources.get("XObject")) or {}
+                    xname = args[-1]
+                    if isinstance(xname, (Name, str)) and depth < 16:
+                        try:
+                            xobj = r(xobjs.get(str(xname)))
+                        except PDFError:
+                            xobj = None
+                        if isinstance(xobj, StreamObj) and str(r(xobj.dict.get("Subtype", ""))) == "Form":
+                            sub_state = ts.clone()
+                            matrix = r(xobj.dict.get("Matrix"))
+                            if isinstance(matrix, list) and len(matrix) == 6:
+                                sub_state.ctm = mat_mul(sub_state.ctm, tuple(_num(r(v)) for v in matrix))
+                            sub_res = r(xobj.dict.get("Resources")) or resources
+                            try:
+                                self._run(xobj.get_data(r), sub_res, sub_state, items,
+                                          styles, view_box, include_marked_content,
+                                          disable_normalization, keep_white_space,
+                                          depth + 1, seen_styles, marked_level)
+                            except PDFError:
+                                pass
+                elif op == "gs" and args:
+                    gname = args[-1]
+                    if isinstance(gname, (Name, str)):
+                        try:
+                            ext = r(resources.get("ExtGState"))
+                            gstate = r(ext.get(str(gname))) if isinstance(ext, dict) else None
+                            gfont = r(gstate.get("Font")) if isinstance(gstate, dict) else None
+                        except PDFError:
+                            gfont = None
+                        if isinstance(gfont, list) and len(gfont) >= 2:
+                            flush_tci()
+                            ts.font_name = None
+                            ts.font_size = _num(r(gfont[1]))
+                            font = self.load_font(None, gfont[0], resources)
+                            ts.loaded_name = font.loaded_name
+                            ts.font = font
+                            ts.font_matrix = font.font_matrix or FONT_IDENTITY_MATRIX
+                elif op in ("BMC", "BDC"):
+                    flush_tci()
+                    if include_marked_content:
+                        marked_level[0] += 1
+                        item = {"type": "beginMarkedContent" if op == "BMC" else "beginMarkedContentProps",
+                                "tag": str(args[0]) if args and isinstance(args[0], (Name, str)) else None}
+                        if op == "BDC":
+                            mcid = None
+                            if len(args) >= 2 and isinstance(args[1], dict):
+                                mcid = r(args[1].get("MCID"))
+                            item["id"] = f"p_mc{mcid}" if isinstance(mcid, int) else None
+                        items.append(item)
+                elif op == "EMC":
+                    flush_tci()
+                    if include_marked_content and marked_level[0] > 0:
+                        marked_level[0] -= 1
+                        items.append({"type": "endMarkedContent"})
+            except (PDFError, ValueError, TypeError, IndexError, OverflowError, ZeroDivisionError):
+                pass  # absorb per-operator errors (pdf.js ignoreErrors analogue)
+            args = []
+
+        flush_tci()
+
+
+def _sign(x: float) -> int:
+    return (x > 0) - (x < 0)
+
+
+def _num(v: Any) -> float:
+    return float(v) if isinstance(v, (int, float)) else 0.0

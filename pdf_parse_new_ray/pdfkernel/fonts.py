@@ -1,0 +1,403 @@
+"""Font loading + charcode→(unicode, width) decoding.
+
+Parity targets in the reference: `charsToGlyphs` (build/pdf.worker.js:
+29819-29846), CMap / IdentityCMap (:14401,:14539), ToUnicodeMap /
+IdentityToUnicodeMap (:21968,:22004), `readToUnicode` (:37362-37416),
+glyph category (:20976-20988).  Re-implemented from the PDF spec + Adobe
+CMap spec; behavior (unicode string and advance width per charcode) is what
+must match, not structure.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Any, Optional
+
+from .cos import Lexer, Name, PDFError, Ref, StreamObj
+from .encodings import encoding_table, glyph_name_to_unicode
+
+FONT_IDENTITY_MATRIX = (0.001, 0.0, 0.0, 0.001, 0.0, 0.0)
+
+
+# JS /\\s/ whitespace set (cf. getCharUnicodeCategory regex,
+# build/pdf.worker.js:20974): note it EXCLUDES \x1c-\x1f, which Python's
+# str.isspace() would include.
+_JS_WS = frozenset(
+    " \t\n\x0b\x0c\r\u00a0\u1680\u2028\u2029\u202f\u205f\u3000\ufeff"
+) | frozenset(chr(c) for c in range(0x2000, 0x200B))
+
+
+class Glyph:
+    __slots__ = ("unicode", "width", "is_space", "is_diacritic", "is_format_mark")
+
+    def __init__(self, unicode: str, width: float):
+        self.unicode = unicode
+        self.width = width
+        # category per pdf.js getCharUnicodeCategory: ^(\\s)|(\\p{Mn})|(\\p{Cf})$
+        if len(unicode) == 1:
+            self.is_space = unicode in _JS_WS
+            cat = unicodedata.category(unicode)
+            self.is_diacritic = cat == "Mn"
+            self.is_format_mark = cat == "Cf"
+        else:
+            self.is_space = False
+            self.is_diacritic = False
+            self.is_format_mark = False
+
+
+class ToUnicodeMap:
+    """charcode -> unicode string, parsed from a ToUnicode CMap stream."""
+
+    def __init__(self) -> None:
+        self.map: dict[int, str] = {}
+
+    def get(self, code: int) -> Optional[str]:
+        return self.map.get(code)
+
+    @classmethod
+    def parse(cls, data: bytes) -> "ToUnicodeMap":
+        m = cls()
+        lx = Lexer(data, 0)
+        stack: list[Any] = []
+        mode: Optional[str] = None
+        try:
+            while True:
+                tok = lx.next_token()
+                if tok.kind == "eof":
+                    break
+                if tok.kind == "op":
+                    v = tok.value
+                    if v == "beginbfchar":
+                        mode, stack = "bfchar", []
+                    elif v == "beginbfrange":
+                        mode, stack = "bfrange", []
+                    elif v in ("endbfchar", "endbfrange", "endcmap"):
+                        mode = None
+                    continue
+                if mode is None:
+                    continue
+                if tok.kind == "str":
+                    stack.append(tok.value)
+                elif tok.kind == "arr_open":
+                    arr = []
+                    while True:
+                        t2 = lx.next_token()
+                        if t2.kind in ("arr_close", "eof"):
+                            break
+                        if t2.kind == "str":
+                            arr.append(t2.value)
+                    stack.append(arr)
+                elif tok.kind in ("int", "num"):
+                    stack.append(tok.value)
+                if mode == "bfchar" and len(stack) == 2:
+                    src, dst = stack
+                    stack = []
+                    if isinstance(src, bytes) and isinstance(dst, bytes):
+                        m.map[int.from_bytes(src, "big")] = _utf16be(dst)
+                elif mode == "bfrange" and len(stack) == 3:
+                    lo, hi, dst = stack
+                    stack = []
+                    if not (isinstance(lo, bytes) and isinstance(hi, bytes)):
+                        continue
+                    lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+                    if hi_i - lo_i > 0x10000:
+                        hi_i = lo_i + 0x10000
+                    if isinstance(dst, list):
+                        for i, d in enumerate(dst):
+                            if lo_i + i <= hi_i and isinstance(d, bytes):
+                                m.map[lo_i + i] = _utf16be(d)
+                    elif isinstance(dst, bytes):
+                        base = int.from_bytes(dst, "big") if len(dst) <= 4 else None
+                        for c in range(lo_i, hi_i + 1):
+                            if base is not None:
+                                m.map[c] = _utf16be((base + (c - lo_i)).to_bytes(max(2, len(dst)), "big"))
+                            else:
+                                # long destination: increment last code unit
+                                s = _utf16be(dst)
+                                m.map[c] = s[:-1] + chr(ord(s[-1]) + (c - lo_i)) if s else ""
+        except (PDFError, OverflowError, ValueError):
+            pass
+        return m
+
+
+def _utf16be(b: bytes) -> str:
+    if len(b) % 2:
+        b = b + b"\x00"
+    try:
+        return b.decode("utf-16-be", "replace")
+    except Exception:
+        return ""
+
+
+class Font:
+    """Loaded font: decodes content-stream char bytes to glyphs.
+
+    One instance per (font-dict ref) — cached per document in the extractor
+    actor (SURVEY §2.3 T2: warm `_charsCache` analogue)."""
+
+    def __init__(self, doc, font_dict: dict, loaded_name: str):
+        r = doc.resolve
+        self.loaded_name = loaded_name
+        self.font_dict = font_dict
+        subtype = str(r(font_dict.get("Subtype", "")) or "")
+        self.subtype = subtype
+        self.vertical = False
+        self.is_type3 = subtype == "Type3"
+        self.font_matrix = FONT_IDENTITY_MATRIX
+        self.base_font = str(r(font_dict.get("BaseFont", "")) or "")
+        self.fallback_name = self.base_font.split("+")[-1] or "sans-serif"
+        self.ascent = 0.75
+        self.descent = -0.25
+        self.composite = subtype == "Type0"
+        self._glyph_cache: dict[bytes, list[Glyph]] = {}
+
+        if self.is_type3:
+            fm = r(font_dict.get("FontMatrix"))
+            if isinstance(fm, list) and len(fm) == 6:
+                self.font_matrix = tuple(float(r(v)) for v in fm)
+
+        desc = None
+        if self.composite:
+            desc_fonts = r(font_dict.get("DescendantFonts"))
+            d0 = r(desc_fonts[0]) if isinstance(desc_fonts, list) and desc_fonts else {}
+            desc = r((d0 or {}).get("FontDescriptor"))
+            self._set_symbolic(doc, desc)
+            self._load_cid(doc, d0 or {})
+        else:
+            desc = r(font_dict.get("FontDescriptor"))
+            self._set_symbolic(doc, desc)
+            self._load_simple(doc, font_dict, desc if isinstance(desc, dict) else None)
+
+        if isinstance(desc, dict):
+            a = r(desc.get("Ascent"))
+            d = r(desc.get("Descent"))
+            if isinstance(a, (int, float)) and a:
+                self.ascent = a / 1000.0
+            if isinstance(d, (int, float)) and d:
+                self.descent = d / 1000.0
+            mw = r(desc.get("MissingWidth"))
+            if isinstance(mw, (int, float)):
+                self.default_width = float(mw)
+
+        # ToUnicode
+        self.to_unicode: Optional[ToUnicodeMap] = None
+        tu = r(font_dict.get("ToUnicode"))
+        if isinstance(tu, StreamObj):
+            try:
+                self.to_unicode = ToUnicodeMap.parse(tu.get_data(r))
+            except PDFError:
+                self.to_unicode = None
+
+    # -- simple fonts ----------------------------------------------------
+    def _load_simple(self, doc, fd: dict, desc: Optional[dict]) -> None:
+        r = doc.resolve
+        self.default_width = 0.0
+        widths: dict[int, float] = {}
+        first = r(fd.get("FirstChar", 0)) or 0
+        warr = r(fd.get("Widths"))
+        if isinstance(warr, list):
+            for i, w in enumerate(warr):
+                w = r(w)
+                if isinstance(w, (int, float)):
+                    widths[first + i] = float(w)
+        else:
+            std = _std14_widths(self.base_font)
+            if std:
+                widths, self.default_width = std
+        self.widths = widths
+
+        # encoding selection — pdf.js precedence (PartialEvaluator font
+        # translation): explicit /Encoding name or BaseEncoding > builtin
+        # font-program encoding when symbolic > StandardEncoding; Differences
+        # always override on top.
+        base_name: Optional[str] = None
+        diffs: dict[int, str] = {}
+        enc = r(fd.get("Encoding"))
+        if isinstance(enc, Name):
+            base_name = str(enc)
+        elif isinstance(enc, dict):
+            be = r(enc.get("BaseEncoding"))
+            if isinstance(be, (Name, str)):
+                base_name = str(be)
+            darr = r(enc.get("Differences"))
+            if isinstance(darr, list):
+                code = 0
+                for item in darr:
+                    item = r(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, (Name, str)):
+                        diffs[code] = str(item)
+                        code += 1
+        if base_name is not None:
+            table = list(encoding_table(base_name if base_name in ("WinAnsiEncoding", "MacRomanEncoding", "MacExpertEncoding") else "StandardEncoding"))
+        else:
+            builtin = self._parse_builtin_type1_encoding(doc, desc) if self.symbolic else None
+            if builtin is not None:
+                table = [""] * 256
+                for code, gname in builtin.items():
+                    if 0 <= code < 256:
+                        table[code] = glyph_name_to_unicode(gname)
+            elif self.symbolic:
+                # symbolic font, opaque program (TrueType (3,0) cmap style):
+                # charcode identity — matches pdf.js fallback output
+                table = [chr(c) for c in range(256)]
+            else:
+                table = list(encoding_table("StandardEncoding"))
+        for code, gname in diffs.items():
+            if 0 <= code < 256:
+                u = glyph_name_to_unicode(gname)
+                table[code] = u if u else table[code]
+        self._enc_table = table
+        self._diff_names = diffs
+
+    def _set_symbolic(self, doc, desc) -> None:
+        flags = doc.resolve(desc.get("Flags")) if isinstance(desc, dict) else None
+        self.symbolic = bool(isinstance(flags, int) and (flags & 4) and not (flags & 32))
+
+    @staticmethod
+    def _parse_builtin_type1_encoding(doc, desc: Optional[dict]) -> Optional[dict[int, str]]:
+        """Parse /Encoding from the cleartext section of an embedded Type1
+        font program (the source pdf.js uses for symbolic Type1 base
+        encodings).  Returns code→glyphname, or None."""
+        if not isinstance(desc, dict):
+            return None
+        ff = doc.resolve(desc.get("FontFile"))
+        if not isinstance(ff, StreamObj):
+            return None
+        try:
+            data = ff.get_data(doc.resolve)
+        except PDFError:
+            return None
+        head = data.split(b"eexec", 1)[0]
+        idx = head.find(b"/Encoding")
+        if idx == -1:
+            return None
+        seg = head[idx : idx + 65536]
+        if b"StandardEncoding" in seg[:64]:
+            enc_std = encoding_table("StandardEncoding")
+            # reuse unicode table by synthesizing names is pointless; signal
+            # "standard" by returning None so caller falls through — but the
+            # caller only reaches here when symbolic, so map via table:
+            return None
+        out: dict[int, str] = {}
+        for m in re.finditer(rb"dup\s+(\d+)\s*/([^\s/\(\)\[\]{}<>]+)\s+put", seg):
+            try:
+                out[int(m.group(1))] = m.group(2).decode("latin-1")
+            except ValueError:
+                continue
+        return out or None
+
+    # -- composite (Type0) fonts ----------------------------------------
+    def _load_cid(self, doc, d0: dict) -> None:
+        r = doc.resolve
+        self.default_width = float(r(d0.get("DW", 1000)) or 1000)
+        widths: dict[int, float] = {}
+        warr = r(d0.get("W"))
+        if isinstance(warr, list):
+            i = 0
+            vals = [r(v) for v in warr]
+            while i < len(vals):
+                c = vals[i]
+                if i + 1 < len(vals) and isinstance(vals[i + 1], list):
+                    for j, w in enumerate(vals[i + 1]):
+                        w = r(w)
+                        if isinstance(w, (int, float)):
+                            widths[int(c) + j] = float(w)
+                    i += 2
+                elif i + 2 < len(vals):
+                    c2, w = vals[i + 1], vals[i + 2]
+                    if all(isinstance(x, (int, float)) for x in (c, c2, w)):
+                        for cc in range(int(c), min(int(c2), int(c) + 65536) + 1):
+                            widths[cc] = float(w)
+                    i += 3
+                else:
+                    break
+        self.widths = widths
+        self.cid_to_gid_identity = True
+        enc = doc.resolve(self.font_dict.get("Encoding")) if hasattr(self, "font_dict") else None
+        self.vertical = isinstance(enc, (Name, str)) and str(enc).endswith("-V")
+        # CIDSystemInfo-registered non-identity CMaps (external resources) are
+        # not available offline; Identity-H/V covers the fixtures + modern PDFs.
+        self._enc_table = None
+        self._diff_names = {}
+
+    # -- decode ----------------------------------------------------------
+    def chars_to_glyphs(self, chars: bytes) -> list[Glyph]:
+        cached = self._glyph_cache.get(chars)
+        if cached is not None:
+            return cached
+        glyphs: list[Glyph] = []
+        if self.composite:
+            # 2-byte Identity mapping
+            for i in range(0, len(chars) - 1, 2):
+                code = (chars[i] << 8) | chars[i + 1]
+                glyphs.append(self._make_glyph(code))
+            if len(chars) % 2:  # dangling byte
+                glyphs.append(self._make_glyph(chars[-1]))
+        else:
+            for b in chars:
+                glyphs.append(self._make_glyph(b))
+        if len(self._glyph_cache) < 4096:
+            self._glyph_cache[chars] = glyphs
+        return glyphs
+
+    def _make_glyph(self, code: int) -> Glyph:
+        u: Optional[str] = None
+        if self.to_unicode is not None:
+            u = self.to_unicode.get(code)
+        if u is None:
+            if self._enc_table is not None and 0 <= code < 256:
+                u = self._enc_table[code]
+                if not u and code in self._diff_names:
+                    u = ""
+            if not u:
+                # pdf.js falls back to the charcode itself
+                try:
+                    u = chr(code)
+                except ValueError:
+                    u = "�"
+        w = self.widths.get(code)
+        if w is None:
+            w = self.default_width
+        return Glyph(u, w)
+
+
+# -- standard 14 metrics (Annex D / AFM) -------------------------------------
+# Helvetica & Times & Courier width tables for WinAnsi-ish codes.  Compact:
+# Courier is fixed 600; Helvetica/Times carry the printable-ASCII widths that
+# dominate extraction advance math; non-ASCII falls back to 500.
+
+_HELV = (278,278,355,556,556,889,667,191,333,333,389,584,278,333,278,278,556,556,556,556,556,556,556,556,556,556,278,278,584,584,584,556,1015,667,667,722,722,667,611,778,722,278,500,667,556,833,722,778,667,778,722,667,611,722,667,944,667,667,611,278,278,278,469,556,333,556,556,500,556,556,278,556,556,222,222,500,222,833,556,556,556,556,333,500,278,556,500,722,500,500,500,334,260,334,584)
+_HELV_BOLD = (278,333,474,556,556,889,722,238,333,333,389,584,278,333,278,278,556,556,556,556,556,556,556,556,556,556,333,333,584,584,584,611,975,722,722,722,722,667,611,778,722,278,556,722,611,833,722,778,667,778,722,667,611,722,667,944,667,667,611,333,278,333,584,556,333,556,611,556,611,556,333,611,611,278,278,556,278,889,611,611,611,611,389,556,333,611,556,778,556,556,500,389,280,389,584)
+_TIMES = (250,333,408,500,500,833,778,180,333,333,500,564,250,333,250,278,500,500,500,500,500,500,500,500,500,500,278,278,564,564,564,444,921,722,667,667,722,611,556,722,722,333,389,722,611,889,722,722,556,722,667,556,611,722,722,944,722,722,611,333,278,333,469,500,333,444,500,444,500,444,333,500,500,278,278,500,278,778,500,500,500,500,333,389,278,500,500,722,500,500,444,480,200,480,541)
+_TIMES_BOLD = (250,333,555,500,500,1000,833,278,333,333,500,570,250,333,250,278,500,500,500,500,500,500,500,500,500,500,333,333,570,570,570,500,930,722,667,722,722,667,611,778,778,389,500,778,667,944,722,778,611,778,722,556,667,722,722,1000,722,722,667,333,278,333,581,500,333,500,556,444,556,444,333,500,556,278,333,556,278,833,556,500,556,556,444,389,333,556,500,722,500,500,444,394,220,394,520)
+_TIMES_ITALIC = (250,333,420,500,500,833,778,214,333,333,500,675,250,333,250,278,500,500,500,500,500,500,500,500,500,500,333,333,675,675,675,500,920,611,611,667,722,611,611,722,722,333,444,667,556,833,667,722,611,722,611,500,556,722,611,833,611,556,556,389,278,389,422,500,333,500,500,444,500,444,278,500,500,278,278,444,278,722,500,500,500,500,389,389,278,500,444,667,444,444,389,400,275,400,541)
+
+
+def _std14_widths(base_font: str) -> Optional[tuple[dict[int, float], float]]:
+    name = base_font.split("+")[-1].lower()
+    table = None
+    default = 500.0
+    if "courier" in name or name in ("monospace",):
+        return ({c: 600.0 for c in range(0, 256)}, 600.0)
+    if "helvetica" in name or "arial" in name:
+        table = _HELV_BOLD if "bold" in name else _HELV
+        default = 556.0
+    elif "times" in name or name.startswith("serif"):
+        if "bolditalic" in name or ("bold" in name and "italic" in name):
+            table = _TIMES_BOLD
+        elif "bold" in name:
+            table = _TIMES_BOLD
+        elif "italic" in name or "oblique" in name:
+            table = _TIMES_ITALIC
+        else:
+            table = _TIMES
+        default = 500.0
+    elif "symbol" in name or "zapf" in name or "dingbat" in name:
+        return ({c: 500.0 for c in range(0, 256)}, 500.0)
+    if table is None:
+        return None
+    widths = {0x20 + i: float(w) for i, w in enumerate(table)}
+    return widths, default
