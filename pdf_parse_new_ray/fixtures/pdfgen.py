@@ -1,0 +1,342 @@
+"""Deterministic synthetic PDF generator (FIXTURES.md §F3).
+
+Builds byte-deterministic PDFs from a seed, each exercising one reference
+behavior (SURVEY.md §2 M-ops).  The generator knows exactly which glyphs and
+positions it writes, so it also emits ground-truth expected text — the
+conformance oracle for the kernel and the Ray pipeline.
+
+No code from the reference; PDF syntax per ISO 32000-1.
+"""
+
+from __future__ import annotations
+
+import random
+import zlib
+from typing import Optional
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Minimal LZW encoder (PDF-compatible, EarlyChange=1)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    code_len = 9
+    out = bytearray()
+    bit_buf = 0
+    bit_len = 0
+
+    def emit(code: int) -> None:
+        nonlocal bit_buf, bit_len
+        bit_buf = (bit_buf << code_len) | code
+        bit_len += code_len
+        while bit_len >= 8:
+            out.append((bit_buf >> (bit_len - 8)) & 0xFF)
+            bit_len -= 8
+
+    emit(256)  # clear table
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+        else:
+            emit(table[w])
+            table[wc] = next_code
+            next_code += 1
+            # EarlyChange sync: the decoder's dict lags ours by one entry and
+            # widens at dict+1 == 1<<len, so we widen when next_code hits
+            # 1<<len — one table slot before we'd mathematically need to
+            if code_len < 12 and next_code >= (1 << code_len):
+                code_len += 1
+            if next_code >= 4094:
+                emit(256)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                code_len = 9
+            w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    if bit_len:
+        out.append((bit_buf << (8 - bit_len)) & 0xFF)
+    return bytes(out)
+
+
+class PDFBuilder:
+    """Assembles a classic-xref (or xref-stream) PDF from object bodies."""
+
+    def __init__(self, version: str = "1.4", header_garbage: bytes = b""):
+        self.version = version
+        self.header_garbage = header_garbage
+        self.objects: list[bytes] = []  # 1-based object bodies (without N 0 obj wrapper)
+
+    def add(self, body: bytes) -> int:
+        self.objects.append(body)
+        return len(self.objects)
+
+    def add_stream(self, dict_extra: bytes, data: bytes, filt: Optional[str]) -> int:
+        if filt == "flate":
+            enc = zlib.compress(data)
+            fspec = b"/Filter /FlateDecode "
+        elif filt == "lzw":
+            enc = lzw_encode(data)
+            fspec = b"/Filter /LZWDecode "
+        elif filt == "ahx":
+            enc = data.hex().encode() + b">"
+            fspec = b"/Filter /ASCIIHexDecode "
+        else:
+            enc = data
+            fspec = b""
+        body = b"<< " + fspec + dict_extra + b"/Length " + str(len(enc)).encode() + b" >>\nstream\n" + enc + b"\nendstream"
+        return self.add(body)
+
+    def build(self, root_num: int, info_num: Optional[int] = None,
+              use_xref_stream: bool = False, truncate_at: Optional[int] = None) -> bytes:
+        out = bytearray()
+        out += b"%PDF-" + self.version.encode() + b"\n"
+        if self.header_garbage:
+            out += self.header_garbage
+        offsets = [0]
+        for i, body in enumerate(self.objects, 1):
+            offsets.append(len(out))
+            out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref_pos = len(out)
+        n = len(self.objects) + 1
+        if not use_xref_stream:
+            out += b"xref\n"
+            out += f"0 {n}\n".encode()
+            out += b"0000000000 65535 f \n"
+            for off in offsets[1:]:
+                out += f"{off:010d} 00000 n \n".encode()
+            trailer = f"trailer\n<< /Size {n} /Root {root_num} 0 R ".encode()
+            if info_num:
+                trailer += f"/Info {info_num} 0 R ".encode()
+            trailer += b">>\n"
+            out += trailer
+        else:
+            # xref stream object (W = [1 4 2])
+            rows = bytearray()
+            rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+            for off in offsets[1:]:
+                rows += bytes([1]) + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+            # the xref stream itself is one more object
+            xnum = n
+            rows += bytes([1]) + xref_pos.to_bytes(4, "big") + (0).to_bytes(2, "big")
+            data = zlib.compress(bytes(rows))
+            extra = (f"/Type /XRef /Size {n + 1} /W [1 4 2] /Index [0 {n + 1}] "
+                     f"/Root {root_num} 0 R " + (f"/Info {info_num} 0 R " if info_num else "")).encode()
+            body = extra + b"/Filter /FlateDecode /Length " + str(len(data)).encode() + b" >>\nstream\n" + data + b"\nendstream"
+            out += f"{xnum} 0 obj\n<< ".encode() + body + b"\nendobj\n"
+        out += b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
+        result = bytes(out)
+        if truncate_at is not None:
+            result = result[:truncate_at]
+        return result
+
+
+def _escape_pdf_text(s: str) -> bytes:
+    """Encode text as a WinAnsi literal string."""
+    b = s.encode("cp1252", "replace")
+    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def make_text_pdf(
+    pages: list[list[str]],
+    filt: Optional[str] = "flate",
+    font_size: float = 12.0,
+    leading: float = 16.0,
+    use_xref_stream: bool = False,
+    version: str = "1.4",
+    title: str = "synthetic",
+    producer: str = "pdfgen",
+) -> tuple[bytes, str]:
+    """A multi-page text PDF: each line positioned by its own Tm, Y steps of
+    ``leading`` (> Y_TOLERANCE and > fake-space windows, so expected text is
+    exactly lines joined with '\\n').  Returns (pdf_bytes, expected_doc_text)
+    where expected_doc_text matches the reference sequential join (leading
+    '\\n\\n' + pages joined by '\\n\\n')."""
+    b = PDFBuilder(version=version)
+    font_num = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    page_nums = []
+    content_nums = []
+    for lines in pages:
+        ops = [b"BT"]
+        y = 720.0
+        for line in lines:
+            ops.append(b"/F1 " + _fmt(font_size) + b" Tf")
+            ops.append(b"1 0 0 1 72 " + _fmt(y) + b" Tm")
+            ops.append(b"(" + _escape_pdf_text(line) + b") Tj")
+            y -= leading
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        content_nums.append(b.add_stream(b"", content, filt))
+    pages_num_placeholder = len(b.objects) + len(pages) + 1
+    for cn in content_nums:
+        page_nums.append(b.add(
+            f"<< /Type /Page /Parent {pages_num_placeholder} 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> /Contents {cn} 0 R >>".encode()
+        ))
+    kids = b" ".join(f"{p} 0 R".encode() for p in page_nums)
+    pages_num = b.add(b"<< /Type /Pages /Kids [" + kids + b"] /Count " + str(len(page_nums)).encode() + b" >>")
+    assert pages_num == pages_num_placeholder
+    root_num = b.add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
+    info_num = b.add(b"<< /Title (" + _escape_pdf_text(title) + b") /Producer (" + _escape_pdf_text(producer) + b") >>")
+    pdf = b.build(root_num, info_num, use_xref_stream=use_xref_stream)
+    # expected text per the reference's default fold: each line its own Tm with
+    # |deltaY| > 1 → '\n' between lines; pages joined (with leading) '\n\n'
+    expected = "".join("\n\n" + "\n".join(_expected_line(l) for l in lines) for lines in pages)
+    return pdf, expected
+
+
+def _expected_line(line: str) -> str:
+    # cp1252 round-trip (the generator writes WinAnsi bytes)
+    return line.encode("cp1252", "replace").decode("cp1252")
+
+
+def _fmt(x: float) -> bytes:
+    s = f"{x:.2f}".rstrip("0").rstrip(".")
+    return s.encode()
+
+
+def make_tj_kerning_pdf() -> tuple[bytes, str]:
+    """TJ arrays with adjustments inside/outside the fake-space window
+    [0.102, 0.6]×fontSize (M12/M13).  fontSize=10: adjustment a (thousandths)
+    shifts by -a*10/1000 = -a/100 text units; advance gap g relative to
+    fontSize decides: g in [1.02, 6.0] units → fake ' ' appended; g > 6.0 →
+    separate whitespace item (str ' ')."""
+    fs = 10.0
+    # gap = -adj * fs / 1000; choose adj=-300 → gap 3.0 (in window → ' ');
+    # adj=-50 → gap 0.5 (tracking: merged, no space); adj=-800 → gap 8.0
+    # (beyond window → whitespace item ' ' pushed, still a space in the fold)
+    content = (b"BT /F1 10 Tf 1 0 0 1 72 700 Tm "
+               b"[(AB) -300 (CD) -50 (EF) -800 (GH)] TJ ET")
+    b = PDFBuilder()
+    font_num = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 {font_num} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    pdf = b.build(root)
+    # expected: 'AB CD' merged? gap 3.0 in window → fake space → 'AB CDEF GH':
+    #   -300 → ' '  (in window), -50 → nothing (tracking), -800 → whitespace
+    #   item ' ' (same line, no Y change → no '\n' in fold)
+    return pdf, "\n\nAB CDEF GH"
+
+
+def make_ytol_pdf() -> tuple[bytes, str]:
+    """Successive lines with Y deltas 0.5 / 1.0 / 1.01 / 13 around
+    Y_TOLERANCE=1.0 (lib/pdf-parse.js:20,30).  Each line is its own item via
+    font-size alternation (forces flush without moving X)."""
+    # Y deltas: fold rule newline iff |dy| > 1.0 (strict)
+    ys = [700.0, 699.5, 698.5, 697.49, 684.49]
+    # deltas:      0.5    1.0     1.01    13.0
+    texts = ["L0", "L1", "L2", "L3", "L4"]
+    ops = [b"BT"]
+    for i, (y, t) in enumerate(zip(ys, texts)):
+        size = b"12" if i % 2 == 0 else b"12.5"  # force item flush via Tf change
+        ops.append(b"/F1 " + size + b" Tf")
+        ops.append(b"1 0 0 1 72 " + _fmt(y) + b" Tm")
+        ops.append(b"(" + t.encode() + b") Tj")
+    ops.append(b"ET")
+    b = PDFBuilder()
+    font_num = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    cn = b.add_stream(b"", b"\n".join(ops), "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 {font_num} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    pdf = b.build(root)
+    # fold: L0-L1 dy=0.5 (no nl), L1-L2 dy=1.0 (no nl, strict >), L2-L3
+    # dy=1.01 (nl), L3-L4 dy=13 (nl).  Note appendEOL in span assembly also
+    # breaks lines but the fold's newline comes from transform Y deltas.
+    return pdf, "\n\nL0L1L2\nL3\nL4"
+
+
+def make_ligature_pdf() -> tuple[bytes, str]:
+    """Codes mapped via ToUnicode to ligature chars ﬁ ﬂ ﬀ — normalizeUnicode
+    (M14) must fold them to fi/fl/ff in the extracted text."""
+    # simple font, codes 0x41('A')→'ﬁ', 0x42→'ﬂ', 0x43→'ﬀ' via ToUnicode
+    tou = (b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
+           b"1 begincodespacerange <00> <FF> endcodespacerange "
+           b"3 beginbfchar <41> <FB01> <42> <FB02> <43> <FB00> endbfchar "
+           b"endcmap end end")
+    b = PDFBuilder()
+    tou_num = b.add_stream(b"", tou, "flate")
+    font_num = b.add(f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding /ToUnicode {tou_num} 0 R >>".encode())
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (A B C) Tj ET"
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 {font_num} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root), "\n\nfi fl ff"
+
+
+def make_identity_h_pdf() -> tuple[bytes, str]:
+    """Type0 / Identity-H with embedded ToUnicode (M10/M11 multi-byte)."""
+    text_codes = [0x0048, 0x0049, 0x004A]  # CIDs
+    tou = (b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
+           b"1 begincodespacerange <0000> <FFFF> endcodespacerange "
+           b"1 beginbfrange <0048> <004A> <0057> endbfrange "  # → W X Y
+           b"endcmap end end")
+    b = PDFBuilder()
+    tou_num = b.add_stream(b"", tou, "flate")
+    desc_num = b.add(b"<< /Type /FontDescriptor /FontName /Synth /Flags 4 /Ascent 750 /Descent -250 /ItalicAngle 0 /CapHeight 700 /StemV 80 /FontBBox [0 -250 1000 750] >>")
+    cid_num = b.add(f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> /FontDescriptor {desc_num} 0 R /DW 600 >>".encode())
+    font_num = b.add(f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth /Encoding /Identity-H /DescendantFonts [{cid_num} 0 R] /ToUnicode {tou_num} 0 R >>".encode())
+    hexstr = "".join(f"{c:04X}" for c in text_codes)
+    content = f"BT /F1 12 Tf 1 0 0 1 72 700 Tm <{hexstr}> Tj ET".encode()
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 {font_num} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root), "\n\nWXY"
+
+
+def make_empty_page_pdf() -> tuple[bytes, str]:
+    b = PDFBuilder()
+    cn = b.add_stream(b"", b"", "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root), "\n\n"
+
+
+def make_invalid_pdf() -> bytes:
+    """Valid header, truncated body — must reject whole-doc (test/03)."""
+    pdf, _ = make_text_pdf([["will be truncated"]])
+    return pdf[: len(pdf) // 3]
+
+
+_WORDS = (
+    "data trace engine stream batch arrow shuffle actor block spill lineage "
+    "extract span media text page glyph font matrix kernel filter decode "
+    "partition checkpoint resume skew split merge sort offset order schema"
+).split()
+
+
+def random_lines(rng: random.Random, n_lines: int, min_words: int = 3, max_words: int = 9) -> list[str]:
+    return [
+        " ".join(rng.choice(_WORDS) for _ in range(rng.randint(min_words, max_words)))
+        for _ in range(n_lines)
+    ]
+
+
+def make_seeded_pdf(seed: int, n_pages: Optional[int] = None,
+                    filt: Optional[str] = None,
+                    use_xref_stream: Optional[bool] = None) -> tuple[bytes, str, int]:
+    """Deterministic content PDF for corpus generation.  Returns
+    (pdf_bytes, expected_text, numpages)."""
+    rng = random.Random(seed)
+    if n_pages is None:
+        n_pages = rng.choice([1, 1, 2, 2, 3, 5, 8])
+    if filt is None:
+        filt = rng.choice(["flate", "flate", "flate", "lzw", None])
+    if use_xref_stream is None:
+        use_xref_stream = rng.random() < 0.25
+    pages = [random_lines(rng, rng.randint(3, 12)) for _ in range(n_pages)]
+    pdf, expected = make_text_pdf(pages, filt=filt, use_xref_stream=use_xref_stream,
+                                  title=f"doc-{seed}", producer="pdfgen/0.1")
+    return pdf, expected, n_pages

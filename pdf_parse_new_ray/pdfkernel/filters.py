@@ -82,7 +82,9 @@ def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
                 table[dict_size] = prev + entry[:1]
                 dict_size += 1
             prev = entry
-            if dict_size + early_change - 1 >= (1 << code_len) and code_len < 12:
+            # width bump one entry early (pdf.js LZWStream rule:
+            # dictLength + earlyChange == 1 << codeLength)
+            if code_len < 12 and dict_size + early_change >= (1 << code_len):
                 code_len += 1
     return bytes(out)
 

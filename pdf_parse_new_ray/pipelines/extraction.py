@@ -1,0 +1,335 @@
+"""The flagship pipeline: interleaved docs + media → extracted docs.
+
+Ray-Data-first design (SURVEY §7, north_rule):
+
+  read docs ─ explode spans (+stable partition key) ─┐
+  read media ─ split units ─ actor-pool extract ─ reassemble per media ─┤
+                                                     join on media_ref ─┴─
+  groupby(partition-of-doc_id) → per-partition assemble (offset sort) →
+  partitioned parquet + lineage  (resume skips completed partitions)
+
+Shuffle budget: one groupby on the doc_id-derived partition key (required
+by the north rule), one groupby(media_ref) ONLY for page-split skewed docs,
+and a media_ref join that degrades to a broadcast map when the extracted
+side is small.  All per-batch work is Arrow-vectorized or amortized actor
+state; bytes never pass through the doc_id shuffle (only extracted text).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..fixtures.corpus import SPAN_TYPE
+from ..stages.extractor import PdfExtractor
+from ..stages.split import make_split_units
+from ..stages.spans import explode_spans, assemble_media_parts
+from ..state import checkpoint as ckpt
+
+# broadcast the extracted-media map when it has fewer rows than this;
+# otherwise use a distributed hash join on media_ref
+BROADCAST_MEDIA_ROWS = 200_000
+
+
+def _default_concurrency(concurrency):
+    """Autoscaling actor-pool bounds sized to the Ray session's CPUs
+    (reference analogue: maxWorkers = cpus−1, lib/pdf-parse-workers.js:40)."""
+    if concurrency is not None:
+        return concurrency
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return (1, max(2, cpus))
+
+
+def _explode_with_partition(n_partitions: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        t = explode_spans(batch)
+        part = ckpt.partition_column(t.column("doc_id").combine_chunks(), n_partitions)
+        return t.append_column("part", part)
+
+    return fn
+
+
+def _filter_done_docs(n_partitions: int, done: set):
+    done_list = sorted(done)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks()
+        part = ckpt.partition_column(ids, n_partitions)
+        mask = pc.invert(pc.is_in(part, value_set=pa.array(done_list, pa.int32())))
+        return batch.filter(mask)
+
+    return fn
+
+
+class _AttachMediaText:
+    """Broadcast-join stage: map extracted media text onto pdf span rows.
+    The lookup table is shipped once via ray.put and materialized once per
+    actor (NOT per batch)."""
+
+    def __init__(self, media_map_ref):
+        obj = media_map_ref
+        if isinstance(obj, ray.ObjectRef):
+            obj = ray.get(obj)
+        # obj: pyarrow table media_ref/text/numpages/error
+        self._map = {}
+        for r, t, n, e in zip(obj.column("media_ref").to_pylist(),
+                              obj.column("text").to_pylist(),
+                              obj.column("numpages").to_pylist(),
+                              obj.column("error").to_pylist()):
+            self._map[r] = (t, n, e)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_text, out_np, out_err = [], [], []
+        for k, ref, t in zip(kinds, refs, texts):
+            if k == "pdf":
+                ent = self._map.get(ref)
+                if ent is None:
+                    out_text.append("")
+                    out_np.append(0)
+                    out_err.append("media_ref not found")
+                else:
+                    out_text.append(ent[0] or "")
+                    out_np.append(ent[1] or 0)
+                    out_err.append(ent[2])
+            else:
+                out_text.append(t or "")
+                out_np.append(0)
+                out_err.append(None)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "kind": batch.column("kind"),
+            "text": pa.array(out_text, pa.string()),
+            "media_ref": batch.column("media_ref"),
+            "offset": batch.column("offset"),
+            "part": batch.column("part"),
+            "numpages": pa.array(out_np, pa.int32()),
+            "error": pa.array(out_err, pa.string()),
+        })
+
+
+def _assemble_partition(out_dir: Optional[str]):
+    """groupby('part') → map_groups: assemble every doc in the partition
+    (offset-keyed sort within doc_id) and, in write mode, persist the
+    partition + lineage, emitting a metrics row instead of the data."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        t0 = time.time()
+        k = group.column("part")[0].as_py()
+        order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending"), ("offset", "ascending")])
+        g = group.take(order)
+        doc_ids = g.column("doc_id").to_pylist()
+        kinds = g.column("kind").to_pylist()
+        texts = g.column("text").to_pylist()
+        refs = g.column("media_ref").to_pylist()
+        offsets = g.column("offset").to_pylist()
+        numpages = g.column("numpages").to_pylist()
+        errors = g.column("error").to_pylist()
+
+        rows_doc, rows_spans, rows_np, rows_err, rows_nspans = [], [], [], [], []
+        i, n = 0, len(doc_ids)
+        total_pages = 0
+        total_errors = 0
+        while i < n:
+            j = i
+            spans = []
+            doc_np = 0
+            doc_err = 0
+            while j < n and doc_ids[j] == doc_ids[i]:
+                spans.append({"kind": kinds[j], "text": texts[j] or "",
+                              "media_ref": refs[j] or "", "offset": offsets[j]})
+                if kinds[j] == "pdf":
+                    doc_np += numpages[j] or 0
+                if errors[j]:
+                    doc_err += 1
+                j += 1
+            rows_doc.append(doc_ids[i])
+            rows_spans.append(spans)
+            rows_nspans.append(len(spans))
+            rows_np.append(doc_np)
+            rows_err.append(doc_err)
+            total_pages += doc_np
+            total_errors += doc_err
+            i = j
+        out = pa.table({
+            "doc_id": pa.array(rows_doc, pa.string()),
+            "spans": pa.array(rows_spans, pa.list_(SPAN_TYPE)),
+            "n_spans": pa.array(rows_nspans, pa.int32()),
+            "numpages": pa.array(rows_np, pa.int32()),
+            "n_errors": pa.array(rows_err, pa.int32()),
+        })
+        if out_dir is None:
+            return out
+        rec = ckpt.write_partition(out_dir, k, out, {
+            "n_docs": len(rows_doc),
+            "n_spans": int(sum(rows_nspans)),
+            "pages": int(total_pages),
+            "errors": int(total_errors),
+            "wall_s": time.time() - t0,
+        })
+        return pa.table({
+            "partition": pa.array([k], pa.int32()),
+            "n_docs": pa.array([rec["n_docs"]], pa.int64()),
+            "pages": pa.array([rec["pages"]], pa.int64()),
+            "errors": pa.array([rec["errors"]], pa.int64()),
+            "wall_s": pa.array([rec["wall_s"]], pa.float64()),
+        })
+
+    return fn
+
+
+def extract_media_text(
+    media: rd.Dataset,
+    *,
+    size_threshold: int = 512 * 1024,
+    page_threshold: int = 200,
+    page_chunk: int = 100,
+    concurrency=None,
+    batch_size: int = 8,
+    page_render=None,
+    max_pages: int = 0,
+) -> rd.Dataset:
+    """media (media_ref, bytes) → (media_ref, text, numpages, error).
+
+    Skew path: docs > page_threshold pages are split into page-range units
+    and re-joined by a groupby(media_ref) that only ever sees split docs."""
+    units = media.map_batches(
+        make_split_units(size_threshold, page_threshold, page_chunk),
+        batch_format="pyarrow", batch_size=64,
+    )
+    extracted = units.map_batches(
+        PdfExtractor,
+        fn_constructor_kwargs={"page_render": page_render, "max_pages": max_pages},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=_default_concurrency(concurrency), zero_copy_batch=True,
+    )
+    singles = extracted.filter(
+        expr="n_chunks == 1"
+    ).map_batches(
+        lambda t: pa.table({
+            "media_ref": t.column("media_ref"),
+            "text": t.column("chunk_text"),
+            "numpages": t.column("numpages"),
+            "error": t.column("error"),
+        }),
+        batch_format="pyarrow",
+    )
+    multis = extracted.filter(expr="n_chunks > 1")
+    multis = multis.groupby("media_ref").map_groups(assemble_media_parts, batch_format="pyarrow")
+    return singles.union(multis)
+
+
+def extract_documents(
+    docs_path: str,
+    media_path: str,
+    out_dir: Optional[str] = None,
+    *,
+    n_partitions: int = 32,
+    size_threshold: int = 512 * 1024,
+    page_threshold: int = 200,
+    page_chunk: int = 100,
+    concurrency=None,
+    batch_size: int = 8,
+    join_strategy: str = "auto",  # auto | broadcast | hash
+    resume: bool = True,
+    page_render=None,
+    max_pages: int = 0,
+) -> rd.Dataset:
+    """Full interleaved-corpus extraction.
+
+    Returns the assembled documents Dataset (out_dir=None) or the
+    per-partition metrics Dataset (write mode with lineage + resume)."""
+    docs = rd.read_parquet(docs_path)
+    done: set[int] = set()
+    if out_dir is not None and resume:
+        done = ckpt.completed_partitions(out_dir)
+        if done:
+            docs = docs.map_batches(_filter_done_docs(n_partitions, done),
+                                    batch_format="pyarrow")
+
+    spans = docs.map_batches(_explode_with_partition(n_partitions),
+                             batch_format="pyarrow")
+
+    media = rd.read_parquet(media_path)
+    if done:
+        # resume: only extract media still referenced by remaining docs
+        needed_refs = set(spans.filter(expr="kind == 'pdf'").unique("media_ref"))
+        ref_arr = pa.array(sorted(needed_refs), pa.string())
+        media = media.map_batches(
+            lambda t, refs=ref_arr: t.filter(pc.is_in(t.column("media_ref"), value_set=refs)),
+            batch_format="pyarrow",
+        )
+
+    media_text = extract_media_text(
+        media, size_threshold=size_threshold, page_threshold=page_threshold,
+        page_chunk=page_chunk, concurrency=concurrency, batch_size=batch_size,
+        page_render=page_render, max_pages=max_pages,
+    )
+
+    strategy = join_strategy
+    if strategy == "auto":
+        # media table row count is known cheaply from parquet metadata
+        strategy = "broadcast" if media.count() <= BROADCAST_MEDIA_ROWS else "hash"
+
+    if strategy == "broadcast":
+        tables = [ray.get(r) for r in media_text.to_arrow_refs()]
+        tables = [t for t in tables if t.num_rows > 0]  # skip schemaless empties
+        media_tbl = pa.concat_tables(tables) if tables else pa.table({
+            "media_ref": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+            "numpages": pa.array([], pa.int32()),
+            "error": pa.array([], pa.string()),
+        })
+        media_ref_obj = ray.put(media_tbl)
+        merged = spans.map_batches(
+            _AttachMediaText,
+            fn_constructor_kwargs={"media_map_ref": media_ref_obj},
+            batch_format="pyarrow",
+            concurrency=_default_concurrency(concurrency),
+            zero_copy_batch=True,
+        )
+    else:
+        pdf_spans = spans.filter(expr="kind == 'pdf'").drop_columns(["text"])
+        text_spans = spans.filter(expr="kind == 'text'")
+        joined = pdf_spans.join(
+            media_text, join_type="left_outer",
+            num_partitions=max(8, n_partitions),
+            on=("media_ref",),
+        )
+        joined = joined.map_batches(
+            lambda t: pa.table({
+                "doc_id": t.column("doc_id"), "kind": t.column("kind"),
+                "text": pc.coalesce(t.column("text"), pa.scalar("", pa.string())),
+                "media_ref": t.column("media_ref"), "offset": t.column("offset"),
+                "part": t.column("part"),
+                "numpages": pc.coalesce(t.column("numpages"), pa.scalar(0, pa.int32())),
+                "error": t.column("error"),
+            }),
+            batch_format="pyarrow",
+        )
+        text_spans = text_spans.map_batches(
+            lambda t: pa.table({
+                "doc_id": t.column("doc_id"), "kind": t.column("kind"),
+                "text": t.column("text"), "media_ref": t.column("media_ref"),
+                "offset": t.column("offset"), "part": t.column("part"),
+                "numpages": pa.array([0] * t.num_rows, pa.int32()),
+                "error": pa.array([None] * t.num_rows, pa.string()),
+            }),
+            batch_format="pyarrow",
+        )
+        merged = joined.union(text_spans)
+
+    return merged.groupby("part").map_groups(
+        _assemble_partition(out_dir), batch_format="pyarrow"
+    )

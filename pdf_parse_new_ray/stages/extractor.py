@@ -1,0 +1,130 @@
+"""Stateful extraction stage: an actor-pool `map_batches` UDF.
+
+Reference analogue: the worker/child engines that hold a parsed
+PDFDocumentProxy + font caches per process (lib/pdf-worker.js:97-105,
+lib/pdf-child.js:72-78; SURVEY §2.3 T1-T2).  Here the warm state is an LRU
+of parsed `PDFDocument`s + their `TextExtractor` font caches, held per Ray
+actor across batches — setup cost is paid once per (actor, document), not
+once per page-range unit.
+
+Used as:
+    ds.map_batches(PdfExtractor, concurrency=(m, n), batch_size=B,
+                   batch_format="pyarrow", zero_copy_batch=True)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from collections import OrderedDict
+from typing import Callable, Optional
+
+import pyarrow as pa
+
+from ..pdfkernel import PDFDocument, PDFError, TextExtractor
+from ..pdfkernel.api import render_page_text
+
+
+def _resolve_page_render(page_render) -> Optional[Callable]:
+    """Accept a callable or a 'module:function' import path (the picklable
+    analogue of the reference's pagerenderModule, index.d.ts:32)."""
+    if page_render is None or callable(page_render):
+        return page_render
+    if isinstance(page_render, str) and ":" in page_render:
+        import importlib
+
+        mod, fn = page_render.split(":", 1)
+        return getattr(importlib.import_module(mod), fn)
+    raise ValueError(f"page_render must be callable or 'module:fn', got {page_render!r}")
+
+
+class PdfExtractor:
+    """Extracts text for (media_ref, bytes, page_start, page_end) work units.
+
+    Emits one row per unit: media_ref, page_start, n_chunks, chunk_text,
+    numpages, error.  Page-level failures absorb to '' (reference M3,
+    lib/pdf-parse.js:131-133); document-level parse failures produce an
+    error row with chunk_text='' (reference test/03 semantics surfaced as
+    data, not a failed job).
+    """
+
+    def __init__(self, doc_cache_size: int = 8, page_render=None, max_pages: int = 0):
+        self._cache: "OrderedDict[str, tuple[PDFDocument, TextExtractor]]" = OrderedDict()
+        self._cache_size = doc_cache_size
+        self._page_render = _resolve_page_render(page_render)
+        self._max_pages = max_pages
+        self.metrics = {"docs_parsed": 0, "cache_hits": 0, "pages": 0, "errors": 0}
+
+    def _get_doc(self, media_ref: str, data: bytes) -> tuple[PDFDocument, TextExtractor]:
+        ent = self._cache.get(media_ref)
+        if ent is not None:
+            self._cache.move_to_end(media_ref)
+            self.metrics["cache_hits"] += 1
+            return ent
+        doc = PDFDocument(data)
+        ext = TextExtractor(doc)
+        self._cache[media_ref] = (doc, ext)
+        self.metrics["docs_parsed"] += 1
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return doc, ext
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        starts = batch.column("page_start").to_pylist()
+        ends = batch.column("page_end").to_pylist()
+        chunks = batch.column("n_chunks").to_pylist()
+
+        out_text: list[str] = []
+        out_pages: list[int] = []
+        out_err: list[Optional[str]] = []
+        render = self._page_render or render_page_text
+        for ref, blob, p0, p1, _nc in zip(refs, blobs, starts, ends, chunks):
+            try:
+                doc, ext = self._get_doc(ref, blob)
+                numpages = doc.num_pages
+                counter = numpages if self._max_pages <= 0 else min(self._max_pages, numpages)
+                pages = doc.pages()
+                hi = min(p1, counter)
+                texts = []
+                for i in range(p0, hi):  # 0-based [p0, hi)
+                    try:
+                        texts.append(render(ext.get_text_content(pages[i])))
+                    except Exception:
+                        texts.append("")  # M3 page-error absorb
+                # reference sequential-join parity: every page contributes a
+                # LEADING '\n\n' (lib/pdf-parse.js:129-135), so chunk texts
+                # concatenate directly in page order
+                out_text.append("".join("\n\n" + t for t in texts))
+                out_pages.append(numpages)
+                out_err.append(None)
+            except (PDFError, Exception) as e:  # noqa: BLE001 — absorb to error row
+                out_text.append("")
+                out_pages.append(0)
+                out_err.append(f"{type(e).__name__}: {e}")
+                self.metrics["errors"] += 1
+        self.metrics["pages"] += sum(max(0, min(p1, pg) - p0) for p0, p1, pg in zip(starts, ends, out_pages))
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "page_start": pa.array(starts, pa.int32()),
+            "n_chunks": pa.array(chunks, pa.int32()),
+            "chunk_text": pa.array(out_text, pa.string()),
+            "numpages": pa.array(out_pages, pa.int32()),
+            "error": pa.array(out_err, pa.string()),
+        })
+
+
+class NumPagesProbe:
+    """Cheap page-count probe: xref + page-tree Count only, no content
+    decode (reference analogue: analyzePDF probe, lib/SmartPDFParser.js:
+    310-354).  Adds a `numpages_probe` column; parse failures → -1."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for blob in batch.column("bytes").to_pylist():
+            try:
+                out.append(PDFDocument(blob).num_pages)
+            except Exception:
+                out.append(-1)
+        return batch.append_column("numpages_probe", pa.array(out, pa.int32()))
