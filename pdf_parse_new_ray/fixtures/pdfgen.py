@@ -156,6 +156,11 @@ def make_text_pdf(
     '\\n\\n' + pages joined by '\\n\\n')."""
     b = PDFBuilder(version=version)
     font_num = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    # wrap lines that would overflow the 612pt page (glyphs past the
+    # viewBox edge are CLIPPED by the extractor, pdf.worker.js:36530-36536,
+    # which would silently truncate the expected text otherwise)
+    max_w = (612.0 - 72.0 - 10.0) * 1000.0 / font_size
+    pages = [_wrap_lines(lines, max_w) for lines in pages]
     page_nums = []
     content_nums = []
     for lines in pages:
@@ -188,8 +193,40 @@ def make_text_pdf(
 
 
 def _expected_line(line: str) -> str:
-    # cp1252 round-trip (the generator writes WinAnsi bytes)
-    return line.encode("cp1252", "replace").decode("cp1252")
+    # cp1252 round-trip (the generator writes WinAnsi bytes); space glyphs
+    # are never emitted directly — runs collapse to one separator and
+    # leading/trailing spaces vanish (pdf.worker.js twoLastChars ring
+    # buffer, :36371-36386 + whitespace skip :36693-36702)
+    s = line.encode("cp1252", "replace").decode("cp1252")
+    return " ".join(p for p in s.split(" ") if p)
+
+
+def _helv_width(s: str) -> float:
+    """Approximate Helvetica advance in 1/1000 em units."""
+    from ..pdfkernel.fonts import _std14_widths
+
+    widths, default = _std14_widths("Helvetica")
+    return sum(widths.get(ord(c), default) for c in s)
+
+
+def _wrap_lines(lines: list[str], max_w: float) -> list[str]:
+    out = []
+    for line in lines:
+        if _helv_width(line) <= max_w:
+            out.append(line)
+            continue
+        words = line.split(" ")
+        cur = ""
+        for w in words:
+            cand = (cur + " " + w) if cur else w
+            if cur and _helv_width(cand) > max_w:
+                out.append(cur)
+                cur = w
+            else:
+                cur = cand
+        if cur:
+            out.append(cur)
+    return out
 
 
 def _fmt(x: float) -> bytes:

@@ -214,6 +214,12 @@ def extract_media_text(
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=_default_concurrency(concurrency), zero_copy_batch=True,
     )
+    # Pin the extracted text once: the singles/multis branches below would
+    # otherwise each re-execute the whole read→split→extract DAG (Ray Data
+    # re-runs shared upstream per consumer).  Extracted text is orders of
+    # magnitude smaller than the media bytes and spills if needed, so this
+    # barrier is the cheap side of the trade at 100 TB too.
+    extracted = extracted.materialize()
     singles = extracted.filter(
         expr="n_chunks == 1"
     ).map_batches(
@@ -254,6 +260,8 @@ def extract_documents(
     done: set[int] = set()
     if out_dir is not None and resume:
         done = ckpt.completed_partitions(out_dir)
+        if len(done) >= n_partitions:
+            return rd.from_items([])  # nothing left to do
         if done:
             docs = docs.map_batches(_filter_done_docs(n_partitions, done),
                                     batch_format="pyarrow")
@@ -264,7 +272,7 @@ def extract_documents(
     media = rd.read_parquet(media_path)
     if done:
         # resume: only extract media still referenced by remaining docs
-        needed_refs = set(spans.filter(expr="kind == 'pdf'").unique("media_ref"))
+        needed_refs = set(spans.filter(expr="kind == 'pdf'").unique("media_ref") or [])
         ref_arr = pa.array(sorted(needed_refs), pa.string())
         media = media.map_batches(
             lambda t, refs=ref_arr: t.filter(pc.is_in(t.column("media_ref"), value_set=refs)),
@@ -302,10 +310,20 @@ def extract_documents(
     else:
         pdf_spans = spans.filter(expr="kind == 'pdf'").drop_columns(["text"])
         text_spans = spans.filter(expr="kind == 'text'")
+        # size join parallelism to the cluster: each hash-shuffle aggregator
+        # is a long-lived actor; requesting more than the CPU count
+        # deadlocks small clusters, and fractional CPUs let aggregators
+        # coexist with the map stages
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cpus = 4
+        join_parts = max(2, min(n_partitions, cpus))
         joined = pdf_spans.join(
             media_text, join_type="left_outer",
-            num_partitions=max(8, n_partitions),
+            num_partitions=join_parts,
             on=("media_ref",),
+            aggregator_ray_remote_args={"num_cpus": 0.5},
         )
         joined = joined.map_batches(
             lambda t: pa.table({

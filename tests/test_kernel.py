@@ -1,0 +1,117 @@
+"""Kernel conformance: reference-golden parity + synthetic fixture matrix
+(mirrors the reference suite's shape, SURVEY.md §5 / FIXTURES.md §F4)."""
+
+import random
+
+import pytest
+
+from pdf_parse_new_ray.fixtures import pdfgen
+from pdf_parse_new_ray.pdfkernel import PDFError, parse_pdf
+from pdf_parse_new_ray.pdfkernel.filters import lzw_decode
+
+REF_DATA = "/root/reference/test/data"
+
+
+@pytest.mark.parametrize("name,pages", [
+    ("01-valid", 14), ("02-valid", 5), ("04-valid", 5), ("05-versions-space", 1),
+])
+def test_reference_golden_parity(reference_outputs, name, pages):
+    with open(f"{REF_DATA}/{name}.pdf", "rb") as f:
+        res = parse_pdf(f.read())
+    assert res["numpages"] == pages
+    assert res["numrender"] == pages
+    assert res["info"] is not None
+    assert res["text"] == reference_outputs[name]  # byte-exact
+
+
+def test_reference_sentinel_substrings(reference_outputs):
+    # the reference's own assertion style (test/01-valid-default.js:9-10)
+    with open(f"{REF_DATA}/01-valid.pdf", "rb") as f:
+        text = parse_pdf(f.read())["text"]
+    assert "Because traces are in SSA form" in text
+    assert "official views" in text
+
+
+def test_max_pages_clamp(reference_outputs):
+    # lib/pdf-parse.js:98-99 semantics + test/01-valid-default.js:86-114
+    with open(f"{REF_DATA}/01-valid.pdf", "rb") as f:
+        data = f.read()
+    res = parse_pdf(data, max_pages=13)
+    assert res["numrender"] == 13
+    assert res["numpages"] == 14
+    assert "official views" not in res["text"]
+    assert parse_pdf(data, max_pages=-1)["numrender"] == 14
+    assert parse_pdf(data, max_pages=99)["numrender"] == 14
+
+
+def test_custom_page_render():
+    pdf, _ = pdfgen.make_text_pdf([["a"], ["b"]])
+    res = parse_pdf(pdf, page_render=lambda tc: "CONST")
+    assert res["text"] == "\n\nCONST\n\nCONST"
+
+
+@pytest.mark.parametrize("bad", [
+    b"", b"not a pdf at all", b"%PDF-1.4\ngarbage",
+])
+def test_invalid_inputs_reject(bad):
+    with pytest.raises(PDFError):
+        parse_pdf(bad)
+
+
+def test_invalid_reference_pdf_rejects():
+    import os
+
+    path = f"{REF_DATA}/03-invalid.pdf"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout unavailable")
+    with open(path, "rb") as f:
+        data = f.read()
+    with pytest.raises(PDFError):
+        parse_pdf(data)
+
+
+def test_truncated_generated_pdf_rejects():
+    with pytest.raises(PDFError):
+        parse_pdf(pdfgen.make_invalid_pdf())
+
+
+@pytest.mark.parametrize("maker", [
+    lambda: pdfgen.make_text_pdf([["hello world", "second line"], ["page two"]]),
+    lambda: pdfgen.make_text_pdf([["no filter"]], filt=None),
+    lambda: pdfgen.make_text_pdf([["lzw " * 200]], filt="lzw"),
+    lambda: pdfgen.make_text_pdf([["hex encoded"]], filt="ahx"),
+    lambda: pdfgen.make_text_pdf([["xref stream"]], use_xref_stream=True, version="1.5"),
+    pdfgen.make_tj_kerning_pdf,
+    pdfgen.make_ytol_pdf,
+    pdfgen.make_ligature_pdf,
+    pdfgen.make_identity_h_pdf,
+    pdfgen.make_empty_page_pdf,
+])
+def test_fixture_matrix(maker):
+    pdf, expected = maker()
+    assert parse_pdf(pdf)["text"] == expected
+
+
+def test_seeded_pdfs_deterministic_and_correct():
+    for seed in range(40):
+        pdf, expected, npages = pdfgen.make_seeded_pdf(1_000_003 * 42 + seed)
+        res = parse_pdf(pdf)
+        assert res["text"] == expected, f"seed {seed}"
+        assert res["numpages"] == npages
+        pdf2, _, _ = pdfgen.make_seeded_pdf(1_000_003 * 42 + seed)
+        assert pdf == pdf2
+
+
+def test_lzw_roundtrip_long_streams():
+    rng = random.Random(7)
+    for n in (100, 1_000, 50_000, 300_000):
+        data = bytes(rng.choice(b"abcdefgh \n") for _ in range(n))
+        assert lzw_decode(pdfgen.lzw_encode(data)) == data
+
+
+def test_metadata_info_fields(reference_outputs):
+    with open(f"{REF_DATA}/01-valid.pdf", "rb") as f:
+        info = parse_pdf(f.read())["info"]
+    assert info["PDFFormatVersion"] == "1.4"
+    assert info["Producer"] == "pdfeTeX-1.21a"
+    assert info["IsAcroFormPresent"] is False

@@ -1,0 +1,150 @@
+"""End-to-end Ray pipeline conformance: span-sequence equality vs the
+generator oracle across execution paths (FIXTURES.md §F4 assertions 1/5),
+plus checkpoint/resume behavior."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+
+def _oracle(base):
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in pq.read_table(f"{base}/oracle_docs").to_pylist()
+    }
+
+
+def _spans(doc):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in doc["spans"]]
+
+
+def _check(docs, oracle):
+    assert len(docs) == len(oracle)
+    for d in docs:
+        assert _spans(d) == oracle[d["doc_id"]], d["doc_id"]
+
+
+def test_extraction_dataset_mode(ray_session, small_corpus):
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+
+    docs = extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=None, n_partitions=8,
+    ).take_all()
+    _check(docs, _oracle(small_corpus))
+
+
+def test_extraction_forced_split_consistency(ray_session, small_corpus):
+    # whole-doc path ≡ page-split+reassembled path (reference
+    # test/examples/09-custom-render.js:89-98 analogue)
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+
+    docs = extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=None, n_partitions=8,
+        size_threshold=0, page_threshold=2, page_chunk=1,
+    ).take_all()
+    _check(docs, _oracle(small_corpus))
+
+
+def test_extraction_hash_join(ray_session, small_corpus):
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+
+    docs = extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=None, n_partitions=8, join_strategy="hash",
+    ).take_all()
+    _check(docs, _oracle(small_corpus))
+
+
+def test_write_mode_and_resume(ray_session, small_corpus, tmp_path):
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+    from pdf_parse_new_ray.state import checkpoint as ckpt
+
+    out = str(tmp_path / "out")
+    metrics = extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=out, n_partitions=8,
+    ).take_all()
+    assert len(metrics) == 8
+    assert ckpt.completed_partitions(out) == set(range(8))
+    _check(ckpt.read_output(out).to_pylist(), _oracle(small_corpus))
+
+    # simulate a partially-failed run: drop two partitions' lineage
+    for k in (1, 6):
+        os.remove(os.path.join(out, "_lineage", f"part-{k}.json"))
+    metrics2 = extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=out, n_partitions=8,
+    ).take_all()
+    assert sorted(m["partition"] for m in metrics2) == [1, 6]
+    _check(ckpt.read_output(out).to_pylist(), _oracle(small_corpus))
+
+    # fully-complete run: resume is a no-op
+    metrics3 = extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=out, n_partitions=8,
+    ).take_all()
+    assert metrics3 == []
+
+
+def test_lineage_records_metrics(ray_session, small_corpus, tmp_path):
+    import json
+
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+
+    out = str(tmp_path / "out2")
+    extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=out, n_partitions=4,
+    ).take_all()
+    recs = []
+    for name in os.listdir(os.path.join(out, "_lineage")):
+        with open(os.path.join(out, "_lineage", name)) as f:
+            recs.append(json.load(f))
+    assert len(recs) == 4
+    for r in recs:
+        assert r["status"] == "complete"
+        assert r["rows"] > 0 and r["n_docs"] > 0 and r["content_hash"]
+        assert "pages" in r and "errors" in r and "wall_s" in r
+    assert sum(r["n_docs"] for r in recs) == 200
+
+
+def test_error_rows_surface_not_fail(ray_session, tmp_path):
+    """A corrupt PDF inside the corpus must produce an error span, not a
+    failed job (reference M3 vs test/03 split: page absorb, doc surface)."""
+    import pyarrow as pa
+
+    from pdf_parse_new_ray.fixtures import pdfgen
+    from pdf_parse_new_ray.fixtures.corpus import DOCS_SCHEMA, MEDIA_SCHEMA
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+
+    base = str(tmp_path / "corpus")
+    os.makedirs(f"{base}/documents_interleaved")
+    os.makedirs(f"{base}/media")
+    good_pdf, good_text = pdfgen.make_text_pdf([["fine"]])
+    docs = pa.Table.from_pylist([
+        {"doc_id": "d0", "spans": [
+            {"kind": "text", "text": "intro", "media_ref": "", "offset": 0},
+            {"kind": "pdf", "text": "", "media_ref": "m-bad", "offset": 1},
+            {"kind": "pdf", "text": "", "media_ref": "m-good", "offset": 2},
+        ]},
+    ], schema=DOCS_SCHEMA)
+    media = pa.Table.from_pylist([
+        {"media_ref": "m-bad", "bytes": pdfgen.make_invalid_pdf(), "numpages": 0},
+        {"media_ref": "m-good", "bytes": good_pdf, "numpages": 1},
+    ], schema=MEDIA_SCHEMA)
+    pq.write_table(docs, f"{base}/documents_interleaved/part-0.parquet")
+    pq.write_table(media, f"{base}/media/part-0.parquet")
+
+    out = extract_documents(f"{base}/documents_interleaved", f"{base}/media",
+                            out_dir=None, n_partitions=2).take_all()
+    assert len(out) == 1
+    d = out[0]
+    spans = sorted(d["spans"], key=lambda s: s["offset"])
+    assert spans[0]["text"] == "intro"
+    assert spans[1]["text"] == ""          # corrupt media → empty text
+    assert d["n_errors"] == 1              # ...but surfaced in metrics
+    assert spans[2]["text"] == good_text
