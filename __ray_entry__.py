@@ -1,44 +1,258 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship interleaved-corpus extraction at sf0.001 scale.
+- ``queries()``: one callable per implemented operator (SURVEY.md §2 +
+  training-data-pipeline additions); each takes ``sf_dir``.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query
+  (same column names and rounding); non-SQL ops (extraction, minhash,
+  simhash, lang-id, LSH-ANN) are rows-only checked by design.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from typing import Any
 
+from pdf_parse_new_ray.functions import ann, dedup, relational, text
+from pdf_parse_new_ray.functions.text import TOKEN_PATTERN, WORD_PATTERN
+
+
+def _corpus_for(sf_dir: str) -> str:
+    """Map a testdata sf dir to the matching generated interleaved corpus
+    (deterministic seed=42; cached under /tmp)."""
+    from pdf_parse_new_ray.fixtures.corpus import corpus_dir_for
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.001
+    return corpus_dir_for(sf)
+
+
+def _extract_corpus(sf_dir: str):
+    """Flagship pipeline: interleaved docs + media → extracted docs.
+    Returns a deterministic per-doc summary (span lists summarized so the
+    driver's value-hash is stable)."""
+    import hashlib
+
+    import pandas as pd
+
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+
+    base = _corpus_for(sf_dir)
+    docs = extract_documents(
+        f"{base}/documents_interleaved", f"{base}/media",
+        out_dir=None, n_partitions=16,
+    ).take_all()
+    rows = []
+    for d in docs:
+        spans = sorted(d["spans"], key=lambda s: s["offset"])
+        joined = "\x00".join(f"{s['kind']}|{s['media_ref']}|{s['text']}" for s in spans)
+        rows.append({
+            "doc_id": d["doc_id"],
+            "n_spans": int(d["n_spans"]),
+            "numpages": int(d["numpages"]),
+            "n_errors": int(d["n_errors"]),
+            "content_md5": hashlib.md5(joined.encode("utf-8")).hexdigest(),
+        })
+    return pd.DataFrame(sorted(rows, key=lambda r: r["doc_id"]))
+
+
+def _extract_media(sf_dir: str):
+    """Media-level extraction only (media_ref → text)."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_parse_new_ray.pipelines.extraction import extract_media_text
+
+    base = _corpus_for(sf_dir)
+    res = extract_media_text(rd.read_parquet(f"{base}/media")).take_all()
+    rows = [{
+        "media_ref": r["media_ref"],
+        "numpages": int(r["numpages"]),
+        "text_len": len(r["text"] or ""),
+        "text_md5": hashlib.md5((r["text"] or "").encode("utf-8")).hexdigest(),
+    } for r in res]
+    return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _extract_corpus("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operators (SURVEY §2.2/2.4/2.5/2.6 generalized)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "q6_forecast": relational.q6_forecast,
+        "q_order_priority_counts": relational.q_order_priority_counts,
+        "q_top_suppliers": relational.q_top_suppliers,
+        "q_events_daily": relational.q_events_daily,
+        "q_user_event_stats": relational.q_user_event_stats,
+        "q_part_brand_stats": relational.q_part_brand_stats,
+        "q_customer_nation_balance": relational.q_customer_nation_balance,
+        "q_distinct_order_statuses": relational.q_distinct_order_statuses,
+        # text analysis
+        "t_token_stats": text.t_token_stats,
+        "t_quality_scores": text.t_quality_scores,
+        "t_langid": text.t_langid,
+        "t_fingerprints": text.t_fingerprints,
+        # dedup
+        "d_exact_dedup": dedup.d_exact_dedup,
+        "d_dup_groups": dedup.d_dup_groups,
+        "d_minhash_pairs": dedup.d_minhash_pairs,
+        "d_simhash": dedup.d_simhash,
+        "d_ngram_jaccard": dedup.d_ngram_jaccard,
+        # similarity search
+        "e_knn_bruteforce": ann.e_knn_bruteforce,
+        "e_knn_lsh": ann.e_knn_lsh,
+        "e_label_centroids": ann.e_label_centroids,
+        # extraction (flagship; north-rule pipeline)
+        "x_extract_corpus": _extract_corpus,
+        "x_extract_media": _extract_media,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = TOKEN_PATTERN.replace("'", "''")
+    word = WORD_PATTERN
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                                        AS sum_qty,
+                   round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+                   count(*)                                                         AS count_order,
+                   round(sum(l_quantity) / count(*), 4)                             AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), 4)                        AS avg_price,
+                   round(sum(l_discount) / count(*), 4)                             AS avg_disc
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o.o_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   min(o.o_orderdate) AS o_orderdate
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY o.o_orderkey
+            ORDER BY revenue DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+            ORDER BY n.n_name
+        """,
+        "q6_forecast": """
+            SELECT coalesce(round(sum(l_extendedprice * l_discount), 2), 0.0) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q_order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q_top_suppliers": """
+            SELECT l.l_suppkey AS s_suppkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
+                   min(s.s_name) AS s_name
+            FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY l.l_suppkey
+            ORDER BY total_revenue DESC, s_suppkey
+            LIMIT 5
+        """,
+        "q_events_daily": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_user_event_stats": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 4) AS total_value,
+                   round(epoch(max(ts)) - epoch(min(ts)), 1) AS span_seconds
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "q_part_brand_stats": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(avg(p_retailprice), 4) AS avg_price,
+                   max(p_size) AS max_size, min(p_size) AS min_size
+            FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "q_customer_nation_balance": """
+            SELECT n.n_name, count(*) AS n_customers,
+                   round(sum(c.c_acctbal), 2) AS total_balance,
+                   round(avg(c.c_acctbal), 4) AS avg_balance
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "q_distinct_order_statuses": """
+            SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus
+        """,
+        "t_token_stats": f"""
+            SELECT lang, count(*) AS n_docs,
+                   sum(length(regexp_extract_all(text, '{tok}'))) AS total_tokens,
+                   round(avg(cast(length(regexp_extract_all(text, '{tok}')) AS DOUBLE)), 4) AS avg_tokens,
+                   round(avg(cast(length(regexp_extract_all(text, '{word}')) AS DOUBLE)), 4) AS avg_words,
+                   round(avg(cast(length(text) AS DOUBLE)), 4) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "t_quality_scores": """
+            SELECT source, count(*) AS n_docs,
+                   round(avg(cast(length(text) AS DOUBLE)), 4) AS avg_chars,
+                   sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS total_alpha,
+                   sum(length(text) - length(replace(text, ' ', ''))) AS total_space
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "t_fingerprints": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+        """,
+        "d_exact_dedup": """
+            SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id,
+                   count(*) AS group_size
+            FROM documents GROUP BY md5(text) ORDER BY fingerprint
+        """,
+        "d_dup_groups": """
+            SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id,
+                   count(*) AS group_size
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY fingerprint
+        """,
+        "e_knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
+            scored AS (
+                SELECT q.qid AS query_id, e.vec_id,
+                       list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.qid
+            )
+            SELECT query_id, nn_rank, vec_id, cosine FROM (
+                SELECT query_id, vec_id, round(cos, 6) AS cosine,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS nn_rank
+                FROM scored
+            ) WHERE nn_rank <= 5
+            ORDER BY query_id, nn_rank
+        """,
+        # t_langid, d_minhash_pairs, d_simhash, d_ngram_jaccard, e_knn_lsh,
+        # e_label_centroids, x_extract_* are not SQL-expressible → rows-only.
+    }

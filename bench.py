@@ -1,0 +1,145 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default: runs the headline extraction pipeline + representative queries over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1 → the matching generated
+interleaved corpus) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line.
+
+``--scaling``: runs the headline pipeline in two FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus scaling efficiency ``(docs_per_s_32 / docs_per_s_8) / 4`` (formula per
+reference benchmark/train-smart-parser.js:291-293) — the sandbox stand-in
+for the north rule's N→4N-node criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
+    os.environ.setdefault("RAY_DEDUP_LOGS", "1")
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sf_dir = _sf_dir()
+    sf = _sf_of(sf_dir)
+
+    from pdf_parse_new_ray.fixtures.corpus import corpus_dir_for
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+
+    base = corpus_dir_for(sf)  # generated & cached outside the timed region
+
+    t0 = time.time()
+    docs = extract_documents(
+        f"{base}/documents_interleaved", f"{base}/media",
+        out_dir=None, n_partitions=max(16, num_cpus * 2),
+    )
+    n_docs = 0
+    n_pages = 0
+    for b in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        n_docs += b.num_rows
+        n_pages += sum(b.column("numpages").to_pylist())
+    extract_s = time.time() - t0
+
+    result = {
+        "metric": "interleaved-corpus extraction wall time",
+        "value": round(extract_s, 3),
+        "unit": "sec",
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "n_pages": n_pages,
+        "docs_per_sec": round(n_docs / extract_s, 2),
+        "pages_per_sec": round(n_pages / extract_s, 2),
+        "queries": {"extract": round(extract_s, 3)},
+    }
+    if headline_only:
+        ray.shutdown()
+        return result
+
+    from pdf_parse_new_ray.functions import ann, dedup, relational, text as tfn
+
+    bench_queries = {
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "q6_forecast": relational.q6_forecast,
+        "q_events_daily": relational.q_events_daily,
+        "t_token_stats": tfn.t_token_stats,
+        "d_exact_dedup": dedup.d_exact_dedup,
+        "d_minhash_pairs": dedup.d_minhash_pairs,
+        "e_knn_bruteforce": ann.e_knn_bruteforce,
+    }
+    for name, fn in bench_queries.items():
+        t0 = time.time()
+        try:
+            fn(sf_dir)
+            result["queries"][name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            result["queries"][name] = f"ERROR: {type(e).__name__}"
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32; efficiency per the
+    reference formula speedup/cores_ratio."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single"],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    r8, r32 = results[8], results[32]
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 -> 32, fresh sessions, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": r8["sf"],
+        "docs_per_sec_8": r8["docs_per_sec"],
+        "docs_per_sec_32": r32["docs_per_sec"],
+        "pages_per_sec_8": r8["pages_per_sec"],
+        "pages_per_sec_32": r32["pages_per_sec"],
+        "wall_sec_8": r8["value"],
+        "wall_sec_32": r32["value"],
+        "num_cpus": 32,
+        "queries": {"extract_8cpu": r8["value"], "extract_32cpu": r32["value"]},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        out = run_scaling()
+    elif "--single" in sys.argv:
+        out = run_bench(int(os.environ.get("RAY_GRAFT_CPUS", 32)), headline_only=True)
+    else:
+        out = run_bench(int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+    print(json.dumps(out))

@@ -1,0 +1,314 @@
+"""Relational pipelines over the TPC-H-ish test tables — Ray-Data-first.
+
+These are the engine's general query capabilities (SURVEY §2.2/2.4/2.5/2.6
+generalized beyond PDF): vectorized Arrow map_batches, partial pre-
+aggregation before shuffles, broadcast joins for small dimension tables,
+hash joins for fact-fact, top-k via sort+limit.  Each function takes
+``sf_dir`` and returns a result whose column names match the paired oracle
+SQL in __ray_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _rp(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    for c, nd in spec.items():
+        if c in df.columns:
+            df[c] = df[c].astype(float).round(nd)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Q1: pricing summary (filter → partial pre-agg → groupby → sort)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount", "l_tax",
+                                  "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"],
+                                           pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc = pc.multiply(batch["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), batch["l_tax"]))
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": batch["l_quantity"],
+            "price": batch["l_extendedprice"],
+            "disc": batch["l_discount"],
+            "disc_price": disc,
+            "charge": charge,
+        })
+        # map-side combine: collapse the batch to one row per group before
+        # the shuffle (the groupby below then merges small partials)
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_base_price=("price", "sum"),
+            sum_disc_price=("disc_price", "sum"), sum_charge=("charge", "sum"),
+            sum_disc=("disc", "sum"), count_order=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("sum_charge", alias_name="sum_charge"),
+        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("count_order", alias_name="count_order"),
+    ).to_pandas()
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["avg_price"] = out["sum_base_price"] / out["count_order"]
+    out["avg_disc"] = out["sum_disc"] / out["count_order"]
+    out = out.drop(columns=["sum_disc"])
+    out = out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    return _round_cols(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
+                             "sum_charge": 2, "avg_qty": 4, "avg_price": 4, "avg_disc": 4})
+
+
+# ---------------------------------------------------------------------------
+# Q3-ish: top revenue orders in a market segment (broadcast dim + hash join)
+# ---------------------------------------------------------------------------
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    seg_keys = set(
+        r["c_custkey"] for r in
+        cust.filter(expr="c_mktsegment == 'BUILDING'").take_all()
+    )
+    keys_ref = ray.put(seg_keys)
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    class FilterByCust:
+        def __init__(self, keys):
+            self._keys = ray.get(keys) if isinstance(keys, ray.ObjectRef) else keys
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array([k in self._keys for k in batch["o_custkey"].to_pylist()])
+            batch = batch.filter(mask)
+            return batch.filter(pc.less(batch["o_orderdate"],
+                                        pa.scalar(pd.Timestamp("1995-03-15"))))
+
+    sel_orders = orders.map_batches(FilterByCust, fn_constructor_kwargs={"keys": keys_ref},
+                                    batch_format="pyarrow", concurrency=(1, 4))
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    li = li.map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "revenue_part": pc.multiply(t["l_extendedprice"],
+                                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+        }).filter(pc.greater(t["l_shipdate"], pa.scalar(pd.Timestamp("1995-03-15")))),
+        batch_format="pyarrow",
+    )
+    joined = li.join(sel_orders.map_batches(
+        lambda t: pa.table({"l_orderkey": t["o_orderkey"], "o_orderdate": t["o_orderdate"]}),
+        batch_format="pyarrow"), join_type="inner", num_partitions=4,
+        on=("l_orderkey",), aggregator_ray_remote_args={"num_cpus": 0.5})
+    out = joined.groupby("l_orderkey").aggregate(
+        Sum("revenue_part", alias_name="revenue"),
+        Min("o_orderdate", alias_name="o_orderdate"),
+    ).to_pandas()
+    out = out.rename(columns={"l_orderkey": "o_orderkey"})
+    out = out.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10).reset_index(drop=True)
+    return _round_cols(out, {"revenue": 2})
+
+
+# ---------------------------------------------------------------------------
+# Q5-ish: revenue per nation (chain of broadcast lookups — dims are tiny)
+# ---------------------------------------------------------------------------
+
+def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    nation = {r["n_nationkey"]: r["n_name"] for r in _rp(sf_dir, "nation").take_all()}
+    cust_nation = {r["c_custkey"]: r["c_nationkey"]
+                   for r in _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).take_all()}
+    order_cust = {r["o_orderkey"]: r["o_custkey"]
+                  for r in _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"]).take_all()}
+    lookups = ray.put((nation, cust_nation, order_cust))
+
+    class RevenueByNation:
+        def __init__(self, ref):
+            self.nation, self.cust_nation, self.order_cust = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rev = pc.multiply(t["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), t["l_discount"])).to_pylist()
+            names = []
+            for ok in t["l_orderkey"].to_pylist():
+                ck = self.order_cust.get(ok)
+                nk = self.cust_nation.get(ck)
+                names.append(self.nation.get(nk, "UNKNOWN"))
+            out = pa.table({"n_name": pa.array(names, pa.string()),
+                            "rev": pa.array(rev, pa.float64())})
+            df = out.to_pandas().groupby("n_name", as_index=False).agg(revenue_part=("rev", "sum"))
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    out = li.map_batches(RevenueByNation, fn_constructor_kwargs={"ref": lookups},
+                         batch_format="pyarrow", concurrency=(1, 4), batch_size=65536)
+    res = out.groupby("n_name").aggregate(Sum("revenue_part", alias_name="revenue")).to_pandas()
+    res = res.sort_values("n_name").reset_index(drop=True)
+    return _round_cols(res, {"revenue": 2})
+
+
+# ---------------------------------------------------------------------------
+# Q6: forecast revenue change (pure vectorized filter + global sum)
+# ---------------------------------------------------------------------------
+
+def q6_forecast(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def fil(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1994-01-01"))),
+                    pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1995-01-01")))),
+            pc.and_(pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                            pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+                    pc.less(t["l_quantity"], pa.scalar(24.0))))
+        t = t.filter(m)
+        return pa.table({"rev": pc.multiply(t["l_extendedprice"], t["l_discount"])})
+
+    total = ds.map_batches(fil, batch_format="pyarrow").sum("rev")
+    return pd.DataFrame({"revenue": [round(float(total or 0.0), 2)]})
+
+
+# ---------------------------------------------------------------------------
+# order priority counts (groupby + count, sorted)
+# ---------------------------------------------------------------------------
+
+def q_order_priority_counts(sf_dir: str) -> pd.DataFrame:
+    out = _rp(sf_dir, "orders", ["o_orderpriority"]).groupby("o_orderpriority") \
+        .aggregate(Count(alias_name="order_count")).to_pandas()
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# top suppliers by revenue (groupby + sum + topk)
+# ---------------------------------------------------------------------------
+
+def q_top_suppliers(sf_dir: str) -> pd.DataFrame:
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda t: pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "rev": pc.multiply(t["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0), t["l_discount"]))}),
+        batch_format="pyarrow")
+    agg = li.groupby("l_suppkey").aggregate(Sum("rev", alias_name="total_revenue")).to_pandas()
+    sup = {r["s_suppkey"]: r["s_name"] for r in _rp(sf_dir, "supplier", ["s_suppkey", "s_name"]).take_all()}
+    agg["s_name"] = agg["l_suppkey"].map(sup)
+    agg = agg.rename(columns={"l_suppkey": "s_suppkey"})
+    agg = agg.sort_values(["total_revenue", "s_suppkey"], ascending=[False, True]).head(5).reset_index(drop=True)
+    return _round_cols(agg, {"total_revenue": 2})
+
+
+# ---------------------------------------------------------------------------
+# events: daily counts per type (timestamp truncation + two-key groupby)
+# ---------------------------------------------------------------------------
+
+def q_events_daily(sf_dir: str) -> pd.DataFrame:
+    ev = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(t["ts"], unit="day"),
+            "event_type": t["event_type"],
+            "value": t["value"],
+        })
+
+    out = ev.map_batches(day, batch_format="pyarrow").groupby(["day", "event_type"]) \
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value")).to_pandas()
+    out = out.sort_values(["day", "event_type"]).reset_index(drop=True)
+    return _round_cols(out, {"sum_value": 4})
+
+
+# ---------------------------------------------------------------------------
+# events: per-user session stats via map_groups (running/window analogue)
+# ---------------------------------------------------------------------------
+
+def q_user_event_stats(sf_dir: str) -> pd.DataFrame:
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        span = (g["ts"].iloc[-1] - g["ts"].iloc[0]).total_seconds()
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_events": [len(g)],
+            "total_value": [round(float(g["value"].sum()), 4)],
+            "span_seconds": [round(span, 1)],
+        })
+
+    out = ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# part stats by brand (groupby multiple aggregates)
+# ---------------------------------------------------------------------------
+
+def q_part_brand_stats(sf_dir: str) -> pd.DataFrame:
+    out = _rp(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"]) \
+        .groupby("p_brand").aggregate(
+            Count(alias_name="n_parts"),
+            Mean("p_retailprice", alias_name="avg_price"),
+            Max("p_size", alias_name="max_size"),
+            Min("p_size", alias_name="min_size"),
+        ).to_pandas()
+    out = out.sort_values("p_brand").reset_index(drop=True)
+    return _round_cols(out, {"avg_price": 4})
+
+
+# ---------------------------------------------------------------------------
+# customer account balance distribution per nation (join + groupby)
+# ---------------------------------------------------------------------------
+
+def q_customer_nation_balance(sf_dir: str) -> pd.DataFrame:
+    nation = {r["n_nationkey"]: r["n_name"] for r in _rp(sf_dir, "nation").take_all()}
+    nref = ray.put(nation)
+
+    class AttachNation:
+        def __init__(self, ref):
+            self._n = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self._n.get(k, "UNKNOWN") for k in t["c_nationkey"].to_pylist()]
+            return pa.table({"n_name": pa.array(names, pa.string()),
+                             "c_acctbal": t["c_acctbal"]})
+
+    out = _rp(sf_dir, "customer", ["c_nationkey", "c_acctbal"]) \
+        .map_batches(AttachNation, fn_constructor_kwargs={"ref": nref},
+                     batch_format="pyarrow", concurrency=(1, 4)) \
+        .groupby("n_name").aggregate(
+            Count(alias_name="n_customers"),
+            Sum("c_acctbal", alias_name="total_balance"),
+            Mean("c_acctbal", alias_name="avg_balance"),
+        ).to_pandas()
+    out = out.sort_values("n_name").reset_index(drop=True)
+    return _round_cols(out, {"total_balance": 2, "avg_balance": 4})
+
+
+# ---------------------------------------------------------------------------
+# distinct count (shuffle-dedup)
+# ---------------------------------------------------------------------------
+
+def q_distinct_order_statuses(sf_dir: str) -> pd.DataFrame:
+    vals = sorted(_rp(sf_dir, "orders", ["o_orderstatus"]).unique("o_orderstatus"))
+    return pd.DataFrame({"o_orderstatus": vals})

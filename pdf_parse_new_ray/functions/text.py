@@ -1,0 +1,154 @@
+"""Text-analysis operators over the `documents` table (training-data
+pipeline staples): token counting, quality metrics, language-ID,
+fingerprinting.  All vectorized or compiled-once per actor; every
+SQL-expressible metric shares its exact formula with the DuckDB oracle in
+__ray_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+# shared with the DuckDB oracle (RE2-compatible, no lookarounds)
+TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+WORD_PATTERN = r"[A-Za-z]+"
+
+
+def _docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+class TokenCounter:
+    """Stateful stage: regexes compiled once per actor (SURVEY §2.3)."""
+
+    def __init__(self):
+        self.tok = re.compile(TOKEN_PATTERN)
+        self.word = re.compile(WORD_PATTERN)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n_tokens = [len(self.tok.findall(x or "")) for x in texts]
+        n_words = [len(self.word.findall(x or "")) for x in texts]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_chars": pc.utf8_length(t.column("text")),
+        })
+
+
+def t_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-language token statistics."""
+    out = _docs(sf_dir).map_batches(TokenCounter, batch_format="pyarrow",
+                                    concurrency=(1, 4)) \
+        .groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="total_tokens"),
+            Mean("n_tokens", alias_name="avg_tokens"),
+            Mean("n_words", alias_name="avg_words"),
+            Mean("n_chars", alias_name="avg_chars"),
+        ).to_pandas()
+    out = out.sort_values("lang").reset_index(drop=True)
+    for c in ("avg_tokens", "avg_words", "avg_chars"):
+        out[c] = out[c].round(4)
+    return out
+
+
+def t_quality_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-source quality metrics (length/alpha/space ratios)."""
+
+    _alpha = re.compile(r"[A-Za-z]")
+
+    def metrics(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        # ASCII-letter definition shared with the DuckDB oracle (unicode
+        # str.isalpha() would diverge on non-latin corpora)
+        alpha = [len(_alpha.findall(x or "")) for x in texts]
+        space = [(x or "").count(" ") for x in texts]
+        return pa.table({
+            "source": t.column("source"),
+            "n_chars": pc.utf8_length(t.column("text")),
+            "alpha_chars": pa.array(alpha, pa.int64()),
+            "space_chars": pa.array(space, pa.int64()),
+        })
+
+    out = _docs(sf_dir).map_batches(metrics, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Count(alias_name="n_docs"),
+            Mean("n_chars", alias_name="avg_chars"),
+            Sum("alpha_chars", alias_name="total_alpha"),
+            Sum("space_chars", alias_name="total_space"),
+        ).to_pandas()
+    out = out.sort_values("source").reset_index(drop=True)
+    out["avg_chars"] = out["avg_chars"].round(4)
+    return out
+
+
+# language-ID heuristic: stopword hit-rate per language (n-gram-free,
+# deterministic).  Not SQL-expressible → rows-only driver check.
+_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
+    "fr": {"le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"},
+    "es": {"el", "la", "de", "y", "un", "una", "es", "que", "por", "en"},
+    "de": {"der", "die", "das", "und", "ein", "eine", "ist", "zu", "mit", "von"},
+    "zh": set(),  # no latin stopwords: falls through to 'unknown'
+}
+
+
+class LangId:
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Z]+")
+
+    def predict(self, text: str) -> str:
+        words = [w.lower() for w in self.word.findall(text or "")[:200]]
+        if not words:
+            return "unknown"
+        best, best_score = "unknown", 0.0
+        for lang, sw in _STOPWORDS.items():
+            if not sw:
+                continue
+            score = sum(1 for w in words if w in sw) / len(words)
+            if score > best_score:
+                best, best_score = lang, score
+        return best if best_score > 0.02 else "unknown"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = [self.predict(x) for x in t.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "pred_lang": pa.array(preds, pa.string()),
+        })
+
+
+def t_langid(sf_dir: str) -> pd.DataFrame:
+    """Predicted vs labeled language confusion counts."""
+    out = _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
+                                    concurrency=(1, 4)) \
+        .groupby(["lang", "pred_lang"]).aggregate(Count(alias_name="n")).to_pandas()
+    return out.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+
+
+def t_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Deterministic content fingerprint (md5) per doc — the exact-dedup
+    primitive; shares the md5 formula with the DuckDB oracle."""
+
+    def fp(t: pa.Table) -> pa.Table:
+        hashes = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+                  for x in t.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "fingerprint": pa.array(hashes, pa.string()),
+        })
+
+    out = _docs(sf_dir).map_batches(fp, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,119 @@
+"""Local mimic of the driver's correctness gate: run every queries() entry
+via Ray and its oracle_sql() via DuckDB on the same sf dir; compare row
+count, column names, and values (columns sorted by name, rows sorted).
+
+Usage: python tools/check_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    try:
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            return res.to_pandas()
+    except ImportError:
+        pass
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> str:
+    if len(mine) != len(oracle):
+        return f"ROWS {len(mine)} vs {len(oracle)}"
+    if sorted(mine.columns) != sorted(oracle.columns):
+        return f"COLS {sorted(mine.columns)} vs {sorted(oracle.columns)}"
+    a, b = canon(mine), canon(oracle)
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
+                                      rtol=1e-6, atol=1e-6)
+        return "OK"
+    except AssertionError as e:
+        return "VALUES: " + str(e).splitlines()[-1][:160]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_ok = n_bad = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            mine = to_pandas(fn(sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: RAY ERROR {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
+        dt = time.time() - t0
+        if name in oracles:
+            try:
+                oracle = con.execute(oracles[name]).fetchdf()
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: ORACLE ERROR {e}")
+                n_bad += 1
+                continue
+            verdict = compare(name, mine, oracle)
+        else:
+            verdict = f"rows-only ({len(mine)} rows)"
+        ok = verdict == "OK" or verdict.startswith("rows-only")
+        n_ok += ok
+        n_bad += not ok
+        print(f"{name}: {verdict}  [{dt:.1f}s]")
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
