@@ -27,7 +27,7 @@ import ray
 import ray.data as rd
 
 from ..fixtures.corpus import SPAN_TYPE
-from ..stages.extractor import PdfExtractor
+from ..stages.extractor import PdfExtractor, make_extract_task
 from ..stages.split import make_split_units
 from ..stages.spans import explode_spans, assemble_media_parts
 from ..state import checkpoint as ckpt
@@ -46,7 +46,9 @@ def _default_concurrency(concurrency):
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return (1, max(2, cpus))
+    # start the pool at half the ceiling: demand-driven ramp-up from 1 actor
+    # wastes most of the run on short jobs
+    return (max(1, cpus // 2), max(2, cpus))
 
 
 def _explode_with_partition(n_partitions: int):
@@ -119,6 +121,28 @@ class _AttachMediaText:
         })
 
 
+# per-worker-process cache of broadcast lookup maps (keyed by ObjectRef
+# hex): the 'resolved once per worker, not per batch' guarantee for the
+# task-based broadcast join
+_MEDIA_MAP_CACHE: dict = {}
+
+
+def _attach_media_text_task(media_ref_obj):
+    ref_key = media_ref_obj.hex() if isinstance(media_ref_obj, ray.ObjectRef) else id(media_ref_obj)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        helper = _MEDIA_MAP_CACHE.get(ref_key)
+        if helper is None:
+            helper = _MEDIA_MAP_CACHE[ref_key] = _AttachMediaText(media_ref_obj)
+            if len(_MEDIA_MAP_CACHE) > 4:
+                for k in list(_MEDIA_MAP_CACHE)[:-2]:
+                    if k != ref_key:
+                        _MEDIA_MAP_CACHE.pop(k, None)
+        return helper(batch)
+
+    return attach
+
+
 def _assemble_partition(out_dir: Optional[str]):
     """groupby('part') → map_groups: assemble every doc in the partition
     (offset-keyed sort within doc_id) and, in write mode, persist the
@@ -189,6 +213,85 @@ def _assemble_partition(out_dir: Optional[str]):
     return fn
 
 
+def extract_media_chunks(
+    media: rd.Dataset,
+    *,
+    size_threshold: int = 512 * 1024,
+    page_threshold: int = 200,
+    page_chunk: int = 100,
+    concurrency=None,
+    batch_size: int = 64,
+    page_render=None,
+    max_pages: int = 0,
+    compute: str = "tasks",  # tasks | actors
+) -> rd.Dataset:
+    """media (media_ref, bytes) → chunk-level extraction results
+    (media_ref, chunk_text, page_start, n_chunks, numpages, error),
+    MATERIALIZED (the heavy compute runs exactly once; downstream
+    consumers see only extracted text, orders of magnitude smaller than
+    the media bytes).
+
+    Skew path: docs > page_threshold pages are split into page-range
+    units, so one 10k-page doc becomes many independent tasks."""
+    units = media.map_batches(
+        make_split_units(size_threshold, page_threshold, page_chunk),
+        batch_format="pyarrow", batch_size=64,
+    )
+    if compute == "tasks" and (page_render is None or isinstance(page_render, str)):
+        # warm parser state lives per worker process (module-level cache in
+        # stages.extractor) — measured ~2x faster than an actor pool on this
+        # workload because map tasks reuse already-warm Ray workers
+        extracted = units.map_batches(
+            make_extract_task(page_render=page_render, max_pages=max_pages),
+            batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
+        )
+    else:
+        extracted = units.map_batches(
+            PdfExtractor,
+            fn_constructor_kwargs={"page_render": page_render, "max_pages": max_pages},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=_default_concurrency(concurrency), zero_copy_batch=True,
+        )
+    return extracted.materialize()
+
+
+def assemble_media_chunk_table(tbl: pa.Table) -> pa.Table:
+    """Driver-side chunk assembly for the broadcast path: the table is
+    ≤ BROADCAST_MEDIA_ROWS by construction, so a local merge is cheaper
+    than scheduling filter/groupby/union stages over tiny blocks."""
+    refs = tbl.column("media_ref").to_pylist()
+    texts = tbl.column("chunk_text").to_pylist()
+    starts = tbl.column("page_start").to_pylist()
+    nchunks = tbl.column("n_chunks").to_pylist()
+    npages = tbl.column("numpages").to_pylist()
+    errs = tbl.column("error").to_pylist()
+    out_ref, out_text, out_np, out_err = [], [], [], []
+    multi: dict[str, list] = {}
+    for r, t, s, nc, np_, e in zip(refs, texts, starts, nchunks, npages, errs):
+        if nc == 1:
+            out_ref.append(r)
+            out_text.append(t or "")
+            out_np.append(np_ or 0)
+            out_err.append(e)
+        else:
+            multi.setdefault(r, []).append((s, t or "", np_ or 0, e))
+    for r, parts in multi.items():
+        parts.sort(key=lambda p: p[0])
+        out_ref.append(r)
+        # chunk texts carry their own leading separators (reference:
+        # results[currentIndex] slot addressing then plain join)
+        out_text.append("".join(p[1] for p in parts))
+        out_np.append(max(p[2] for p in parts))
+        first_err = next((p[3] for p in parts if p[3]), None)
+        out_err.append(first_err)
+    return pa.table({
+        "media_ref": pa.array(out_ref, pa.string()),
+        "text": pa.array(out_text, pa.string()),
+        "numpages": pa.array(out_np, pa.int32()),
+        "error": pa.array(out_err, pa.string()),
+    })
+
+
 def extract_media_text(
     media: rd.Dataset,
     *,
@@ -196,30 +299,20 @@ def extract_media_text(
     page_threshold: int = 200,
     page_chunk: int = 100,
     concurrency=None,
-    batch_size: int = 8,
+    batch_size: int = 64,
     page_render=None,
     max_pages: int = 0,
+    compute: str = "tasks",  # tasks | actors
 ) -> rd.Dataset:
     """media (media_ref, bytes) → (media_ref, text, numpages, error).
 
-    Skew path: docs > page_threshold pages are split into page-range units
-    and re-joined by a groupby(media_ref) that only ever sees split docs."""
-    units = media.map_batches(
-        make_split_units(size_threshold, page_threshold, page_chunk),
-        batch_format="pyarrow", batch_size=64,
+    Distributed chunk reassembly: the groupby(media_ref) only ever sees
+    page-split (multi-chunk) docs, a tiny minority by construction."""
+    extracted = extract_media_chunks(
+        media, size_threshold=size_threshold, page_threshold=page_threshold,
+        page_chunk=page_chunk, concurrency=concurrency, batch_size=batch_size,
+        page_render=page_render, max_pages=max_pages, compute=compute,
     )
-    extracted = units.map_batches(
-        PdfExtractor,
-        fn_constructor_kwargs={"page_render": page_render, "max_pages": max_pages},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=_default_concurrency(concurrency), zero_copy_batch=True,
-    )
-    # Pin the extracted text once: the singles/multis branches below would
-    # otherwise each re-execute the whole read→split→extract DAG (Ray Data
-    # re-runs shared upstream per consumer).  Extracted text is orders of
-    # magnitude smaller than the media bytes and spills if needed, so this
-    # barrier is the cheap side of the trade at 100 TB too.
-    extracted = extracted.materialize()
     singles = extracted.filter(
         expr="n_chunks == 1"
     ).map_batches(
@@ -246,11 +339,12 @@ def extract_documents(
     page_threshold: int = 200,
     page_chunk: int = 100,
     concurrency=None,
-    batch_size: int = 8,
+    batch_size: int = 64,
     join_strategy: str = "auto",  # auto | broadcast | hash
     resume: bool = True,
     page_render=None,
     max_pages: int = 0,
+    compute: str = "tasks",  # tasks | actors (actor pool supports any callable page_render)
 ) -> rd.Dataset:
     """Full interleaved-corpus extraction.
 
@@ -269,7 +363,14 @@ def extract_documents(
     spans = docs.map_batches(_explode_with_partition(n_partitions),
                              batch_format="pyarrow")
 
-    media = rd.read_parquet(media_path)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    # ~4 read tasks per CPU directly at the read (no repartition exchange):
+    # fine-grained blocks keep the extract stage free of stragglers while
+    # the bytes still stream straight from storage into the extract tasks
+    media = rd.read_parquet(media_path, override_num_blocks=max(16, cpus * 4))
     if done:
         # resume: only extract media still referenced by remaining docs
         needed_refs = set(spans.filter(expr="kind == 'pdf'").unique("media_ref") or [])
@@ -279,35 +380,43 @@ def extract_documents(
             batch_format="pyarrow",
         )
 
-    media_text = extract_media_text(
-        media, size_threshold=size_threshold, page_threshold=page_threshold,
-        page_chunk=page_chunk, concurrency=concurrency, batch_size=batch_size,
-        page_render=page_render, max_pages=max_pages,
-    )
-
     strategy = join_strategy
     if strategy == "auto":
         # media table row count is known cheaply from parquet metadata
         strategy = "broadcast" if media.count() <= BROADCAST_MEDIA_ROWS else "hash"
 
     if strategy == "broadcast":
-        tables = [ray.get(r) for r in media_text.to_arrow_refs()]
+        # chunk-level results straight off the extract stage; assembly of
+        # the few multi-chunk (page-split) docs happens driver-side — the
+        # table is small by the broadcast threshold, and this avoids
+        # scheduling filter/groupby/union stages over tiny blocks
+        chunks = extract_media_chunks(
+            media, size_threshold=size_threshold, page_threshold=page_threshold,
+            page_chunk=page_chunk, concurrency=concurrency, batch_size=batch_size,
+            page_render=page_render, max_pages=max_pages, compute=compute,
+        )
+        tables = [ray.get(r) for r in chunks.to_arrow_refs()]
         tables = [t for t in tables if t.num_rows > 0]  # skip schemaless empties
-        media_tbl = pa.concat_tables(tables) if tables else pa.table({
-            "media_ref": pa.array([], pa.string()),
-            "text": pa.array([], pa.string()),
-            "numpages": pa.array([], pa.int32()),
-            "error": pa.array([], pa.string()),
-        })
+        if tables:
+            media_tbl = assemble_media_chunk_table(pa.concat_tables(tables))
+        else:
+            media_tbl = pa.table({
+                "media_ref": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+                "numpages": pa.array([], pa.int32()),
+                "error": pa.array([], pa.string()),
+            })
         media_ref_obj = ray.put(media_tbl)
         merged = spans.map_batches(
-            _AttachMediaText,
-            fn_constructor_kwargs={"media_map_ref": media_ref_obj},
-            batch_format="pyarrow",
-            concurrency=_default_concurrency(concurrency),
-            zero_copy_batch=True,
+            _attach_media_text_task(media_ref_obj),
+            batch_format="pyarrow", zero_copy_batch=True,
         )
     else:
+        media_text = extract_media_text(
+            media, size_threshold=size_threshold, page_threshold=page_threshold,
+            page_chunk=page_chunk, concurrency=concurrency, batch_size=batch_size,
+            page_render=page_render, max_pages=max_pages, compute=compute,
+        )
         pdf_spans = spans.filter(expr="kind == 'pdf'").drop_columns(["text"])
         text_spans = spans.filter(expr="kind == 'text'")
         # size join parallelism to the cluster: each hash-shuffle aggregator

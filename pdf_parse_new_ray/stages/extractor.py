@@ -115,6 +115,30 @@ class PdfExtractor:
         })
 
 
+# -- task-mode warm state -----------------------------------------------
+# Ray Data map tasks run in long-lived worker processes; a module-level
+# extractor per (config) keeps the same warm parsed-doc/font caches as an
+# actor would, without paying actor-pool spin-up and its stricter
+# scheduling.  Only hashable configs (page_render=None or 'module:fn')
+# can use this path; arbitrary callables need the actor class above.
+_TASK_EXTRACTORS: dict = {}
+
+
+def make_extract_task(page_render=None, max_pages: int = 0):
+    if page_render is not None and not isinstance(page_render, str):
+        raise ValueError("task-mode extraction needs page_render=None or 'module:fn'")
+    key = (page_render, max_pages)
+
+    def extract_batch(batch: pa.Table) -> pa.Table:
+        ex = _TASK_EXTRACTORS.get(key)
+        if ex is None:
+            ex = _TASK_EXTRACTORS[key] = PdfExtractor(page_render=page_render,
+                                                      max_pages=max_pages)
+        return ex(batch)
+
+    return extract_batch
+
+
 class NumPagesProbe:
     """Cheap page-count probe: xref + page-tree Count only, no content
     decode (reference analogue: analyzePDF probe, lib/SmartPDFParser.js:
