@@ -125,11 +125,22 @@ def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
 
 def run_scaling() -> dict:
     """Same job, fresh processes, num_cpus=8 then 32; efficiency per the
-    reference formula speedup/cores_ratio."""
+    reference formula speedup/cores_ratio.
+
+    Uses a larger corpus (GRAFT_SCALING_SF, default 0.3 → 60k docs) than the
+    default bench so the measured quantity is steady-state throughput: the
+    north metric amortizes job-startup/first-wave costs over 10^12 docs, and
+    at sf0.1 the 32-CPU run finishes in ~10 s where those fixed costs are a
+    quarter of the wall clock."""
+    scaling_sf = float(os.environ.get("GRAFT_SCALING_SF", "0.3"))
+    from pdf_parse_new_ray.fixtures.corpus import corpus_dir_for
+
+    scaling_dir = corpus_dir_for(scaling_sf)  # generate/cache before timing
     results = {}
     for cpus in (8, 32):
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = scaling_dir
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single"],
             capture_output=True, text=True, env=env, timeout=3600,

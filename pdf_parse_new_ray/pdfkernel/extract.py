@@ -249,11 +249,28 @@ class TextExtractor:
             two_pos[0] = 0
 
         def get_current_text_transform():
-            font = ts.font
-            tsm = (ts.font_size * ts.text_h_scale, 0.0, 0.0, ts.font_size, 0.0, ts.text_rise)
-            if font is not None and font.is_type3 and ts.font_size <= 1 and ts.font_matrix != FONT_IDENTITY_MATRIX:
-                pass  # Type3 bbox scaling: glyph bbox data not tracked; rare
-            return mat_mul(ts.ctm, mat_mul(tuple(ts.text_matrix), tsm))
+            # specialised mat_mul(ctm, mat_mul(text_matrix, tsm)) with
+            # tsm = (fs*hscale, 0, 0, fs, 0, rise); identical arithmetic,
+            # ~half the multiplies, and an identity-ctm fast path.
+            # (Type3 bbox scaling: glyph bbox data not tracked; rare.)
+            tm = ts.text_matrix
+            fs = ts.font_size
+            w = fs * ts.text_h_scale
+            rise = ts.text_rise
+            p0 = tm[0] * w
+            p1 = tm[1] * w
+            p2 = tm[2] * fs
+            p3 = tm[3] * fs
+            p4 = tm[2] * rise + tm[4]
+            p5 = tm[3] * rise + tm[5]
+            c = ts.ctm
+            if c is IDENTITY:
+                return (p0, p1, p2, p3, p4, p5)
+            return (
+                c[0] * p0 + c[2] * p1, c[1] * p0 + c[3] * p1,
+                c[0] * p2 + c[2] * p3, c[1] * p2 + c[3] * p3,
+                c[0] * p4 + c[2] * p5 + c[4], c[1] * p4 + c[3] * p5 + c[5],
+            )
 
         def push_whitespace(width=0.0, height=0.0, transform=None, font_name=None):
             items.append({
@@ -485,38 +502,45 @@ class TextExtractor:
             glyphs = font.chars_to_glyphs(chars)
             scale = ts.font_matrix[0] * ts.font_size
             n = len(glyphs)
+            # hot loop: bind per-run-constant state as locals (ts cannot be
+            # rebound mid-run; font/spacing/hscale are fixed for the run)
+            translate = ts.translate_text_matrix
+            vertical = font.vertical
+            base_char_spacing = ts.char_spacing
+            word_spacing = ts.word_spacing
+            h_scale = ts.text_h_scale
             for i, glyph in enumerate(glyphs):
                 if glyph.is_format_mark:
                     continue
-                char_spacing = ts.char_spacing + (extra_spacing if i + 1 == n else 0.0)
+                char_spacing = base_char_spacing + (extra_spacing if i + 1 == n else 0.0)
                 glyph_width = glyph.width
-                if font.vertical:
+                if vertical:
                     glyph_width = -glyph_width  # vmetrics not tracked
                 scaled_dim = glyph_width * scale
                 if not keep_white_space and glyph.is_space:
-                    if not font.vertical:
-                        char_spacing += scaled_dim + ts.word_spacing
-                        ts.translate_text_matrix(char_spacing * ts.text_h_scale, 0)
+                    if not vertical:
+                        char_spacing += scaled_dim + word_spacing
+                        translate(char_spacing * h_scale, 0)
                     else:
-                        char_spacing += -scaled_dim + ts.word_spacing
-                        ts.translate_text_matrix(0, -char_spacing)
+                        char_spacing += -scaled_dim + word_spacing
+                        translate(0, -char_spacing)
                     save_last_char(" ")
                     continue
                 if not glyph.is_diacritic and not compare_with_last_position(scaled_dim):
-                    if not font.vertical:
-                        ts.translate_text_matrix(scaled_dim * ts.text_h_scale, 0)
+                    if not vertical:
+                        translate(scaled_dim * h_scale, 0)
                     else:
-                        ts.translate_text_matrix(0, scaled_dim)
+                        translate(0, scaled_dim)
                     continue
                 chunk = ensure_tci()
                 if glyph.is_diacritic:
                     scaled_dim = 0.0
-                if not font.vertical:
-                    scaled_dim *= ts.text_h_scale
-                    ts.translate_text_matrix(scaled_dim, 0)
+                if not vertical:
+                    scaled_dim *= h_scale
+                    translate(scaled_dim, 0)
                     chunk["width"] += scaled_dim
                 else:
-                    ts.translate_text_matrix(0, scaled_dim)
+                    translate(0, scaled_dim)
                     scaled_dim = abs(scaled_dim)
                     chunk["height"] += scaled_dim
                 if scaled_dim:
@@ -526,10 +550,10 @@ class TextExtractor:
                     chunk["str"].append(" ")
                 chunk["str"].append(gu)
                 if char_spacing:
-                    if not font.vertical:
-                        ts.translate_text_matrix(char_spacing * ts.text_h_scale, 0)
+                    if not vertical:
+                        translate(char_spacing * h_scale, 0)
                     else:
-                        ts.translate_text_matrix(0, -char_spacing)
+                        translate(0, -char_spacing)
 
         # --- operator loop ----------------------------------------------
         parser = Parser(content, 0, resolve=r)

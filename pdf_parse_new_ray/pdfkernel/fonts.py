@@ -344,6 +344,18 @@ class Font:
         return glyphs
 
     def _make_glyph(self, code: int) -> Glyph:
+        # per-charcode cache (Glyphs are immutable): the string-keyed
+        # _glyph_cache only hits on repeated whole strings, this one hits on
+        # every repeated character
+        cache = self.__dict__.setdefault("_code_cache", {})
+        g = cache.get(code)
+        if g is not None:
+            return g
+        g = self._make_glyph_uncached(code)
+        cache[code] = g
+        return g
+
+    def _make_glyph_uncached(self, code: int) -> Glyph:
         u: Optional[str] = None
         if self.to_unicode is not None:
             u = self.to_unicode.get(code)

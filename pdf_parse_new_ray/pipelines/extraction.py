@@ -74,50 +74,44 @@ def _filter_done_docs(n_partitions: int, done: set):
 
 class _AttachMediaText:
     """Broadcast-join stage: map extracted media text onto pdf span rows.
-    The lookup table is shipped once via ray.put and materialized once per
-    actor (NOT per batch)."""
+    The lookup table is shipped once via ray.put and read zero-copy from the
+    object store once per worker (NOT per batch); the join itself is a
+    vectorized index_in + take, no Python row loop."""
 
     def __init__(self, media_map_ref):
         obj = media_map_ref
         if isinstance(obj, ray.ObjectRef):
-            obj = ray.get(obj)
+            obj = ray.get(obj)  # zero-copy view of the plasma buffer
         # obj: pyarrow table media_ref/text/numpages/error
-        self._map = {}
-        for r, t, n, e in zip(obj.column("media_ref").to_pylist(),
-                              obj.column("text").to_pylist(),
-                              obj.column("numpages").to_pylist(),
-                              obj.column("error").to_pylist()):
-            self._map[r] = (t, n, e)
+        self._refs = obj.column("media_ref").combine_chunks()
+        self._text = obj.column("text").combine_chunks()
+        self._numpages = obj.column("numpages").combine_chunks()
+        self._error = obj.column("error").combine_chunks()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        kinds = batch.column("kind").to_pylist()
-        refs = batch.column("media_ref").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_text, out_np, out_err = [], [], []
-        for k, ref, t in zip(kinds, refs, texts):
-            if k == "pdf":
-                ent = self._map.get(ref)
-                if ent is None:
-                    out_text.append("")
-                    out_np.append(0)
-                    out_err.append("media_ref not found")
-                else:
-                    out_text.append(ent[0] or "")
-                    out_np.append(ent[1] or 0)
-                    out_err.append(ent[2])
-            else:
-                out_text.append(t or "")
-                out_np.append(0)
-                out_err.append(None)
+        kind = batch.column("kind")
+        idx = pc.index_in(batch.column("media_ref"), value_set=self._refs)
+        is_pdf = pc.equal(kind, "pdf")
+        picked_text = pc.take(self._text, idx)      # null where idx is null
+        picked_np = pc.take(self._numpages, idx)
+        picked_err = pc.take(self._error, idx)
+        empty = pa.scalar("", pa.string())
+        text_out = pc.if_else(is_pdf, pc.coalesce(picked_text, empty),
+                              pc.coalesce(batch.column("text"), empty))
+        np_out = pc.if_else(is_pdf, pc.coalesce(picked_np, pa.scalar(0, pa.int32())),
+                            pa.scalar(0, pa.int32()))
+        not_found = pc.and_(is_pdf, pc.is_null(idx))
+        err_out = pc.if_else(not_found, pa.scalar("media_ref not found", pa.string()),
+                             pc.if_else(is_pdf, picked_err, pa.scalar(None, pa.string())))
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "kind": batch.column("kind"),
-            "text": pa.array(out_text, pa.string()),
+            "kind": kind,
+            "text": text_out,
             "media_ref": batch.column("media_ref"),
             "offset": batch.column("offset"),
             "part": batch.column("part"),
-            "numpages": pa.array(out_np, pa.int32()),
-            "error": pa.array(out_err, pa.string()),
+            "numpages": np_out,
+            "error": err_out,
         })
 
 
@@ -150,56 +144,67 @@ def _assemble_partition(out_dir: Optional[str]):
 
     def fn(group: pa.Table) -> pa.Table:
         t0 = time.time()
+        if group.num_rows == 0:
+            return pa.table({
+                "partition": pa.array([], pa.int32()),
+                "n_docs": pa.array([], pa.int64()),
+                "pages": pa.array([], pa.int64()),
+                "errors": pa.array([], pa.int64()),
+                "wall_s": pa.array([], pa.float64()),
+            }) if out_dir is not None else pa.table({
+                "doc_id": pa.array([], pa.string()),
+                "spans": pa.array([], pa.list_(SPAN_TYPE)),
+                "n_spans": pa.array([], pa.int32()),
+                "numpages": pa.array([], pa.int32()),
+                "n_errors": pa.array([], pa.int32()),
+            })
+        import numpy as np
+
         k = group.column("part")[0].as_py()
         order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending"), ("offset", "ascending")])
         g = group.take(order)
-        doc_ids = g.column("doc_id").to_pylist()
-        kinds = g.column("kind").to_pylist()
-        texts = g.column("text").to_pylist()
-        refs = g.column("media_ref").to_pylist()
-        offsets = g.column("offset").to_pylist()
-        numpages = g.column("numpages").to_pylist()
-        errors = g.column("error").to_pylist()
-
-        rows_doc, rows_spans, rows_np, rows_err, rows_nspans = [], [], [], [], []
-        i, n = 0, len(doc_ids)
-        total_pages = 0
-        total_errors = 0
-        while i < n:
-            j = i
-            spans = []
-            doc_np = 0
-            doc_err = 0
-            while j < n and doc_ids[j] == doc_ids[i]:
-                spans.append({"kind": kinds[j], "text": texts[j] or "",
-                              "media_ref": refs[j] or "", "offset": offsets[j]})
-                if kinds[j] == "pdf":
-                    doc_np += numpages[j] or 0
-                if errors[j]:
-                    doc_err += 1
-                j += 1
-            rows_doc.append(doc_ids[i])
-            rows_spans.append(spans)
-            rows_nspans.append(len(spans))
-            rows_np.append(doc_np)
-            rows_err.append(doc_err)
-            total_pages += doc_np
-            total_errors += doc_err
-            i = j
+        n = g.num_rows
+        doc_arr = g.column("doc_id").combine_chunks()
+        empty = pa.scalar("", pa.string())
+        # span struct column, fully vectorized
+        struct = pa.StructArray.from_arrays(
+            [
+                g.column("kind").combine_chunks(),
+                pc.coalesce(g.column("text"), empty).combine_chunks(),
+                pc.coalesce(g.column("media_ref"), empty).combine_chunks(),
+                g.column("offset").combine_chunks(),
+            ],
+            fields=list(SPAN_TYPE),
+        )
+        # doc boundaries via run-length of the dictionary-encoded doc ids
+        codes = pc.dictionary_encode(doc_arr).indices.to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.nonzero(np.diff(codes))[0] + 1))
+        offsets = np.concatenate((starts, [n])).astype(np.int32)
+        spans_list = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+        doc_ids_out = pc.take(doc_arr, pa.array(starts, pa.int64()))
+        is_pdf = pc.equal(g.column("kind"), "pdf")
+        np_vals = pc.if_else(is_pdf, pc.coalesce(g.column("numpages"), pa.scalar(0, pa.int32())),
+                             pa.scalar(0, pa.int32())).combine_chunks().to_numpy(zero_copy_only=False)
+        err_vals = pc.and_(pc.is_valid(g.column("error")),
+                           pc.not_equal(pc.coalesce(g.column("error"), empty), empty))
+        err_vals = err_vals.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int32)
+        doc_np = np.add.reduceat(np_vals, starts)
+        doc_err = np.add.reduceat(err_vals, starts)
+        n_spans = np.diff(offsets)
         out = pa.table({
-            "doc_id": pa.array(rows_doc, pa.string()),
-            "spans": pa.array(rows_spans, pa.list_(SPAN_TYPE)),
-            "n_spans": pa.array(rows_nspans, pa.int32()),
-            "numpages": pa.array(rows_np, pa.int32()),
-            "n_errors": pa.array(rows_err, pa.int32()),
+            "doc_id": doc_ids_out,
+            "spans": spans_list,
+            "n_spans": pa.array(n_spans, pa.int32()),
+            "numpages": pa.array(doc_np, pa.int32()),
+            "n_errors": pa.array(doc_err, pa.int32()),
         })
         if out_dir is None:
             return out
         rec = ckpt.write_partition(out_dir, k, out, {
-            "n_docs": len(rows_doc),
-            "n_spans": int(sum(rows_nspans)),
-            "pages": int(total_pages),
-            "errors": int(total_errors),
+            "n_docs": out.num_rows,
+            "n_spans": int(n_spans.sum()),
+            "pages": int(doc_np.sum()),
+            "errors": int(doc_err.sum()),
             "wall_s": time.time() - t0,
         })
         return pa.table({
