@@ -115,26 +115,152 @@ class _AttachMediaText:
         })
 
 
+class _AttachAssembleDocs:
+    """Fused broadcast attach + per-doc assembly over INTACT doc rows: no
+    span explode and no span shuffle.  One vectorized pass per block —
+    index_in/take against the broadcast media table, then an offset sort
+    within each spans list (parent-major, offset-minor).  Output is the
+    final documents schema plus the lineage partition key."""
+
+    def __init__(self, media_map_ref, n_partitions: int):
+        obj = media_map_ref
+        if isinstance(obj, ray.ObjectRef):
+            obj = ray.get(obj)  # zero-copy view of the plasma buffer
+        self._refs = obj.column("media_ref").combine_chunks()
+        self._text = obj.column("text").combine_chunks()
+        self._numpages = obj.column("numpages").combine_chunks()
+        self._error = obj.column("error").combine_chunks()
+        self._n_partitions = n_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if batch.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.string()),
+                "spans": pa.array([], pa.list_(SPAN_TYPE)),
+                "n_spans": pa.array([], pa.int32()),
+                "numpages": pa.array([], pa.int32()),
+                "n_errors": pa.array([], pa.int32()),
+                "part": pa.array([], pa.int32()),
+            })
+        spans_col = batch.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        flat = spans_col.flatten()
+        kind = flat.field("kind")
+        is_pdf = pc.equal(kind, "pdf")
+        idx = pc.index_in(flat.field("media_ref"), value_set=self._refs)
+        picked_text = pc.take(self._text, idx)
+        picked_np = pc.take(self._numpages, idx)
+        picked_err = pc.take(self._error, idx)
+        empty = pa.scalar("", pa.string())
+        text_out = pc.if_else(is_pdf, pc.coalesce(picked_text, empty),
+                              pc.coalesce(flat.field("text"), empty))
+        np_out = pc.if_else(is_pdf, pc.coalesce(picked_np, pa.scalar(0, pa.int32())),
+                            pa.scalar(0, pa.int32()))
+        not_found = pc.and_(is_pdf, pc.is_null(idx))
+        err_out = pc.if_else(not_found, pa.scalar("media_ref not found", pa.string()),
+                             pc.if_else(is_pdf, picked_err, pa.scalar(None, pa.string())))
+        # offset-keyed sort WITHIN each doc's list (north rule): stable
+        # because parent indices are the major key
+        parents = pc.list_parent_indices(spans_col)
+        offsets_f = flat.field("offset")
+        order = pc.sort_indices(
+            pa.table({"p": parents, "o": offsets_f}),
+            sort_keys=[("p", "ascending"), ("o", "ascending")],
+        )
+        struct = pa.StructArray.from_arrays(
+            [pc.take(kind, order), pc.take(text_out, order),
+             pc.take(pc.coalesce(flat.field("media_ref"), empty), order),
+             pc.take(offsets_f, order)],
+            fields=list(SPAN_TYPE),
+        )
+        counts = pc.list_value_length(spans_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        spans_list = pa.ListArray.from_arrays(pa.array(bounds, pa.int32()), struct)
+        # per-doc aggregates via cumsum differences (robust to empty lists)
+        np_vals = np_out.to_numpy(zero_copy_only=False).astype(np.int64)
+        err_flags = pc.and_(pc.is_valid(err_out),
+                            pc.not_equal(pc.coalesce(err_out, empty), empty))
+        err_vals = err_flags.to_numpy(zero_copy_only=False).astype(np.int64)
+        cs_np = np.concatenate(([0], np.cumsum(np_vals)))
+        cs_err = np.concatenate(([0], np.cumsum(err_vals)))
+        doc_np = cs_np[bounds[1:]] - cs_np[bounds[:-1]]
+        doc_err = cs_err[bounds[1:]] - cs_err[bounds[:-1]]
+        doc_ids = batch.column("doc_id").combine_chunks()
+        return pa.table({
+            "doc_id": doc_ids,
+            "spans": spans_list,
+            "n_spans": pa.array(counts.astype(np.int32), pa.int32()),
+            "numpages": pa.array(doc_np.astype(np.int32), pa.int32()),
+            "n_errors": pa.array(doc_err.astype(np.int32), pa.int32()),
+            "part": ckpt.partition_column(doc_ids, self._n_partitions),
+        })
+
+
+def _write_partition_docs(out_dir: str):
+    """groupby('part') → map_groups over ASSEMBLED doc rows: persist the
+    partition + lineage, emit a metrics row."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        t0 = time.time()
+        if group.num_rows == 0:
+            return pa.table({
+                "partition": pa.array([], pa.int32()),
+                "n_docs": pa.array([], pa.int64()),
+                "pages": pa.array([], pa.int64()),
+                "errors": pa.array([], pa.int64()),
+                "wall_s": pa.array([], pa.float64()),
+            })
+        k = group.column("part")[0].as_py()
+        out = group.drop_columns(["part"])
+        rec = ckpt.write_partition(out_dir, k, out, {
+            "n_docs": out.num_rows,
+            "n_spans": int(pc.sum(out.column("n_spans")).as_py() or 0),
+            "pages": int(pc.sum(out.column("numpages")).as_py() or 0),
+            "errors": int(pc.sum(out.column("n_errors")).as_py() or 0),
+            "wall_s": time.time() - t0,
+        })
+        return pa.table({
+            "partition": pa.array([k], pa.int32()),
+            "n_docs": pa.array([rec["n_docs"]], pa.int64()),
+            "pages": pa.array([rec["pages"]], pa.int64()),
+            "errors": pa.array([rec["errors"]], pa.int64()),
+            "wall_s": pa.array([rec["wall_s"]], pa.float64()),
+        })
+
+    return fn
+
+
 # per-worker-process cache of broadcast lookup maps (keyed by ObjectRef
 # hex): the 'resolved once per worker, not per batch' guarantee for the
 # task-based broadcast join
 _MEDIA_MAP_CACHE: dict = {}
 
 
-def _attach_media_text_task(media_ref_obj):
-    ref_key = media_ref_obj.hex() if isinstance(media_ref_obj, ray.ObjectRef) else id(media_ref_obj)
+def _cached_broadcast_helper(cls, media_ref_obj, *args):
+    """Task-mode wrapper: materialize the broadcast helper once per worker
+    process (keyed by ObjectRef hex), not once per batch."""
+    ref_key = (cls.__name__,
+               media_ref_obj.hex() if isinstance(media_ref_obj, ray.ObjectRef) else id(media_ref_obj),
+               args)
 
-    def attach(batch: pa.Table) -> pa.Table:
+    def run(batch: pa.Table) -> pa.Table:
         helper = _MEDIA_MAP_CACHE.get(ref_key)
         if helper is None:
-            helper = _MEDIA_MAP_CACHE[ref_key] = _AttachMediaText(media_ref_obj)
+            helper = _MEDIA_MAP_CACHE[ref_key] = cls(media_ref_obj, *args)
             if len(_MEDIA_MAP_CACHE) > 4:
                 for k in list(_MEDIA_MAP_CACHE)[:-2]:
                     if k != ref_key:
                         _MEDIA_MAP_CACHE.pop(k, None)
         return helper(batch)
 
-    return attach
+    return run
+
+
+def _attach_media_text_task(media_ref_obj):
+    return _cached_broadcast_helper(_AttachMediaText, media_ref_obj)
 
 
 def _assemble_partition(out_dir: Optional[str]):
@@ -365,9 +491,6 @@ def extract_documents(
             docs = docs.map_batches(_filter_done_docs(n_partitions, done),
                                     batch_format="pyarrow")
 
-    spans = docs.map_batches(_explode_with_partition(n_partitions),
-                             batch_format="pyarrow")
-
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
@@ -378,7 +501,9 @@ def extract_documents(
     media = rd.read_parquet(media_path, override_num_blocks=max(16, cpus * 4))
     if done:
         # resume: only extract media still referenced by remaining docs
-        needed_refs = set(spans.filter(expr="kind == 'pdf'").unique("media_ref") or [])
+        ref_ds = docs.map_batches(_explode_with_partition(n_partitions),
+                                  batch_format="pyarrow").filter(expr="kind == 'pdf'")
+        needed_refs = set(ref_ds.unique("media_ref") or [])
         ref_arr = pa.array(sorted(needed_refs), pa.string())
         media = media.map_batches(
             lambda t, refs=ref_arr: t.filter(pc.is_in(t.column("media_ref"), value_set=refs)),
@@ -412,11 +537,20 @@ def extract_documents(
                 "error": pa.array([], pa.string()),
             })
         media_ref_obj = ray.put(media_tbl)
-        merged = spans.map_batches(
-            _attach_media_text_task(media_ref_obj),
+        # fused attach+assemble over intact doc rows: the only shuffle in
+        # this path is the doc-level lineage-partition groupby (write mode)
+        assembled = docs.map_batches(
+            _cached_broadcast_helper(_AttachAssembleDocs, media_ref_obj, n_partitions),
             batch_format="pyarrow", zero_copy_batch=True,
         )
+        if out_dir is None:
+            return assembled.drop_columns(["part"])
+        return assembled.groupby("part").map_groups(
+            _write_partition_docs(out_dir), batch_format="pyarrow"
+        )
     else:
+        spans = docs.map_batches(_explode_with_partition(n_partitions),
+                                 batch_format="pyarrow")
         media_text = extract_media_text(
             media, size_threshold=size_threshold, page_threshold=page_threshold,
             page_chunk=page_chunk, concurrency=concurrency, batch_size=batch_size,
