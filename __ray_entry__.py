@@ -80,6 +80,80 @@ def _extract_media(sf_dir: str):
     return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
 
 
+def _extract_metadata(sf_dir: str):
+    """Per-media documentInfo extraction (reference M4 parity surface)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_parse_new_ray.stages.extractor import MetadataExtractor
+
+    base = _corpus_for(sf_dir)
+    rows = rd.read_parquet(f"{base}/media").map_batches(
+        MetadataExtractor(), batch_format="pyarrow",
+    ).drop_columns(["metadata_xml"]).take_all()
+    return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
+
+
+def _media_features(sf_dir: str):
+    """Multimodal feature stage over the binary media column (PDF decode is
+    real; image/audio decoders are stubbed — see stages/multimodal.py)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_parse_new_ray.stages.multimodal import MediaFeatureExtractor
+
+    base = _corpus_for(sf_dir)
+    rows = rd.read_parquet(f"{base}/media").map_batches(
+        MediaFeatureExtractor, concurrency=(1, 4), batch_size=16,
+        batch_format="pyarrow",
+    ).take_all()
+    return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
+
+
+def _extract_media_titles(sf_dir: str):
+    """Custom page_render hook through the distributed pipeline: the
+    'module:function' contract (reference pagerenderModule, index.d.ts:32),
+    using the large-font-only projection from the reference examples."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_parse_new_ray.pipelines.extraction import extract_media_text
+
+    base = _corpus_for(sf_dir)
+    res = extract_media_text(
+        rd.read_parquet(f"{base}/media"),
+        page_render="pdf_parse_new_ray.stages.render_hooks:titles_only_render",
+    ).take_all()
+    rows = [{
+        "media_ref": r["media_ref"],
+        "numpages": int(r["numpages"]),
+        "text_md5": hashlib.md5((r["text"] or "").encode("utf-8")).hexdigest(),
+    } for r in res]
+    return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
+
+
+def _extract_media_maxpages(sf_dir: str):
+    """max-pages clamp through the pipeline (reference M2: counter =
+    min(max, numPages), numrender parity; lib/pdf-parse.js:98-99)."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_parse_new_ray.pipelines.extraction import extract_media_text
+
+    base = _corpus_for(sf_dir)
+    res = extract_media_text(rd.read_parquet(f"{base}/media"), max_pages=2).take_all()
+    rows = [{
+        "media_ref": r["media_ref"],
+        "numpages": int(r["numpages"]),
+        "text_md5": hashlib.md5((r["text"] or "").encode("utf-8")).hexdigest(),
+    } for r in res]
+    return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
+
+
 def entry() -> Any:
     return _extract_corpus("/root/testdata/sf0.001")
 
@@ -116,6 +190,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction (flagship; north-rule pipeline)
         "x_extract_corpus": _extract_corpus,
         "x_extract_media": _extract_media,
+        "x_extract_metadata": _extract_metadata,
+        "x_extract_titles_render": _extract_media_titles,
+        "x_extract_maxpages": _extract_media_maxpages,
+        # multimodal binary-column features (PDF decode real, image/audio stubbed)
+        "m_media_features": _media_features,
     }
 
 

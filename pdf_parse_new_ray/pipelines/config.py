@@ -1,0 +1,56 @@
+"""Planner-lite: pipeline configuration replacing the reference's trained
+SmartPDFParser decision tree (lib/SmartPDFParser.js:195-305, rules in
+lib/smart-parser-rules.json).
+
+Ray's dynamic scheduler subsumes the reference's engine-selection rules
+(J1-J3 in SURVEY §2.4): work-stealing replaces the worker pools, streaming
+backpressure replaces the chunked GC machinery.  What survives is the small
+set of knobs that genuinely shape the physical plan, derived from the same
+inputs the reference's planner used (size, pages, CPUs):
+
+- ``page_threshold`` / ``page_chunk``: the skew split — the Ray analogue of
+  the cpuNormalizedThreshold(1000)→processes rule
+  (lib/smart-parser-rules.json:102-123): docs above the threshold become
+  page-range units that extract in parallel and re-join by media_ref.
+- ``size_threshold``: bytes-based early split trigger for docs whose page
+  count is unknown without a probe (analyzePDF complexity = bytes/page,
+  lib/SmartPDFParser.js:337-349).
+- ``batch_size``: work-unit rows per extract task — the adaptiveBatchSize
+  analogue (lib/SmartPDFParser.js:483-502).
+- ``n_partitions``: lineage/checkpoint partition count (resume granularity).
+- ``broadcast_media_rows``: join-strategy pivot — below it the extracted
+  media table ships once via ray.put, above it a distributed hash join runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class ExtractionConfig:
+    n_partitions: int = 32
+    size_threshold: int = 512 * 1024
+    page_threshold: int = 200
+    page_chunk: int = 100
+    batch_size: int = 64
+    broadcast_media_rows: int = 200_000
+    compute: str = "tasks"  # tasks | actors
+    join_strategy: str = "auto"  # auto | broadcast | hash
+    concurrency: Optional[tuple] = None
+    resume: bool = True
+
+    def for_cluster(self, cpus: int, avg_doc_bytes: int = 64 * 1024) -> "ExtractionConfig":
+        """Adapt the shape knobs to a cluster size + corpus density —
+        the fast-path analogue of SmartPDFParser.quickCheck/selectMethod:
+        batch sizes shrink as docs grow so batch × bytes stays bounded,
+        partitions track parallelism so resume granularity matches the
+        cluster."""
+        # keep one extract batch under ~64 MB of input bytes
+        batch = max(4, min(256, (64 << 20) // max(1, avg_doc_bytes)))
+        return replace(
+            self,
+            batch_size=batch,
+            n_partitions=max(16, cpus * 2),
+        )

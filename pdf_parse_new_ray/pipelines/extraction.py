@@ -476,11 +476,22 @@ def extract_documents(
     page_render=None,
     max_pages: int = 0,
     compute: str = "tasks",  # tasks | actors (actor pool supports any callable page_render)
+    config=None,  # ExtractionConfig overrides the shape kwargs when given
 ) -> rd.Dataset:
     """Full interleaved-corpus extraction.
 
     Returns the assembled documents Dataset (out_dir=None) or the
     per-partition metrics Dataset (write mode with lineage + resume)."""
+    if config is not None:
+        n_partitions = config.n_partitions
+        size_threshold = config.size_threshold
+        page_threshold = config.page_threshold
+        page_chunk = config.page_chunk
+        batch_size = config.batch_size
+        join_strategy = config.join_strategy
+        concurrency = config.concurrency
+        resume = config.resume
+        compute = config.compute
     docs = rd.read_parquet(docs_path)
     done: set[int] = set()
     if out_dir is not None and resume:

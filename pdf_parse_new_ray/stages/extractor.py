@@ -139,6 +139,62 @@ def make_extract_task(page_render=None, max_pages: int = 0):
     return extract_batch
 
 
+class MetadataExtractor:
+    """Document-info stage (reference M4: getMetadata().catch(null),
+    lib/pdf-parse.js:91-96; documentInfo spec build/pdf.worker.js:59807-59881).
+
+    media (media_ref, bytes) → one row per media with the fixed documentInfo
+    keys as typed columns plus the full info dict (dynamic /Info Custom keys
+    included) as JSON.  Parse failures yield null columns + error, keeping
+    the reference's absorb-to-null metadata semantics."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        refs = batch.column("media_ref").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        cols: dict[str, list] = {k: [] for k in (
+            "numpages", "pdf_version", "title", "author", "producer",
+            "creator", "creation_date", "mod_date", "is_linearized",
+            "info_json", "metadata_xml", "error")}
+        for blob in blobs:
+            try:
+                doc = PDFDocument(blob)
+                info = doc.document_info() or {}
+                cols["numpages"].append(doc.num_pages)
+                cols["pdf_version"].append(info.get("PDFFormatVersion"))
+                cols["title"].append(info.get("Title"))
+                cols["author"].append(info.get("Author"))
+                cols["producer"].append(info.get("Producer"))
+                cols["creator"].append(info.get("Creator"))
+                cols["creation_date"].append(info.get("CreationDate"))
+                cols["mod_date"].append(info.get("ModDate"))
+                cols["is_linearized"].append(bool(info.get("IsLinearized")))
+                cols["info_json"].append(json.dumps(info, sort_keys=True, default=str))
+                cols["metadata_xml"].append(doc.metadata_xml())
+                cols["error"].append(None)
+            except Exception as e:  # noqa: BLE001
+                for k in cols:
+                    cols[k].append(None)
+                cols["numpages"][-1] = 0
+                cols["error"][-1] = f"{type(e).__name__}: {e}"
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "numpages": pa.array(cols["numpages"], pa.int32()),
+            "pdf_version": pa.array(cols["pdf_version"], pa.string()),
+            "title": pa.array(cols["title"], pa.string()),
+            "author": pa.array(cols["author"], pa.string()),
+            "producer": pa.array(cols["producer"], pa.string()),
+            "creator": pa.array(cols["creator"], pa.string()),
+            "creation_date": pa.array(cols["creation_date"], pa.string()),
+            "mod_date": pa.array(cols["mod_date"], pa.string()),
+            "is_linearized": pa.array(cols["is_linearized"], pa.bool_()),
+            "info_json": pa.array(cols["info_json"], pa.string()),
+            "metadata_xml": pa.array(cols["metadata_xml"], pa.string()),
+            "error": pa.array(cols["error"], pa.string()),
+        })
+
+
 class NumPagesProbe:
     """Cheap page-count probe: xref + page-tree Count only, no content
     decode (reference analogue: analyzePDF probe, lib/SmartPDFParser.js:

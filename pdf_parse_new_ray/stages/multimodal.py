@@ -1,0 +1,162 @@
+"""Multimodal binary-column stages: decode / feature-extract over opaque
+``binary`` media columns with typed metadata.
+
+Design for a 100 TB training-data pipeline: media payloads are opaque
+``binary`` cells; each modality gets an actor-pool ``map_batches`` stage
+(decoder state built once per actor in ``__init__``) that emits typed
+feature columns.  PDFs are decoded for real by the pdfkernel; image/audio/
+video decoding requires codec libraries that are NOT in this container, so
+those decoders are STUBBED behind an import-try: when PIL / soundfile /
+av are absent we emit deterministic byte-level pseudo-features with
+``decoded=False`` so the Ray-side plumbing (schema, batch size, actor
+signature, output layout) is real and testable end-to-end.
+
+Usage:
+    media.map_batches(MediaFeatureExtractor, concurrency=(2, 8),
+                      batch_size=16, batch_format="pyarrow")
+Small batch sizes matter here: batch_size × payload bytes must fit a
+worker's heap (large image/video cells).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Optional
+
+import pyarrow as pa
+
+
+def sniff_media_type(blob: Optional[bytes]) -> str:
+    """Magic-byte container sniff (no decoding)."""
+    if not blob:
+        return "empty"
+    if blob.startswith(b"%PDF"):
+        return "pdf"
+    if blob.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if blob.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if blob.startswith(b"GIF8"):
+        return "gif"
+    if blob.startswith(b"RIFF") and blob[8:12] == b"WAVE":
+        return "wav"
+    if blob.startswith(b"RIFF") and blob[8:12] == b"AVI ":
+        return "avi"
+    if blob.startswith(b"ID3") or blob.startswith(b"\xff\xfb"):
+        return "mp3"
+    if len(blob) > 11 and blob[4:8] == b"ftyp":
+        return "mp4"
+    if blob.startswith(b"OggS"):
+        return "ogg"
+    return "unknown"
+
+
+def _byte_entropy(blob: bytes, cap: int = 1 << 16) -> float:
+    """Shannon entropy of the first ``cap`` bytes — a deterministic,
+    library-free content feature used by the stub decoders."""
+    sample = blob[:cap]
+    if not sample:
+        return 0.0
+    counts = [0] * 256
+    for b in sample:
+        counts[b] += 1
+    n = len(sample)
+    return -sum((c / n) * math.log2(c / n) for c in counts if c)
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: (media_ref, bytes) → typed per-media features.
+
+    Columns: media_ref, media_type, n_bytes, sha256, entropy,
+    numpages (PDF real), width/height (image; stub -1), duration_s (audio/
+    video; stub -1.0), decoded (True only when a real decoder ran), error.
+    """
+
+    def __init__(self, entropy_cap: int = 1 << 16):
+        self._entropy_cap = entropy_cap
+        # real decoders, resolved once per actor; None → stub path
+        try:  # pragma: no cover - PIL absent in this container
+            from PIL import Image  # type: ignore
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+        try:  # pragma: no cover - soundfile absent in this container
+            import soundfile  # type: ignore
+
+            self._soundfile = soundfile
+        except ImportError:
+            self._soundfile = None
+
+    # -- modality decoders ------------------------------------------------
+    def _decode_pdf(self, blob: bytes) -> tuple[int, bool, Optional[str]]:
+        from ..pdfkernel import PDFDocument
+
+        try:
+            return PDFDocument(blob).num_pages, True, None
+        except Exception as e:  # noqa: BLE001
+            return 0, False, f"{type(e).__name__}: {e}"
+
+    def _decode_image(self, blob: bytes) -> tuple[int, int, bool, Optional[str]]:
+        if self._pil is None:
+            # STUB: codec library not available in this container — emit
+            # deterministic placeholders; plumbing (schema/batching) is real
+            return -1, -1, False, None
+        import io
+
+        try:  # pragma: no cover
+            with self._pil.open(io.BytesIO(blob)) as im:
+                return im.width, im.height, True, None
+        except Exception as e:  # noqa: BLE001  # pragma: no cover
+            return -1, -1, False, f"{type(e).__name__}: {e}"
+
+    def _decode_audio(self, blob: bytes) -> tuple[float, bool, Optional[str]]:
+        if self._soundfile is None:
+            return -1.0, False, None  # STUB — see class docstring
+        import io
+
+        try:  # pragma: no cover
+            info = self._soundfile.info(io.BytesIO(blob))
+            return float(info.duration), True, None
+        except Exception as e:  # noqa: BLE001  # pragma: no cover
+            return -1.0, False, f"{type(e).__name__}: {e}"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        mt, nb, sha, ent = [], [], [], []
+        numpages, width, height, dur, decoded, err = [], [], [], [], [], []
+        for blob in blobs:
+            blob = blob or b""
+            kind = sniff_media_type(blob)
+            mt.append(kind)
+            nb.append(len(blob))
+            sha.append(hashlib.sha256(blob).hexdigest())
+            ent.append(round(_byte_entropy(blob, self._entropy_cap), 6))
+            np_, w, h, d, dec, e = 0, -1, -1, -1.0, False, None
+            if kind == "pdf":
+                np_, dec, e = self._decode_pdf(blob)
+            elif kind in ("png", "jpeg", "gif"):
+                w, h, dec, e = self._decode_image(blob)
+            elif kind in ("wav", "mp3", "ogg", "mp4", "avi"):
+                d, dec, e = self._decode_audio(blob)
+            numpages.append(np_)
+            width.append(w)
+            height.append(h)
+            dur.append(d)
+            decoded.append(dec)
+            err.append(e)
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "media_type": pa.array(mt, pa.string()),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "sha256": pa.array(sha, pa.string()),
+            "entropy": pa.array(ent, pa.float64()),
+            "numpages": pa.array(numpages, pa.int32()),
+            "width": pa.array(width, pa.int32()),
+            "height": pa.array(height, pa.int32()),
+            "duration_s": pa.array(dur, pa.float64()),
+            "decoded": pa.array(decoded, pa.bool_()),
+            "error": pa.array(err, pa.string()),
+        })

@@ -1,0 +1,120 @@
+"""Stage-level conformance: metadata extraction, multimodal features,
+custom render hooks through the distributed path, planner-lite config."""
+
+import pyarrow.parquet as pq
+
+
+def test_metadata_stage(ray_session, small_corpus):
+    import ray.data as rd
+
+    from pdf_parse_new_ray.stages.extractor import MetadataExtractor
+
+    rows = rd.read_parquet(f"{small_corpus}/media").map_batches(
+        MetadataExtractor(), batch_format="pyarrow",
+    ).take_all()
+    media = pq.read_table(f"{small_corpus}/media")
+    assert len(rows) == media.num_rows
+    by_ref = {r["media_ref"]: r for r in rows}
+    for ref, npages in zip(media.column("media_ref").to_pylist(),
+                           media.column("numpages").to_pylist()):
+        r = by_ref[ref]
+        assert r["error"] is None
+        assert r["numpages"] == npages
+        assert r["producer"] == "pdfgen/0.1"
+        assert r["pdf_version"] is not None
+        assert '"Title"' in r["info_json"]
+
+
+def test_metadata_stage_absorbs_garbage(ray_session):
+    import ray.data as rd
+
+    from pdf_parse_new_ray.stages.extractor import MetadataExtractor
+
+    ds = rd.from_items([
+        {"media_ref": "bad-1", "bytes": b"not a pdf"},
+        {"media_ref": "bad-2", "bytes": b""},
+    ]).map_batches(MetadataExtractor(), batch_format="pyarrow")
+    rows = ds.take_all()
+    assert len(rows) == 2
+    assert all(r["error"] is not None for r in rows)
+    assert all(r["numpages"] == 0 for r in rows)
+
+
+def test_multimodal_features(ray_session, small_corpus):
+    import ray.data as rd
+
+    from pdf_parse_new_ray.stages.multimodal import MediaFeatureExtractor
+
+    rows = rd.read_parquet(f"{small_corpus}/media").map_batches(
+        MediaFeatureExtractor, concurrency=(1, 2), batch_size=16,
+        batch_format="pyarrow",
+    ).take_all()
+    media = pq.read_table(f"{small_corpus}/media")
+    assert len(rows) == media.num_rows
+    npages = dict(zip(media.column("media_ref").to_pylist(),
+                      media.column("numpages").to_pylist()))
+    for r in rows:
+        assert r["media_type"] == "pdf"
+        assert r["decoded"] is True  # PDF decode is real
+        assert r["numpages"] == npages[r["media_ref"]]
+        assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
+        assert 0.0 < r["entropy"] <= 8.0
+
+
+def test_multimodal_stub_modalities(ray_session):
+    import ray.data as rd
+
+    from pdf_parse_new_ray.stages.multimodal import MediaFeatureExtractor, sniff_media_type
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+    wav = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"\x00" * 32
+    assert sniff_media_type(png) == "png"
+    assert sniff_media_type(wav) == "wav"
+    rows = rd.from_items([
+        {"media_ref": "img-1", "bytes": png},
+        {"media_ref": "aud-1", "bytes": wav},
+        {"media_ref": "junk", "bytes": b"\x00\x01\x02"},
+    ]).map_batches(MediaFeatureExtractor, concurrency=1, batch_size=8,
+                   batch_format="pyarrow").take_all()
+    by = {r["media_ref"]: r for r in rows}
+    # stub path: schema intact, decoded=False, deterministic placeholders
+    assert by["img-1"]["media_type"] == "png" and by["img-1"]["decoded"] is False
+    assert by["img-1"]["width"] == -1 and by["img-1"]["height"] == -1
+    assert by["aud-1"]["media_type"] == "wav" and by["aud-1"]["duration_s"] == -1.0
+    assert by["junk"]["media_type"] == "unknown"
+
+
+def test_render_hook_module_path_distributed(ray_session, small_corpus):
+    import ray.data as rd
+
+    from pdf_parse_new_ray.pipelines.extraction import extract_media_text
+    from pdf_parse_new_ray.pdfkernel import parse_pdf
+
+    media = pq.read_table(f"{small_corpus}/media")
+    got = {r["media_ref"]: r["text"] for r in extract_media_text(
+        rd.read_parquet(f"{small_corpus}/media"),
+        page_render="pdf_parse_new_ray.stages.render_hooks:upper_marker_render",
+    ).take_all()}
+    # spot-check three docs against the local kernel with the same hook
+    from pdf_parse_new_ray.stages.render_hooks import upper_marker_render
+
+    for ref, blob in list(zip(media.column("media_ref").to_pylist(),
+                              media.column("bytes").to_pylist()))[:3]:
+        expected = parse_pdf(blob, page_render=upper_marker_render)["text"]
+        assert got[ref] == expected
+        assert "--- PAGE ---" in got[ref]
+
+
+def test_extraction_config_plan(ray_session, small_corpus):
+    from pdf_parse_new_ray.pipelines.config import ExtractionConfig
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+
+    cfg = ExtractionConfig().for_cluster(cpus=4, avg_doc_bytes=512 * 1024)
+    assert cfg.batch_size == 128
+    assert cfg.n_partitions == 16
+    docs = extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        config=cfg,
+    ).take_all()
+    oracle = {r["doc_id"] for r in pq.read_table(f"{small_corpus}/oracle_docs").to_pylist()}
+    assert {d["doc_id"] for d in docs} == oracle
