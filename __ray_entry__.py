@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_minhash_pairs": dedup.d_minhash_pairs,
         "d_simhash": dedup.d_simhash,
         "d_ngram_jaccard": dedup.d_ngram_jaccard,
+        "d_embedding_neardup": dedup.d_embedding_neardup,
         # similarity search
         "e_knn_bruteforce": ann.e_knn_bruteforce,
         "e_knn_lsh": ann.e_knn_lsh,
@@ -316,6 +317,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id,
                    count(*) AS group_size
             FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY fingerprint
+        """,
+        "d_embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.8
+            ORDER BY id_a, id_b
         """,
         "e_knn_bruteforce": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5),

@@ -215,3 +215,55 @@ def d_ngram_jaccard(sf_dir: str, threshold: float = 0.3, k: int = 3) -> pd.DataF
         if j >= threshold:
             rows.append((a, b, round(j, 6)))
     return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup: exact blocked matmul baseline
+# ---------------------------------------------------------------------------
+
+class _CosinePairFinder:
+    """Per-batch exact cosine vs the broadcast normalized matrix; emits
+    (id_a < id_b) pairs above the threshold.  Blocked all-pairs: each task
+    does one B×N float64 matmul — the brute-force baseline the LSH-bucketed
+    path (`ann.e_knn_lsh` machinery) replaces at 10^12 rows."""
+
+    def __init__(self, all_ref, threshold: float):
+        import ray as _ray
+
+        ids, m = _ray.get(all_ref) if isinstance(all_ref, _ray.ObjectRef) else all_ref
+        self.all_ids = ids
+        self.mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        b_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        b = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        b = b / np.linalg.norm(b, axis=1, keepdims=True)
+        scores = b @ self.mn.T                                  # (B, N)
+        keep = (scores >= self.threshold) & (b_ids[:, None] < self.all_ids[None, :])
+        bi, ni = np.nonzero(keep)
+        return pa.table({
+            "id_a": pa.array(b_ids[bi], pa.int64()),
+            "id_b": pa.array(self.all_ids[ni], pa.int64()),
+            "cosine": pa.array(np.round(scores[bi, ni], 6), pa.float64()),
+        })
+
+
+def d_embedding_neardup(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """All embedding pairs with cosine >= threshold (id_a < id_b) — the
+    embedding-space near-duplicate detector."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    ref = ray.put((ids, m))
+    pairs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]).map_batches(
+        _CosinePairFinder, fn_constructor_kwargs={"all_ref": ref, "threshold": threshold},
+        batch_size=256, batch_format="pyarrow", concurrency=(1, 4),
+    ).take_all()
+    df = pd.DataFrame(pairs, columns=["id_a", "id_b", "cosine"])
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
