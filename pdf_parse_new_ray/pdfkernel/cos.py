@@ -287,15 +287,113 @@ class Lexer:
         return Token("str", bytes.fromhex("".join(digits)))
 
 
+import re as _re
+
+# fast-lexer token patterns: accept sets identical to the byte loops above
+_SKIP_RE = _re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+_NUM_RE = _re.compile(rb"[0-9+\-.][0-9.+\-]*")
+_NAME_RE = _re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+_KW_RE = _re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
+
+_TOK_DICT_OPEN = Token("dict_open")
+_TOK_DICT_CLOSE = Token("dict_close")
+_TOK_ARR_OPEN = Token("arr_open")
+_TOK_ARR_CLOSE = Token("arr_close")
+_TOK_EOF = Token("eof")
+
+
+class FastLexer(Lexer):
+    """Regex-dispatch tokenizer with byte-loop fallbacks.
+
+    Behaviorally identical to ``Lexer``: every pattern's accept set equals
+    the corresponding byte loop's, and any input the fast path can't settle
+    exactly (name #xx escapes, malformed numbers) is re-scanned by the
+    inherited slow method from the same position.  Used for content streams,
+    where token volume dominates (SURVEY M8 dispatch loop)."""
+
+    def next_token(self) -> Token:
+        data = self.data
+        n = len(data)
+        pos = self.pos
+        m = _SKIP_RE.match(data, pos)
+        if m is not None:
+            pos = m.end()
+        if pos >= n:
+            self.pos = pos
+            return _TOK_EOF
+        c = data[pos]
+        if 0x30 <= c <= 0x39 or c == 0x2B or c == 0x2D or c == 0x2E:
+            txt = _NUM_RE.match(data, pos).group()
+            self.pos = pos + len(txt)
+            try:
+                return Token("int", int(txt))
+            except ValueError:
+                try:
+                    return Token("num", float(txt))
+                except ValueError:
+                    self.pos = pos
+                    return self._read_number()
+        if c == 0x2F:  # /
+            name = _NAME_RE.match(data, pos + 1).group()
+            if 0x23 in name:  # '#': delegate hex-escape handling
+                self.pos = pos
+                return self._read_name()
+            self.pos = pos + 1 + len(name)
+            return Token("name", Name(name.decode("latin-1")))
+        if c == 0x28:  # (
+            self.pos = pos
+            return self._read_literal_string()
+        if c == 0x3C:  # <
+            if pos + 1 < n and data[pos + 1] == 0x3C:
+                self.pos = pos + 2
+                return _TOK_DICT_OPEN
+            self.pos = pos
+            return self._read_hex_string()
+        if c == 0x3E:  # >
+            if pos + 1 < n and data[pos + 1] == 0x3E:
+                self.pos = pos + 2
+                return _TOK_DICT_CLOSE
+            self.pos = pos + 1
+            return Token("op", ">")
+        if c == 0x5B:
+            self.pos = pos + 1
+            return _TOK_ARR_OPEN
+        if c == 0x5D:
+            self.pos = pos + 1
+            return _TOK_ARR_CLOSE
+        if c == 0x7B:
+            self.pos = pos + 1
+            return Token("op", "{")
+        if c == 0x7D:
+            self.pos = pos + 1
+            return Token("op", "}")
+        if c == 0x29:  # stray ')'
+            self.pos = pos + 1
+            return Token("op", ")")
+        m = _KW_RE.match(data, pos)
+        if m is None:  # defensive: lone delimiter byte (parity with Lexer)
+            self.pos = pos + 1
+            return Token("op", data[pos:pos + 1].decode("latin-1"))
+        kw = m.group().decode("latin-1")
+        self.pos = m.end()
+        if kw == "true":
+            return Token("bool", True)
+        if kw == "false":
+            return Token("bool", False)
+        if kw == "null":
+            return Token("null", None)
+        return Token("op", kw)
+
+
 class Parser:
     """Object parser with 2-token lookahead for `num gen R` / `num gen obj`.
 
     ``strict`` mirrors the reference's behavior of rejecting malformed
     top-level structures while absorbing in-content oddities.
-    """
+    ``fast=True`` swaps in the regex-dispatch FastLexer (same behavior)."""
 
-    def __init__(self, data: bytes, pos: int = 0, resolve=None):
-        self.lexer = Lexer(data, pos)
+    def __init__(self, data: bytes, pos: int = 0, resolve=None, fast: bool = False):
+        self.lexer = (FastLexer if fast else Lexer)(data, pos)
         self.resolve = resolve
         self._buf: list[Token] = []
 

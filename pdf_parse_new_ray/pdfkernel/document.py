@@ -142,14 +142,14 @@ class PDFDocument:
                     self.xref[num] = ("n", off, gen)
                 pos += m.end()
             lx.pos = pos
-        p = Parser(data, lx.pos, resolve=self.resolve)
+        p = Parser(data, lx.pos, resolve=self.resolve, fast=True)
         trailer = p.parse_object()
         if not isinstance(trailer, dict):
             raise PDFError("malformed trailer")
         return trailer
 
     def _read_xref_stream(self, pos: int) -> dict:
-        p = Parser(self.data, pos, resolve=self.resolve)
+        p = Parser(self.data, pos, resolve=self.resolve, fast=True)
         # expect: num gen obj <<...>> stream — skip leading int/op tokens
         obj = None
         for _ in range(4):
@@ -206,7 +206,7 @@ class PDFDocument:
             trailers = [t.start() for t in re.finditer(rb"trailer", self.data)]
             for tpos in reversed(trailers):
                 try:
-                    p = Parser(self.data, tpos + 7, resolve=self.resolve)
+                    p = Parser(self.data, tpos + 7, resolve=self.resolve, fast=True)
                     t = p.parse_object()
                     if isinstance(t, dict) and "Root" in t:
                         for k, v in t.items():
@@ -254,7 +254,7 @@ class PDFDocument:
     def _fetch_at(self, num: int, offset: int) -> Any:
         if offset >= len(self.data):
             return None
-        p = Parser(self.data, offset, resolve=self.resolve)
+        p = Parser(self.data, offset, resolve=self.resolve, fast=True)
         o1 = p.parse_object()
         if not isinstance(o1, int):
             return None
@@ -263,7 +263,7 @@ class PDFDocument:
             m = re.search(rb"(?<![0-9])" + str(num).encode() + rb"\s+\d+\s+obj\b", self.data)
             if not m:
                 return None
-            p = Parser(self.data, m.start(), resolve=self.resolve)
+            p = Parser(self.data, m.start(), resolve=self.resolve, fast=True)
             p.parse_object()
         p.parse_object()  # gen
         tok = p.parse_object()  # 'obj' keyword comes back as Token op
@@ -293,7 +293,7 @@ class PDFDocument:
             objs = {}
             for i, (onum, ooff) in enumerate(pairs):
                 try:
-                    p = Parser(data, first + ooff, resolve=self.resolve)
+                    p = Parser(data, first + ooff, resolve=self.resolve, fast=True)
                     objs[i] = (onum, p.parse_object())
                 except PDFError:
                     objs[i] = (onum, None)

@@ -556,7 +556,7 @@ class TextExtractor:
                         translate(0, -char_spacing)
 
         # --- operator loop ----------------------------------------------
-        parser = Parser(content, 0, resolve=r)
+        parser = Parser(content, 0, resolve=r, fast=True)
         args: list = []
         xobjs = None
         while True:

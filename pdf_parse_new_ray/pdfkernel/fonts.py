@@ -14,7 +14,7 @@ import re
 import unicodedata
 from typing import Any, Optional
 
-from .cos import Lexer, Name, PDFError, Ref, StreamObj
+from .cos import FastLexer, Name, PDFError, Ref, StreamObj
 from .encodings import encoding_table, glyph_name_to_unicode
 
 FONT_IDENTITY_MATRIX = (0.001, 0.0, 0.0, 0.001, 0.0, 0.0)
@@ -58,7 +58,7 @@ class ToUnicodeMap:
     @classmethod
     def parse(cls, data: bytes) -> "ToUnicodeMap":
         m = cls()
-        lx = Lexer(data, 0)
+        lx = FastLexer(data, 0)
         stack: list[Any] = []
         mode: Optional[str] = None
         try:
