@@ -560,42 +560,102 @@ def extract_documents(
             _write_partition_docs(out_dir), batch_format="pyarrow"
         )
     else:
+        # pin the exploded span rows once — they feed both the join side and
+        # the text-span pass-through, and Ray re-executes shared upstream per
+        # consumer; span rows are text-only (never media bytes) and spill
         spans = docs.map_batches(_explode_with_partition(n_partitions),
-                                 batch_format="pyarrow")
-        media_text = extract_media_text(
+                                 batch_format="pyarrow").materialize()
+        # bucketed shuffle join: both sides carry jkey = hash(media_ref) % P;
+        # ONE sort shuffle co-locates each media's chunks with its pdf spans,
+        # and the cogroup probe is a vectorized index_in/take.  Chunk
+        # reassembly of page-split docs happens inside the cogroup (no
+        # pre-join filter/groupby/union pass).  Salting a hot media_ref
+        # means raising P — the classic skew lever.
+        chunks = extract_media_chunks(
             media, size_threshold=size_threshold, page_threshold=page_threshold,
             page_chunk=page_chunk, concurrency=concurrency, batch_size=batch_size,
             page_render=page_render, max_pages=max_pages, compute=compute,
         )
-        pdf_spans = spans.filter(expr="kind == 'pdf'").drop_columns(["text"])
-        text_spans = spans.filter(expr="kind == 'text'")
-        # size join parallelism to the cluster: each hash-shuffle aggregator
-        # is a long-lived actor; requesting more than the CPU count
-        # deadlocks small clusters, and fractional CPUs let aggregators
-        # coexist with the map stages
+        # partition count scales with DATA (target ~5k media rows per
+        # cogroup partition, clamped to the cluster): partition count must
+        # grow with the corpus, not the CPU count, or each sort-shuffle
+        # reduce task degenerates into thousands of tiny objects
         try:
-            cpus = int(ray.cluster_resources().get("CPU", 4))
+            media_rows = media.count()
         except Exception:
-            cpus = 4
-        join_parts = max(2, min(n_partitions, cpus))
-        joined = pdf_spans.join(
-            media_text, join_type="left_outer",
-            num_partitions=join_parts,
-            on=("media_ref",),
-            aggregator_ray_remote_args={"num_cpus": 0.5},
-        )
-        joined = joined.map_batches(
-            lambda t: pa.table({
-                "doc_id": t.column("doc_id"), "kind": t.column("kind"),
-                "text": pc.coalesce(t.column("text"), pa.scalar("", pa.string())),
-                "media_ref": t.column("media_ref"), "offset": t.column("offset"),
-                "part": t.column("part"),
-                "numpages": pc.coalesce(t.column("numpages"), pa.scalar(0, pa.int32())),
+            media_rows = 0
+        join_parts = max(8, min(4096, cpus * 2, (media_rows // 5000) + 1))
+
+        def _tag_media(t: pa.Table) -> pa.Table:
+            refs = t.column("media_ref").combine_chunks()
+            n = t.num_rows
+            return pa.table({
+                "jkey": ckpt.partition_column(refs, join_parts),
+                "is_media": pa.array([True] * n, pa.bool_()),
+                "media_ref": refs,
+                "doc_id": pa.nulls(n, pa.string()),
+                "offset": pa.nulls(n, pa.int32()),
+                "part": pa.nulls(n, pa.int32()),
+                "chunk_text": t.column("chunk_text"),
+                "page_start": t.column("page_start"),
+                "n_chunks": t.column("n_chunks"),
+                "numpages": t.column("numpages"),
                 "error": t.column("error"),
-            }),
-            batch_format="pyarrow",
-        )
-        text_spans = text_spans.map_batches(
+            })
+
+        def _tag_spans(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("kind"), "pdf"))
+            refs = t.column("media_ref").combine_chunks()
+            n = t.num_rows
+            return pa.table({
+                "jkey": ckpt.partition_column(refs, join_parts),
+                "is_media": pa.array([False] * n, pa.bool_()),
+                "media_ref": refs,
+                "doc_id": t.column("doc_id"),
+                "offset": t.column("offset"),
+                "part": t.column("part"),
+                "chunk_text": pa.nulls(n, pa.string()),
+                "page_start": pa.nulls(n, pa.int32()),
+                "n_chunks": pa.nulls(n, pa.int32()),
+                "numpages": pa.nulls(n, pa.int32()),
+                "error": pa.nulls(n, pa.string()),
+            })
+
+        def _cogroup_attach(group: pa.Table) -> pa.Table:
+            is_media = group.column("is_media")
+            media_side = group.filter(is_media)
+            span_side = group.filter(pc.invert(is_media))
+            lookup = assemble_media_chunk_table(pa.table({
+                "media_ref": media_side.column("media_ref"),
+                "chunk_text": media_side.column("chunk_text"),
+                "page_start": media_side.column("page_start"),
+                "n_chunks": media_side.column("n_chunks"),
+                "numpages": media_side.column("numpages"),
+                "error": media_side.column("error"),
+            }))
+            refs = lookup.column("media_ref")
+            idx = pc.index_in(span_side.column("media_ref"), value_set=refs)
+            empty = pa.scalar("", pa.string())
+            n = span_side.num_rows
+            return pa.table({
+                "doc_id": span_side.column("doc_id"),
+                "kind": pa.array(["pdf"] * n, pa.string()),
+                "text": pc.coalesce(pc.take(lookup.column("text"), idx), empty),
+                "media_ref": span_side.column("media_ref"),
+                "offset": span_side.column("offset"),
+                "part": span_side.column("part"),
+                "numpages": pc.coalesce(pc.take(lookup.column("numpages"), idx),
+                                        pa.scalar(0, pa.int32())),
+                "error": pc.if_else(pc.is_null(idx),
+                                    pa.scalar("media_ref not found", pa.string()),
+                                    pc.take(lookup.column("error"), idx)),
+            })
+
+        tagged = chunks.map_batches(_tag_media, batch_format="pyarrow").union(
+            spans.map_batches(_tag_spans, batch_format="pyarrow"))
+        joined = tagged.groupby("jkey").map_groups(_cogroup_attach,
+                                                   batch_format="pyarrow")
+        text_spans = spans.filter(expr="kind == 'text'").map_batches(
             lambda t: pa.table({
                 "doc_id": t.column("doc_id"), "kind": t.column("kind"),
                 "text": t.column("text"), "media_ref": t.column("media_ref"),

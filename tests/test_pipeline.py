@@ -59,6 +59,18 @@ def test_extraction_hash_join(ray_session, small_corpus):
     _check(docs, _oracle(small_corpus))
 
 
+def test_extraction_hash_join_with_splits(ray_session, small_corpus):
+    # bucketed shuffle join + multi-chunk reassembly INSIDE the cogroup
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+
+    docs = extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=None, n_partitions=8, join_strategy="hash",
+        size_threshold=0, page_threshold=2, page_chunk=1,
+    ).take_all()
+    _check(docs, _oracle(small_corpus))
+
+
 def test_write_mode_and_resume(ray_session, small_corpus, tmp_path):
     from pdf_parse_new_ray.pipelines.extraction import extract_documents
     from pdf_parse_new_ray.state import checkpoint as ckpt
