@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_part_brand_stats": relational.q_part_brand_stats,
         "q_customer_nation_balance": relational.q_customer_nation_balance,
         "q_distinct_order_statuses": relational.q_distinct_order_statuses,
+        "q_sessionization": relational.q_sessionization,
         # text analysis
         "t_token_stats": text.t_token_stats,
         "t_quality_scores": text.t_quality_scores,
@@ -289,6 +290,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_distinct_order_statuses": """
             SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus
+        """,
+        "q_sessionization": """
+            WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
         """,
         "t_token_stats": f"""
             SELECT lang, count(*) AS n_docs,

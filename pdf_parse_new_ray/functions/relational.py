@@ -312,3 +312,44 @@ def q_customer_nation_balance(sf_dir: str) -> pd.DataFrame:
 def q_distinct_order_statuses(sf_dir: str) -> pd.DataFrame:
     vals = sorted(_rp(sf_dir, "orders", ["o_orderstatus"]).unique("o_orderstatus"))
     return pd.DataFrame({"o_orderstatus": vals})
+
+
+def q_sessionization(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Gap-based session windows per user — the streaming-window custom
+    operator: ONE shuffle on user_id, then a vectorized per-group fold
+    (sort → diff → cumsum boundaries → reduceat aggregates).  State never
+    leaves the group, so the operator scales with users, not events."""
+    import numpy as np
+    import pyarrow as pa
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(order)
+        uid = g.column("user_id")[0].as_py()
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        n = len(ts)
+        new_sess = np.ones(n, dtype=np.int64)
+        if n > 1:
+            new_sess[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(new_sess)  # 1-based session ids in ts order
+        starts = np.nonzero(new_sess)[0]
+        ends = np.concatenate((starts[1:], [n])) - 1
+        cs = np.concatenate(([0.0], np.cumsum(val)))
+        return pa.table({
+            "user_id": pa.array([uid] * len(starts), pa.int64()),
+            "session_id": pa.array(sid[starts], pa.int64()),
+            "session_start": pa.array(ts[starts], pa.timestamp("us")),
+            "session_end": pa.array(ts[ends], pa.timestamp("us")),
+            "n_events": pa.array(ends - starts + 1, pa.int64()),
+            "sum_value": pa.array(np.round(cs[ends + 1] - cs[starts], 4), pa.float64()),
+        })
+
+    res = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]).groupby(
+        "user_id").map_groups(sessions, batch_format="pyarrow").take_all()
+    df = pd.DataFrame(res)
+    return df.sort_values(["user_id", "session_id"]).reset_index(drop=True)
