@@ -482,6 +482,8 @@ def extract_documents(
 
     Returns the assembled documents Dataset (out_dir=None) or the
     per-partition metrics Dataset (write mode with lineage + resume)."""
+    from ..sources.interleaved import read_table
+
     if config is not None:
         n_partitions = config.n_partitions
         size_threshold = config.size_threshold
@@ -492,7 +494,7 @@ def extract_documents(
         concurrency = config.concurrency
         resume = config.resume
         compute = config.compute
-    docs = rd.read_parquet(docs_path)
+    docs = read_table(docs_path, columns=["doc_id", "spans"])
     done: set[int] = set()
     if out_dir is not None and resume:
         done = ckpt.completed_partitions(out_dir)
@@ -508,8 +510,10 @@ def extract_documents(
         cpus = 4
     # ~4 read tasks per CPU directly at the read (no repartition exchange):
     # fine-grained blocks keep the extract stage free of stragglers while
-    # the bytes still stream straight from storage into the extract tasks
-    media = rd.read_parquet(media_path, override_num_blocks=max(16, cpus * 4))
+    # the bytes still stream straight from storage into the extract tasks.
+    # Columns pruned at the read: the pipeline needs only ref + payload.
+    media = read_table(media_path, columns=["media_ref", "bytes"],
+                       override_num_blocks=max(16, cpus * 4))
     if done:
         # resume: only extract media still referenced by remaining docs
         ref_ds = docs.map_batches(_explode_with_partition(n_partitions),
