@@ -14,6 +14,10 @@ import pyarrow as pa
 
 from ..pdfkernel import PDFDocument
 
+# ceiling on page-range units per document (object-store byte-amplification
+# bound: a split unit row duplicates the doc's bytes)
+MAX_UNITS_PER_DOC = 64
+
 
 def make_split_units(size_threshold: int = 512 * 1024, page_threshold: int = 200,
                      page_chunk: int = 100):
@@ -42,12 +46,17 @@ def make_split_units(size_threshold: int = 512 * 1024, page_threshold: int = 200
                 o_pe.append(1 << 30)  # clamped to numpages by the extractor
                 o_nc.append(1)
             else:
-                n_chunks = (npages + page_chunk - 1) // page_chunk
+                # cap units per doc: every unit row carries the full PDF
+                # bytes, so fan-out multiplies object-store traffic by
+                # n_chunks × doc_bytes — 64 units bounds the amplification
+                # while still giving a 10k-page doc 64-way parallelism
+                chunk = max(page_chunk, -(-npages // MAX_UNITS_PER_DOC))
+                n_chunks = (npages + chunk - 1) // chunk
                 for c in range(n_chunks):
                     o_ref.append(ref)
                     o_bytes.append(blob)
-                    o_ps.append(c * page_chunk)
-                    o_pe.append(min((c + 1) * page_chunk, npages))
+                    o_ps.append(c * chunk)
+                    o_pe.append(min((c + 1) * chunk, npages))
                     o_nc.append(n_chunks)
         return pa.table({
             "media_ref": pa.array(o_ref, pa.string()),

@@ -32,10 +32,17 @@ def partition_of(doc_id: str, n_partitions: int) -> int:
 
 
 def partition_column(doc_ids: pa.Array, n_partitions: int) -> pa.Array:
-    return pa.array(
-        [partition_of(d, n_partitions) for d in doc_ids.to_pylist()],
-        pa.int32(),
-    )
+    """Vectorized stable partition key (pandas siphash with its fixed
+    default key — deterministic across processes and runs, unlike Python's
+    salted hash()).  NOTE: a different function than ``partition_of`` —
+    both are stable, but checkpoints written by one keying must be resumed
+    by the same keying (the pipeline uses only this one)."""
+    import numpy as np
+    import pandas as pd
+
+    vals = doc_ids.to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(vals, categorize=False) % np.uint64(n_partitions)
+    return pa.array(h.astype(np.int32), pa.int32())
 
 
 def lineage_dir(out_dir: str) -> str:
