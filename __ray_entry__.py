@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customer_nation_balance": relational.q_customer_nation_balance,
         "q_distinct_order_statuses": relational.q_distinct_order_statuses,
         "q_sessionization": relational.q_sessionization,
+        "q_asof_view_before_click": relational.q_asof_view_before_click,
         # text analysis
         "t_token_stats": text.t_token_stats,
         "t_quality_scores": text.t_quality_scores,
@@ -290,6 +291,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_distinct_order_statuses": """
             SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus
+        """,
+        "q_asof_view_before_click": """
+            SELECT c.event_id, c.user_id, c.ts,
+                   v.ts AS view_ts, v.value AS view_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND v.ts <= c.ts
+            ORDER BY c.event_id
         """,
         "q_sessionization": """
             WITH marked AS (

@@ -353,3 +353,48 @@ def q_sessionization(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         "user_id").map_groups(sessions, batch_format="pyarrow").take_all()
     df = pd.DataFrame(res)
     return df.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+def q_asof_view_before_click(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each 'click' event picks the most recent 'view' event of
+    the same user at-or-before its timestamp — the temporal lookup Ray Data
+    has no native operator for.  ONE shuffle on user_id; inside each group a
+    vectorized merge (sort + np.searchsorted), so cost scales with events
+    per user, not pairs."""
+    import numpy as np
+    import pyarrow as pa
+
+    def asof(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(order)
+        uid = g.column("user_id")[0].as_py()
+        types = g.column("event_type").to_pylist()
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        is_click = np.array([t == "click" for t in types])
+        is_view = np.array([t == "view" for t in types])
+        c_ts, v_ts = ts[is_click], ts[is_view]
+        v_val = val[is_view]
+        idx = np.searchsorted(v_ts, c_ts, side="right") - 1
+        has = idx >= 0
+        view_ts = np.where(has, v_ts[np.clip(idx, 0, None)], 0)
+        view_val = np.where(has, v_val[np.clip(idx, 0, None)], np.nan)
+        n = int(is_click.sum())
+        return pa.table({
+            "event_id": pa.array(eid[is_click], pa.int64()),
+            "user_id": pa.array([uid] * n, pa.int64()),
+            "ts": pa.array(ts[is_click], pa.timestamp("us")),
+            "view_ts": pa.array(
+                [int(t) if h else None for t, h in zip(view_ts, has)], pa.timestamp("us")),
+            "view_value": pa.array(
+                [float(v) if h else None for v, h in zip(view_val, has)], pa.float64()),
+        })
+
+    res = _rp(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "event_type", "value"]).groupby(
+        "user_id").map_groups(asof, batch_format="pyarrow").take_all()
+    df = pd.DataFrame(res)
+    return df.sort_values("event_id").reset_index(drop=True)
