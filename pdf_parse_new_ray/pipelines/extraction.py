@@ -497,6 +497,10 @@ def extract_documents(
     docs = read_table(docs_path, columns=["doc_id", "spans"])
     done: set[int] = set()
     if out_dir is not None and resume:
+        ckpt.ensure_manifest(out_dir, {
+            "docs_path": docs_path, "media_path": media_path,
+            "n_partitions": n_partitions,
+        })
         done = ckpt.completed_partitions(out_dir)
         if len(done) >= n_partitions:
             return rd.from_items([])  # nothing left to do

@@ -49,6 +49,41 @@ def lineage_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
 
 
+# bump when the partition keying changes — a checkpoint written under one
+# keying must never be resumed under another
+KEYING_VERSION = "siphash-v1"
+
+
+def manifest_path(out_dir: str) -> str:
+    return os.path.join(lineage_dir(out_dir), "manifest.json")
+
+
+def ensure_manifest(out_dir: str, meta: dict) -> dict:
+    """First-writer-wins run manifest: records the inputs + partitioning
+    config of the run that owns this checkpoint directory.  A resume whose
+    config disagrees would silently skip the wrong documents, so a mismatch
+    raises instead."""
+    os.makedirs(lineage_dir(out_dir), exist_ok=True)
+    path = manifest_path(out_dir)
+    meta = {**meta, "keying": KEYING_VERSION}
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+        for k in ("docs_path", "media_path", "n_partitions", "keying"):
+            if existing.get(k) != meta.get(k):
+                raise ValueError(
+                    f"checkpoint manifest mismatch for {k!r}: "
+                    f"existing={existing.get(k)!r} requested={meta.get(k)!r} — "
+                    f"resume must use the original run's inputs and partitioning "
+                    f"(or point out_dir at a fresh directory)")
+        return existing
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+    return meta
+
+
 def completed_partitions(out_dir: str) -> set[int]:
     d = lineage_dir(out_dir)
     if not os.path.isdir(d):

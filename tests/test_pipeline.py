@@ -102,6 +102,25 @@ def test_write_mode_and_resume(ray_session, small_corpus, tmp_path):
     assert metrics3 == []
 
 
+def test_resume_config_mismatch_raises(ray_session, small_corpus, tmp_path):
+    # resuming under a different partition count would mis-skip docs —
+    # the manifest must refuse it
+    import pytest
+
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+
+    out = str(tmp_path / "ckpt")
+    extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=out, n_partitions=8,
+    ).take_all()
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        extract_documents(
+            f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+            out_dir=out, n_partitions=16,
+        )
+
+
 def test_lineage_records_metrics(ray_session, small_corpus, tmp_path):
     import json
 
@@ -114,9 +133,14 @@ def test_lineage_records_metrics(ray_session, small_corpus, tmp_path):
     ).take_all()
     recs = []
     for name in os.listdir(os.path.join(out, "_lineage")):
-        with open(os.path.join(out, "_lineage", name)) as f:
-            recs.append(json.load(f))
+        if name.startswith("part-"):
+            with open(os.path.join(out, "_lineage", name)) as f:
+                recs.append(json.load(f))
     assert len(recs) == 4
+    # the run manifest pins inputs + partitioning for resume safety
+    with open(os.path.join(out, "_lineage", "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["n_partitions"] == 4 and manifest["keying"]
     for r in recs:
         assert r["status"] == "complete"
         assert r["rows"] > 0 and r["n_docs"] > 0 and r["content_hash"]
