@@ -377,3 +377,22 @@ def make_seeded_pdf(seed: int, n_pages: Optional[int] = None,
     pdf, expected = make_text_pdf(pages, filt=filt, use_xref_stream=use_xref_stream,
                                   title=f"doc-{seed}", producer="pdfgen/0.1")
     return pdf, expected, n_pages
+
+
+def make_inline_image_pdf() -> tuple[bytes, str]:
+    """Content stream with a BI..ID..EI inline image whose binary payload
+    contains text-operator-shaped bytes — the interpreter must skip the
+    payload wholesale (reference: makeInlineImage + findDefaultInlineStreamEnd,
+    build/pdf.worker.js:13387,13449), never executing 'operators' from it."""
+    payload = b"\xff\x00) Tj 1 0 0 1 0 0 Tm (FAKE) Tj \x01EI\xfe BT (X"  # traps incl. fake EI
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (before) Tj ET\n"
+               b"BI /W 4 /H 2 /CS /G /BPC 8 ID " + payload + b" EI\n"
+               b"BT /F1 12 Tf 1 0 0 1 72 680 Tm (after) Tj ET")
+    b = PDFBuilder()
+    font_num = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 {font_num} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root), "\n\nbefore\nafter"

@@ -702,6 +702,33 @@ class TextExtractor:
                             ts.loaded_name = font.loaded_name
                             ts.font = font
                             ts.font_matrix = font.font_matrix or FONT_IDENTITY_MATRIX
+                elif op == "BI":
+                    # inline image (reference: makeInlineImage + EI scan,
+                    # build/pdf.worker.js:13387,13449): consume the param
+                    # dict up to ID, then raw-scan past the binary payload
+                    # to a ws-delimited EI so image bytes can never be
+                    # misread as text operators
+                    while True:
+                        t = parser.parse_object()
+                        if isinstance(t, Token) and (
+                                t.kind == "eof" or (t.kind == "op" and t.value == "ID")):
+                            break
+                    data_bytes = parser.lexer.data
+                    scan = parser.lexer.pos + 1  # one ws byte after ID
+                    end_n = len(data_bytes)
+                    while True:
+                        idx = data_bytes.find(b"EI", scan)
+                        if idx == -1:
+                            parser.lexer.pos = end_n
+                            break
+                        before_ok = idx == 0 or data_bytes[idx - 1] in b"\x00\t\n\x0c\r "
+                        nxt = data_bytes[idx + 2: idx + 3]
+                        after_ok = nxt == b"" or nxt[0] in b"\x00\t\n\x0c\r ()<>[]{}/%"
+                        if before_ok and after_ok:
+                            parser.lexer.pos = idx + 2
+                            break
+                        scan = idx + 2
+                    parser._buf.clear()
                 elif op in ("BMC", "BDC"):
                     flush_tci()
                     if include_marked_content:

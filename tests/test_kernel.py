@@ -86,6 +86,7 @@ def test_truncated_generated_pdf_rejects():
     pdfgen.make_ligature_pdf,
     pdfgen.make_identity_h_pdf,
     pdfgen.make_empty_page_pdf,
+    pdfgen.make_inline_image_pdf,
 ])
 def test_fixture_matrix(maker):
     pdf, expected = maker()
