@@ -396,3 +396,65 @@ def make_inline_image_pdf() -> tuple[bytes, str]:
     pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
     root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
     return b.build(root), "\n\nbefore\nafter"
+
+
+def _single_page_pdf(content: bytes) -> bytes:
+    """One WinAnsi-Helvetica page around a raw content stream (fixture glue)."""
+    b = PDFBuilder()
+    font_num = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 {font_num} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root)
+
+
+def make_rotated_text_pdf() -> tuple[bytes, str]:
+    """90°-rotated run between horizontal runs (M12 rotation handling in
+    compare_with_last_position; expected string locked against the live
+    reference engine)."""
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (flat) Tj ET\n"
+               b"BT /F1 12 Tf 0 1 -1 0 300 400 Tm (rising) Tj ET\n"
+               b"BT /F1 12 Tf 1 0 0 1 72 650 Tm (flat again) Tj ET")
+    return _single_page_pdf(content), "\n\nflat\nrising\nflat again"
+
+
+def make_hscale_rise_pdf() -> tuple[bytes, str]:
+    """Tz horizontal scaling + Ts rise (M9 state handling; expected locked
+    against the live reference)."""
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm 50 Tz (squished) Tj "
+               b"100 Tz 5 Ts ( raised) Tj 0 Ts ( base) Tj ET")
+    # rise shifts trigger the reference's vertical-jump EOLs
+    return _single_page_pdf(content), "\n\nsquished \nraised \nbase"
+
+
+def make_qq_cm_pdf() -> tuple[bytes, str]:
+    """q/Q state save/restore around a cm scale (M9 ctm; expected locked
+    against the live reference)."""
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (one) Tj ET\n"
+               b"q 2 0 0 2 0 0 cm BT /F1 12 Tf 1 0 0 1 50 330 Tm (scaled) Tj ET Q\n"
+               b"BT /F1 12 Tf 1 0 0 1 72 640 Tm (two) Tj ET")
+    return _single_page_pdf(content), "\n\none\nscaled\ntwo"
+
+
+def make_form_xobject_pdf() -> tuple[bytes, str]:
+    """Do-recursion into a Form XObject with its own Matrix + Resources
+    (M17; expected locked against the live reference)."""
+    b = PDFBuilder()
+    font_num = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    form_content = b"BT /F1 12 Tf 1 0 0 1 0 0 Tm (inside form) Tj ET"
+    form_num = b.add_stream(
+        f"/Type /XObject /Subtype /Form /BBox [0 0 200 50] /Matrix [1 0 0 1 100 500] /Resources << /Font << /F1 {font_num} 0 R >> >>".encode(),
+        form_content, "flate")
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (before form) Tj ET\n"
+               b"/Fx1 Do\n"
+               b"BT /F1 12 Tf 1 0 0 1 72 640 Tm (after form) Tj ET")
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add((f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> /XObject << /Fx1 {form_num} 0 R >> >> "
+                f"/Contents {cn} 0 R >>").encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root), "\n\nbefore form\ninside form\nafter form"

@@ -87,6 +87,10 @@ def test_truncated_generated_pdf_rejects():
     pdfgen.make_identity_h_pdf,
     pdfgen.make_empty_page_pdf,
     pdfgen.make_inline_image_pdf,
+    pdfgen.make_rotated_text_pdf,
+    pdfgen.make_hscale_rise_pdf,
+    pdfgen.make_qq_cm_pdf,
+    pdfgen.make_form_xobject_pdf,
 ])
 def test_fixture_matrix(maker):
     pdf, expected = maker()
