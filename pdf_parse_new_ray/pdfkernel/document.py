@@ -53,7 +53,10 @@ class PDFDocument:
             self._recover_xref()
             if "Root" not in self.trailer:
                 raise PDFError("no /Root catalog")
-        if self.resolve(self.trailer.get("Encrypt")) is not None:
+        # reject on the raw trailer key (not the resolved object): a
+        # dangling /Encrypt ref is still an encrypted document we cannot
+        # decrypt, and silently parsing it would emit ciphertext as text
+        if self.trailer.get("Encrypt") is not None:
             raise PDFError("encrypted PDFs not supported")
         self._pages: Optional[list[dict]] = None
         # structural validation: the catalog must resolve to a real page tree
