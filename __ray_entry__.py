@@ -154,6 +154,46 @@ def _extract_media_maxpages(sf_dir: str):
     return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
 
 
+def _extract_then_dedup(sf_dir: str):
+    """Pipeline composition: extract the interleaved corpus, then exact-dedup
+    documents on the hash of their post-extraction full text — the
+    extract → clean → dedup shape of a training-data pipeline, end to end
+    in one streaming lineage (no intermediate write)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+
+    base = _corpus_for(sf_dir)
+    docs = extract_documents(f"{base}/documents_interleaved", f"{base}/media")
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        spans = t.column("spans").to_pylist()
+        out = []
+        for s in spans:
+            s = sorted(s, key=lambda x: x["offset"])
+            out.append(hashlib.md5(
+                "\x00".join(x["text"] or "" for x in s).encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "fingerprint": pa.array(out, pa.string()),
+        })
+
+    groups = docs.map_batches(fingerprint, batch_format="pyarrow").groupby(
+        "fingerprint").map_groups(
+        lambda g: pa.table({
+            "fingerprint": [g.column("fingerprint")[0].as_py()],
+            "keep_doc_id": [min(g.column("doc_id").to_pylist())],
+            "group_size": [g.num_rows],
+        }),
+        batch_format="pyarrow",
+    ).take_all()
+    df = pd.DataFrame(groups)
+    return df.sort_values("fingerprint").reset_index(drop=True)
+
+
 def entry() -> Any:
     return _extract_corpus("/root/testdata/sf0.001")
 
@@ -198,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_extract_maxpages": _extract_media_maxpages,
         # multimodal binary-column features (PDF decode real, image/audio stubbed)
         "m_media_features": _media_features,
+        # composition: extract -> dedup in one streaming lineage
+        "x_extract_then_dedup": _extract_then_dedup,
     }
 
 

@@ -118,3 +118,24 @@ def test_extraction_config_plan(ray_session, small_corpus):
     ).take_all()
     oracle = {r["doc_id"] for r in pq.read_table(f"{small_corpus}/oracle_docs").to_pylist()}
     assert {d["doc_id"] for d in docs} == oracle
+
+
+def test_split_unit_cap(ray_session, small_corpus):
+    # every unit row duplicates the doc bytes, so fan-out must be bounded
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.stages.split import MAX_UNITS_PER_DOC, make_split_units
+
+    media = pq.read_table(f"{small_corpus}/media")
+    big_idx = max(range(media.num_rows),
+                  key=lambda i: media.column("numpages")[i].as_py())
+    one = media.slice(big_idx, 1).select(["media_ref", "bytes"])
+    units = make_split_units(0, 2, 1)(one)  # page_chunk=1 would explode
+    npages = media.column("numpages")[big_idx].as_py()
+    assert 2 <= units.num_rows <= MAX_UNITS_PER_DOC
+    # ranges tile [0, npages) exactly
+    spans = sorted(zip(units.column("page_start").to_pylist(),
+                       units.column("page_end").to_pylist()))
+    assert spans[0][0] == 0 and spans[-1][1] == npages
+    for (s0, e0), (s1, _) in zip(spans, spans[1:]):
+        assert e0 == s1
