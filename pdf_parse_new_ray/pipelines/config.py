@@ -31,7 +31,7 @@ from typing import Optional
 @dataclass(frozen=True)
 class ExtractionConfig:
     n_partitions: int = 32
-    size_threshold: int = 512 * 1024
+    size_threshold: int = 100 * 1024
     page_threshold: int = 200
     page_chunk: int = 100
     batch_size: int = 64

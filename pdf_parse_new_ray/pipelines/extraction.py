@@ -347,7 +347,7 @@ def _assemble_partition(out_dir: Optional[str]):
 def extract_media_chunks(
     media: rd.Dataset,
     *,
-    size_threshold: int = 512 * 1024,
+    size_threshold: int = 100 * 1024,
     page_threshold: int = 200,
     page_chunk: int = 100,
     concurrency=None,
@@ -426,7 +426,7 @@ def assemble_media_chunk_table(tbl: pa.Table) -> pa.Table:
 def extract_media_text(
     media: rd.Dataset,
     *,
-    size_threshold: int = 512 * 1024,
+    size_threshold: int = 100 * 1024,
     page_threshold: int = 200,
     page_chunk: int = 100,
     concurrency=None,
@@ -466,7 +466,7 @@ def extract_documents(
     out_dir: Optional[str] = None,
     *,
     n_partitions: int = 32,
-    size_threshold: int = 512 * 1024,
+    size_threshold: int = 100 * 1024,
     page_threshold: int = 200,
     page_chunk: int = 100,
     concurrency=None,

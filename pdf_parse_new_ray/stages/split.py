@@ -1,7 +1,9 @@
 """Skew handling: page-range splitting of large documents.
 
 Reference analogue: chunked page distribution (chunkSize=500,
-lib/pdf-parse-workers.js:92-99) gated by the SmartPDFParser size fast-path
+lib/pdf-parse-workers.js:92-99) gated by a size fast-path (default 100 KB ≈ page_threshold pages at a
+conservative 0.5 KB/page floor, so page-heavy-but-byte-light docs still
+get probed; reference analogue: SmartPDFParser quickCheck)
 (<0.5 MB → never split, lib/SmartPDFParser.js:86-115).  Ray mapping per
 SURVEY §4: a flat_map producing (media_ref, page_start, page_end, n_chunks)
 work units; only docs over `size_threshold` bytes pay the numpages probe,
@@ -19,7 +21,7 @@ from ..pdfkernel import PDFDocument
 MAX_UNITS_PER_DOC = 64
 
 
-def make_split_units(size_threshold: int = 512 * 1024, page_threshold: int = 200,
+def make_split_units(size_threshold: int = 100 * 1024, page_threshold: int = 200,
                      page_chunk: int = 100):
     """Returns a map_batches UDF: media batch → work-unit batch.
 

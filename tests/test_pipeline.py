@@ -184,3 +184,25 @@ def test_error_rows_surface_not_fail(ray_session, tmp_path):
     assert spans[1]["text"] == ""          # corrupt media → empty text
     assert d["n_errors"] == 1              # ...but surfaced in metrics
     assert spans[2]["text"] == good_text
+
+
+def test_default_config_splits_large_doc(ray_session, tmp_path):
+    """A 250-page doc exceeds the DEFAULT page_threshold (200): the skew
+    path (probe -> page-range units -> reassembly) must engage without any
+    forced thresholds and still produce the exact oracle text."""
+    from pdf_parse_new_ray.fixtures.corpus import generate_corpus
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+    from pdf_parse_new_ray.stages.split import make_split_units
+    import pyarrow.parquet as pq
+
+    base = str(tmp_path / "skewed")
+    generate_corpus(base, n_docs=12, seed=7, skew_doc_every=5, skew_pages=250)
+    media = pq.read_table(f"{base}/media")
+    assert max(media.column("numpages").to_pylist()) == 250
+    # the default split stage actually fans this corpus out
+    units = make_split_units()(media.select(["media_ref", "bytes"]))
+    assert units.num_rows > media.num_rows
+    docs = extract_documents(
+        f"{base}/documents_interleaved", f"{base}/media",
+    ).take_all()
+    _check(docs, _oracle(base))
