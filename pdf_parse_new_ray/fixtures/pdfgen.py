@@ -458,3 +458,35 @@ def make_form_xobject_pdf() -> tuple[bytes, str]:
     pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
     root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
     return b.build(root), "\n\nbefore form\ninside form\nafter form"
+
+
+def make_type3_pdf() -> tuple[bytes, str]:
+    """Type3 font: glyphs defined by CharProcs content streams, advances in
+    glyph space scaled by /FontMatrix (M9/M10 Type3 path; expected locked
+    against the live reference)."""
+    b = PDFBuilder()
+    # two trivial charprocs (content irrelevant for text extraction)
+    pa_ = b.add_stream(b"", b"10 0 0 0 0 0 d0", None)
+    pb_ = b.add_stream(b"", b"10 0 0 0 0 0 d0", None)
+    font_num = b.add((
+        "<< /Type /Font /Subtype /Type3 /FontBBox [0 0 10 10] "
+        "/FontMatrix [0.1 0 0 0.1 0 0] "
+        f"/CharProcs << /ga {pa_} 0 R /gb {pb_} 0 R >> "
+        "/Encoding << /Type /Encoding /Differences [65 /ga 66 /gb] >> "
+        "/FirstChar 65 /LastChar 66 /Widths [10 10] "
+        "/ToUnicode {tou} 0 R >>"
+    ).encode())
+    tou = (b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
+           b"1 begincodespacerange <00> <FF> endcodespacerange "
+           b"2 beginbfchar <41> <0058> <42> <0059> endbfchar "  # A->X, B->Y
+           b"endcmap end end")
+    tou_num = b.add_stream(b"", tou, "flate")
+    # patch the font dict with the real tou obj number
+    b.objects[font_num - 1] = b.objects[font_num - 1].replace(b"{tou}", str(tou_num).encode())
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (AB) Tj ET"
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 {font_num} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root), "\n\nXY"

@@ -91,6 +91,7 @@ def test_truncated_generated_pdf_rejects():
     pdfgen.make_hscale_rise_pdf,
     pdfgen.make_qq_cm_pdf,
     pdfgen.make_form_xobject_pdf,
+    pdfgen.make_type3_pdf,
 ])
 def test_fixture_matrix(maker):
     pdf, expected = maker()
