@@ -387,25 +387,29 @@ def extract_media_chunks(
 
 
 def assemble_media_chunk_table(tbl: pa.Table) -> pa.Table:
-    """Driver-side chunk assembly for the broadcast path: the table is
-    ≤ BROADCAST_MEDIA_ROWS by construction, so a local merge is cheaper
-    than scheduling filter/groupby/union stages over tiny blocks."""
-    refs = tbl.column("media_ref").to_pylist()
-    texts = tbl.column("chunk_text").to_pylist()
-    starts = tbl.column("page_start").to_pylist()
-    nchunks = tbl.column("n_chunks").to_pylist()
-    npages = tbl.column("numpages").to_pylist()
-    errs = tbl.column("error").to_pylist()
-    out_ref, out_text, out_np, out_err = [], [], [], []
+    """Chunk assembly for the broadcast path and the cogroup probe: the
+    single-chunk majority is a vectorized projection; only multi-chunk
+    (page-split) docs — rare by construction — take the Python merge."""
+    single_mask = pc.equal(tbl.column("n_chunks"), 1)
+    singles = tbl.filter(single_mask)
+    empty = pa.scalar("", pa.string())
+    out_singles = pa.table({
+        "media_ref": singles.column("media_ref"),
+        "text": pc.coalesce(singles.column("chunk_text"), empty),
+        "numpages": pc.coalesce(singles.column("numpages"), pa.scalar(0, pa.int32())),
+        "error": singles.column("error"),
+    })
+    multis = tbl.filter(pc.invert(pc.coalesce(single_mask, pa.scalar(False))))
+    if multis.num_rows == 0:
+        return out_singles
     multi: dict[str, list] = {}
-    for r, t, s, nc, np_, e in zip(refs, texts, starts, nchunks, npages, errs):
-        if nc == 1:
-            out_ref.append(r)
-            out_text.append(t or "")
-            out_np.append(np_ or 0)
-            out_err.append(e)
-        else:
-            multi.setdefault(r, []).append((s, t or "", np_ or 0, e))
+    for r, t, s, np_, e in zip(multis.column("media_ref").to_pylist(),
+                               multis.column("chunk_text").to_pylist(),
+                               multis.column("page_start").to_pylist(),
+                               multis.column("numpages").to_pylist(),
+                               multis.column("error").to_pylist()):
+        multi.setdefault(r, []).append((s, t or "", np_ or 0, e))
+    out_ref, out_text, out_np, out_err = [], [], [], []
     for r, parts in multi.items():
         parts.sort(key=lambda p: p[0])
         out_ref.append(r)
@@ -413,14 +417,13 @@ def assemble_media_chunk_table(tbl: pa.Table) -> pa.Table:
         # results[currentIndex] slot addressing then plain join)
         out_text.append("".join(p[1] for p in parts))
         out_np.append(max(p[2] for p in parts))
-        first_err = next((p[3] for p in parts if p[3]), None)
-        out_err.append(first_err)
-    return pa.table({
+        out_err.append(next((p[3] for p in parts if p[3]), None))
+    return pa.concat_tables([out_singles, pa.table({
         "media_ref": pa.array(out_ref, pa.string()),
         "text": pa.array(out_text, pa.string()),
         "numpages": pa.array(out_np, pa.int32()),
         "error": pa.array(out_err, pa.string()),
-    })
+    })])
 
 
 def extract_media_text(
