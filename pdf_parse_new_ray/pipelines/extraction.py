@@ -1,18 +1,28 @@
 """The flagship pipeline: interleaved docs + media → extracted docs.
 
-Ray-Data-first design (SURVEY §7, north_rule):
+Ray-Data-first design (SURVEY §7, north_rule), two physical plans chosen by
+the size of the extracted-media side:
 
-  read docs ─ explode spans (+stable partition key) ─┐
-  read media ─ split units ─ actor-pool extract ─ reassemble per media ─┤
-                                                     join on media_ref ─┴─
-  groupby(partition-of-doc_id) → per-partition assemble (offset sort) →
-  partitioned parquet + lineage  (resume skips completed partitions)
+broadcast (media ≤ BROADCAST_MEDIA_ROWS):
+  read media (ref+bytes, fine-grained blocks) → split units → extract
+  (warm per-worker kernel state) → chunk table collected once, multi-chunk
+  docs merged, ray.put → read docs → ONE fused map_batches attaches text +
+  assembles each doc (offset sort within its spans list) — zero span
+  shuffles; write mode adds the doc-level groupby(part) for partitioned
+  parquet + lineage.
 
-Shuffle budget: one groupby on the doc_id-derived partition key (required
-by the north rule), one groupby(media_ref) ONLY for page-split skewed docs,
-and a media_ref join that degrades to a broadcast map when the extracted
-side is small.  All per-batch work is Arrow-vectorized or amortized actor
-state; bytes never pass through the doc_id shuffle (only extracted text).
+hash (media too big to broadcast):
+  docs exploded to span rows (+stable partition key); extracted chunk rows
+  and pdf span rows both tagged jkey = hash(media_ref) % P and cogrouped by
+  ONE sort shuffle — the vectorized probe attaches text and reassembles
+  page-split chunks inside the cogroup; text spans bypass the join; the
+  final groupby(part) assembles docs and writes partitions.
+
+Shuffle budget: the doc-partition groupby (required by the north rule for
+partitioned, resumable output) plus, in hash mode only, the media_ref
+cogroup.  All per-batch work is Arrow-vectorized (index_in/take,
+run-length list assembly) or amortized warm state; media BYTES never pass
+through any shuffle — only extracted text does.
 """
 
 from __future__ import annotations
@@ -70,49 +80,6 @@ def _filter_done_docs(n_partitions: int, done: set):
         return batch.filter(mask)
 
     return fn
-
-
-class _AttachMediaText:
-    """Broadcast-join stage: map extracted media text onto pdf span rows.
-    The lookup table is shipped once via ray.put and read zero-copy from the
-    object store once per worker (NOT per batch); the join itself is a
-    vectorized index_in + take, no Python row loop."""
-
-    def __init__(self, media_map_ref):
-        obj = media_map_ref
-        if isinstance(obj, ray.ObjectRef):
-            obj = ray.get(obj)  # zero-copy view of the plasma buffer
-        # obj: pyarrow table media_ref/text/numpages/error
-        self._refs = obj.column("media_ref").combine_chunks()
-        self._text = obj.column("text").combine_chunks()
-        self._numpages = obj.column("numpages").combine_chunks()
-        self._error = obj.column("error").combine_chunks()
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        kind = batch.column("kind")
-        idx = pc.index_in(batch.column("media_ref"), value_set=self._refs)
-        is_pdf = pc.equal(kind, "pdf")
-        picked_text = pc.take(self._text, idx)      # null where idx is null
-        picked_np = pc.take(self._numpages, idx)
-        picked_err = pc.take(self._error, idx)
-        empty = pa.scalar("", pa.string())
-        text_out = pc.if_else(is_pdf, pc.coalesce(picked_text, empty),
-                              pc.coalesce(batch.column("text"), empty))
-        np_out = pc.if_else(is_pdf, pc.coalesce(picked_np, pa.scalar(0, pa.int32())),
-                            pa.scalar(0, pa.int32()))
-        not_found = pc.and_(is_pdf, pc.is_null(idx))
-        err_out = pc.if_else(not_found, pa.scalar("media_ref not found", pa.string()),
-                             pc.if_else(is_pdf, picked_err, pa.scalar(None, pa.string())))
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "kind": kind,
-            "text": text_out,
-            "media_ref": batch.column("media_ref"),
-            "offset": batch.column("offset"),
-            "part": batch.column("part"),
-            "numpages": np_out,
-            "error": err_out,
-        })
 
 
 class _AttachAssembleDocs:
@@ -257,10 +224,6 @@ def _cached_broadcast_helper(cls, media_ref_obj, *args):
         return helper(batch)
 
     return run
-
-
-def _attach_media_text_task(media_ref_obj):
-    return _cached_broadcast_helper(_AttachMediaText, media_ref_obj)
 
 
 def _assemble_partition(out_dir: Optional[str]):

@@ -35,35 +35,6 @@ def explode_spans(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def assemble_doc(group: pa.Table) -> pa.Table:
-    """Per-doc_id group of span rows (+ extracted text + numpages/error) →
-    one document row with spans sorted by offset."""
-    order = pc.sort_indices(group, sort_keys=[("offset", "ascending")])
-    g = group.take(order)
-    doc_id = g.column("doc_id")[0].as_py()
-    spans = []
-    n_err = 0
-    numpages_total = 0
-    for row in g.to_pylist():
-        spans.append({
-            "kind": row["kind"],
-            "text": row["text"] if row["text"] is not None else "",
-            "media_ref": row["media_ref"] or "",
-            "offset": row["offset"],
-        })
-        if row.get("error"):
-            n_err += 1
-        if row["kind"] == "pdf" and row.get("numpages"):
-            numpages_total += row["numpages"]
-    return pa.table({
-        "doc_id": pa.array([doc_id], pa.string()),
-        "spans": pa.array([spans], pa.list_(SPAN_TYPE)),
-        "n_spans": pa.array([len(spans)], pa.int32()),
-        "numpages": pa.array([numpages_total], pa.int32()),
-        "n_errors": pa.array([n_err], pa.int32()),
-    })
-
-
 def assemble_media_parts(group: pa.Table) -> pa.Table:
     """Per-media_ref group of extracted page-range chunks → one media row.
     Chunk order restored by page_start sort (reference: results[currentIndex]
