@@ -164,11 +164,18 @@ class PDFDocument:
         sd = obj.dict
         if str(sd.get("Type", "")) != "XRef":
             raise PDFError("not an XRef stream")
-        w = [self.resolve(x) for x in self.resolve(sd.get("W", []))]
-        if len(w) < 3:
-            raise PDFError("XRef stream missing W")
+        w_raw = self.resolve(sd.get("W", []))
+        if not isinstance(w_raw, list):
+            raise PDFError("XRef stream malformed W")
+        w = [self.resolve(x) for x in w_raw]
+        if len(w) < 3 or not all(isinstance(x, int) and 0 <= x <= 8 for x in w):
+            raise PDFError("XRef stream malformed W")
         size = self.resolve(sd.get("Size", 0))
+        if not isinstance(size, int):
+            raise PDFError("XRef stream malformed Size")
         index = self.resolve(sd.get("Index", [0, size]))
+        if not isinstance(index, list):
+            raise PDFError("XRef stream malformed Index")
         raw = obj.get_data(self.resolve)
         ew = sum(w)
         ptr = 0
@@ -181,8 +188,10 @@ class PDFDocument:
             ptr += width
             return v
 
-        for k in range(0, len(index), 2):
+        for k in range(0, len(index) - 1, 2):
             start, count = self.resolve(index[k]), self.resolve(index[k + 1])
+            if not (isinstance(start, int) and isinstance(count, int)):
+                raise PDFError("XRef stream malformed Index entry")
             for i in range(count):
                 if ptr + ew > len(raw):
                     break

@@ -121,3 +121,29 @@ def test_metadata_info_fields(reference_outputs):
     assert info["PDFFormatVersion"] == "1.4"
     assert info["Producer"] == "pdfeTeX-1.21a"
     assert info["IsAcroFormPresent"] is False
+
+
+def test_fuzz_mutations_never_escape_pdferror():
+    """Corrupt inputs either parse or raise PDFError — never another
+    exception type (the 'one bad doc never kills a job' guarantee; the
+    pipeline converts PDFError/any into error rows, but the kernel API
+    contract is PDFError)."""
+    import random
+
+    rng = random.Random(123)
+    base_pdfs = [pdfgen.make_seeded_pdf(s)[0] for s in range(3)]
+    for _ in range(300):
+        pdf = bytearray(rng.choice(base_pdfs))
+        for _ in range(rng.randint(1, 8)):
+            op = rng.random()
+            i = rng.randrange(len(pdf))
+            if op < 0.5:
+                pdf[i] = rng.randrange(256)
+            elif op < 0.75:
+                del pdf[i:i + rng.randint(1, 50)]
+            else:
+                pdf[i:i] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 20)))
+        try:
+            parse_pdf(bytes(pdf))
+        except PDFError:
+            pass
