@@ -352,8 +352,8 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), sess AS (
                 SELECT user_id, ts, value,
-                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                 FROM marked
             )
             SELECT user_id, session_id,
@@ -364,7 +364,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t_token_stats": f"""
             SELECT lang, count(*) AS n_docs,
-                   sum(length(regexp_extract_all(text, '{tok}'))) AS total_tokens,
+                   CAST(sum(length(regexp_extract_all(text, '{tok}'))) AS BIGINT) AS total_tokens,
                    round(avg(cast(length(regexp_extract_all(text, '{tok}')) AS DOUBLE)), 4) AS avg_tokens,
                    round(avg(cast(length(regexp_extract_all(text, '{word}')) AS DOUBLE)), 4) AS avg_words,
                    round(avg(cast(length(text) AS DOUBLE)), 4) AS avg_chars
@@ -373,8 +373,8 @@ def oracle_sql() -> dict[str, str]:
         "t_quality_scores": """
             SELECT source, count(*) AS n_docs,
                    round(avg(cast(length(text) AS DOUBLE)), 4) AS avg_chars,
-                   sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS total_alpha,
-                   sum(length(text) - length(replace(text, ' ', ''))) AS total_space
+                   CAST(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT) AS total_alpha,
+                   CAST(sum(length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS total_space
             FROM documents GROUP BY source ORDER BY source
         """,
         "t_fingerprints": """

@@ -339,14 +339,17 @@ def q_sessionization(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         sid = np.cumsum(new_sess)  # 1-based session ids in ts order
         starts = np.nonzero(new_sess)[0]
         ends = np.concatenate((starts[1:], [n])) - 1
-        cs = np.concatenate(([0.0], np.cumsum(val)))
+        # per-session sums via reduceat: summation order matches a direct
+        # left-to-right per-group sum, so the 4-dp rounding is deterministic
+        # (a cumsum-difference can flip a boundary digit)
+        sums = np.add.reduceat(val, starts)
         return pa.table({
             "user_id": pa.array([uid] * len(starts), pa.int64()),
             "session_id": pa.array(sid[starts], pa.int64()),
             "session_start": pa.array(ts[starts], pa.timestamp("us")),
             "session_end": pa.array(ts[ends], pa.timestamp("us")),
             "n_events": pa.array(ends - starts + 1, pa.int64()),
-            "sum_value": pa.array(np.round(cs[ends + 1] - cs[starts], 4), pa.float64()),
+            "sum_value": pa.array(np.round(sums, 4), pa.float64()),
         })
 
     res = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]).groupby(

@@ -15,7 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Sum
 
 # shared with the DuckDB oracle (RE2-compatible, no lookarounds)
 TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
@@ -48,19 +48,23 @@ class TokenCounter:
 
 def t_token_stats(sf_dir: str) -> pd.DataFrame:
     """Per-language token statistics."""
+    # Sum+Count then divide (not Mean): integer sums are exact regardless of
+    # partition/accumulation order, so the 4-dp rounding is deterministic
+    # and matches the DuckDB avg() to the bit.
     out = _docs(sf_dir).map_batches(TokenCounter, batch_format="pyarrow",
                                     concurrency=(1, 4)) \
         .groupby("lang").aggregate(
             Count(alias_name="n_docs"),
             Sum("n_tokens", alias_name="total_tokens"),
-            Mean("n_tokens", alias_name="avg_tokens"),
-            Mean("n_words", alias_name="avg_words"),
-            Mean("n_chars", alias_name="avg_chars"),
+            Sum("n_words", alias_name="total_words"),
+            Sum("n_chars", alias_name="total_chars"),
         ).to_pandas()
+    out["avg_tokens"] = (out["total_tokens"] / out["n_docs"]).round(4)
+    out["avg_words"] = (out["total_words"] / out["n_docs"]).round(4)
+    out["avg_chars"] = (out["total_chars"] / out["n_docs"]).round(4)
+    out = out.drop(columns=["total_words", "total_chars"])
     out = out.sort_values("lang").reset_index(drop=True)
-    for c in ("avg_tokens", "avg_words", "avg_chars"):
-        out[c] = out[c].round(4)
-    return out
+    return out[["lang", "n_docs", "total_tokens", "avg_tokens", "avg_words", "avg_chars"]]
 
 
 def t_quality_scores(sf_dir: str) -> pd.DataFrame:
@@ -81,16 +85,19 @@ def t_quality_scores(sf_dir: str) -> pd.DataFrame:
             "space_chars": pa.array(space, pa.int64()),
         })
 
+    # Sum+Count then divide (not Mean): exact integer sums make the rounded
+    # average deterministic across partitionings (see t_token_stats).
     out = _docs(sf_dir).map_batches(metrics, batch_format="pyarrow") \
         .groupby("source").aggregate(
             Count(alias_name="n_docs"),
-            Mean("n_chars", alias_name="avg_chars"),
+            Sum("n_chars", alias_name="total_chars"),
             Sum("alpha_chars", alias_name="total_alpha"),
             Sum("space_chars", alias_name="total_space"),
         ).to_pandas()
+    out["avg_chars"] = (out["total_chars"] / out["n_docs"]).round(4)
+    out = out.drop(columns=["total_chars"])
     out = out.sort_values("source").reset_index(drop=True)
-    out["avg_chars"] = out["avg_chars"].round(4)
-    return out
+    return out[["source", "n_docs", "avg_chars", "total_alpha", "total_space"]]
 
 
 # language-ID heuristic: stopword hit-rate per language (n-gram-free,

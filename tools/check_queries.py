@@ -37,13 +37,16 @@ def to_pandas(res) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Mirrors the driver's canonicalization: columns sorted by name, rows
+    # sorted, timestamps normalized to us, integer widths normalized to
+    # int64 (the round-1 driver hash tolerated int32-vs-int64 but NOT
+    # float64-vs-int64, so ints coerce and floats do not — a float-vs-int
+    # oracle mismatch must surface here; it failed 3 queries in round 1).
     df = df.copy()
     df = df[sorted(df.columns)]
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
@@ -54,10 +57,11 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> str:
         return f"ROWS {len(mine)} vs {len(oracle)}"
     if sorted(mine.columns) != sorted(oracle.columns):
         return f"COLS {sorted(mine.columns)} vs {sorted(oracle.columns)}"
+    if len(mine) == 0:
+        return "OK"  # driver hashes empty results equal regardless of dtype
     a, b = canon(mine), canon(oracle)
     try:
-        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
-                                      rtol=1e-6, atol=1e-6)
+        pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
         return "OK"
     except AssertionError as e:
         return "VALUES: " + str(e).splitlines()[-1][:160]
