@@ -68,6 +68,7 @@ class PDFBuilder:
         self.version = version
         self.header_garbage = header_garbage
         self.objects: list[bytes] = []  # 1-based object bodies (without N 0 obj wrapper)
+        self.encryptor: Optional["PDFEncryptor"] = None  # set → streams encrypted
 
     def add(self, body: bytes) -> int:
         self.objects.append(body)
@@ -86,11 +87,22 @@ class PDFBuilder:
         else:
             enc = data
             fspec = b""
+        if self.encryptor is not None:
+            # encryption applies AFTER filters on write (readers decrypt
+            # before decoding); object number is the next add() slot
+            enc = self.encryptor.encrypt_stream(len(self.objects) + 1, 0, enc)
         body = b"<< " + fspec + dict_extra + b"/Length " + str(len(enc)).encode() + b" >>\nstream\n" + enc + b"\nendstream"
         return self.add(body)
 
     def build(self, root_num: int, info_num: Optional[int] = None,
               use_xref_stream: bool = False, truncate_at: Optional[int] = None) -> bytes:
+        # the /Encrypt dictionary is itself an (unencrypted) indirect object
+        enc_extra = b""
+        if self.encryptor is not None:
+            enc_num = self.add(self.encryptor.encrypt_dict_body())
+            idhex = self.encryptor.id0.hex().encode()
+            enc_extra = (f"/Encrypt {enc_num} 0 R ".encode()
+                         + b"/ID [<" + idhex + b"> <" + idhex + b">] ")
         out = bytearray()
         out += b"%PDF-" + self.version.encode() + b"\n"
         if self.header_garbage:
@@ -110,10 +122,12 @@ class PDFBuilder:
             trailer = f"trailer\n<< /Size {n} /Root {root_num} 0 R ".encode()
             if info_num:
                 trailer += f"/Info {info_num} 0 R ".encode()
+            trailer += enc_extra
             trailer += b">>\n"
             out += trailer
         else:
-            # xref stream object (W = [1 4 2])
+            # xref stream object (W = [1 4 2]); the xref stream itself is
+            # never encrypted (ISO 32000-1 §7.5.8.2)
             rows = bytearray()
             rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
             for off in offsets[1:]:
@@ -124,6 +138,7 @@ class PDFBuilder:
             data = zlib.compress(bytes(rows))
             extra = (f"/Type /XRef /Size {n + 1} /W [1 4 2] /Index [0 {n + 1}] "
                      f"/Root {root_num} 0 R " + (f"/Info {info_num} 0 R " if info_num else "")).encode()
+            extra += enc_extra
             body = extra + b"/Filter /FlateDecode /Length " + str(len(data)).encode() + b" >>\nstream\n" + data + b"\nendstream"
             out += f"{xnum} 0 obj\n<< ".encode() + body + b"\nendobj\n"
         out += b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
@@ -490,3 +505,182 @@ def make_type3_pdf() -> tuple[bytes, str]:
     pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
     root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
     return b.build(root), "\n\nXY"
+
+
+# ---------------------------------------------------------------------------
+# encrypted fixtures (SURVEY gap: reference decrypts transparently via
+# pdf.js CipherTransformFactory, build/pdf.worker.js:40867)
+# ---------------------------------------------------------------------------
+
+class PDFEncryptor:
+    """Generation-side standard security handler for fixtures.
+
+    Modes: ``rc4-40`` (V1 R2), ``rc4-128`` (V2 R3), ``aesv2`` (V4 R4,
+    AES-128-CBC crypt filter), ``aesv3`` (V5 R6, AES-256).  Produces /O /U
+    (/OE /UE /Perms for V5) entries that validate against the given user
+    password per ISO 32000 Algorithms 2-5 / 2.A-2.B, and encrypts stream
+    bytes with the matching per-object (or file) key.  The live pdf.js
+    reference is the conformance oracle for these fixtures.
+    """
+
+    def __init__(self, mode: str, user_pw: bytes = b"",
+                 owner_pw: bytes = b"owner-secret", p: int = -44,
+                 seed: int = 20260817):
+        import hashlib
+
+        from ..pdfkernel import crypto as C
+
+        self._C = C
+        self.mode = mode
+        self.rng = random.Random(seed)
+        self.id0 = bytes(self.rng.randrange(256) for _ in range(16))
+        self.p = p
+        pw32 = (user_pw + C.PAD)[:32]
+        ow32 = (owner_pw + C.PAD)[:32] if owner_pw else pw32
+        params = {"rc4-40": (1, 2, 40), "rc4-128": (2, 3, 128),
+                  "aesv2": (4, 4, 128), "aesv3": (5, 6, 256)}
+        if mode not in params:
+            raise ValueError(f"unknown encryption mode {mode!r}")
+        self.v, self.r, self.length = params[mode]
+
+        if self.v != 5:
+            klen = self.length >> 3
+            # Algorithm 3: /O from the owner password
+            ho = hashlib.md5(ow32).digest()
+            if self.r >= 3:
+                for _ in range(50):
+                    ho = hashlib.md5(ho).digest()
+            key_o = ho[:klen]
+            if self.r == 2:
+                self.O = C.rc4(key_o, pw32)
+            else:
+                tmp = pw32
+                for i in range(20):
+                    tmp = C.rc4(bytes(b ^ i for b in key_o), tmp)
+                self.O = tmp
+            # Algorithm 2: file key from the user password
+            buf = (pw32 + self.O + (p & 0xFFFFFFFF).to_bytes(4, "little")
+                   + self.id0)
+            h = hashlib.md5(buf).digest()
+            if self.r >= 3:
+                for _ in range(50):
+                    h = hashlib.md5(h[:klen]).digest()
+            self.key = h[:klen]
+            # Algorithm 4/5: /U
+            if self.r == 2:
+                self.U = C.rc4(self.key, C.PAD)
+            else:
+                chk = C.rc4(self.key, hashlib.md5(C.PAD + self.id0).digest())
+                for i in range(1, 20):
+                    chk = C.rc4(bytes(b ^ i for b in self.key), chk)
+                self.U = chk + b"\x00" * 16
+        else:
+            # V5 R6: random file key wrapped by password-derived AES keys
+            key = bytes(self.rng.randrange(256) for _ in range(32))
+            self.key = key
+            uv = bytes(self.rng.randrange(256) for _ in range(8))
+            uk = bytes(self.rng.randrange(256) for _ in range(8))
+            self.U = C._pdf20_hash(user_pw, user_pw + uv, b"") + uv + uk
+            ikey_u = C._pdf20_hash(user_pw, user_pw + uk, b"")
+            self.UE = C.aes_cbc_encrypt(ikey_u, key, b"\x00" * 16)
+            ov = bytes(self.rng.randrange(256) for _ in range(8))
+            ok_ = bytes(self.rng.randrange(256) for _ in range(8))
+            u48 = self.U[:48]
+            self.O = C._pdf20_hash(owner_pw, owner_pw + ov + u48, u48) + ov + ok_
+            ikey_o = C._pdf20_hash(owner_pw, owner_pw + ok_ + u48, u48)
+            self.OE = C.aes_cbc_encrypt(ikey_o, key, b"\x00" * 16)
+            perms = ((p & 0xFFFFFFFF).to_bytes(4, "little")
+                     + b"\xff\xff\xff\xff" + b"Tadb" + bytes(4))
+            self.Perms = C.aes_ecb_encrypt(key, perms)
+
+    def _objkey(self, num: int, gen: int, aes: bool) -> bytes:
+        import hashlib
+
+        buf = self.key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        if aes:
+            buf += b"sAlT"
+        return hashlib.md5(buf).digest()[: min(len(self.key) + 5, 16)]
+
+    def _aes_enc(self, key: bytes, data: bytes) -> bytes:
+        iv = bytes(self.rng.randrange(256) for _ in range(16))
+        padlen = 16 - len(data) % 16
+        return iv + self._C.aes_cbc_encrypt(key, data + bytes([padlen]) * padlen, iv)
+
+    def encrypt_stream(self, num: int, gen: int, data: bytes) -> bytes:
+        if self.v in (1, 2):
+            return self._C.rc4(self._objkey(num, gen, aes=False), data)
+        if self.mode == "aesv2":
+            return self._aes_enc(self._objkey(num, gen, aes=True), data)
+        return self._aes_enc(self.key, data)
+
+    # StrF == StmF == /StdCF in these fixtures
+    encrypt_string = encrypt_stream
+
+    def encrypt_dict_body(self) -> bytes:
+        def hexs(b: bytes) -> bytes:
+            return b"<" + b.hex().encode() + b">"
+
+        ou = b" /O " + hexs(self.O) + b" /U " + hexs(self.U)
+        if self.v == 1:
+            return (b"<< /Filter /Standard /V 1 /R 2" + ou
+                    + f" /P {self.p} >>".encode())
+        if self.v == 2:
+            return (b"<< /Filter /Standard /V 2 /R 3 /Length 128" + ou
+                    + f" /P {self.p} >>".encode())
+        if self.v == 4:
+            return (b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                    b"/CF << /StdCF << /CFM /AESV2 /Length 16 /AuthEvent /DocOpen >> >> "
+                    b"/StmF /StdCF /StrF /StdCF /EncryptMetadata true" + ou
+                    + f" /P {self.p} >>".encode())
+        return (b"<< /Filter /Standard /V 5 /R 6 "
+                b"/CF << /StdCF << /CFM /AESV3 /Length 32 /AuthEvent /DocOpen >> >> "
+                b"/StmF /StdCF /StrF /StdCF"
+                + ou + b" /OE " + hexs(self.OE) + b" /UE " + hexs(self.UE)
+                + b" /Perms " + hexs(self.Perms)
+                + f" /P {self.p} >>".encode())
+
+
+def make_encrypted_pdf(mode: str, user_pw: bytes = b"",
+                       use_xref_stream: bool = False) -> tuple[bytes, str]:
+    """Two-page encrypted text PDF (content streams + Info strings
+    encrypted; /Encrypt dict and xref plaintext).  With the default empty
+    user password this must extract byte-exact vs the live reference;
+    with a non-empty one both engines must reject."""
+    enc = PDFEncryptor(mode, user_pw=user_pw)
+    b = PDFBuilder(version="1.6")
+    b.encryptor = enc
+    font_num = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    pages = [["secret page one line a", "cipher text becomes plain"],
+             ["second page under " + mode, "final line of the fixture"]]
+    content_nums = []
+    for lines in pages:
+        ops = [b"BT"]
+        y = 720.0
+        for line in lines:
+            ops.append(b"/F1 12 Tf")
+            ops.append(b"1 0 0 1 72 " + _fmt(y) + b" Tm")
+            ops.append(b"(" + _escape_pdf_text(line) + b") Tj")
+            y -= 16.0
+        ops.append(b"ET")
+        content_nums.append(b.add_stream(b"", b"\n".join(ops), "flate"))
+    pages_num_placeholder = len(b.objects) + len(pages) + 1
+    page_nums = [b.add(
+        f"<< /Type /Page /Parent {pages_num_placeholder} 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {font_num} 0 R >> >> /Contents {cn} 0 R >>".encode())
+        for cn in content_nums]
+    kids = b" ".join(f"{p} 0 R".encode() for p in page_nums)
+    pages_num = b.add(b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+                      + str(len(page_nums)).encode() + b" >>")
+    assert pages_num == pages_num_placeholder
+    root_num = b.add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
+    # Info strings are encrypted with the Info object's own number
+    info_num = len(b.objects) + 1
+    title = enc.encrypt_string(info_num, 0, b"encrypted fixture")
+    prod = enc.encrypt_string(info_num, 0, b"pdfgen/enc")
+    got = b.add(b"<< /Title <" + title.hex().encode() + b"> /Producer <"
+                + prod.hex().encode() + b"> >>")
+    assert got == info_num
+    pdf = b.build(root_num, info_num, use_xref_stream=use_xref_stream)
+    expected = "".join("\n\n" + "\n".join(_expected_line(l) for l in lines)
+                       for lines in pages)
+    return pdf, expected

@@ -52,21 +52,25 @@ class StreamObj:
     """A PDF stream: dict + raw (still-encoded) bytes.
 
     ``get_data(doc)`` applies the /Filter chain (see filters.py); doc is
-    needed to resolve indirect /Length or filter params.
+    needed to resolve indirect /Length or filter params.  ``crypt`` (armed
+    by the security handler for encrypted documents) decrypts the raw bytes
+    BEFORE the filter chain — decrypt-then-decode per ISO 32000-1 §7.6.2.
     """
 
-    __slots__ = ("dict", "raw", "_decoded")
+    __slots__ = ("dict", "raw", "crypt", "_decoded")
 
     def __init__(self, d: dict, raw: bytes):
         self.dict = d
         self.raw = raw
+        self.crypt = None
         self._decoded: Optional[bytes] = None
 
     def get_data(self, resolve=None) -> bytes:
         if self._decoded is None:
             from .filters import decode_stream
 
-            self._decoded = decode_stream(self.dict, self.raw, resolve)
+            raw = self.crypt(self.raw) if self.crypt is not None else self.raw
+            self._decoded = decode_stream(self.dict, raw, resolve)
         return self._decoded
 
 

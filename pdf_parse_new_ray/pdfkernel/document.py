@@ -42,6 +42,10 @@ class PDFDocument:
         self.data = data
         self._cache: dict[tuple[int, int], Any] = {}
         self._objstm_cache: dict[int, dict[int, Any]] = {}
+        # security handler: None until (and unless) /Encrypt is seen below;
+        # must exist before any fetch (xref recovery fetches objects)
+        self._crypt = None
+        self._encrypt_num: Optional[int] = None
         self.xref: dict[int, tuple] = {}  # num -> ('n', offset, gen) | ('c', stm_num, idx)
         self.trailer: dict = {}
         self.version = self._parse_header()
@@ -53,11 +57,34 @@ class PDFDocument:
             self._recover_xref()
             if "Root" not in self.trailer:
                 raise PDFError("no /Root catalog")
-        # reject on the raw trailer key (not the resolved object): a
-        # dangling /Encrypt ref is still an encrypted document we cannot
-        # decrypt, and silently parsing it would emit ciphertext as text
-        if self.trailer.get("Encrypt") is not None:
-            raise PDFError("encrypted PDFs not supported")
+        # encrypted documents: build the standard security handler (empty
+        # user/owner password — the common permissions-only case).  A real
+        # password requirement or unknown scheme raises PDFError, so the
+        # old reject path is preserved exactly for truly protected files.
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is not None:
+            from .crypto import SecurityHandler
+
+            enc = self.resolve(enc_ref)
+            if not isinstance(enc, dict):
+                raise PDFError("encrypted PDF with malformed /Encrypt")
+            ids = self.resolve(self.trailer.get("ID"))
+            id0 = b""
+            if isinstance(ids, list) and ids:
+                first = self.resolve(ids[0])
+                if isinstance(first, bytes):
+                    id0 = first
+            # the handler is armed only after construction, so the /Encrypt
+            # dict itself (fetched above) is never decrypted — its /O /U
+            # strings are plaintext by spec
+            self._crypt = SecurityHandler(enc, id0, self.resolve)
+            if isinstance(enc_ref, Ref):
+                self._encrypt_num = enc_ref.num
+            # drop objects cached before the handler existed (their strings
+            # are still ciphertext); the Encrypt dict stays correct because
+            # its own object is excluded from decryption anyway
+            self._cache.clear()
+            self._objstm_cache.clear()
         self._pages: Optional[list[dict]] = None
         # structural validation: the catalog must resolve to a real page tree
         # (reference: getDocument rejects truncated files — test/03-invalid)
@@ -258,6 +285,12 @@ class PDFDocument:
             return None
         if entry[0] == "n":
             obj = self._fetch_at(ref.num, entry[1])
+            # strings/streams of direct objects are encrypted with the
+            # indirect object's (num, gen) key; the /Encrypt dict itself is
+            # plaintext.  Objects inside object streams are NOT separately
+            # decrypted (the container stream already was) — reference rule.
+            if self._crypt is not None and ref.num != self._encrypt_num:
+                obj = self._crypt.decrypt_object(obj, ref.num, entry[2])
         else:
             obj = self._fetch_compressed(entry[1], entry[2])
         self._cache[key] = obj
@@ -392,7 +425,9 @@ class PDFDocument:
         info: dict[str, Any] = {
             "PDFFormatVersion": self.version,
             "Language": None,
-            "EncryptFilterName": None,
+            # parity: pdf.js reports the security handler's filter name
+            # (CipherTransformFactory.filterName → documentInfo)
+            "EncryptFilterName": "Standard" if self._crypt is not None else None,
             "IsLinearized": False,
             "IsAcroFormPresent": False,
             "IsXFAPresent": False,

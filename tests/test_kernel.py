@@ -147,3 +147,33 @@ def test_fuzz_mutations_never_escape_pdferror():
             parse_pdf(bytes(pdf))
         except PDFError:
             pass
+
+
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aesv2", "aesv3"])
+def test_encrypted_pdf_extracts(mode):
+    """Empty-user-password encrypted documents decrypt transparently
+    (reference: CipherTransformFactory, pdf.worker.js:40867); these
+    fixtures were verified byte-exact vs the live reference engine."""
+    pdf, expected = pdfgen.make_encrypted_pdf(mode)
+    res = parse_pdf(pdf)
+    assert res["text"] == expected
+    assert res["numpages"] == 2
+    # encrypted Info strings decrypt too
+    assert res["info"]["Title"] == "encrypted fixture"
+    assert res["info"]["EncryptFilterName"] == "Standard"
+
+
+def test_encrypted_pdf_with_xref_stream():
+    pdf, expected = pdfgen.make_encrypted_pdf("aesv3", use_xref_stream=True)
+    assert parse_pdf(pdf)["text"] == expected
+
+
+def test_password_protected_pdf_rejects():
+    """A non-empty user password must still reject (PasswordException
+    NEED_PASSWORD parity) — never emit ciphertext as text."""
+    pdf, _ = pdfgen.make_encrypted_pdf("aesv2", user_pw=b"real-password")
+    with pytest.raises(PDFError):
+        parse_pdf(pdf)
+    pdf, _ = pdfgen.make_encrypted_pdf("aesv3", user_pw=b"real-password")
+    with pytest.raises(PDFError):
+        parse_pdf(pdf)
