@@ -1,0 +1,144 @@
+"""Dedup / ANN operator tests with PLANTED duplicates (the driver's sf0.01
+documents table has none, so the driver-side dedup checks pass on empty
+output — these fixtures make the operators prove non-trivial behavior:
+VERDICT round 1, "Exercise dedup on real duplicates")."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_docs_dir(tmp_path_factory):
+    """documents.parquet with exact dups, near-dups, and unique docs."""
+    d = tmp_path_factory.mktemp("planted")
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "wanders through the data pipeline looking for shingles")
+    near = base.replace("lazy dog", "sleepy dog")  # 1-word change: near-dup
+    rows = {
+        "doc_id": list(range(1, 11)),
+        "text": [
+            base, base,                      # 1,2 exact dups
+            near,                            # 3 near-dup of 1/2
+            base + " extra tail of words",   # 4 weaker near-dup
+            "completely different content about arrow record batches",
+            "another unrelated document mentioning ray data streaming",
+            "third unique doc on shuffle partitioning and skew salting",
+            "fourth unique doc, object store spilling under pressure",
+            "fifth unique doc: actor pools with warm parser state",
+            "sixth unique doc closes out the planted corpus",
+        ],
+        "lang": ["en"] * 10,
+        "source": ["plant"] * 10,
+    }
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def planted_embeddings_dir(tmp_path_factory):
+    """embeddings.parquet with one planted near-identical vector pair."""
+    d = tmp_path_factory.mktemp("planted_emb")
+    rng = np.random.RandomState(7)
+    n, dim = 40, 16
+    m = rng.normal(size=(n, dim))
+    m[1] = m[0] + rng.normal(scale=0.01, size=dim)  # vec 0 ~ vec 1
+    rows = {
+        "vec_id": list(range(n)),
+        "embedding": [row.tolist() for row in m],
+        "label": [i % 4 for i in range(n)],
+    }
+    pq.write_table(pa.table(rows), str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_exact_dedup_groups_planted(ray_session, planted_docs_dir):
+    from pdf_parse_new_ray.functions import dedup
+
+    groups = dedup.d_dup_groups(planted_docs_dir)
+    assert len(groups) == 1
+    assert groups.loc[0, "keep_doc_id"] == 1
+    assert groups.loc[0, "group_size"] == 2
+
+
+def test_minhash_finds_planted_near_dups(ray_session, planted_docs_dir):
+    from pdf_parse_new_ray.functions import dedup
+
+    pairs = dedup.d_minhash_pairs(planted_docs_dir, threshold=0.5)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (1, 2) in got        # exact dup pair (est_jaccard 1.0)
+    assert (1, 3) in got and (2, 3) in got  # near-dup cluster
+    exact = pairs[(pairs["a"] == 1) & (pairs["b"] == 2)]
+    assert float(exact["est_jaccard"].iloc[0]) == 1.0
+
+
+def test_ngram_jaccard_verifies_planted(ray_session, planted_docs_dir):
+    from pdf_parse_new_ray.functions import dedup
+
+    out = dedup.d_ngram_jaccard(planted_docs_dir, threshold=0.3)
+    got = {(a, b): j for a, b, j in zip(out["a"], out["b"], out["jaccard"])}
+    assert got[(1, 2)] == 1.0           # identical texts
+    assert 0.3 <= got[(1, 3)] < 1.0     # near-dup verified below 1
+
+
+def test_hot_bucket_caps_to_star_pairs(ray_session, tmp_path):
+    """A flood of identical docs (> BUCKET_PAIR_CAP) must NOT produce
+    O(n^2) pairs: the bucket degrades to star pairs against the min id,
+    keeping every member connected to the group root."""
+    from pdf_parse_new_ray.functions import dedup
+
+    n = dedup.BUCKET_PAIR_CAP + 44
+    rows = {
+        "doc_id": list(range(n)),
+        "text": ["identical flood document body with enough words to shingle"] * n,
+        "lang": ["en"] * n,
+        "source": ["flood"] * n,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    pairs = dedup.d_minhash_pairs(str(tmp_path), threshold=0.5)
+    # star fallback: n-1 pairs, all rooted at doc 0 — not n*(n-1)/2
+    assert len(pairs) == n - 1
+    assert set(pairs["a"]) == {0}
+    assert set(pairs["b"]) == set(range(1, n))
+    assert (pairs["est_jaccard"] == 1.0).all()
+
+
+def test_embedding_neardup_planted(ray_session, planted_embeddings_dir):
+    from pdf_parse_new_ray.functions import dedup
+
+    out = dedup.d_embedding_neardup(planted_embeddings_dir, threshold=0.8)
+    assert list(zip(out["id_a"], out["id_b"]))[0] == (0, 1)
+    assert out.loc[0, "cosine"] > 0.99
+
+
+def test_knn_lsh_recall_vs_bruteforce(ray_session):
+    """Distributed LSH top-k holds recall@5 >= 0.9 against exact brute
+    force on the sf0.01 embeddings (VERDICT round-1 done criterion)."""
+    from pdf_parse_new_ray.functions import ann
+
+    sf = "/root/testdata/sf0.01"
+    exact = ann.e_knn_bruteforce(sf)
+    approx = ann.e_knn_lsh(sf)
+    hits = tot = 0
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g["vec_id"])
+        got = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    assert tot > 0
+    assert hits / tot >= 0.9, f"recall {hits / tot:.2f}"
+
+
+def test_knn_lsh_matches_bruteforce_on_colliders(ray_session, planted_embeddings_dir):
+    """Where LSH reports a neighbor, its cosine must equal the exact one
+    (scoring is exact; only candidate generation is approximate)."""
+    from pdf_parse_new_ray.functions import ann
+
+    exact = ann.e_knn_bruteforce(planted_embeddings_dir, n_queries=3, k=3)
+    approx = ann.e_knn_lsh(planted_embeddings_dir, n_queries=3, k=3)
+    ex = {(q, v): c for q, v, c in zip(exact["query_id"], exact["vec_id"], exact["cosine"])}
+    for q, v, c in zip(approx["query_id"], approx["vec_id"], approx["cosine"]):
+        if (q, v) in ex:
+            assert abs(ex[(q, v)] - c) < 1e-9
