@@ -18,8 +18,10 @@ inputs the reference's planner used (size, pages, CPUs):
 - ``batch_size``: work-unit rows per extract task — the adaptiveBatchSize
   analogue (lib/SmartPDFParser.js:483-502).
 - ``n_partitions``: lineage/checkpoint partition count (resume granularity).
-- ``broadcast_media_rows``: join-strategy pivot — below it the extracted
-  media table ships once via ray.put, above it a distributed hash join runs.
+- ``broadcast_media_rows`` / ``broadcast_media_bytes``: join-strategy
+  pivot — below both bounds the extracted media table ships once via
+  ray.put (driver memory is bounded by ``broadcast_media_bytes``), above
+  either a distributed hash join runs.
 """
 
 from __future__ import annotations
@@ -36,6 +38,11 @@ class ExtractionConfig:
     page_chunk: int = 100
     batch_size: int = 64
     broadcast_media_rows: int = 200_000
+    # driver-memory bound of the broadcast plan: the extracted chunk table
+    # is pulled to the driver for assembly + ray.put, so the gate must be
+    # on BYTES of extracted text, not rows (200k rows of long documents
+    # could be tens of GB).  Above either bound the hash/cogroup path runs.
+    broadcast_media_bytes: int = 1 << 30
     compute: str = "tasks"  # tasks | actors
     join_strategy: str = "auto"  # auto | broadcast | hash
     concurrency: Optional[tuple] = None

@@ -206,3 +206,30 @@ def test_default_config_splits_large_doc(ray_session, tmp_path):
         f"{base}/documents_interleaved", f"{base}/media",
     ).take_all()
     _check(docs, _oracle(base))
+
+
+def test_join_strategy_gate_is_byte_aware():
+    """The broadcast gate must bound driver memory: few-but-huge extracted
+    documents pick the hash path even with a tiny row count."""
+    from pdf_parse_new_ray.pipelines.extraction import (
+        BROADCAST_MEDIA_BYTES, BROADCAST_MEDIA_ROWS, choose_join_strategy)
+
+    assert choose_join_strategy(1000, 10 << 20) == "broadcast"
+    assert choose_join_strategy(BROADCAST_MEDIA_ROWS + 1, 10 << 20) == "hash"
+    # 100 docs x 100 MB of extracted text: rows tiny, bytes huge -> hash
+    assert choose_join_strategy(100, BROADCAST_MEDIA_BYTES + 1) == "hash"
+
+
+def test_auto_gate_falls_back_to_hash_on_bytes(ray_session, small_corpus):
+    """auto + a 1-byte broadcast budget must run the hash plan and still
+    produce span-sequence-identical output."""
+    from pdf_parse_new_ray.pipelines.config import ExtractionConfig
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+
+    cfg = ExtractionConfig(n_partitions=8, broadcast_media_bytes=1,
+                           join_strategy="auto", resume=False)
+    docs = extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=None, config=cfg,
+    ).take_all()
+    _check(docs, _oracle(small_corpus))
