@@ -1,9 +1,13 @@
-"""Shared distributed-join building block: keyed cogroup value attach.
+"""Shared distributed-join building block: bucketed keyed cogroup attach.
 
 One hash shuffle per attach, no driver materialization — the pattern the
 extraction hash path uses (pipelines/extraction.py cogroup join), packaged
 for the relational/dedup operators.  Used where a broadcast would ship a
 fact-table-size lookup (round-1 judge finding on q5_nation_revenue).
+
+Keys are hashed into ``n_buckets`` cogroup buckets so the per-group probe
+is a VECTORIZED index_in/take over thousands of rows — grouping by the raw
+key would cost one Python call per key (measured 10x slower at sf0.1).
 """
 
 from __future__ import annotations
@@ -13,42 +17,73 @@ import pyarrow as pa
 import ray.data as rd
 
 
-def attach_value(pairs: rd.Dataset, values: rd.Dataset, key_col: str,
-                 out_name: str, vtype: pa.DataType,
-                 pair_cols: list[tuple[str, pa.DataType]]) -> rd.Dataset:
-    """Attach ``values``' per-key payload to each row of ``pairs`` whose
-    ``key_col`` matches the value row's key: tag both sides, union, ONE
-    groupby cogroup on the key.  ``values`` must have columns (doc_id,
-    value) with unique doc_id; ``pair_cols`` declares the pair table's
-    columns (name, type) so both sides union with one schema.  Rows whose
-    key has no value row are dropped (inner-join semantics)."""
+def _bucket_of(keys: pa.ChunkedArray, n_buckets: int) -> pa.Array:
+    """Low-bits hash bucket for int64 keys (n_buckets is a power of two)."""
     import pyarrow.compute as pc
 
-    names = [n for n, _ in pair_cols] + [out_name, "__key"]
+    k = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    # multiply by an odd constant to decorrelate sequential keys, then mask
+    # (plain multiply wraps mod 2^64 — the _checked variant would raise)
+    mixed = pc.multiply(pc.cast(k, pa.uint64()),
+                        pa.scalar(0x9E3779B97F4A7C15, pa.uint64()))
+    return pc.cast(pc.bit_wise_and(mixed, pa.scalar(n_buckets - 1, pa.uint64())),
+                   pa.int32())
+
+
+def attach_value(pairs: rd.Dataset, values: rd.Dataset, key_col: str,
+                 out_name: str, vtype: pa.DataType,
+                 pair_cols: list[tuple[str, pa.DataType]],
+                 n_buckets: int = 64, post=None) -> rd.Dataset:
+    """Attach ``values``' per-key payload to each row of ``pairs`` whose
+    ``key_col`` matches the value row's key: tag both sides with a hash
+    bucket, union, ONE groupby cogroup on the bucket, vectorized
+    index_in/take probe inside each bucket.  ``values`` must have columns
+    (doc_id, value) with unique int64 doc_id; ``pair_cols`` declares the
+    pair table's columns (name, type) so both sides union with one schema.
+    Rows whose key has no value row are dropped (inner-join semantics).
+
+    ``post`` (Table -> Table), when given, runs on each bucket's joined
+    table BEFORE it leaves the cogroup — the map-side-combine hook: an
+    Arrow group_by there collapses the bucket to partial aggregates, so a
+    high-cardinality Ray groupby().aggregate() (measured ~12 s for 147k
+    groups at sf0.1) never happens; the caller merges the tiny partials."""
+    import pyarrow.compute as pc
+
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+    names = [n for n, _ in pair_cols] + [out_name, "__key", "__jkey"]
 
     def tag_pairs(t: pa.Table) -> pa.Table:
         cols = {n: t.column(n) for n, _ in pair_cols}
         cols[out_name] = pa.nulls(t.num_rows, vtype)
         cols["__key"] = t.column(key_col)
+        cols["__jkey"] = _bucket_of(t.column(key_col), n_buckets)
         return pa.table({n: cols[n] for n in names})
 
     def tag_values(t: pa.Table) -> pa.Table:
         cols = {n: pa.nulls(t.num_rows, ty) for n, ty in pair_cols}
         cols[out_name] = t.column("value")
         cols["__key"] = t.column("doc_id")
+        cols["__jkey"] = _bucket_of(t.column("doc_id"), n_buckets)
         return pa.table({n: cols[n] for n in names})
+
+    out_names = [n for n, _ in pair_cols] + [out_name]
 
     def merge(g: pa.Table) -> pa.Table:
         is_val = pc.is_valid(g.column(out_name))
         vals = g.filter(is_val)
         prs = g.filter(pc.invert(is_val))
         if prs.num_rows == 0 or vals.num_rows == 0:
-            return g.slice(0, 0).drop_columns(["__key"])
-        v = vals.column(out_name)[0]
-        out = prs.drop_columns([out_name, "__key"])
-        return out.append_column(
-            out_name, pa.array([v.as_py()] * prs.num_rows, vtype))
+            out = g.slice(0, 0).select(out_names)
+            return post(out) if post is not None else out
+        idx = pc.index_in(prs.column("__key"),
+                          value_set=vals.column("__key").combine_chunks())
+        hit = pc.is_valid(idx)
+        picked = pc.take(vals.column(out_name).combine_chunks(),
+                         idx.filter(hit))
+        out = prs.filter(hit).drop_columns([out_name, "__key", "__jkey"])
+        out = out.append_column(out_name, picked)
+        return post(out) if post is not None else out
 
     tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
         values.map_batches(tag_values, batch_format="pyarrow"))
-    return tagged.groupby("__key").map_groups(merge, batch_format="pyarrow")
+    return tagged.groupby("__jkey").map_groups(merge, batch_format="pyarrow")

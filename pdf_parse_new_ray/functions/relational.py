@@ -142,12 +142,14 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     broadcast (round 1 shipped an order_key→cust_key dict for EVERY order
     to every worker — a driver-memory scale-killer, judge finding #7):
 
-      lineitem --pre-agg--> (orderkey, rev)         [#orders rows]
-        --cogroup orders-->  (custkey, rev)  --agg-> [#customers rows]
-        --cogroup customer-> (nationkey, rev) --agg-> [#nations rows]
-        --driver map nation names (25 rows)
+      lineitem --batch pre-agg--> (orderkey, rev) partials
+        --bucketed cogroup w/ orders, combine--> (custkey, rev) partials
+        --bucketed cogroup w/ customer, combine--> (nationkey, rev) partials
+        --driver: sum ~25 x n_buckets partials, map nation names (25 rows)
 
-    Every shuffle strictly shrinks the data; the only broadcast is the
+    TWO bucket shuffles total; each cogroup both probes (index_in/take)
+    and combines (Arrow group_by) inside the bucket, so no
+    high-cardinality Ray aggregate ever runs.  The only broadcast is the
     25-row nation table at the driver."""
     from .joins import attach_value
 
@@ -160,26 +162,63 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
             .group_by("l_orderkey").aggregate([("rev", "sum")])
         return g.rename_columns(["l_orderkey", "rev"])
 
-    by_order = li.map_batches(rev_partial, batch_format="pyarrow", batch_size=65536) \
-        .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev"))
+    partials = li.map_batches(rev_partial, batch_format="pyarrow", batch_size=65536)
 
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
         lambda t: pa.table({"doc_id": t["o_orderkey"], "value": t["o_custkey"]}),
         batch_format="pyarrow")
-    with_cust = attach_value(
-        by_order, orders, "l_orderkey", "o_custkey", pa.int64(),
-        [("l_orderkey", pa.int64()), ("rev", pa.float64())]).materialize()
-    by_cust = with_cust.groupby("o_custkey").aggregate(Sum("rev", alias_name="rev"))
 
-    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-        lambda t: pa.table({"doc_id": t["c_custkey"],
-                            "value": t["c_nationkey"].cast(pa.int64())}),
-        batch_format="pyarrow")
-    with_nation = attach_value(
-        by_cust, cust, "o_custkey", "c_nationkey", pa.int64(),
-        [("o_custkey", pa.int64()), ("rev", pa.float64())])
-    res = with_nation.groupby("c_nationkey").aggregate(
-        Sum("rev", alias_name="revenue")).to_pandas()
+    def combine_cust(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_custkey", "rev"])
+
+    by_cust = attach_value(
+        partials, orders, "l_orderkey", "o_custkey", pa.int64(),
+        [("l_orderkey", pa.int64()), ("rev", pa.float64())],
+        post=combine_cust)
+
+    def combine_nation(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_nationkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["c_nationkey", "rev"])
+
+    # customer side: size-gated plan, same pattern as the extraction join
+    # gate — broadcast the (custkey -> nationkey) arrays when the customer
+    # table is small (count from parquet metadata), bucketed cogroup when
+    # it isn't (a TPC-H-scale customer table is NOT broadcastable)
+    cust_src = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    if cust_src.count() <= 2_000_000:
+        import pyarrow.parquet as pq
+
+        ct = pq.read_table(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+        lookup_ref = ray.put((ct.column("c_custkey").combine_chunks(),
+                              ct.column("c_nationkey").cast(pa.int64()).combine_chunks()))
+
+        class NationCombine:
+            def __init__(self, ref):
+                self.keys, self.nations = (
+                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                idx = pc.index_in(t["o_custkey"], value_set=self.keys)
+                nk = pc.take(self.nations, idx)
+                return combine_nation(pa.table({"c_nationkey": nk, "rev": t["rev"]}))
+
+        part_nat = by_cust.map_batches(
+            NationCombine, fn_constructor_kwargs={"ref": lookup_ref},
+            batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    else:
+        cust = cust_src.map_batches(
+            lambda t: pa.table({"doc_id": t["c_custkey"],
+                                "value": t["c_nationkey"].cast(pa.int64())}),
+            batch_format="pyarrow")
+        # materialize boundary between chained cogroups (executor deadlock
+        # avoidance — see dedup._candidate_pairs)
+        part_nat = attach_value(
+            by_cust.materialize(), cust, "o_custkey", "c_nationkey", pa.int64(),
+            [("o_custkey", pa.int64()), ("rev", pa.float64())],
+            post=combine_nation).to_pandas()
+    res = part_nat.groupby("c_nationkey", as_index=False).agg(revenue=("rev", "sum"))
 
     nation = {r["n_nationkey"]: r["n_name"] for r in _rp(sf_dir, "nation").take_all()}
     res["n_name"] = res["c_nationkey"].map(nation)
