@@ -684,3 +684,135 @@ def make_encrypted_pdf(mode: str, user_pw: bytes = b"",
     expected = "".join("\n\n" + "\n".join(_expected_line(l) for l in lines)
                        for lines in pages)
     return pdf, expected
+
+
+# ---------------------------------------------------------------------------
+# minimal TrueType builder (for the symbolic no-ToUnicode fixture: the
+# reference recovers WinAnsi text via the font's Windows `name` records,
+# adjustTrueTypeToUnicode, pdf.worker.js:27514)
+# ---------------------------------------------------------------------------
+
+def _ttf_table_dir(tables: list[tuple[bytes, bytes]]) -> bytes:
+    """Assemble an sfnt from (tag, data) pairs."""
+    import struct as _s
+
+    n = len(tables)
+    search_range = 16
+    entry_selector = 0
+    while search_range * 2 <= n * 16:
+        search_range *= 2
+        entry_selector += 1
+    out = _s.pack(">IHHHH", 0x00010000, n, search_range, entry_selector,
+                  n * 16 - search_range)
+    offset = 12 + 16 * n
+    dir_entries = b""
+    body = b""
+    for tag, data in tables:
+        pad = (-len(data)) % 4
+        checksum = 0
+        padded = data + b"\x00" * pad
+        for i in range(0, len(padded), 4):
+            checksum = (checksum + int.from_bytes(padded[i:i + 4], "big")) & 0xFFFFFFFF
+        dir_entries += tag + _s.pack(">III", checksum, offset, len(data))
+        body += padded
+        offset += len(padded)
+    return out + dir_entries + body
+
+
+def _cmap_format4(segments: list[tuple[int, int, int]]) -> bytes:
+    """Format-4 cmap subtable from (start, end, delta) segments (terminator
+    added automatically)."""
+    import struct as _s
+
+    segs = segments + [(0xFFFF, 0xFFFF, 1)]
+    seg_count = len(segs)
+    seg_x2 = seg_count * 2
+    search_range = 2
+    entry_selector = 0
+    while search_range * 2 <= seg_x2:
+        search_range *= 2
+        entry_selector += 1
+    sub = _s.pack(">HHHHHH", 4, 16 + seg_count * 8, 0, seg_x2,
+                  search_range, entry_selector)
+    sub += _s.pack(">H", seg_x2 - search_range)
+    sub += b"".join(_s.pack(">H", e) for _, e, _ in segs)
+    sub += b"\x00\x00"  # reservedPad
+    sub += b"".join(_s.pack(">H", s) for s, _, _ in segs)
+    sub += b"".join(_s.pack(">H", d & 0xFFFF) for _, _, d in segs)  # idDelta mod 65536
+    sub += b"".join(b"\x00\x00" for _ in segs)  # idRangeOffset = 0
+    return sub
+
+
+def make_minimal_ttf(win_name_records_only: bool = True) -> bytes:
+    """A syntactically valid 2-glyph TrueType: (3,0) symbol cmap, Windows
+    (or Mac) `name` records, empty glyphs.  Enough for the reference's
+    checkAndRepair to parse and run adjustTrueTypeToUnicode."""
+    import struct as _s
+
+    head = _s.pack(">IIIIHHQQhhhhHHhhh",
+                   0x00010000, 0, 0, 0x5F0F3CF5, 0, 1000, 0, 0,
+                   0, 0, 1000, 1000, 0, 8, 2, 0, 0)
+    maxp = _s.pack(">IH", 0x00010000, 2) + b"\x00" * 26
+    hhea = _s.pack(">IhhhHhhhhhhhhhhhH",
+                   0x00010000, 750, -250, 0, 1000, 0, 0, 1000,
+                   1, 0, 0, 0, 0, 0, 0, 0, 2)
+    hmtx = _s.pack(">HhHh", 500, 0, 500, 0)
+    loca = _s.pack(">HHH", 0, 0, 0)  # short format, both glyphs empty
+    glyf = b"\x00\x00\x00\x00"
+    # (3,0) symbol cmap: F020-F0FF and 20-FF both -> glyph 1
+    sub = _cmap_format4([(0x20, 0xFF, 1 - 0x20), (0xF020, 0xF0FF, 1 - 0xF020)])
+    cmap = _s.pack(">HHHHI", 0, 1, 3, 0, 12) + sub
+    # name table
+    def utf16(s: str) -> bytes:
+        return s.encode("utf-16-be")
+
+    strings = []
+    records = []
+    specs = [(3, 1, 0x409, 1, "SynthSymbol"), (3, 1, 0x409, 6, "SynthSymbol")]
+    if not win_name_records_only:
+        specs.append((1, 0, 0, 1, "SynthSymbol"))
+    str_data = b""
+    for plat, enc, lang, name_id, s in specs:
+        b = utf16(s) if plat == 3 else s.encode("latin-1")
+        records.append(_s.pack(">HHHHHH", plat, enc, lang, name_id,
+                               len(b), len(str_data)))
+        str_data += b
+    name = _s.pack(">HHH", 0, len(specs), 6 + 12 * len(specs)) \
+        + b"".join(records) + str_data
+    post = _s.pack(">IIhhIIIII", 0x00030000, 0, 0, 0, 0, 0, 0, 0, 0)
+    return _ttf_table_dir(sorted([
+        (b"cmap", cmap), (b"glyf", glyf), (b"head", head), (b"hhea", hhea),
+        (b"hmtx", hmtx), (b"loca", loca), (b"maxp", maxp), (b"name", name),
+        (b"post", post),
+    ]))
+
+
+def make_symbolic_truetype_pdf(win_names: bool = True) -> tuple[bytes, str]:
+    """Symbolic embedded TrueType, NO ToUnicode, NO /Encoding: the
+    reference recovers WinAnsi text iff the name records are all-Windows
+    (adjustTrueTypeToUnicode); with a Mac record present it falls back to
+    MacRoman.  Content uses bytes where WinAnsi, MacRoman and identity all
+    differ (0x91-0x97 quotes/dashes), so the mapping choice is observable.
+    Expected strings locked against the live reference run."""
+    b = PDFBuilder(version="1.4")
+    ttf = make_minimal_ttf(win_name_records_only=win_names)
+    ff_num = b.add_stream(b"/Length1 " + str(len(ttf)).encode() + b" ", ttf, "flate")
+    desc_num = b.add((
+        "<< /Type /FontDescriptor /FontName /SynthSymbol /Flags 4 "
+        "/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 750 /Descent -250 "
+        "/CapHeight 700 /StemV 80 "
+        f"/FontFile2 {ff_num} 0 R >>").encode())
+    widths = " ".join(["500"] * (0xFF - 0x20 + 1))
+    font_num = b.add((
+        "<< /Type /Font /Subtype /TrueType /BaseFont /SynthSymbol "
+        f"/FirstChar 32 /LastChar 255 /Widths [{widths}] "
+        f"/FontDescriptor {desc_num} 0 R >>").encode())
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (AB \221\222\223\224\226\227 yz) Tj ET"
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 {font_num} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    expected = ("\n\nAB ‘’“”–— yz" if win_names
+                else "\n\nAB ëíìîñó yz")
+    return b.build(root), expected

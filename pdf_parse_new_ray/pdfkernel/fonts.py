@@ -230,6 +230,8 @@ class Font:
                     elif isinstance(item, (Name, str)):
                         diffs[code] = str(item)
                         code += 1
+        has_encoding = base_name is not None or bool(diffs)
+        default_enc_name = None
         if base_name is not None:
             table = list(encoding_table(base_name if base_name in ("WinAnsiEncoding", "MacRomanEncoding", "MacExpertEncoding") else "StandardEncoding"))
         else:
@@ -239,12 +241,40 @@ class Font:
                 for code, gname in builtin.items():
                     if 0 <= code < 256:
                         table[code] = glyph_name_to_unicode(gname)
-            elif self.symbolic:
-                # symbolic font, opaque program (TrueType (3,0) cmap style):
-                # charcode identity — matches pdf.js fallback output
-                table = [chr(c) for c in range(256)]
             else:
-                table = list(encoding_table("StandardEncoding"))
+                # pdf.js defaultEncoding selection (evaluator,
+                # pdf.worker.js:37209-37229): Standard; TrueType and not
+                # explicitly nonsymbolic -> WinAnsi; symbolic -> MacRoman
+                # (with Symbol/Dingbats special-casing for non-embedded)
+                default_enc_name = "StandardEncoding"
+                nonsymbolic = bool(self.flags & 32)
+                if self.subtype == "TrueType" and not nonsymbolic:
+                    default_enc_name = "WinAnsiEncoding"
+                if self.symbolic:
+                    default_enc_name = "MacRomanEncoding"
+                    embedded = isinstance(desc, dict) and any(
+                        isinstance(r(desc.get(k)), StreamObj)
+                        for k in ("FontFile", "FontFile2", "FontFile3"))
+                    if not embedded and re.search(r"Wingdings", self.base_font, re.I):
+                        default_enc_name = "WinAnsiEncoding"
+                table = list(encoding_table(default_enc_name))
+                if (self.symbolic and not isinstance(desc, dict)
+                        and re.search(r"Symbol|Dingbats", self.base_font, re.I)):
+                    from .encodings import SYMBOL_MAP
+
+                    for code, u in SYMBOL_MAP.items():
+                        table[code] = u
+        # embedded-TrueType recovery (adjustTrueTypeToUnicode,
+        # pdf.worker.js:27514-27558): a symbolic TrueType with NO /Encoding
+        # and no ToUnicode whose `name` table records are all Windows
+        # records is actually WinAnsi-coded — overlay WinAnsi where mapped.
+        # (ToUnicode entries, parsed later, still win: the amend only fills
+        # codes toUnicode misses, which is exactly the lookup order here.)
+        if (self.subtype == "TrueType" and self.symbolic and not has_encoding
+                and default_enc_name != "WinAnsiEncoding"
+                and self._truetype_name_records_all_windows(doc, desc)):
+            win = encoding_table("WinAnsiEncoding")
+            table = [win[c] if win[c] else table[c] for c in range(256)]
         for code, gname in diffs.items():
             if 0 <= code < 256:
                 u = glyph_name_to_unicode(gname)
@@ -254,7 +284,58 @@ class Font:
 
     def _set_symbolic(self, doc, desc) -> None:
         flags = doc.resolve(desc.get("Flags")) if isinstance(desc, dict) else None
+        self.flags = flags if isinstance(flags, int) else 0
         self.symbolic = bool(isinstance(flags, int) and (flags & 4) and not (flags & 32))
+
+    @staticmethod
+    def _truetype_name_records_all_windows(doc, desc) -> bool:
+        """Parse the embedded FontFile2 sfnt `name` table: True iff it has
+        at least one Mac/Windows name record and ALL of them are Windows
+        (platform 3, encoding 1, language 0x409) — the reference's
+        isWinNameRecord gate (pdf.worker.js:27740, readNameTable:29004)."""
+        if not isinstance(desc, dict):
+            return False
+        ff = doc.resolve(desc.get("FontFile2"))
+        if not isinstance(ff, StreamObj):
+            return False
+        try:
+            data = ff.get_data(doc.resolve)
+        except PDFError:
+            return False
+        if len(data) < 12:
+            return False
+        try:
+            num_tables = int.from_bytes(data[4:6], "big")
+            name_off = name_len = None
+            for i in range(num_tables):
+                rec = data[12 + 16 * i: 12 + 16 * (i + 1)]
+                if len(rec) < 16:
+                    return False
+                if rec[0:4] == b"name":
+                    name_off = int.from_bytes(rec[8:12], "big")
+                    name_len = int.from_bytes(rec[12:16], "big")
+                    break
+            if name_off is None or name_off + 6 > len(data):
+                return False
+            tbl = data[name_off: name_off + name_len]
+            fmt = int.from_bytes(tbl[0:2], "big")
+            if fmt != 0 or len(tbl) < 6:
+                return False
+            count = int.from_bytes(tbl[2:4], "big")
+            records = []
+            for i in range(count):
+                r = tbl[6 + 12 * i: 6 + 12 * (i + 1)]
+                if len(r) < 12:
+                    break
+                plat = int.from_bytes(r[0:2], "big")
+                enc = int.from_bytes(r[2:4], "big")
+                lang = int.from_bytes(r[4:6], "big")
+                if (plat == 1 and enc == 0 and lang == 0) or \
+                        (plat == 3 and enc == 1 and lang == 0x409):
+                    records.append((plat, enc, lang))
+            return bool(records) and all(p == 3 for p, _, _ in records)
+        except (IndexError, ValueError):
+            return False
 
     @staticmethod
     def _parse_builtin_type1_encoding(doc, desc: Optional[dict]) -> Optional[dict[int, str]]:

@@ -177,3 +177,13 @@ def test_password_protected_pdf_rejects():
     pdf, _ = pdfgen.make_encrypted_pdf("aesv3", user_pw=b"real-password")
     with pytest.raises(PDFError):
         parse_pdf(pdf)
+
+
+@pytest.mark.parametrize("win_names", [True, False])
+def test_symbolic_truetype_no_tounicode(win_names):
+    """Symbolic embedded TrueType with no ToUnicode and no /Encoding:
+    all-Windows name records -> WinAnsi recovery (adjustTrueTypeToUnicode,
+    pdf.worker.js:27514); a Mac record present -> MacRoman default.
+    Expected strings locked against the live reference run."""
+    pdf, expected = pdfgen.make_symbolic_truetype_pdf(win_names)
+    assert parse_pdf(pdf)["text"] == expected
