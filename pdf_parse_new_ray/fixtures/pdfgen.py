@@ -816,3 +816,27 @@ def make_symbolic_truetype_pdf(win_names: bool = True) -> tuple[bytes, str]:
     expected = ("\n\nAB ‘’“”–— yz" if win_names
                 else "\n\nAB ëíìîñó yz")
     return b.build(root), expected
+
+
+def make_rtl_pdf() -> bytes:
+    """Mixed-direction fixture: codes ToUnicode-mapped to Hebrew letters
+    around ASCII numerals and a Latin word — exercises the full bidi
+    algorithm (reference build/pdf.worker.js:32557).  Expected text is
+    locked against the live reference run in tests."""
+    tou = (b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
+           b"1 begincodespacerange <00> <FF> endcodespacerange "
+           b"6 beginbfchar "
+           b"<41> <05D0> <42> <05D1> <43> <05D2> "
+           b"<44> <05D3> <45> <05D4> <46> <05D5> "
+           b"endbfchar endcmap end end")
+    b = PDFBuilder()
+    tou_num = b.add_stream(b"", tou, "flate")
+    font_num = b.add(f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding /ToUnicode {tou_num} 0 R >>".encode())
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (AB 123 CD) Tj "
+               b"1 0 0 1 72 680 Tm (EF latin 45) Tj ET")
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 {font_num} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root)

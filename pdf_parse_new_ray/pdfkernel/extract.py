@@ -64,22 +64,150 @@ def normalize_unicode(s: str) -> str:
     return _NORM_RE.sub(rep, s)
 
 
-_RTL_RE = re.compile("[\u0591-\u07ff\ufb1d-\ufdfd\ufe70-\ufefc]")
+def _bidi_char_type(code: int) -> str:
+    """Character class exactly as the reference assigns it (bidi,
+    build/pdf.worker.js:32557-32582): Unicode bidi class for <=0xFF and
+    the Arabic block (both verified identical to Python's unicodedata,
+    except U+061D which the reference leaves untyped), fixed classes for
+    the other RTL ranges, 'L' for everything else (including Hebrew
+    presentation forms FB1D-FB4F \u2014 reference quirk kept for parity)."""
+    import unicodedata as _ud
+
+    if code <= 0xFF:
+        return _ud.bidirectional(chr(code))
+    if 0x0590 <= code <= 0x05F4:
+        return "R"
+    if 0x0600 <= code <= 0x06FF:
+        return "" if code == 0x061D else _ud.bidirectional(chr(code))
+    if 0x0700 <= code <= 0x08AC or 0xFB50 <= code <= 0xFDFF \
+            or 0xFE70 <= code <= 0xFEFF:
+        return "AL"
+    return "L"
 
 
-def bidi_lite(s: str, vertical: bool) -> tuple[str, str]:
-    """Minimal analogue of pdf.js bidi (build/pdf.worker.js:32557): detect
-    direction; reverse pure-RTL runs into visual order.  Mixed-direction
-    refinement is out of scope (LTR corpora pass through unchanged)."""
+def bidi_text(s: str, vertical: bool) -> tuple[str, str]:
+    """Full reference bidi algorithm (build/pdf.worker.js:32557-32750):
+    the pdf.js UBA subset \u2014 NSM/EN/AL resolution, ES/CS/ET neutralization,
+    neutral-run resolution, level assignment and run reversal \u2014 so
+    mixed-direction text (Arabic/Hebrew with numerals or Latin) orders
+    exactly as the reference renders it."""
     if vertical or not s:
         return s, "ttb" if vertical else "ltr"
-    n_rtl = len(_RTL_RE.findall(s))
-    if n_rtl == 0:
+    n = len(s)
+    types = [_bidi_char_type(ord(ch)) for ch in s]
+    num_bidi = sum(1 for t in types if t in ("R", "AL", "AN"))
+    if num_bidi == 0:
         return s, "ltr"
-    strong = sum(1 for ch in s if ch.isalpha())
-    if strong and n_rtl / strong >= 0.3:
-        return s[::-1], "rtl"
-    return s, "ltr"
+    if num_bidi / n < 0.3 and n > 4:
+        is_ltr, start_level = True, 0
+    else:
+        is_ltr, start_level = False, 1
+    levels = [start_level] * n
+    e = "R" if (start_level & 1) else "L"
+    sor = eor = e
+    # W1: NSM takes the type of the previous character
+    last = sor
+    for i in range(n):
+        if types[i] == "NSM":
+            types[i] = last
+        else:
+            last = types[i]
+    # W2: EN after AL becomes AN
+    last = sor
+    for i in range(n):
+        t = types[i]
+        if t == "EN":
+            types[i] = "AN" if last == "AL" else "EN"
+        elif t in ("R", "L", "AL"):
+            last = t
+    # W3: AL becomes R
+    for i in range(n):
+        if types[i] == "AL":
+            types[i] = "R"
+    # W4: single ES between EN becomes EN; CS between same numbers joins
+    for i in range(1, n - 1):
+        if types[i] == "ES" and types[i - 1] == "EN" and types[i + 1] == "EN":
+            types[i] = "EN"
+        if types[i] == "CS" and types[i - 1] in ("EN", "AN") \
+                and types[i + 1] == types[i - 1]:
+            types[i] = types[i - 1]
+    # W5: ET adjacent to EN becomes EN
+    for i in range(n):
+        if types[i] == "EN":
+            j = i - 1
+            while j >= 0 and types[j] == "ET":
+                types[j] = "EN"
+                j -= 1
+            j = i + 1
+            while j < n and types[j] == "ET":
+                types[j] = "EN"
+                j += 1
+    # W6: remaining separators/terminators become ON
+    for i in range(n):
+        if types[i] in ("WS", "ES", "ET", "CS"):
+            types[i] = "ON"
+    # W7: EN after L becomes L
+    last = sor
+    for i in range(n):
+        t = types[i]
+        if t == "EN":
+            types[i] = "L" if last == "L" else "EN"
+        elif t in ("R", "L"):
+            last = t
+    # N1: neutral runs take the surrounding direction when it agrees
+    i = 0
+    while i < n:
+        if types[i] == "ON":
+            end = i + 1
+            while end < n and types[end] == "ON":
+                end += 1
+            end -= 1
+            before = types[i - 1] if i > 0 else sor
+            after = types[end + 1] if end + 1 < n else eor
+            if before != "L":
+                before = "R"
+            if after != "L":
+                after = "R"
+            if before == after:
+                for j in range(i, end + 1):
+                    types[j] = before
+            i = end
+        i += 1
+    # N2: remaining neutrals take the embedding direction
+    for i in range(n):
+        if types[i] == "ON":
+            types[i] = e
+    # I1/I2: resolve levels
+    for i in range(n):
+        t = types[i]
+        if (levels[i] & 1) == 0:
+            if t == "R":
+                levels[i] += 1
+            elif t in ("AN", "EN"):
+                levels[i] += 2
+        elif t in ("L", "AN", "EN"):
+            levels[i] += 1
+    # L2: reverse runs from highest level down to lowest odd level
+    highest = max(levels)
+    lowest_odd = min((lv for lv in levels if lv & 1), default=99)
+    chars = list(s)
+    for level in range(highest, lowest_odd - 1, -1):
+        start = -1
+        for i in range(n):
+            if levels[i] < level:
+                if start >= 0:
+                    chars[start:i] = chars[start:i][::-1]
+                    start = -1
+            elif start < 0:
+                start = i
+        if start >= 0:
+            chars[start:n] = chars[start:n][::-1]
+    out = "".join("" if ch in "<>" else ch for ch in chars)
+    return out, ("ltr" if is_ltr else "rtl")
+
+
+# kept as an alias for older call sites/tests
+bidi_lite = bidi_text
 
 
 class TextState:

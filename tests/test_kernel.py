@@ -187,3 +187,28 @@ def test_symbolic_truetype_no_tounicode(win_names):
     Expected strings locked against the live reference run."""
     pdf, expected = pdfgen.make_symbolic_truetype_pdf(win_names)
     assert parse_pdf(pdf)["text"] == expected
+
+
+def test_rtl_mixed_direction_bidi():
+    """Hebrew letters around numerals and a Latin word: full bidi
+    (reference build/pdf.worker.js:32557).  Expected locked against the
+    live reference run."""
+    pdf = pdfgen.make_rtl_pdf()
+    assert parse_pdf(pdf)["text"] == "\n\nדג 123 בא\nוה latin 45"
+
+
+def test_bidi_text_unit():
+    from pdf_parse_new_ray.pdfkernel.extract import bidi_text
+
+    # pure LTR passes through
+    assert bidi_text("hello world", False) == ("hello world", "ltr")
+    # pure RTL reverses to visual order
+    s, d = bidi_text("אבג", False)
+    assert (s, d) == ("גבא", "rtl")
+    # numerals inside an RTL run keep their own LTR order
+    s, d = bidi_text("אב 123", False)
+    assert d == "rtl"
+    assert "123" in s  # digits not reversed
+    # mostly-LTR strings with a short RTL segment stay LTR-based
+    s, d = bidi_text("abc def א xyz", False)
+    assert d == "ltr"
