@@ -164,11 +164,24 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
 from .joins import attach_value as _attach_value  # shared cogroup attach
 
 
+# task-mode warm MinHasher (module-level per worker process): the
+# permutation table survives across map tasks without capping the scan at
+# an actor-pool size — same pattern as stages.extractor task mode
+_TASK_MINHASHER: dict = {}
+
+
+def _minhash_batch(t: pa.Table) -> pa.Table:
+    mh = _TASK_MINHASHER.get("default")
+    if mh is None:
+        mh = _TASK_MINHASHER["default"] = MinHasher()
+    return mh(t)
+
+
 def _candidate_pairs(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset]:
     """Shared LSH front-end: (deduped candidate pair dataset with `capped`
     flag, per-doc signature dataset)."""
-    sigs = _docs(sf_dir).map_batches(MinHasher, batch_format="pyarrow",
-                                     concurrency=(1, 4), batch_size=256)
+    sigs = _docs(sf_dir).map_batches(_minhash_batch, batch_format="pyarrow",
+                                     batch_size=256)
     bands = sigs.map_batches(_band_rows, batch_format="pyarrow")
     pairs = bands.groupby("bucket").map_groups(_bucket_pairs, batch_format="pyarrow")
     # a pair can surface from several bands: dedupe with a tiny keyed groupby
@@ -185,40 +198,74 @@ def _candidate_pairs(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset]:
     return pairs.materialize(), sigs.materialize()
 
 
+# below this many candidate pairs the signature attach runs as a driver-
+# coordinated broadcast fetch (vectorized is_in filter over the sig
+# dataset, index_in probe locally) instead of two cogroup shuffles — the
+# same size-gated plan choice as the extraction join and q5's customer
+# side.  Above it the fully-distributed cogroup path runs.
+BROADCAST_PAIR_ROWS = 100_000
+
+
 def d_minhash_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """Near-duplicate candidate pairs above an estimated-jaccard threshold.
-    est_jaccard = fraction of equal signature components, computed by
-    attaching each side's signature to the pair rows (two keyed cogroup
-    shuffles over candidate pairs only — candidates, not the corpus)."""
+    est_jaccard = fraction of equal signature components; signatures reach
+    the pair rows by a size-gated plan: broadcast fetch of just the
+    candidate docs' signatures when the pair set is small, two keyed
+    cogroup shuffles (candidates only, never the corpus) when it isn't."""
+    import pyarrow.compute as pc
+
     pairs, sigs = _candidate_pairs(sf_dir)
-    sig_vals = sigs.map_batches(
-        lambda t: pa.table({"doc_id": t.column("doc_id"),
-                            "value": t.column("sig")}),
-        batch_format="pyarrow")
-    with_a = _attach_value(
-        pairs, sig_vals, "a", "sig_a", pa.binary(),
-        [("a", pa.int64()), ("b", pa.int64()), ("capped", pa.bool_())]).materialize()
-    with_ab = _attach_value(
-        with_a, sig_vals, "b", "sig_b", pa.binary(),
-        [("a", pa.int64()), ("b", pa.int64()), ("capped", pa.bool_()),
-         ("sig_a", pa.binary())])
-
-    def est(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "capped": pa.array([], pa.bool_()),
-                             "est_jaccard": pa.array([], pa.float64())})
-        sa = np.stack([np.frombuffer(s, dtype=np.uint64)
-                       for s in t.column("sig_a").to_pylist()])
-        sb = np.stack([np.frombuffer(s, dtype=np.uint64)
-                       for s in t.column("sig_b").to_pylist()])
-        return pa.table({
-            "a": t.column("a"), "b": t.column("b"), "capped": t.column("capped"),
-            "est_jaccard": pa.array((sa == sb).mean(axis=1), pa.float64()),
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                             "est_jaccard": pd.Series(dtype="float64")})
+    if n_pairs <= BROADCAST_PAIR_ROWS:
+        pair_tbl = pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
+        need = pc.unique(pa.concat_arrays([
+            pair_tbl.column("a").combine_chunks(),
+            pair_tbl.column("b").combine_chunks()]))
+        cand_sigs = sigs.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=need)),
+            batch_format="pyarrow").to_pandas()
+        sig_of = {int(d): np.frombuffer(s, dtype=np.uint64)
+                  for d, s in zip(cand_sigs["doc_id"], cand_sigs["sig"])}
+        sa = np.stack([sig_of[int(x)] for x in pair_tbl.column("a").to_pylist()])
+        sb = np.stack([sig_of[int(x)] for x in pair_tbl.column("b").to_pylist()])
+        df = pd.DataFrame({
+            "a": pair_tbl.column("a").to_pandas(),
+            "b": pair_tbl.column("b").to_pandas(),
+            "capped": pair_tbl.column("capped").to_pandas(),
+            "est_jaccard": (sa == sb).mean(axis=1),
         })
+    else:
+        sig_vals = sigs.map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                "value": t.column("sig")}),
+            batch_format="pyarrow")
+        with_a = _attach_value(
+            pairs, sig_vals, "a", "sig_a", pa.binary(),
+            [("a", pa.int64()), ("b", pa.int64()), ("capped", pa.bool_())]).materialize()
+        with_ab = _attach_value(
+            with_a, sig_vals, "b", "sig_b", pa.binary(),
+            [("a", pa.int64()), ("b", pa.int64()), ("capped", pa.bool_()),
+             ("sig_a", pa.binary())])
 
-    df = with_ab.map_batches(est, batch_format="pyarrow").to_pandas()
+        def est(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "capped": pa.array([], pa.bool_()),
+                                 "est_jaccard": pa.array([], pa.float64())})
+            sa = np.stack([np.frombuffer(s, dtype=np.uint64)
+                           for s in t.column("sig_a").to_pylist()])
+            sb = np.stack([np.frombuffer(s, dtype=np.uint64)
+                           for s in t.column("sig_b").to_pylist()])
+            return pa.table({
+                "a": t.column("a"), "b": t.column("b"), "capped": t.column("capped"),
+                "est_jaccard": pa.array((sa == sb).mean(axis=1), pa.float64()),
+            })
+
+        df = with_ab.map_batches(est, batch_format="pyarrow").to_pandas()
     if df.empty:
         return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
                              "est_jaccard": pd.Series(dtype="float64")})
