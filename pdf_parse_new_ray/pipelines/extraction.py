@@ -330,6 +330,7 @@ def extract_media_chunks(
     page_render=None,
     max_pages: int = 0,
     compute: str = "tasks",  # tasks | actors
+    progress=None,  # name of a state.progress actor (optional)
 ) -> rd.Dataset:
     """media (media_ref, bytes) → chunk-level extraction results
     (media_ref, chunk_text, page_start, n_chunks, numpages, error),
@@ -348,13 +349,15 @@ def extract_media_chunks(
         # stages.extractor) — measured ~2x faster than an actor pool on this
         # workload because map tasks reuse already-warm Ray workers
         extracted = units.map_batches(
-            make_extract_task(page_render=page_render, max_pages=max_pages),
+            make_extract_task(page_render=page_render, max_pages=max_pages,
+                              progress=progress),
             batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
         )
     else:
         extracted = units.map_batches(
             PdfExtractor,
-            fn_constructor_kwargs={"page_render": page_render, "max_pages": max_pages},
+            fn_constructor_kwargs={"page_render": page_render, "max_pages": max_pages,
+                                   "progress": progress},
             batch_format="pyarrow", batch_size=batch_size,
             concurrency=_default_concurrency(concurrency), zero_copy_batch=True,
         )
@@ -412,6 +415,7 @@ def extract_media_text(
     page_render=None,
     max_pages: int = 0,
     compute: str = "tasks",  # tasks | actors
+    progress=None,  # name of a state.progress actor (optional)
 ) -> rd.Dataset:
     """media (media_ref, bytes) → (media_ref, text, numpages, error).
 
@@ -421,6 +425,7 @@ def extract_media_text(
         media, size_threshold=size_threshold, page_threshold=page_threshold,
         page_chunk=page_chunk, concurrency=concurrency, batch_size=batch_size,
         page_render=page_render, max_pages=max_pages, compute=compute,
+        progress=progress,
     )
     singles = extracted.filter(
         expr="n_chunks == 1"

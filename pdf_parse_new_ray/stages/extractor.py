@@ -48,11 +48,15 @@ class PdfExtractor:
     data, not a failed job).
     """
 
-    def __init__(self, doc_cache_size: int = 8, page_render=None, max_pages: int = 0):
+    def __init__(self, doc_cache_size: int = 8, page_render=None, max_pages: int = 0,
+                 progress: Optional[str] = None):
         self._cache: "OrderedDict[str, tuple[PDFDocument, TextExtractor]]" = OrderedDict()
         self._cache_size = doc_cache_size
         self._page_render = _resolve_page_render(page_render)
         self._max_pages = max_pages
+        # name of a state.progress actor to post per-batch increments to
+        # (the reference's onProgress/onChunkComplete surface, distributed)
+        self._progress = progress
         self.metrics = {"docs_parsed": 0, "cache_hits": 0, "pages": 0, "errors": 0}
 
     def _get_doc(self, media_ref: str, blob_col: pa.Array,
@@ -111,7 +115,16 @@ class PdfExtractor:
                 out_pages.append(0)
                 out_err.append(f"{type(e).__name__}: {e}")
                 self.metrics["errors"] += 1
-        self.metrics["pages"] += sum(max(0, min(p1, pg) - p0) for p0, p1, pg in zip(starts, ends, out_pages))
+        batch_pages = sum(max(0, min(p1, pg) - p0) for p0, p1, pg in zip(starts, ends, out_pages))
+        self.metrics["pages"] += batch_pages
+        if self._progress:
+            from ..state.progress import reporter_for
+
+            rep = reporter_for(self._progress)
+            if rep is not None:
+                # fire-and-forget: progress must never backpressure extraction
+                rep.report.remote(len(refs), batch_pages,
+                                  sum(1 for e in out_err if e))
         return pa.table({
             "media_ref": pa.array(refs, pa.string()),
             "page_start": pa.array(starts, pa.int32()),
@@ -131,16 +144,18 @@ class PdfExtractor:
 _TASK_EXTRACTORS: dict = {}
 
 
-def make_extract_task(page_render=None, max_pages: int = 0):
+def make_extract_task(page_render=None, max_pages: int = 0,
+                      progress: Optional[str] = None):
     if page_render is not None and not isinstance(page_render, str):
         raise ValueError("task-mode extraction needs page_render=None or 'module:fn'")
-    key = (page_render, max_pages)
+    key = (page_render, max_pages, progress)
 
     def extract_batch(batch: pa.Table) -> pa.Table:
         ex = _TASK_EXTRACTORS.get(key)
         if ex is None:
             ex = _TASK_EXTRACTORS[key] = PdfExtractor(page_render=page_render,
-                                                      max_pages=max_pages)
+                                                      max_pages=max_pages,
+                                                      progress=progress)
         return ex(batch)
 
     return extract_batch

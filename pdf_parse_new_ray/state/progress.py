@@ -1,0 +1,104 @@
+"""In-flight progress surface for distributed extraction.
+
+Reference analogue: the streaming engine's user-facing callbacks
+``onProgress({processed, total})`` / ``onChunkComplete(start, end, text)``
+(lib/pdf-parse-stream.js:110-118, index.d.ts:105-123).  A per-batch Python
+callback cannot cross process boundaries in a distributed run, so the
+Ray-native shape is a zero-CPU named actor that extraction stages post
+fire-and-forget increments to, and that the driver (or any observer
+process) polls with ``snapshot()`` while the job runs.
+
+Usage::
+
+    prog = start_progress("myjob", total_units_hint=n_media)
+    ds = extract_media_text(media, progress="myjob")
+    # ... while consuming the stream elsewhere:
+    prog.snapshot()  # {'units': 1402, 'pages': 63011, 'errors': 2, ...}
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import ray
+
+
+@ray.remote(num_cpus=0)
+class _ProgressActor:
+    """Counter sink; num_cpus=0 so it never competes with extract tasks."""
+
+    def __init__(self, total_units_hint: int = 0):
+        self.t0 = time.time()
+        self.total_units_hint = total_units_hint
+        self.units = 0
+        self.pages = 0
+        self.errors = 0
+        self.batches = 0
+        self.last_update = self.t0
+
+    def report(self, units: int, pages: int, errors: int) -> None:
+        self.units += units
+        self.pages += pages
+        self.errors += errors
+        self.batches += 1
+        self.last_update = time.time()
+
+    def snapshot(self) -> dict:
+        now = time.time()
+        elapsed = max(1e-9, now - self.t0)
+        return {
+            "units": self.units,
+            "pages": self.pages,
+            "errors": self.errors,
+            "batches": self.batches,
+            "total_units_hint": self.total_units_hint,
+            "elapsed_s": round(elapsed, 3),
+            "units_per_s": round(self.units / elapsed, 2),
+            "pages_per_s": round(self.pages / elapsed, 2),
+            "seconds_since_update": round(now - self.last_update, 3),
+        }
+
+
+class ProgressHandle:
+    """Driver-side view of a named progress actor."""
+
+    def __init__(self, name: str, actor):
+        self.name = name
+        self._actor = actor
+
+    def snapshot(self) -> dict:
+        return ray.get(self._actor.snapshot.remote())
+
+    def close(self) -> None:
+        ray.kill(self._actor, no_restart=True)
+
+
+def start_progress(name: str, total_units_hint: int = 0) -> ProgressHandle:
+    """Create (or replace) the named progress actor for a job."""
+    try:
+        old = ray.get_actor(name)
+        ray.kill(old, no_restart=True)
+    except ValueError:
+        pass
+    actor = _ProgressActor.options(name=name, lifetime=None).remote(
+        total_units_hint=total_units_hint)
+    return ProgressHandle(name, actor)
+
+
+_WORKER_PROGRESS_CACHE: dict = {}
+
+
+def reporter_for(name: Optional[str]):
+    """Worker-side resolve-once accessor: returns the actor handle or None.
+    Missing/late actors degrade to no-op (progress must never fail a job)."""
+    if not name:
+        return None
+    if name in _WORKER_PROGRESS_CACHE:
+        return _WORKER_PROGRESS_CACHE[name]
+    try:
+        actor = ray.get_actor(name)
+    except Exception:
+        actor = None
+    _WORKER_PROGRESS_CACHE[name] = actor
+    return actor

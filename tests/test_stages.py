@@ -139,3 +139,33 @@ def test_split_unit_cap(ray_session, small_corpus):
     assert spans[0][0] == 0 and spans[-1][1] == npages
     for (s0, e0), (s1, _) in zip(spans, spans[1:]):
         assert e0 == s1
+
+
+def test_progress_actor_reports_inflight(ray_session, small_corpus):
+    """The distributed onProgress surface: a named zero-CPU actor
+    accumulates per-batch increments from extract workers; the driver
+    polls snapshot() (reference onProgress/onChunkComplete analogue,
+    lib/pdf-parse-stream.js:110-118)."""
+    import ray.data as rd
+
+    from pdf_parse_new_ray.pipelines.extraction import extract_media_text
+    from pdf_parse_new_ray.state.progress import start_progress
+
+    media = rd.read_parquet(f"{small_corpus}/media")
+    n_media = media.count()
+    prog = start_progress("t_progress", total_units_hint=n_media)
+    res = extract_media_text(media, progress="t_progress").take_all()
+    import time
+
+    deadline = time.time() + 10  # fire-and-forget reports drain async
+    while time.time() < deadline:
+        snap = prog.snapshot()
+        if snap["units"] >= n_media:
+            break
+        time.sleep(0.2)
+    assert snap["units"] == n_media
+    assert snap["pages"] == sum(r["numpages"] for r in res)
+    assert snap["errors"] == sum(1 for r in res if r["error"])
+    assert snap["total_units_hint"] == n_media
+    assert snap["units_per_s"] > 0
+    prog.close()
