@@ -150,14 +150,26 @@ def generate_corpus(
     }
 
 
+# bump when generator output changes (cached corpora regenerate):
+# v2 = ~8% encrypted media PDFs (rc4-128/aesv2/aesv3, empty user password)
+CORPUS_VERSION = "v2"
+
+
 def corpus_dir_for(sf: float, base: str = "/tmp/graft_corpus") -> str:
     """Canonical generated-corpus location for a scale factor; generates on
     first use.  sf=0.001 → 200 docs, sf=0.01 → 2,000, sf=0.1 → 20,000."""
     n_docs = max(50, int(200_000 * sf))
     out = os.path.join(base, f"sf{sf:g}")
     marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if current != CORPUS_VERSION:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
         generate_corpus(out, n_docs=n_docs, seed=42)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(CORPUS_VERSION)
     return out

@@ -163,6 +163,8 @@ def make_text_pdf(
     version: str = "1.4",
     title: str = "synthetic",
     producer: str = "pdfgen",
+    encrypt: Optional[str] = None,
+    encrypt_seed: int = 0,
 ) -> tuple[bytes, str]:
     """A multi-page text PDF: each line positioned by its own Tm, Y steps of
     ``leading`` (> Y_TOLERANCE and > fake-space windows, so expected text is
@@ -170,6 +172,10 @@ def make_text_pdf(
     where expected_doc_text matches the reference sequential join (leading
     '\\n\\n' + pages joined by '\\n\\n')."""
     b = PDFBuilder(version=version)
+    if encrypt:
+        # empty-user-password encryption: extracted text is identical,
+        # decryption is transparent (kernel crypto.SecurityHandler)
+        b.encryptor = PDFEncryptor(encrypt, seed=20260817 + encrypt_seed)
     font_num = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
     # wrap lines that would overflow the 612pt page (glyphs past the
     # viewBox edge are CLIPPED by the extractor, pdf.worker.js:36530-36536,
@@ -199,7 +205,16 @@ def make_text_pdf(
     pages_num = b.add(b"<< /Type /Pages /Kids [" + kids + b"] /Count " + str(len(page_nums)).encode() + b" >>")
     assert pages_num == pages_num_placeholder
     root_num = b.add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
-    info_num = b.add(b"<< /Title (" + _escape_pdf_text(title) + b") /Producer (" + _escape_pdf_text(producer) + b") >>")
+    if b.encryptor is not None:
+        # Info strings are encrypted with the Info object's own number
+        inum = len(b.objects) + 1
+        et = b.encryptor.encrypt_string(inum, 0, title.encode("cp1252", "replace"))
+        ep = b.encryptor.encrypt_string(inum, 0, producer.encode("cp1252", "replace"))
+        info_num = b.add(b"<< /Title <" + et.hex().encode() + b"> /Producer <"
+                         + ep.hex().encode() + b"> >>")
+        assert info_num == inum
+    else:
+        info_num = b.add(b"<< /Title (" + _escape_pdf_text(title) + b") /Producer (" + _escape_pdf_text(producer) + b") >>")
     pdf = b.build(root_num, info_num, use_xref_stream=use_xref_stream)
     # expected text per the reference's default fold: each line its own Tm with
     # |deltaY| > 1 → '\n' between lines; pages joined (with leading) '\n\n'
@@ -378,9 +393,12 @@ def random_lines(rng: random.Random, n_lines: int, min_words: int = 3, max_words
 
 def make_seeded_pdf(seed: int, n_pages: Optional[int] = None,
                     filt: Optional[str] = None,
-                    use_xref_stream: Optional[bool] = None) -> tuple[bytes, str, int]:
+                    use_xref_stream: Optional[bool] = None,
+                    encrypt: Optional[str] = None) -> tuple[bytes, str, int]:
     """Deterministic content PDF for corpus generation.  Returns
-    (pdf_bytes, expected_text, numpages)."""
+    (pdf_bytes, expected_text, numpages).  ~8% of seeded docs are
+    encrypted (empty user password, rc4-128/aesv2/aesv3 rotation) so the
+    distributed pipeline exercises transparent decryption end-to-end."""
     rng = random.Random(seed)
     if n_pages is None:
         n_pages = rng.choice([1, 1, 2, 2, 3, 5, 8])
@@ -389,8 +407,11 @@ def make_seeded_pdf(seed: int, n_pages: Optional[int] = None,
     if use_xref_stream is None:
         use_xref_stream = rng.random() < 0.25
     pages = [random_lines(rng, rng.randint(3, 12)) for _ in range(n_pages)]
+    if encrypt is None and rng.random() < 0.08:
+        encrypt = rng.choice(["rc4-128", "aesv2", "aesv3"])
     pdf, expected = make_text_pdf(pages, filt=filt, use_xref_stream=use_xref_stream,
-                                  title=f"doc-{seed}", producer="pdfgen/0.1")
+                                  title=f"doc-{seed}", producer="pdfgen/0.1",
+                                  encrypt=encrypt, encrypt_seed=seed)
     return pdf, expected, n_pages
 
 
