@@ -415,9 +415,25 @@ class _CosinePairFinder:
         })
 
 
-def d_embedding_neardup(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+# above this many vectors the blocked all-pairs matmul (O(N²) work, full
+# matrix broadcast) gives way to the LSH-bucketed path
+EMBED_BRUTE_MAX_ROWS = 100_000
+
+
+def d_embedding_neardup(sf_dir: str, threshold: float = 0.8,
+                        method: str = "auto") -> pd.DataFrame:
     """All embedding pairs with cosine >= threshold (id_a < id_b) — the
-    embedding-space near-duplicate detector."""
+    embedding-space near-duplicate detector.  Size-gated physical plan:
+    exact blocked all-pairs under EMBED_BRUTE_MAX_ROWS, LSH-bucketed
+    candidates + exact verify above (approximate: a pair AT the threshold
+    can miss with prob (1-p^planes)^tables; near-identical vectors are
+    found with probability ~1)."""
+    if method == "auto":
+        n = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id"]).count()
+        method = "brute" if n <= EMBED_BRUTE_MAX_ROWS else "lsh"
+    if method == "lsh":
+        return _embedding_neardup_lsh(sf_dir, threshold)
     import pyarrow.parquet as pq
 
     import ray
@@ -432,4 +448,91 @@ def d_embedding_neardup(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
         batch_size=256, batch_format="pyarrow", concurrency=(1, 4),
     ).take_all()
     df = pd.DataFrame(pairs, columns=["id_a", "id_b", "cosine"])
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _embedding_neardup_lsh(sf_dir: str, threshold: float,
+                           n_planes: int = 6, n_tables: int = 12) -> pd.DataFrame:
+    """Scale path: random-hyperplane bucket rows (16 bytes each — vectors
+    never ride the band shuffle), per-bucket candidate pairs with the same
+    hot-bucket star cap as MinHash, then exact cosine verification with a
+    size-gated vector fetch.  Same output schema/rounding as brute."""
+    import pyarrow.compute as pc
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def bucket_rows(t: pa.Table) -> pa.Table:
+        from .ann import LshSigner
+
+        m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        signer = LshSigner(dim=m.shape[1], n_planes=n_planes, n_tables=n_tables)
+        codes = signer.sign(m)                               # (N, T)
+        vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        n = len(vec_ids)
+        # bucket key = table_index * 2^planes + code (disjoint per table)
+        keys = (np.arange(n_tables, dtype=np.uint64)[None, :] << np.uint64(n_planes)) \
+            + codes.astype(np.uint64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(vec_ids, n_tables), pa.int64()),
+            "bucket": pa.array(keys.reshape(-1), pa.uint64()),
+        })
+
+    bands = emb.map_batches(bucket_rows, batch_format="pyarrow", batch_size=4096)
+    pairs = bands.groupby("bucket").map_groups(_bucket_pairs, batch_format="pyarrow")
+    from ray.data.aggregate import Max
+
+    pairs = pairs.groupby(["a", "b"]).aggregate(
+        Max("capped", alias_name="capped")).materialize()
+    n_pairs = pairs.count()
+    empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64"),
+                          "cosine": pd.Series(dtype="float64")})
+    if n_pairs == 0:
+        return empty
+    if n_pairs <= BROADCAST_PAIR_ROWS:
+        pr = pairs.to_pandas()
+        need = pa.array(sorted(set(pr["a"]) | set(pr["b"])), pa.int64())
+        cand = emb.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=need)),
+            batch_format="pyarrow").to_pandas()
+        vec_of = {int(v): np.asarray(e, dtype=np.float64)
+                  for v, e in zip(cand["vec_id"], cand["embedding"])}
+        a = np.stack([vec_of[int(x)] for x in pr["a"]])
+        b = np.stack([vec_of[int(x)] for x in pr["b"]])
+        cos = (a * b).sum(axis=1) / (
+            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+        df = pd.DataFrame({"id_a": pr["a"], "id_b": pr["b"],
+                           "cosine": np.round(cos, 6)})
+    else:
+        vtype = pa.list_(pa.float32())
+        vecs = emb.map_batches(
+            lambda t: pa.table({"doc_id": t["vec_id"], "value": t["embedding"]}),
+            batch_format="pyarrow")
+        with_a = _attach_value(
+            pairs, vecs, "a", "v_a", vtype,
+            [("a", pa.int64()), ("b", pa.int64()), ("capped", pa.bool_())]).materialize()
+        with_ab = _attach_value(
+            with_a, vecs, "b", "v_b", vtype,
+            [("a", pa.int64()), ("b", pa.int64()), ("capped", pa.bool_()),
+             ("v_a", vtype)])
+
+        def verify(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"id_a": pa.array([], pa.int64()),
+                                 "id_b": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            a = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in t.column("v_a").to_pylist()])
+            b = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in t.column("v_b").to_pylist()])
+            cos = (a * b).sum(axis=1) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+            return pa.table({"id_a": t.column("a"), "id_b": t.column("b"),
+                             "cosine": pa.array(np.round(cos, 6), pa.float64())})
+
+        df = with_ab.map_batches(verify, batch_format="pyarrow").to_pandas()
+    df = df[df["cosine"] >= threshold]
+    if df.empty:
+        return empty
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -23,6 +23,12 @@ def _rp(sf_dir: str, table: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+# dimension tables at or below this row count broadcast (value_set /
+# index_in arrays); above it the bucketed cogroup (functions/joins.py)
+# runs.  One knob so tests can force the distributed path on small data.
+BROADCAST_DIM_ROWS = 2_000_000
+
+
 def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
     for c, nd in spec.items():
         if c in df.columns:
@@ -90,27 +96,48 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    seg_keys = set(
-        r["c_custkey"] for r in
-        cust.filter(expr="c_mktsegment == 'BUILDING'").take_all()
-    )
-    keys_ref = ray.put(seg_keys)
-
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    class FilterByCust:
-        def __init__(self, keys):
-            keys = ray.get(keys) if isinstance(keys, ray.ObjectRef) else keys
-            # vectorized membership: Arrow value_set built once per actor
-            self._keys = pa.array(sorted(keys), pa.int64())
+    def date_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["o_orderdate"],
+                                    pa.scalar(pd.Timestamp("1995-03-15"))))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            batch = batch.filter(pc.is_in(batch["o_custkey"], value_set=self._keys))
-            return batch.filter(pc.less(batch["o_orderdate"],
-                                        pa.scalar(pd.Timestamp("1995-03-15"))))
+    # size-gated semi-join on the BUILDING customer set: broadcast an Arrow
+    # value_set while the segment fits, bucketed cogroup when it doesn't
+    # (a TPC-H-scale segment is ~1/5 of all customers — not broadcastable)
+    if cust.count() <= BROADCAST_DIM_ROWS:
+        seg_keys = sorted(
+            r["c_custkey"] for r in
+            cust.filter(expr="c_mktsegment == 'BUILDING'").take_all())
+        keys_ref = ray.put(seg_keys)
 
-    sel_orders = orders.map_batches(FilterByCust, fn_constructor_kwargs={"keys": keys_ref},
-                                    batch_format="pyarrow", concurrency=(1, 4))
+        class FilterByCust:
+            def __init__(self, keys):
+                keys = ray.get(keys) if isinstance(keys, ray.ObjectRef) else keys
+                # vectorized membership: Arrow value_set built once per actor
+                self._keys = pa.array(keys, pa.int64())
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                return date_filter(batch.filter(
+                    pc.is_in(batch["o_custkey"], value_set=self._keys)))
+
+        sel_orders = orders.map_batches(
+            FilterByCust, fn_constructor_kwargs={"keys": keys_ref},
+            batch_format="pyarrow", concurrency=(1, 4))
+    else:
+        from .joins import attach_value
+
+        seg = cust.filter(expr="c_mktsegment == 'BUILDING'").map_batches(
+            lambda t: pa.table({"doc_id": t["c_custkey"],
+                                "value": pa.array([True] * t.num_rows, pa.bool_())}),
+            batch_format="pyarrow")
+        odate_type = orders.schema().base_schema.field("o_orderdate").type
+        sel_orders = attach_value(
+            orders.map_batches(date_filter, batch_format="pyarrow"),
+            seg, "o_custkey", "in_seg", pa.bool_(),
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("o_orderdate", odate_type)],
+        ).drop_columns(["in_seg"])  # inner-join semantics: only members survive
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
     li = li.map_batches(
         lambda t: pa.table({
@@ -186,7 +213,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     # table is small (count from parquet metadata), bucketed cogroup when
     # it isn't (a TPC-H-scale customer table is NOT broadcastable)
     cust_src = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    if cust_src.count() <= 2_000_000:
+    if cust_src.count() <= BROADCAST_DIM_ROWS:
         import pyarrow.parquet as pq
 
         ct = pq.read_table(f"{sf_dir}/customer.parquet",

@@ -142,3 +142,52 @@ def test_knn_lsh_matches_bruteforce_on_colliders(ray_session, planted_embeddings
     for q, v, c in zip(approx["query_id"], approx["vec_id"], approx["cosine"]):
         if (q, v) in ex:
             assert abs(ex[(q, v)] - c) < 1e-9
+
+
+def test_embedding_neardup_lsh_matches_brute(ray_session, planted_embeddings_dir):
+    """The LSH-bucketed scale path must find the planted near-identical
+    pair with exact cosines equal to the brute-force plan."""
+    from pdf_parse_new_ray.functions import dedup
+
+    brute = dedup.d_embedding_neardup(planted_embeddings_dir, method="brute")
+    lsh = dedup.d_embedding_neardup(planted_embeddings_dir, method="lsh")
+    assert list(zip(lsh["id_a"], lsh["id_b"])) == list(zip(brute["id_a"], brute["id_b"]))
+    assert (lsh["cosine"] == brute["cosine"]).all()
+    assert (0, 1) in set(zip(lsh["id_a"], lsh["id_b"]))
+
+
+def test_q3_cogroup_semi_join_matches_broadcast(ray_session, monkeypatch):
+    """Forcing the distributed semi-join path (broadcast gate at 0) must
+    produce the same q3 result as the broadcast value_set path."""
+    from pdf_parse_new_ray.functions import relational
+
+    sf = "/root/testdata/sf0.001"
+    base = relational.q3_top_orders(sf)
+    monkeypatch.setattr(relational, "BROADCAST_DIM_ROWS", 0)
+    forced = relational.q3_top_orders(sf)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(base, forced)
+
+
+def test_q5_cogroup_customer_side_matches_broadcast(ray_session, monkeypatch):
+    from pdf_parse_new_ray.functions import relational
+
+    sf = "/root/testdata/sf0.001"
+    base = relational.q5_nation_revenue(sf)
+    monkeypatch.setattr(relational, "BROADCAST_DIM_ROWS", 0)
+    forced = relational.q5_nation_revenue(sf)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(base, forced)
+
+
+def test_minhash_cogroup_attach_matches_broadcast(ray_session, planted_docs_dir, monkeypatch):
+    from pdf_parse_new_ray.functions import dedup
+
+    base = dedup.d_minhash_pairs(planted_docs_dir, threshold=0.5)
+    monkeypatch.setattr(dedup, "BROADCAST_PAIR_ROWS", 0)
+    forced = dedup.d_minhash_pairs(planted_docs_dir, threshold=0.5)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(base, forced)
