@@ -1,0 +1,101 @@
+"""Differential conformance sweep: our kernel vs the LIVE reference engine.
+
+Runs N seeded PDFs (the corpus generator's distribution, including the
+~8% encrypted slice) plus every deterministic special fixture through both
+engines and asserts byte-exact text equality.  The committed goldens in
+the reference checkout are stale — this always runs node on the fly.
+
+Usage: python tools/differential.py [n_seeds]
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RUNNER = "/tmp/refdump/diff_run_ref.js"
+RUNNER_SRC = (
+    "const fs=require('fs');"
+    "const PDF=require('/root/reference/lib/pdf-parse.js');"
+    "(async()=>{const d=fs.readFileSync(process.argv[2]);"
+    "const r=await PDF(d,{});fs.writeFileSync(process.argv[3],r.text);})()"
+    ".catch(e=>{console.error(e);process.exit(1);});"
+)
+
+
+def ref_text(pdf: bytes) -> str:
+    os.makedirs(os.path.dirname(RUNNER), exist_ok=True)
+    if not os.path.exists(RUNNER):
+        with open(RUNNER, "w") as f:
+            f.write(RUNNER_SRC)
+    with tempfile.NamedTemporaryFile(suffix=".pdf", delete=False) as f:
+        f.write(pdf)
+        pdf_path = f.name
+    out_path = pdf_path + ".txt"
+    try:
+        subprocess.run(["node", RUNNER, pdf_path, out_path],
+                       check=True, capture_output=True, timeout=300)
+        with open(out_path, encoding="utf-8") as f:
+            return f.read()
+    finally:
+        for p in (pdf_path, out_path):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+
+def main() -> None:
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    from pdf_parse_new_ray.fixtures import pdfgen
+    from pdf_parse_new_ray.pdfkernel import parse_pdf
+
+    cases: list[tuple[str, bytes]] = []
+    for seed in range(n_seeds):
+        pdf, _, _ = pdfgen.make_seeded_pdf(7_777_777 + seed)
+        cases.append((f"seed-{seed}" + ("-enc" if b"/Encrypt" in pdf else ""), pdf))
+    specials = [
+        ("tj-kerning", pdfgen.make_tj_kerning_pdf()[0]),
+        ("ytol", pdfgen.make_ytol_pdf()[0]),
+        ("ligature", pdfgen.make_ligature_pdf()[0]),
+        ("identity-h", pdfgen.make_identity_h_pdf()[0]),
+        ("empty-page", pdfgen.make_empty_page_pdf()[0]),
+        ("inline-image", pdfgen.make_inline_image_pdf()[0]),
+        ("rotated", pdfgen.make_rotated_text_pdf()[0]),
+        ("hscale-rise", pdfgen.make_hscale_rise_pdf()[0]),
+        ("qq-cm", pdfgen.make_qq_cm_pdf()[0]),
+        ("form-xobject", pdfgen.make_form_xobject_pdf()[0]),
+        ("type3", pdfgen.make_type3_pdf()[0]),
+        ("rtl-mixed", pdfgen.make_rtl_pdf()),
+        ("ttf-win-names", pdfgen.make_symbolic_truetype_pdf(True)[0]),
+        ("ttf-mac-name", pdfgen.make_symbolic_truetype_pdf(False)[0]),
+    ]
+    for mode in ("rc4-40", "rc4-128", "aesv2", "aesv3"):
+        specials.append((f"encrypted-{mode}", pdfgen.make_encrypted_pdf(mode)[0]))
+    specials.append(("encrypted-aesv3-xstream",
+                     pdfgen.make_encrypted_pdf("aesv3", use_xref_stream=True)[0]))
+    cases += specials
+
+    n_ok = 0
+    failures = []
+    for name, pdf in cases:
+        ours = parse_pdf(pdf)["text"]
+        theirs = ref_text(pdf)
+        if ours == theirs:
+            n_ok += 1
+        else:
+            failures.append(name)
+            print(f"MISMATCH {name}: ours={ours[:80]!r} ref={theirs[:80]!r}")
+    print(f"{n_ok}/{len(cases)} byte-exact vs live reference "
+          f"({sum(1 for n, _ in cases if 'enc' in n)} encrypted)")
+    if failures:
+        print("FAILED:", failures)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
