@@ -460,6 +460,7 @@ def extract_documents(
     max_pages: int = 0,
     compute: str = "tasks",  # tasks | actors (actor pool supports any callable page_render)
     config=None,  # ExtractionConfig overrides the shape kwargs when given
+    progress=None,  # name of a state.progress actor (optional)
 ) -> rd.Dataset:
     """Full interleaved-corpus extraction.
 
@@ -525,6 +526,7 @@ def extract_documents(
         media, size_threshold=size_threshold, page_threshold=page_threshold,
         page_chunk=page_chunk, concurrency=concurrency, batch_size=batch_size,
         page_render=page_render, max_pages=max_pages, compute=compute,
+        progress=progress,
     )
 
     strategy = join_strategy

@@ -233,3 +233,23 @@ def test_auto_gate_falls_back_to_hash_on_bytes(ray_session, small_corpus):
         out_dir=None, config=cfg,
     ).take_all()
     _check(docs, _oracle(small_corpus))
+
+
+def test_extract_documents_progress(ray_session, small_corpus):
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+    from pdf_parse_new_ray.state.progress import start_progress
+
+    prog = start_progress("t_docs_progress")
+    extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=None, n_partitions=8, progress="t_docs_progress",
+    ).materialize()
+    import time
+
+    deadline = time.time() + 10
+    snap = prog.snapshot()
+    while time.time() < deadline and snap["units"] == 0:
+        time.sleep(0.2)
+        snap = prog.snapshot()
+    assert snap["units"] > 0 and snap["pages"] > 0
+    prog.close()
