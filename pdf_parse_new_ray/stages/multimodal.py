@@ -4,12 +4,14 @@
 Design for a 100 TB training-data pipeline: media payloads are opaque
 ``binary`` cells; each modality gets an actor-pool ``map_batches`` stage
 (decoder state built once per actor in ``__init__``) that emits typed
-feature columns.  PDFs are decoded for real by the pdfkernel; image/audio/
-video decoding requires codec libraries that are NOT in this container, so
-those decoders are STUBBED behind an import-try: when PIL / soundfile /
-av are absent we emit deterministic byte-level pseudo-features with
-``decoded=False`` so the Ray-side plumbing (schema, batch size, actor
-signature, output layout) is real and testable end-to-end.
+feature columns.  PDFs are decoded for real by the pdfkernel, and baseline
+JPEG is decoded for real by pdfkernel/jpeg.py (DCTDecode, the dominant
+embedded-image codec).  PNG/GIF/audio/video decoding requires codec
+libraries that are NOT in this container, so those decoders are STUBBED
+behind an import-try: when PIL / soundfile / av are absent we emit
+deterministic byte-level pseudo-features with ``decoded=False`` so the
+Ray-side plumbing (schema, batch size, actor signature, output layout) is
+real and testable end-to-end.
 
 Usage:
     media.map_batches(MediaFeatureExtractor, concurrency=(2, 8),
@@ -98,9 +100,19 @@ class MediaFeatureExtractor:
         except Exception as e:  # noqa: BLE001
             return 0, False, f"{type(e).__name__}: {e}"
 
-    def _decode_image(self, blob: bytes) -> tuple[int, int, bool, Optional[str]]:
+    def _decode_image(self, blob: bytes, kind: str) -> tuple[int, int, bool, Optional[str]]:
+        if kind == "jpeg":
+            # REAL decode: baseline-JPEG decoder in the kernel
+            # (pdfkernel/jpeg.py — DCTDecode, the dominant embedded codec)
+            from ..pdfkernel.jpeg import JPEGError, decode_jpeg
+
+            try:
+                h, w, _nc, _px = decode_jpeg(blob)
+                return w, h, True, None
+            except JPEGError as e:
+                return -1, -1, False, f"JPEGError: {e}"
         if self._pil is None:
-            # STUB: codec library not available in this container — emit
+            # STUB (png/gif): codec library not available in this container —
             # deterministic placeholders; plumbing (schema/batching) is real
             return -1, -1, False, None
         import io
@@ -138,7 +150,7 @@ class MediaFeatureExtractor:
             if kind == "pdf":
                 np_, dec, e = self._decode_pdf(blob)
             elif kind in ("png", "jpeg", "gif"):
-                w, h, dec, e = self._decode_image(blob)
+                w, h, dec, e = self._decode_image(blob, kind)
             elif kind in ("wav", "mp3", "ogg", "mp4", "avi"):
                 d, dec, e = self._decode_audio(blob)
             numpages.append(np_)
