@@ -415,6 +415,21 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE nn_rank <= 5
             ORDER BY query_id, nn_rank
         """,
+        "e_label_centroids": """
+            WITH e AS (
+                SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ), dim AS (
+                SELECT label, i, avg(v) AS m FROM e GROUP BY label, i
+            ), cnt AS (
+                SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label
+            )
+            SELECT c.label, c.n_vectors,
+                   round(sqrt(sum(d.m * d.m)), 6) AS centroid_norm
+            FROM cnt c JOIN dim d ON c.label = d.label
+            GROUP BY c.label, c.n_vectors ORDER BY c.label
+        """,
         # t_langid, d_minhash_pairs, d_simhash, d_ngram_jaccard, e_knn_lsh,
-        # e_label_centroids, x_extract_* are not SQL-expressible → rows-only.
+        # x_extract_* are not SQL-expressible → rows-only.
     }

@@ -298,6 +298,13 @@ class SecurityHandler:
                         for k, v in obj.dict.items()}
             t = str(obj.dict.get("Type", ""))
             skip = (t == "XRef") or (t == "Metadata" and not self.encrypt_metadata)
+            # NOTE: a /Crypt filter entry does NOT override StmF here —
+            # the reference applies the StmF cipher to every stream
+            # unconditionally (makeStream, pdf.worker.js:13843) and treats
+            # "Crypt" as an unknown no-op filter, so a /Crypt Identity
+            # plaintext stream decrypts to garbage and the page absorbs to
+            # '' in BOTH engines (verified by differential fixture).  The
+            # ISO-correct skip would diverge from the reference.
             if not skip:
                 obj.crypt = lambda raw: self.decrypt_stream(num, gen, raw)
             return obj

@@ -265,7 +265,10 @@ def decode_stream(sdict: dict, raw: bytes, resolve=None) -> bytes:
         elif fname == "RunLengthDecode":
             data = run_length_decode(data)
         elif fname == "Crypt":
-            raise PDFError("encrypted streams not supported")
+            # decryption (or Identity pass-through) already happened before
+            # the filter chain via StreamObj.crypt, armed by the security
+            # handler per this stream's /Crypt DecodeParms — a no-op here
+            pass
         if fname in ("FlateDecode", "LZWDecode") and p:
             data = apply_predictor(data, p, resolve)
     return data

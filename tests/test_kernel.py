@@ -212,3 +212,28 @@ def test_bidi_text_unit():
     # mostly-LTR strings with a short RTL segment stay LTR-based
     s, d = bidi_text("abc def א xyz", False)
     assert d == "ltr"
+
+
+def test_crypt_identity_stream_matches_reference_behavior():
+    """A /Crypt Identity (plaintext) stream inside an encrypted document:
+    the reference applies StmF decryption to every stream unconditionally
+    (makeStream, pdf.worker.js:13843), so the stream garbles and the page
+    absorbs to '' — we match that, not the ISO skip (verified against the
+    live reference)."""
+    import zlib
+
+    from pdf_parse_new_ray.fixtures.pdfgen import PDFBuilder, PDFEncryptor
+
+    b = PDFBuilder(version="1.6")
+    b.encryptor = PDFEncryptor("aesv2")
+    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    content = zlib.compress(b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (plain) Tj ET")
+    cn = b.add(b"<< /Filter [/Crypt /FlateDecode] "
+               b"/DecodeParms [<< /Type /CryptFilterDecodeParms /Name /Identity >> null] "
+               b"/Length " + str(len(content)).encode() + b" >>\nstream\n"
+               + content + b"\nendstream")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 {font} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    assert parse_pdf(b.build(root))["text"] == "\n\n"
