@@ -518,6 +518,21 @@ def extract_documents(
             batch_format="pyarrow",
         )
 
+    # explicit hash strategy: the exploded-span side is independent of the
+    # extraction side — materialize it on a background thread so the two
+    # cluster jobs overlap (measured ~3 s at sf0.1; in auto mode the
+    # explode is deferred until the gate picks hash, since broadcast mode
+    # never needs span rows)
+    spans_future = None
+    if join_strategy == "hash":
+        import concurrent.futures
+
+        _spans_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        spans_future = _spans_pool.submit(
+            lambda: docs.map_batches(_explode_with_partition(n_partitions),
+                                     batch_format="pyarrow").materialize())
+        _spans_pool.shutdown(wait=False)
+
     # the heavy extraction runs exactly once (materialized inside), before
     # the plan choice: both physical plans consume the same chunk dataset,
     # and the auto gate can then measure REAL extracted-text bytes instead
@@ -571,23 +586,28 @@ def extract_documents(
         # pin the exploded span rows once — they feed both the join side and
         # the text-span pass-through, and Ray re-executes shared upstream per
         # consumer; span rows are text-only (never media bytes) and spill
-        spans = docs.map_batches(_explode_with_partition(n_partitions),
-                                 batch_format="pyarrow").materialize()
+        if spans_future is not None:
+            spans = spans_future.result()
+        else:
+            spans = docs.map_batches(_explode_with_partition(n_partitions),
+                                     batch_format="pyarrow").materialize()
         # bucketed shuffle join: both sides carry jkey = hash(media_ref) % P;
         # ONE sort shuffle co-locates each media's chunks with its pdf spans,
         # and the cogroup probe is a vectorized index_in/take.  Chunk
         # reassembly of page-split docs happens inside the cogroup (no
         # pre-join filter/groupby/union pass).  Salting a hot media_ref
         # means raising P — the classic skew lever.
-        # partition count scales with DATA (target ~5k media rows per
-        # cogroup partition, clamped to the cluster): partition count must
-        # grow with the corpus, not the CPU count, or each sort-shuffle
-        # reduce task degenerates into thousands of tiny objects
+        # partition count: the larger of a DATA target (~5k media rows per
+        # cogroup partition — must grow with the corpus or reduce tasks
+        # degenerate into thousands of tiny objects) and a CLUSTER floor
+        # (2 x CPUs — the cogroup probe parallelism is bounded by distinct
+        # jkeys, so fewer buckets than cores idles the cluster; measured
+        # 8 buckets on 32 CPUs cost ~2s at sf0.1), capped at 4096
         try:
             media_rows = media.count()
         except Exception:
             media_rows = 0
-        join_parts = max(8, min(4096, cpus * 2, (media_rows // 5000) + 1))
+        join_parts = min(4096, max(cpus * 2, (media_rows // 5000) + 1))
 
         def _tag_media(t: pa.Table) -> pa.Table:
             refs = t.column("media_ref").combine_chunks()
@@ -656,6 +676,11 @@ def extract_documents(
 
         tagged = chunks.map_batches(_tag_media, batch_format="pyarrow").union(
             spans.map_batches(_tag_spans, batch_format="pyarrow"))
+        # coalesce before the sort-shuffle: the union inherits every tiny
+        # upstream block and Ray's sort pays per-(block x partition) task
+        # overhead — measured 5.3 s -> 0.8 s at sf0.1 by repartitioning to
+        # the cogroup partition count first
+        tagged = tagged.repartition(join_parts)
         joined = tagged.groupby("jkey").map_groups(_cogroup_attach,
                                                    batch_format="pyarrow")
         text_spans = spans.filter(expr="kind == 'text'").map_batches(
@@ -668,7 +693,8 @@ def extract_documents(
             }),
             batch_format="pyarrow",
         )
-        merged = joined.union(text_spans)
+        # same block-coalesce before the partition groupby (see above)
+        merged = joined.union(text_spans).repartition(n_partitions)
 
     return merged.groupby("part").map_groups(
         _assemble_partition(out_dir), batch_format="pyarrow"
