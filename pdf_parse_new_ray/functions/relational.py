@@ -329,20 +329,41 @@ def q_events_daily(sf_dir: str) -> pd.DataFrame:
 # events: per-user session stats via map_groups (running/window analogue)
 # ---------------------------------------------------------------------------
 
-def q_user_event_stats(sf_dir: str) -> pd.DataFrame:
-    ev = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+def q_user_event_stats(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Per-user stats via a bucketed multi-user fold (one hash-bucket
+    shuffle + reduceat inside the bucket — no per-user Python call)."""
+    import numpy as np
+    import pyarrow as pa
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        span = (g["ts"].iloc[-1] - g["ts"].iloc[0]).total_seconds()
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_events": [len(g)],
-            "total_value": [round(float(g["value"].sum()), 4)],
-            "span_seconds": [round(span, 1)],
+    from .joins import _bucket_of
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending")])
+        g = group.take(order)
+        uid = g.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g.column("ts").combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = g.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(ts)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(new_user)[0]
+        ends = np.concatenate((starts[1:], [n])) - 1
+        sums = np.add.reduceat(val, starts)
+        span = (ts[ends] - ts[starts]) / 1e6
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_events": pa.array(ends - starts + 1, pa.int64()),
+            "total_value": pa.array(np.round(sums, 4), pa.float64()),
+            "span_seconds": pa.array(np.round(span, 1), pa.float64()),
         })
 
-    out = ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        lambda t: t.append_column("__bk", _bucket_of(t.column("user_id"), n_buckets)),
+        batch_format="pyarrow")
+    out = ev.groupby("__bk").map_groups(per_bucket, batch_format="pyarrow").to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -400,29 +421,44 @@ def q_distinct_order_statuses(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"o_orderstatus": vals})
 
 
-def q_sessionization(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+def q_sessionization(sf_dir: str, gap_minutes: int = 30,
+                     n_buckets: int = 256) -> pd.DataFrame:
     """Gap-based session windows per user — the streaming-window custom
-    operator: ONE shuffle on user_id, then a vectorized per-group fold
-    (sort → diff → cumsum boundaries → reduceat aggregates).  State never
-    leaves the group, so the operator scales with users, not events."""
+    operator: ONE shuffle on hash(user_id) buckets, then a vectorized
+    MULTI-user fold inside each bucket (sort by (user, ts) → session
+    boundary = gap OR user change → reduceat aggregates).  State never
+    leaves the bucket, and the per-group Python cost scales with buckets,
+    not users (a per-user map_groups would pay one interpreter call per
+    user — 10^8 calls at web scale)."""
     import numpy as np
     import pyarrow as pa
+
+    from .joins import _bucket_of
 
     gap_us = gap_minutes * 60 * 1_000_000
 
     def sessions(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        order = pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
         g = group.take(order)
-        uid = g.column("user_id")[0].as_py()
-        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        val = g.column("value").to_numpy(zero_copy_only=False)
+        uid = g.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g.column("ts").combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = g.column("value").combine_chunks().to_numpy(zero_copy_only=False)
         n = len(ts)
-        new_sess = np.ones(n, dtype=np.int64)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_sess = new_user.copy()
         if n > 1:
-            new_sess[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = np.cumsum(new_sess)  # 1-based session ids in ts order
+            new_sess[1:] |= np.diff(ts) > gap_us
+        # per-user 1-based session ids: global cumsum minus the cumsum at
+        # each user's first row
+        sid = np.cumsum(new_sess.astype(np.int64))
+        user_starts = np.nonzero(new_user)[0]
+        base = np.repeat(sid[user_starts] - 1,
+                         np.diff(np.concatenate((user_starts, [n]))))
+        sid = sid - base
         starts = np.nonzero(new_sess)[0]
         ends = np.concatenate((starts[1:], [n])) - 1
         # per-session sums via reduceat: summation order matches a direct
@@ -430,7 +466,7 @@ def q_sessionization(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         # (a cumsum-difference can flip a boundary digit)
         sums = np.add.reduceat(val, starts)
         return pa.table({
-            "user_id": pa.array([uid] * len(starts), pa.int64()),
+            "user_id": pa.array(uid[starts], pa.int64()),
             "session_id": pa.array(sid[starts], pa.int64()),
             "session_start": pa.array(ts[starts], pa.timestamp("us")),
             "session_end": pa.array(ts[ends], pa.timestamp("us")),
@@ -438,52 +474,74 @@ def q_sessionization(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
             "sum_value": pa.array(np.round(sums, 4), pa.float64()),
         })
 
-    res = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]).groupby(
-        "user_id").map_groups(sessions, batch_format="pyarrow").take_all()
+    ev = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    ev = ev.map_batches(
+        lambda t: t.append_column("__bk", _bucket_of(t.column("user_id"), n_buckets)),
+        batch_format="pyarrow")
+    res = ev.groupby("__bk").map_groups(sessions, batch_format="pyarrow").take_all()
     df = pd.DataFrame(res)
     return df.sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
-def q_asof_view_before_click(sf_dir: str) -> pd.DataFrame:
+def q_asof_view_before_click(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     """As-of join: each 'click' event picks the most recent 'view' event of
     the same user at-or-before its timestamp — the temporal lookup Ray Data
-    has no native operator for.  ONE shuffle on user_id; inside each group a
-    vectorized merge (sort + np.searchsorted), so cost scales with events
-    per user, not pairs."""
+    has no native operator for.  ONE shuffle on hash(user_id) buckets;
+    inside each bucket a fully vectorized MULTI-user prefix walk: rows
+    sorted by (user, ts, view-before-click), last-view index via
+    maximum.accumulate, per-user reset by run starts.  Python cost scales
+    with buckets, not users."""
     import numpy as np
     import pyarrow as pa
+
+    from .joins import _bucket_of
 
     def asof(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
-        g = group.take(order)
-        uid = g.column("user_id")[0].as_py()
-        types = g.column("event_type").to_pylist()
-        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        val = g.column("value").to_numpy(zero_copy_only=False)
-        eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        is_click = np.array([t == "click" for t in types])
-        is_view = np.array([t == "view" for t in types])
-        c_ts, v_ts = ts[is_click], ts[is_view]
-        v_val = val[is_view]
-        idx = np.searchsorted(v_ts, c_ts, side="right") - 1
-        has = idx >= 0
-        view_ts = np.where(has, v_ts[np.clip(idx, 0, None)], 0)
-        view_val = np.where(has, v_val[np.clip(idx, 0, None)], np.nan)
-        n = int(is_click.sum())
+        # views sort BEFORE clicks at equal (user, ts): the prefix walk
+        # then matches searchsorted(..., side='right') semantics exactly
+        g = group.append_column(
+            "__is_click",
+            pc.cast(pc.equal(group.column("event_type"), "click"), pa.int8()))
+        order = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("__is_click", "ascending"), ("event_id", "ascending")])
+        g = g.take(order)
+        uid = g.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g.column("ts").combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = g.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        types = g.column("event_type").combine_chunks()
+        is_click = pc.equal(types, "click").to_numpy(zero_copy_only=False)
+        is_view = pc.equal(types, "view").to_numpy(zero_copy_only=False)
+        n = len(ts)
+        idx = np.arange(n)
+        last_view = np.maximum.accumulate(np.where(is_view, idx, -1))
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        user_start = np.maximum.accumulate(np.where(new_user, idx, -1))
+        has = is_click & (last_view >= user_start)
+        sel = np.nonzero(is_click)[0]
+        lv = last_view[sel]
+        ok = has[sel]
+        view_ts = np.where(ok, ts[np.clip(lv, 0, None)], 0)
+        view_val = np.where(ok, val[np.clip(lv, 0, None)], np.nan)
         return pa.table({
-            "event_id": pa.array(eid[is_click], pa.int64()),
-            "user_id": pa.array([uid] * n, pa.int64()),
-            "ts": pa.array(ts[is_click], pa.timestamp("us")),
+            "event_id": pa.array(eid[sel], pa.int64()),
+            "user_id": pa.array(uid[sel], pa.int64()),
+            "ts": pa.array(ts[sel], pa.timestamp("us")),
             "view_ts": pa.array(
-                [int(t) if h else None for t, h in zip(view_ts, has)], pa.timestamp("us")),
+                [int(t) if h else None for t, h in zip(view_ts, ok)], pa.timestamp("us")),
             "view_value": pa.array(
-                [float(v) if h else None for v, h in zip(view_val, has)], pa.float64()),
+                [float(v) if h else None for v, h in zip(view_val, ok)], pa.float64()),
         })
 
-    res = _rp(sf_dir, "events",
-              columns=["event_id", "ts", "user_id", "event_type", "value"]).groupby(
-        "user_id").map_groups(asof, batch_format="pyarrow").take_all()
+    ev = _rp(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "event_type", "value"])
+    ev = ev.map_batches(
+        lambda t: t.append_column("__bk", _bucket_of(t.column("user_id"), n_buckets)),
+        batch_format="pyarrow")
+    res = ev.groupby("__bk").map_groups(asof, batch_format="pyarrow").take_all()
     df = pd.DataFrame(res)
     return df.sort_values("event_id").reset_index(drop=True)
