@@ -546,7 +546,7 @@ class PDFEncryptor:
 
     def __init__(self, mode: str, user_pw: bytes = b"",
                  owner_pw: bytes = b"owner-secret", p: int = -44,
-                 seed: int = 20260817):
+                 seed: int = 20260817, encrypt_metadata: bool = True):
         import hashlib
 
         from ..pdfkernel import crypto as C
@@ -556,6 +556,7 @@ class PDFEncryptor:
         self.rng = random.Random(seed)
         self.id0 = bytes(self.rng.randrange(256) for _ in range(16))
         self.p = p
+        self.encrypt_metadata = encrypt_metadata
         pw32 = (user_pw + C.PAD)[:32]
         ow32 = (owner_pw + C.PAD)[:32] if owner_pw else pw32
         params = {"rc4-40": (1, 2, 40), "rc4-128": (2, 3, 128),
@@ -582,6 +583,8 @@ class PDFEncryptor:
             # Algorithm 2: file key from the user password
             buf = (pw32 + self.O + (p & 0xFFFFFFFF).to_bytes(4, "little")
                    + self.id0)
+            if self.r >= 4 and not encrypt_metadata:
+                buf += b"\xff\xff\xff\xff"
             h = hashlib.md5(buf).digest()
             if self.r >= 3:
                 for _ in range(50):
@@ -651,7 +654,8 @@ class PDFEncryptor:
         if self.v == 4:
             return (b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
                     b"/CF << /StdCF << /CFM /AESV2 /Length 16 /AuthEvent /DocOpen >> >> "
-                    b"/StmF /StdCF /StrF /StdCF /EncryptMetadata true" + ou
+                    + (b"/StmF /StdCF /StrF /StdCF /EncryptMetadata "
+                       + (b"true" if self.encrypt_metadata else b"false")) + ou
                     + f" /P {self.p} >>".encode())
         return (b"<< /Filter /Standard /V 5 /R 6 "
                 b"/CF << /StdCF << /CFM /AESV3 /Length 32 /AuthEvent /DocOpen >> >> "

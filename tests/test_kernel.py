@@ -237,3 +237,30 @@ def test_crypt_identity_stream_matches_reference_behavior():
     pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
     root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
     assert parse_pdf(b.build(root))["text"] == "\n\n"
+
+
+@pytest.mark.parametrize("encrypt_metadata", [False, True])
+def test_encrypt_metadata_flag(encrypt_metadata):
+    """V4 /EncryptMetadata handling: false keys the file with the extra
+    FFFFFFFF block and leaves the /Metadata stream plaintext (skipped by
+    the handler); true encrypts it.  Text verified byte-exact vs the live
+    reference for both variants; XMP must decode either way."""
+    from pdf_parse_new_ray.fixtures.pdfgen import PDFBuilder, PDFEncryptor
+    from pdf_parse_new_ray.pdfkernel.document import PDFDocument
+
+    b = PDFBuilder(version="1.6")
+    b.encryptor = PDFEncryptor("aesv2", encrypt_metadata=encrypt_metadata)
+    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    cn = b.add_stream(b"", b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (metadata fixture) Tj ET", "flate")
+    xml = b'<?xpacket begin=""?><x:xmpmeta xmlns:x="adobe:ns:meta/">plainxmp</x:xmpmeta><?xpacket end="w"?>'
+    md_body = (b.encryptor.encrypt_stream(len(b.objects) + 1, 0, xml)
+               if encrypt_metadata else xml)
+    md = b.add(b"<< /Type /Metadata /Subtype /XML /Length " + str(len(md_body)).encode()
+               + b" >>\nstream\n" + md_body + b"\nendstream")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 {font} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R /Metadata {md} 0 R >>".encode())
+    pdf = b.build(root)
+    assert parse_pdf(pdf)["text"] == "\n\nmetadata fixture"
+    assert "plainxmp" in (PDFDocument(pdf).metadata_xml() or "")
