@@ -19,7 +19,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Count
 
 _WORD = re.compile(r"[A-Za-z0-9]+")
 
@@ -42,20 +41,30 @@ def _content_hash(text: str) -> str:
 # exact dedup: hash → groupby(hash) → keep min(doc_id)
 # ---------------------------------------------------------------------------
 
-def d_exact_dedup(sf_dir: str) -> pd.DataFrame:
-    """One surviving doc_id per distinct content hash (keep smallest id)."""
+def d_exact_dedup(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """One surviving doc_id per distinct content hash (keep smallest id).
+    ONE shuffle on hash-of-fingerprint buckets; the per-fingerprint
+    min/count runs as a vectorized Arrow group_by inside each bucket — a
+    per-fingerprint Ray aggregate would be one accumulator per document
+    (measured ~12 s for 147k groups; unusable at 10^12 docs)."""
+    from ..state import checkpoint as ckpt
 
     def fp(t: pa.Table) -> pa.Table:
+        fps = pa.array([_content_hash(x) for x in t.column("text").to_pylist()],
+                       pa.string())
         return pa.table({
-            "fingerprint": pa.array([_content_hash(x) for x in t.column("text").to_pylist()], pa.string()),
+            "fingerprint": fps,
             "doc_id": t.column("doc_id"),
+            "__bk": ckpt.partition_column(fps, n_buckets),
         })
 
-    from ray.data.aggregate import Min
+    def per_bucket(g: pa.Table) -> pa.Table:
+        out = g.group_by("fingerprint").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")])
+        return out.rename_columns(["fingerprint", "keep_doc_id", "group_size"])
 
     out = _docs(sf_dir).map_batches(fp, batch_format="pyarrow") \
-        .groupby("fingerprint").aggregate(Min("doc_id", alias_name="keep_doc_id"),
-                                          Count(alias_name="group_size")).to_pandas()
+        .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow").to_pandas()
     return out.sort_values("fingerprint").reset_index(drop=True)
 
 

@@ -289,20 +289,43 @@ def q_order_priority_counts(sf_dir: str) -> pd.DataFrame:
 # top suppliers by revenue (groupby + sum + topk)
 # ---------------------------------------------------------------------------
 
-def q_top_suppliers(sf_dir: str) -> pd.DataFrame:
+def q_top_suppliers(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Top suppliers by revenue: batch partials by suppkey → ONE bucketed
+    cogroup with the supplier name table → in-bucket combine + per-bucket
+    top-k (suppkeys are bucket-exclusive, so per-bucket top-k is exact)
+    → driver merge of k x buckets rows.  No high-cardinality Ray
+    aggregate and no driver-side supplier dict (both scale-killers at a
+    TPC-H-sized supplier table)."""
+    from .joins import attach_value
+
     li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
-    li = li.map_batches(
-        lambda t: pa.table({
-            "l_suppkey": t["l_suppkey"],
-            "rev": pc.multiply(t["l_extendedprice"],
-                               pc.subtract(pa.scalar(1.0), t["l_discount"]))}),
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"l_suppkey": t["l_suppkey"], "rev": rev}) \
+            .group_by("l_suppkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_suppkey", "rev"])
+
+    partials = li.map_batches(rev_partial, batch_format="pyarrow", batch_size=65536)
+    names = _rp(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda t: pa.table({"doc_id": t["s_suppkey"], "value": t["s_name"]}),
         batch_format="pyarrow")
-    agg = li.groupby("l_suppkey").aggregate(Sum("rev", alias_name="total_revenue")).to_pandas()
-    sup = {r["s_suppkey"]: r["s_name"] for r in _rp(sf_dir, "supplier", ["s_suppkey", "s_name"]).take_all()}
-    agg["s_name"] = agg["l_suppkey"].map(sup)
-    agg = agg.rename(columns={"l_suppkey": "s_suppkey"})
-    agg = agg.sort_values(["total_revenue", "s_suppkey"], ascending=[False, True]).head(5).reset_index(drop=True)
-    return _round_cols(agg, {"total_revenue": 2})
+
+    def post(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_suppkey", "s_name"]).aggregate([("rev", "sum")])
+        g = g.rename_columns(["s_suppkey", "s_name", "total_revenue"])
+        order = pc.sort_indices(g, sort_keys=[("total_revenue", "descending"),
+                                              ("s_suppkey", "ascending")])
+        return g.take(order.slice(0, k))
+
+    out = attach_value(
+        partials, names, "l_suppkey", "s_name", pa.string(),
+        [("l_suppkey", pa.int64()), ("rev", pa.float64())], post=post).to_pandas()
+    out = out.sort_values(["total_revenue", "s_suppkey"],
+                          ascending=[False, True]).head(k).reset_index(drop=True)
+    return _round_cols(out[["s_suppkey", "total_revenue", "s_name"]],
+                       {"total_revenue": 2})
 
 
 # ---------------------------------------------------------------------------
