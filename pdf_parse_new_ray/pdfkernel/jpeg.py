@@ -42,7 +42,10 @@ def _idct2(block: np.ndarray) -> np.ndarray:
 
 class _BitReader:
     """MSB-first bit reader over the entropy-coded segment with 0xFF00
-    byte-stuffing removal; stops at markers."""
+    byte-stuffing removal; stops at markers.  Keeps >=16 buffered bits so
+    Huffman decode is a single 16-bit-window table lookup."""
+
+    __slots__ = ("data", "pos", "buf", "nbits", "marker")
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -52,36 +55,40 @@ class _BitReader:
         self.marker = None
 
     def _fill(self) -> None:
-        while self.nbits <= 24:
+        data, n = self.data, len(self.data)
+        pos, buf, nbits = self.pos, self.buf, self.nbits
+        while nbits <= 24:
             b = 0
-            if self.pos < len(self.data):
-                b = self.data[self.pos]
+            if pos < n:
+                b = data[pos]
                 if b == 0xFF:
-                    nxt = (self.data[self.pos + 1]
-                           if self.pos + 1 < len(self.data) else 0xD9)
+                    nxt = data[pos + 1] if pos + 1 < n else 0xD9
                     if nxt == 0x00:
-                        self.pos += 2  # stuffed 0xFF data byte
+                        pos += 2  # stuffed 0xFF data byte
                     else:
                         # marker (RSTn handled by sync_restart; EOI/other
                         # ends the scan): stop consuming, pad with zeros
                         self.marker = nxt
                         b = 0
                 else:
-                    self.pos += 1
-            self.buf = ((self.buf << 8) | b) & 0xFFFFFFFF
-            self.nbits += 8
+                    pos += 1
+            buf = ((buf << 8) | b) & 0xFFFFFFFF
+            nbits += 8
+        self.pos, self.buf, self.nbits = pos, buf, nbits
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
+    def peek16(self) -> int:
+        if self.nbits < 16:
             self._fill()
-        self.nbits -= 1
-        return (self.buf >> self.nbits) & 1
+        return (self.buf >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.buf >> self.nbits) & ((1 << n) - 1)
 
     def sync_restart(self) -> None:
         """Consume a pending RSTn marker and realign to a byte boundary."""
@@ -99,28 +106,29 @@ class _BitReader:
         raise JPEGError("restart marker expected")
 
 
-def _build_huffman(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """Canonical Huffman: {(length, code): value}."""
-    table = {}
+def _build_huffman(bits: list[int], vals: list[int]):
+    """Canonical Huffman → flat 16-bit-window LUT: lut[w] = (length << 8)
+    | value for every 16-bit window whose prefix is the code; 0 = invalid."""
+    lut = np.zeros(1 << 16, dtype=np.uint16)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            lut[lo:hi] = (length << 8) | vals[k]
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut
 
 
-def _huff_decode(br: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        v = table.get((length, code))
-        if v is not None:
-            return v
-    raise JPEGError("invalid Huffman code")
+def _huff_decode(br: _BitReader, lut: np.ndarray) -> int:
+    e = int(lut[br.peek16()])
+    if e == 0:
+        raise JPEGError("invalid Huffman code")
+    br.skip(e >> 8)
+    return e & 0xFF
 
 
 def _extend(v: int, t: int) -> int:
@@ -225,17 +233,18 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
             n_mcu += 1
             for ci, c in enumerate(comps):
                 dc_t, ac_t = scan[c["id"]]
+                lut_dc, lut_ac = huff_dc[dc_t], huff_ac[ac_t]
                 q = qt[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         coef = np.zeros(64, dtype=np.int32)
-                        t = _huff_decode(br, huff_dc[dc_t])
+                        t = _huff_decode(br, lut_dc)
                         diff = _extend(br.read_bits(t), t) if t else 0
                         pred[ci] += diff
                         coef[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(br, huff_ac[ac_t])
+                            rs = _huff_decode(br, lut_ac)
                             r, s = rs >> 4, rs & 0xF
                             if s == 0:
                                 if r == 15:
