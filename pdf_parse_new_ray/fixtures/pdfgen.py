@@ -865,3 +865,104 @@ def make_rtl_pdf() -> bytes:
     pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
     root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
     return b.build(root)
+
+
+# ---------------------------------------------------------------------------
+# minimal CFF (Type1C) builder — symbolic-CFF-no-ToUnicode fixture: the
+# reference recovers text from the CFF Charset+Encoding glyph names
+# (CFFFont._createBuiltInEncoding + adjustType1ToUnicode)
+# ---------------------------------------------------------------------------
+
+def _cff_index(entries: list[bytes]) -> bytes:
+    if not entries:
+        return (0).to_bytes(2, "big")
+    total = sum(len(e) for e in entries) + 1
+    off_size = 1 if total < 256 else 2 if total < 65536 else 3
+    out = bytearray(len(entries).to_bytes(2, "big") + bytes([off_size]))
+    off = 1
+    for e in entries:
+        out += off.to_bytes(off_size, "big")
+        off += len(e)
+    out += off.to_bytes(off_size, "big")
+    for e in entries:
+        out += e
+    return bytes(out)
+
+
+def make_minimal_cff(glyph_specs: list[tuple[int, str]],
+                     font_name: bytes = b"SynthCFF") -> bytes:
+    """A spec-valid CFF: custom format-0 Charset + Encoding mapping each
+    (charcode, glyphname) to one endchar-only glyph.  Names present in the
+    CFF standard strings use their standard SID; others go to the String
+    INDEX."""
+    from ..pdfkernel.cff import CFF_STANDARD_STRINGS
+
+    custom: list[bytes] = []
+    sids = []
+    for _, name in glyph_specs:
+        try:
+            sid = CFF_STANDARD_STRINGS.index(name)
+        except ValueError:
+            sid = len(CFF_STANDARD_STRINGS) + len(custom)
+            custom.append(name.encode("latin-1"))
+        sids.append(sid)
+
+    def int29(v: int) -> bytes:
+        return bytes([29]) + int(v).to_bytes(4, "big", signed=True)
+
+    def topdict(cs_off: int, enc_off: int, chs_off: int,
+                priv_size: int, priv_off: int) -> bytes:
+        return (int29(cs_off) + bytes([15])
+                + int29(enc_off) + bytes([16])
+                + int29(chs_off) + bytes([17])
+                + int29(priv_size) + int29(priv_off) + bytes([18]))
+
+    n = len(glyph_specs)
+    charstrings = _cff_index([b"\x0e"] * (n + 1))     # .notdef + glyphs
+    charset = bytes([0]) + b"".join(s.to_bytes(2, "big") for s in sids)
+    encoding = bytes([0, n]) + bytes(code for code, _ in glyph_specs)
+    private = (bytes([28]) + (500).to_bytes(2, "big") + bytes([20])
+               + bytes([28]) + (500).to_bytes(2, "big") + bytes([21]))
+
+    header = bytes([1, 0, 4, 4])
+    name_idx = _cff_index([font_name])
+    string_idx = _cff_index(custom)
+    gsubr_idx = _cff_index([])
+    td_len = len(_cff_index([topdict(0, 0, 0, len(private), 0)]))
+    fixed = len(header) + len(name_idx) + td_len + len(string_idx) + len(gsubr_idx)
+    cs_off = fixed
+    enc_off = cs_off + len(charset)
+    chs_off = enc_off + len(encoding)
+    priv_off = chs_off + len(charstrings)
+    td_idx = _cff_index([topdict(cs_off, enc_off, chs_off, len(private), priv_off)])
+    assert len(td_idx) == td_len
+    return (header + name_idx + td_idx + string_idx + gsubr_idx
+            + charset + encoding + charstrings + private)
+
+
+def make_cff_builtin_encoding_pdf() -> tuple[bytes, str]:
+    """Symbolic embedded CFF (Type1C), NO ToUnicode, NO /Encoding: text is
+    recoverable only from the font program's Charset glyph names (standard
+    SIDs, a composite-accent name, and a uniXXXX custom string).  Expected
+    locked against the live reference run."""
+    cff = make_minimal_cff([(0x41, "odieresis"), (0x42, "eacute"),
+                            (0x43, "uni0416"), (0x20, "space")])
+    b = PDFBuilder(version="1.5")
+    ff_num = b.add_stream(b"/Subtype /Type1C ", cff, "flate")
+    desc_num = b.add((
+        "<< /Type /FontDescriptor /FontName /SynthCFF /Flags 4 "
+        "/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 750 /Descent -250 "
+        "/CapHeight 700 /StemV 80 "
+        f"/FontFile3 {ff_num} 0 R >>").encode())
+    widths = " ".join(["500"] * (0x43 - 0x20 + 1))
+    font_num = b.add((
+        "<< /Type /Font /Subtype /Type1 /BaseFont /SynthCFF "
+        f"/FirstChar 32 /LastChar 67 /Widths [{widths}] "
+        f"/FontDescriptor {desc_num} 0 R >>").encode())
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (AB C) Tj ET"
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 {font_num} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root), "\n\nöé Ж"

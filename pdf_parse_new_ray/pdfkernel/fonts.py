@@ -232,11 +232,13 @@ class Font:
                         code += 1
         has_encoding = base_name is not None or bool(diffs)
         default_enc_name = None
+        # builtin font-program encoding: Type1 cleartext /Encoding or CFF
+        # (FontFile3) Charset+Encoding — the reference's builtInEncoding
+        builtin = self._parse_builtin_font_encoding(doc, desc)
         if base_name is not None:
             table = list(encoding_table(base_name if base_name in ("WinAnsiEncoding", "MacRomanEncoding", "MacExpertEncoding") else "StandardEncoding"))
         else:
-            builtin = self._parse_builtin_type1_encoding(doc, desc) if self.symbolic else None
-            if builtin is not None:
+            if builtin is not None and self.symbolic:
                 table = [""] * 256
                 for code, gname in builtin.items():
                     if 0 <= code < 256:
@@ -279,6 +281,17 @@ class Font:
             if 0 <= code < 256:
                 u = glyph_name_to_unicode(gname)
                 table[code] = u if u else table[code]
+        # adjustType1ToUnicode amend (pdf.worker.js:27559-27586): builtin
+        # font-program glyph names fill codes NOT covered by an explicit
+        # /Encoding — a base encoding name suppresses the amend entirely,
+        # /Differences suppress it per code; /ToUnicode still wins at
+        # lookup time (glyph construction consults it first)
+        if builtin is not None and base_name is None:
+            for code, gname in builtin.items():
+                if 0 <= code < 256 and code not in diffs:
+                    u = glyph_name_to_unicode(gname)
+                    if u:
+                        table[code] = u
         self._enc_table = table
         self._diff_names = diffs
 
@@ -336,6 +349,25 @@ class Font:
             return bool(records) and all(p == 3 for p, _, _ in records)
         except (IndexError, ValueError):
             return False
+
+    def _parse_builtin_font_encoding(self, doc, desc) -> Optional[dict[int, str]]:
+        """code→glyphname from the embedded font program: Type1 cleartext
+        /Encoding (FontFile) or CFF Charset+Encoding (FontFile3/Type1C,
+        reference CFFFont._createBuiltInEncoding)."""
+        b = self._parse_builtin_type1_encoding(doc, desc)
+        if b is not None:
+            return b
+        if not isinstance(desc, dict):
+            return None
+        ff3 = doc.resolve(desc.get("FontFile3"))
+        if not isinstance(ff3, StreamObj):
+            return None
+        try:
+            from .cff import cff_builtin_encoding
+
+            return cff_builtin_encoding(ff3.get_data(doc.resolve))
+        except Exception:
+            return None
 
     @staticmethod
     def _parse_builtin_type1_encoding(doc, desc: Optional[dict]) -> Optional[dict[int, str]]:

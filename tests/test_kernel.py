@@ -264,3 +264,13 @@ def test_encrypt_metadata_flag(encrypt_metadata):
     pdf = b.build(root)
     assert parse_pdf(pdf)["text"] == "\n\nmetadata fixture"
     assert "plainxmp" in (PDFDocument(pdf).metadata_xml() or "")
+
+
+def test_cff_builtin_encoding_recovery():
+    """Symbolic embedded CFF (Type1C) with no ToUnicode and no /Encoding:
+    text recovered from the CFF Charset+Encoding glyph names — standard
+    SIDs, accent-composite names and uniXXXX custom strings (reference
+    CFFFont._createBuiltInEncoding + adjustType1ToUnicode).  Expected
+    locked against the live reference run."""
+    pdf, expected = pdfgen.make_cff_builtin_encoding_pdf()
+    assert parse_pdf(pdf)["text"] == expected == "\n\nöé Ж"
