@@ -278,11 +278,21 @@ class SecurityHandler:
             return aes_cbc_decrypt(self.key, data)
         raise PDFError(f"unknown crypt filter method {cfm!r}")
 
+    def _apply_safe(self, cf_name: str, num: int, gen: int, data: bytes) -> bytes:
+        """PDFError contract: cipher-layer failures on corrupt key material
+        (wrong AES key size, bogus CF dicts) never escape as other types."""
+        try:
+            return self._apply(cf_name, num, gen, data)
+        except PDFError:
+            raise
+        except Exception as e:  # noqa: BLE001
+            raise PDFError(f"decryption failed: {type(e).__name__}: {e}") from e
+
     def decrypt_string(self, num: int, gen: int, data: bytes) -> bytes:
-        return self._apply(self.strf, num, gen, data)
+        return self._apply_safe(self.strf, num, gen, data)
 
     def decrypt_stream(self, num: int, gen: int, data: bytes) -> bytes:
-        return self._apply(self.stmf, num, gen, data)
+        return self._apply_safe(self.stmf, num, gen, data)
 
     def decrypt_object(self, obj, num: int, gen: int):
         """Recursively decrypt all strings in a fetched indirect object and

@@ -76,8 +76,15 @@ class PDFDocument:
                     id0 = first
             # the handler is armed only after construction, so the /Encrypt
             # dict itself (fetched above) is never decrypted — its /O /U
-            # strings are plaintext by spec
-            self._crypt = SecurityHandler(enc, id0, self.resolve)
+            # strings are plaintext by spec.  A malformed dict (wrong types,
+            # bogus key material) must keep the PDFError contract.
+            try:
+                self._crypt = SecurityHandler(enc, id0, self.resolve)
+            except PDFError:
+                raise
+            except Exception as e:  # noqa: BLE001
+                raise PDFError(f"malformed encryption dictionary: "
+                               f"{type(e).__name__}: {e}") from e
             if isinstance(enc_ref, Ref):
                 self._encrypt_num = enc_ref.num
             # drop objects cached before the handler existed (their strings
@@ -290,7 +297,13 @@ class PDFDocument:
             # plaintext.  Objects inside object streams are NOT separately
             # decrypted (the container stream already was) — reference rule.
             if self._crypt is not None and ref.num != self._encrypt_num:
-                obj = self._crypt.decrypt_object(obj, ref.num, entry[2])
+                try:
+                    obj = self._crypt.decrypt_object(obj, ref.num, entry[2])
+                except PDFError:
+                    raise
+                except Exception as e:  # noqa: BLE001
+                    raise PDFError(f"decryption failed: "
+                                   f"{type(e).__name__}: {e}") from e
         else:
             obj = self._fetch_compressed(entry[1], entry[2])
         self._cache[key] = obj

@@ -274,3 +274,54 @@ def test_cff_builtin_encoding_recovery():
     locked against the live reference run."""
     pdf, expected = pdfgen.make_cff_builtin_encoding_pdf()
     assert parse_pdf(pdf)["text"] == expected == "\n\nöé Ж"
+
+
+def test_fuzz_encrypted_and_fontprogram_inputs():
+    """Mutated ENCRYPTED documents and font-program-carrying documents
+    (CFF, TrueType) keep the PDFError-or-parse contract: a corrupted
+    security handler, cipher stream, sfnt table or CFF INDEX must never
+    escape as another exception type."""
+    import random
+
+    rng = random.Random(321)
+    bases = [
+        pdfgen.make_encrypted_pdf("aesv2")[0],
+        pdfgen.make_encrypted_pdf("aesv3")[0],
+        pdfgen.make_encrypted_pdf("rc4-128")[0],
+        pdfgen.make_cff_builtin_encoding_pdf()[0],
+        pdfgen.make_symbolic_truetype_pdf(True)[0],
+    ]
+    for _ in range(250):
+        pdf = bytearray(rng.choice(bases))
+        for _ in range(rng.randint(1, 8)):
+            op = rng.random()
+            i = rng.randrange(len(pdf))
+            if op < 0.5:
+                pdf[i] = rng.randrange(256)
+            elif op < 0.75:
+                del pdf[i:i + rng.randint(1, 50)]
+            else:
+                pdf[i:i] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 20)))
+        try:
+            parse_pdf(bytes(pdf))
+        except PDFError:
+            pass
+
+
+def test_fuzz_encrypt_dict_targeted():
+    """Mutations aimed at the /Encrypt dictionary itself (key material,
+    V/R/Length, CF dicts) keep the PDFError contract."""
+    import random
+
+    rng = random.Random(5)
+    for mode in ("rc4-40", "rc4-128", "aesv2", "aesv3"):
+        pdf0, _ = pdfgen.make_encrypted_pdf(mode)
+        idx = pdf0.find(b"/Filter /Standard")
+        for _ in range(100):
+            pdf = bytearray(pdf0)
+            for _ in range(rng.randint(1, 6)):
+                pdf[idx + rng.randrange(0, 400)] = rng.randrange(256)
+            try:
+                parse_pdf(bytes(pdf))
+            except PDFError:
+                pass
