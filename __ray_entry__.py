@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_part_brand_stats": relational.q_part_brand_stats,
         "q_customer_nation_balance": relational.q_customer_nation_balance,
         "q_distinct_order_statuses": relational.q_distinct_order_statuses,
+        "q_customers_without_orders": relational.q_customers_without_orders,
         "q_sessionization": relational.q_sessionization,
         "q_asof_view_before_click": relational.q_asof_view_before_click,
         # text analysis
@@ -333,6 +334,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_distinct_order_statuses": """
             SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus
+        """,
+        "q_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey
         """,
         "q_asof_view_before_click": """
             SELECT c.event_id, c.user_id, c.ts,

@@ -568,3 +568,59 @@ def q_asof_view_before_click(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     res = ev.groupby("__bk").map_groups(asof, batch_format="pyarrow").take_all()
     df = pd.DataFrame(res)
     return df.sort_values("event_id").reset_index(drop=True)
+
+
+def q_customers_without_orders(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """Anti-join: customers that placed no orders — the missing join
+    variant (inner/semi are covered elsewhere).  ONE bucketed cogroup on
+    custkey: customer rows and distinct order-custkey rows land in the
+    same bucket; the probe keeps customers whose key misses the order-key
+    set (vectorized is_in + invert).  Scales like the other cogroups —
+    no broadcast of either side."""
+    import numpy as np
+
+    from .joins import _bucket_of
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _rp(sf_dir, "orders", ["o_custkey"])
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["c_custkey"],
+            "c_name": t["c_name"],
+            "is_cust": pa.array([True] * t.num_rows, pa.bool_()),
+            "__bk": _bucket_of(t.column("c_custkey"), n_buckets),
+        })
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        # batch-local dedupe: only distinct custkeys ride the shuffle
+        keys = pc.unique(t.column("o_custkey").combine_chunks())
+        n = len(keys)
+        return pa.table({
+            "key": keys,
+            "c_name": pa.nulls(n, pa.string()),
+            "is_cust": pa.array([False] * n, pa.bool_()),
+            "__bk": _bucket_of(keys, n_buckets),
+        })
+
+    def anti(g: pa.Table) -> pa.Table:
+        is_cust = g.column("is_cust")
+        custs = g.filter(is_cust)
+        order_keys = g.filter(pc.invert(is_cust)).column("key").combine_chunks()
+        if custs.num_rows == 0:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "c_name": pa.array([], pa.string())})
+        miss = pc.invert(pc.coalesce(
+            pc.is_in(custs.column("key"), value_set=order_keys),
+            pa.scalar(False)))
+        keep = custs.filter(miss)
+        return pa.table({"c_custkey": keep.column("key"),
+                         "c_name": keep.column("c_name")})
+
+    out = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")) \
+        .groupby("__bk").map_groups(anti, batch_format="pyarrow").to_pandas()
+    if out.empty:  # empty datasets lose their schema through to_pandas
+        return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                             "c_name": pd.Series(dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True)

@@ -191,3 +191,27 @@ def test_minhash_cogroup_attach_matches_broadcast(ray_session, planted_docs_dir,
     import pandas as pd
 
     pd.testing.assert_frame_equal(base, forced)
+
+
+def test_anti_join_customers_without_orders(ray_session, tmp_path):
+    """The sf tables give every customer an order (the driver check passes
+    on empty output), so plant a corpus where the anti-join has real work."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import relational
+
+    pq.write_table(pa.table({
+        "c_custkey": [1, 2, 3, 4, 5],
+        "c_name": [f"Customer#{i}" for i in range(1, 6)],
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": [10, 11, 12, 13],
+        "o_custkey": [1, 1, 3, 5],
+    }), str(tmp_path / "orders.parquet"))
+    out = relational.q_customers_without_orders(str(tmp_path))
+    assert list(out["c_custkey"]) == [2, 4]
+    assert list(out["c_name"]) == ["Customer#2", "Customer#4"]
+    # sf table: empty result with a stable typed schema
+    empty = relational.q_customers_without_orders("/root/testdata/sf0.001")
+    assert list(empty.columns) == ["c_custkey", "c_name"] and len(empty) == 0
