@@ -154,17 +154,21 @@ def _extract_media_maxpages(sf_dir: str):
     return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
 
 
-def _extract_then_dedup(sf_dir: str):
+def _extract_then_dedup(sf_dir: str, n_buckets: int = 256):
     """Pipeline composition: extract the interleaved corpus, then exact-dedup
     documents on the hash of their post-extraction full text — the
     extract → clean → dedup shape of a training-data pipeline, end to end
-    in one streaming lineage (no intermediate write)."""
+    in one streaming lineage (no intermediate write).  The dedup stage is
+    the same ONE-bucketed-shuffle + in-bucket Arrow group_by plan as
+    functions/dedup.d_exact_dedup — a per-fingerprint map_groups would pay
+    one Python call per distinct document (~10^12 at corpus scale)."""
     import hashlib
 
     import pandas as pd
     import pyarrow as pa
 
     from pdf_parse_new_ray.pipelines.extraction import extract_documents
+    from pdf_parse_new_ray.state import checkpoint as ckpt
 
     base = _corpus_for(sf_dir)
     docs = extract_documents(f"{base}/documents_interleaved", f"{base}/media")
@@ -176,21 +180,25 @@ def _extract_then_dedup(sf_dir: str):
             s = sorted(s, key=lambda x: x["offset"])
             out.append(hashlib.md5(
                 "\x00".join(x["text"] or "" for x in s).encode("utf-8")).hexdigest())
+        fps = pa.array(out, pa.string())
         return pa.table({
             "doc_id": t.column("doc_id"),
-            "fingerprint": pa.array(out, pa.string()),
+            "fingerprint": fps,
+            "__bk": ckpt.partition_column(fps, n_buckets),
         })
 
-    groups = docs.map_batches(fingerprint, batch_format="pyarrow").groupby(
-        "fingerprint").map_groups(
-        lambda g: pa.table({
-            "fingerprint": [g.column("fingerprint")[0].as_py()],
-            "keep_doc_id": [min(g.column("doc_id").to_pylist())],
-            "group_size": [g.num_rows],
-        }),
-        batch_format="pyarrow",
-    ).take_all()
-    df = pd.DataFrame(groups)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        from pdf_parse_new_ray.functions.joins import rename_agg
+
+        out = g.group_by("fingerprint").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")])
+        return rename_agg(out, {"doc_id_min": "keep_doc_id",
+                                "doc_id_count": "group_size"},
+                          ["fingerprint", "keep_doc_id", "group_size"])
+
+    df = docs.map_batches(fingerprint, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow").to_pandas()
+    df["group_size"] = df["group_size"].astype("int64")  # doc_id is a string
     return df.sort_values("fingerprint").reset_index(drop=True)
 
 

@@ -59,9 +59,13 @@ def d_exact_dedup(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
         })
 
     def per_bucket(g: pa.Table) -> pa.Table:
+        from .joins import rename_agg
+
         out = g.group_by("fingerprint").aggregate(
             [("doc_id", "min"), ("doc_id", "count")])
-        return out.rename_columns(["fingerprint", "keep_doc_id", "group_size"])
+        return rename_agg(out, {"doc_id_min": "keep_doc_id",
+                                "doc_id_count": "group_size"},
+                          ["fingerprint", "keep_doc_id", "group_size"])
 
     out = _docs(sf_dir).map_batches(fp, batch_format="pyarrow") \
         .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow").to_pandas()
@@ -411,8 +415,14 @@ class _CosinePairFinder:
         self.threshold = threshold
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        b_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-        b = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        from .ann import emb_matrix, ids_array
+
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        b_ids = ids_array(t, "vec_id")
+        b = emb_matrix(t)
         b = b / np.linalg.norm(b, axis=1, keepdims=True)
         scores = b @ self.mn.T                                  # (B, N)
         keep = (scores >= self.threshold) & (b_ids[:, None] < self.all_ids[None, :])
@@ -447,9 +457,11 @@ def d_embedding_neardup(sf_dir: str, threshold: float = 0.8,
 
     import ray
 
+    from .ann import emb_matrix
+
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_numpy()
-    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    m = emb_matrix(t)
     ref = ray.put((ids, m))
     pairs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"]).map_batches(
@@ -472,12 +484,12 @@ def _embedding_neardup_lsh(sf_dir: str, threshold: float,
                           columns=["vec_id", "embedding"])
 
     def bucket_rows(t: pa.Table) -> pa.Table:
-        from .ann import LshSigner
+        from .ann import LshSigner, emb_matrix, ids_array
 
-        m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        m = emb_matrix(t)
         signer = LshSigner(dim=m.shape[1], n_planes=n_planes, n_tables=n_tables)
         codes = signer.sign(m)                               # (N, T)
-        vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        vec_ids = ids_array(t, "vec_id").astype(np.int64)
         n = len(vec_ids)
         # bucket key = table_index * 2^planes + code (disjoint per table)
         keys = (np.arange(n_tables, dtype=np.uint64)[None, :] << np.uint64(n_planes)) \
@@ -500,15 +512,23 @@ def _embedding_neardup_lsh(sf_dir: str, threshold: float,
     if n_pairs == 0:
         return empty
     if n_pairs <= BROADCAST_PAIR_ROWS:
+        import ray
+
+        from .ann import emb_matrix
+
         pr = pairs.to_pandas()
         need = pa.array(sorted(set(pr["a"]) | set(pr["b"])), pa.int64())
-        cand = emb.map_batches(
-            lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=need)),
-            batch_format="pyarrow").to_pandas()
-        vec_of = {int(v): np.asarray(e, dtype=np.float64)
-                  for v, e in zip(cand["vec_id"], cand["embedding"])}
-        a = np.stack([vec_of[int(x)] for x in pr["a"]])
-        b = np.stack([vec_of[int(x)] for x in pr["b"]])
+        cand = pa.concat_tables(
+            ray.get(emb.map_batches(
+                lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=need)),
+                batch_format="pyarrow").to_arrow_refs()))
+        # vectorized gather: index_in over candidate ids, fancy-index the
+        # zero-copy matrix (was a per-pair Python dict walk)
+        cmat = emb_matrix(cand)
+        cids = cand.column("vec_id").combine_chunks()
+        ia = pc.index_in(pa.array(pr["a"], pa.int64()), value_set=cids).to_numpy()
+        ib = pc.index_in(pa.array(pr["b"], pa.int64()), value_set=cids).to_numpy()
+        a, b = cmat[ia], cmat[ib]
         cos = (a * b).sum(axis=1) / (
             np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
         df = pd.DataFrame({"id_a": pr["a"], "id_b": pr["b"],
@@ -527,14 +547,14 @@ def _embedding_neardup_lsh(sf_dir: str, threshold: float,
              ("v_a", vtype)])
 
         def verify(t: pa.Table) -> pa.Table:
+            from .ann import emb_matrix
+
             if t.num_rows == 0:
                 return pa.table({"id_a": pa.array([], pa.int64()),
                                  "id_b": pa.array([], pa.int64()),
                                  "cosine": pa.array([], pa.float64())})
-            a = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in t.column("v_a").to_pylist()])
-            b = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in t.column("v_b").to_pylist()])
+            a = emb_matrix(t, "v_a")
+            b = emb_matrix(t, "v_b")
             cos = (a * b).sum(axis=1) / (
                 np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
             return pa.table({"id_a": t.column("a"), "id_b": t.column("b"),

@@ -17,6 +17,15 @@ import pyarrow as pa
 import ray.data as rd
 
 
+def rename_agg(t: pa.Table, mapping: dict[str, str],
+               order: list[str] | None = None) -> pa.Table:
+    """Rename Arrow ``group_by().aggregate()`` output BY NAME (never by
+    position — key-vs-aggregate column order is pyarrow-version-dependent)
+    and optionally fix the column order."""
+    t = t.rename_columns([mapping.get(c, c) for c in t.column_names])
+    return t.select(order) if order else t
+
+
 def _bucket_of(keys: pa.ChunkedArray, n_buckets: int) -> pa.Array:
     """Low-bits hash bucket for int64 keys (n_buckets is a power of two)."""
     import pyarrow.compute as pc

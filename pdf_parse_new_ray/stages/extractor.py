@@ -118,13 +118,18 @@ class PdfExtractor:
         batch_pages = sum(max(0, min(p1, pg) - p0) for p0, p1, pg in zip(starts, ends, out_pages))
         self.metrics["pages"] += batch_pages
         if self._progress:
-            from ..state.progress import reporter_for
+            from ..state.progress import invalidate_reporter, reporter_for
 
             rep = reporter_for(self._progress)
             if rep is not None:
-                # fire-and-forget: progress must never backpressure extraction
-                rep.report.remote(len(refs), batch_pages,
-                                  sum(1 for e in out_err if e))
+                try:
+                    # fire-and-forget: progress must never backpressure extraction
+                    rep.report.remote(len(refs), batch_pages,
+                                      sum(1 for e in out_err if e))
+                except Exception:
+                    # dead/replaced named actor: drop the handle so the next
+                    # batch re-resolves instead of silently undercounting
+                    invalidate_reporter(self._progress)
         return pa.table({
             "media_ref": pa.array(refs, pa.string()),
             "page_start": pa.array(starts, pa.int32()),

@@ -104,13 +104,17 @@ class MediaFeatureExtractor:
         if kind == "jpeg":
             # REAL decode: baseline-JPEG decoder in the kernel
             # (pdfkernel/jpeg.py — DCTDecode, the dominant embedded codec)
-            from ..pdfkernel.jpeg import JPEGError, decode_jpeg
+            from ..pdfkernel.jpeg import decode_jpeg
 
             try:
                 h, w, _nc, _px = decode_jpeg(blob)
                 return w, h, True, None
-            except JPEGError as e:
-                return -1, -1, False, f"JPEGError: {e}"
+            except Exception as e:  # noqa: BLE001 — absorb-to-error contract:
+                # malformed JPEGs can raise bare KeyError/IndexError etc.
+                # from the bitstream walk; the stage must emit decoded=False
+                # rather than kill the whole map_batches task (same contract
+                # as _decode_pdf / the PIL path)
+                return -1, -1, False, f"{type(e).__name__}: {e}"
         if self._pil is None:
             # STUB (png/gif): codec library not available in this container —
             # deterministic placeholders; plumbing (schema/batching) is real

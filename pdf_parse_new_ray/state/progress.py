@@ -88,17 +88,35 @@ def start_progress(name: str, total_units_hint: int = 0) -> ProgressHandle:
 
 _WORKER_PROGRESS_CACHE: dict = {}
 
+# how long a failed (None) resolution stays cached before the worker asks
+# the GCS again — bounds name-lookup traffic while letting workers that
+# started before the actor (or saw it replaced) eventually reattach
+_RERESOLVE_AFTER_S = 2.0
+
 
 def reporter_for(name: Optional[str]):
-    """Worker-side resolve-once accessor: returns the actor handle or None.
-    Missing/late actors degrade to no-op (progress must never fail a job)."""
+    """Worker-side cached accessor: returns the actor handle or None.
+    Missing/late actors degrade to no-op (progress must never fail a job),
+    but a None resolution is only cached for _RERESOLVE_AFTER_S so a
+    worker that resolved before the actor existed reattaches instead of
+    staying silent forever (round-2 advisor finding)."""
     if not name:
         return None
-    if name in _WORKER_PROGRESS_CACHE:
-        return _WORKER_PROGRESS_CACHE[name]
+    cached = _WORKER_PROGRESS_CACHE.get(name)
+    if cached is not None:
+        actor, at = cached
+        if actor is not None or time.time() - at < _RERESOLVE_AFTER_S:
+            return actor
     try:
         actor = ray.get_actor(name)
     except Exception:
         actor = None
-    _WORKER_PROGRESS_CACHE[name] = actor
+    _WORKER_PROGRESS_CACHE[name] = (actor, time.time())
     return actor
+
+
+def invalidate_reporter(name: Optional[str]) -> None:
+    """Drop a cached handle (called when a fire-and-forget send fails —
+    e.g. the named actor was killed and replaced under the same name)."""
+    if name:
+        _WORKER_PROGRESS_CACHE.pop(name, None)
