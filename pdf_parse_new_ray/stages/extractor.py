@@ -58,6 +58,8 @@ class PdfExtractor:
         # (the reference's onProgress/onChunkComplete surface, distributed)
         self._progress = progress
         self.metrics = {"docs_parsed": 0, "cache_hits": 0, "pages": 0, "errors": 0}
+        # last metrics already posted to the progress actor (delta tracking)
+        self._reported = dict(self.metrics)
 
     def _get_doc(self, media_ref: str, blob_col: pa.Array,
                  row: int) -> tuple[PDFDocument, TextExtractor]:
@@ -123,9 +125,15 @@ class PdfExtractor:
             rep = reporter_for(self._progress)
             if rep is not None:
                 try:
-                    # fire-and-forget: progress must never backpressure extraction
-                    rep.report.remote(len(refs), batch_pages,
-                                      sum(1 for e in out_err if e))
+                    # fire-and-forget: progress must never backpressure
+                    # extraction; kernel counters ride along as deltas so the
+                    # named actor holds the MERGED per-actor metrics
+                    rep.report.remote(
+                        len(refs), batch_pages, sum(1 for e in out_err if e),
+                        docs_parsed=self.metrics["docs_parsed"] - self._reported["docs_parsed"],
+                        cache_hits=self.metrics["cache_hits"] - self._reported["cache_hits"])
+                    self._reported["docs_parsed"] = self.metrics["docs_parsed"]
+                    self._reported["cache_hits"] = self.metrics["cache_hits"]
                 except Exception:
                     # dead/replaced named actor: drop the handle so the next
                     # batch re-resolves instead of silently undercounting

@@ -35,12 +35,17 @@ class _ProgressActor:
         self.pages = 0
         self.errors = 0
         self.batches = 0
+        self.docs_parsed = 0
+        self.cache_hits = 0
         self.last_update = self.t0
 
-    def report(self, units: int, pages: int, errors: int) -> None:
+    def report(self, units: int, pages: int, errors: int,
+               docs_parsed: int = 0, cache_hits: int = 0) -> None:
         self.units += units
         self.pages += pages
         self.errors += errors
+        self.docs_parsed += docs_parsed
+        self.cache_hits += cache_hits
         self.batches += 1
         self.last_update = time.time()
 
@@ -52,6 +57,8 @@ class _ProgressActor:
             "pages": self.pages,
             "errors": self.errors,
             "batches": self.batches,
+            "docs_parsed": self.docs_parsed,
+            "cache_hits": self.cache_hits,
             "total_units_hint": self.total_units_hint,
             "elapsed_s": round(elapsed, 3),
             "units_per_s": round(self.units / elapsed, 2),

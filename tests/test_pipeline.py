@@ -253,3 +253,60 @@ def test_extract_documents_progress(ray_session, small_corpus):
         snap = prog.snapshot()
     assert snap["units"] > 0 and snap["pages"] > 0
     prog.close()
+
+
+def test_collect_stats_merges_lineage_and_progress(ray_session, small_corpus, tmp_path):
+    """One-call merged stats surface (reference SmartPDFParser.getStats,
+    lib/SmartPDFParser.js:595-628): kernel counters flow worker → named
+    progress actor, partition wall times flow from lineage records, and
+    collect_stats() agrees with both."""
+    import time
+
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+    from pdf_parse_new_ray.state.progress import start_progress
+    from pdf_parse_new_ray.state.stats import collect_stats
+
+    import ray.data as rd
+
+    from pdf_parse_new_ray.pipelines.extraction import extract_media_text
+
+    # media-level ground truth: pages per DISTINCT media blob (several docs
+    # can reference the same media_ref, so doc-attributed lineage pages
+    # exceed extracted pages)
+    media_rows = extract_media_text(
+        rd.read_parquet(f"{small_corpus}/media")).take_all()
+    true_pages = sum(r["numpages"] for r in media_rows)
+
+    out = str(tmp_path / "stats_out")
+    prog = start_progress("t_stats")
+    extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=out, n_partitions=4, progress="t_stats",
+    ).take_all()
+    deadline = time.time() + 10  # fire-and-forget reports drain async
+    while time.time() < deadline:
+        stats = collect_stats(out_dir=out, progress="t_stats")
+        if stats["lineage"] and stats["pages"] >= true_pages:
+            break
+        time.sleep(0.2)
+    assert stats["lineage"]["partitions"] == 4
+    assert stats["lineage"]["rows"] == 200
+    # kernel counters (via the progress actor) agree with the media-level
+    # ground truth, and doc-attributed lineage pages bound them from above
+    assert stats["pages"] == true_pages
+    assert true_pages <= stats["lineage"]["pages"]
+    assert stats["errors"] == stats["lineage"]["errors"] == 0
+    assert stats["totalParses"] > 0
+    assert stats["methodUsage"]["pdfkernel"] == stats["totalParses"]
+    assert stats["methodUsage"]["partition_write"] == 4
+    assert stats["averageTimes"]["partition_write"] > 0
+    assert stats["optimizationRate"].endswith("%")
+    # local-instance merge path (driver-side extractor, no actor)
+    from pdf_parse_new_ray.stages.extractor import PdfExtractor
+
+    ex = PdfExtractor()
+    ex.metrics.update(docs_parsed=3, cache_hits=7, pages=11, errors=1)
+    local = collect_stats(extractors=[ex])
+    assert local["totalParses"] == 3 and local["cacheHits"] == 7
+    assert local["totalUnits"] == 10 and local["optimizationRate"] == "70.0%"
+    prog.close()

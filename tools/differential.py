@@ -49,10 +49,10 @@ def ref_text(pdf: bytes) -> str:
                 pass
 
 
-def main() -> None:
-    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
+    """n seeded corpus-distribution PDFs + every deterministic special
+    fixture (also used by tests/test_kernel.py's `slow` sweep)."""
     from pdf_parse_new_ray.fixtures import pdfgen
-    from pdf_parse_new_ray.pdfkernel import parse_pdf
 
     cases: list[tuple[str, bytes]] = []
     for seed in range(n_seeds):
@@ -79,8 +79,14 @@ def main() -> None:
         specials.append((f"encrypted-{mode}", pdfgen.make_encrypted_pdf(mode)[0]))
     specials.append(("encrypted-aesv3-xstream",
                      pdfgen.make_encrypted_pdf("aesv3", use_xref_stream=True)[0]))
-    cases += specials
+    return cases + specials
 
+
+def main() -> None:
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    from pdf_parse_new_ray.pdfkernel import parse_pdf
+
+    cases = build_cases(n_seeds)
     n_ok = 0
     failures = []
     for name, pdf in cases:
