@@ -4,9 +4,10 @@
 Design for a 100 TB training-data pipeline: media payloads are opaque
 ``binary`` cells; each modality gets an actor-pool ``map_batches`` stage
 (decoder state built once per actor in ``__init__``) that emits typed
-feature columns.  PDFs are decoded for real by the pdfkernel, and baseline
-JPEG is decoded for real by pdfkernel/jpeg.py (DCTDecode, the dominant
-embedded-image codec).  PNG/GIF/audio/video decoding requires codec
+feature columns.  PDFs are decoded for real by the pdfkernel, and JPEG
+(baseline AND progressive) is decoded for real by pdfkernel/jpeg.py
+(DCTDecode, the dominant embedded-image codec).  PNG/GIF/audio/video
+decoding requires codec
 libraries that are NOT in this container, so those decoders are STUBBED
 behind an import-try: when PIL / soundfile / av are absent we emit
 deterministic byte-level pseudo-features with ``decoded=False`` so the
@@ -102,7 +103,7 @@ class MediaFeatureExtractor:
 
     def _decode_image(self, blob: bytes, kind: str) -> tuple[int, int, bool, Optional[str]]:
         if kind == "jpeg":
-            # REAL decode: baseline-JPEG decoder in the kernel
+            # REAL decode: baseline+progressive JPEG decoder in the kernel
             # (pdfkernel/jpeg.py — DCTDecode, the dominant embedded codec)
             from ..pdfkernel.jpeg import decode_jpeg
 

@@ -1,13 +1,16 @@
-"""Baseline-JPEG decoder conformance (pdfkernel/jpeg.py) + the multimodal
-image path it powers.  The encoder (fixtures/jpeggen.py) emits spec-valid
-baseline JPEGs with non-Annex-K Huffman tables, so DHT parsing and
-canonical code construction are genuinely exercised; round-trip error is
-bounded by the quantization step."""
+"""Baseline + progressive JPEG decoder conformance (pdfkernel/jpeg.py)
+and the multimodal image path it powers.  The encoders (fixtures/
+jpeggen.py) emit spec-valid JPEGs with non-Annex-K Huffman tables, so
+DHT parsing and canonical code construction are genuinely exercised;
+baseline round-trip error is bounded by the quantization step, and the
+progressive fixture must decode PIXEL-EXACT to its baseline twin (both
+carry identical quantized coefficients)."""
 
 import numpy as np
 import pytest
 
-from pdf_parse_new_ray.fixtures.jpeggen import encode_baseline_jpeg
+from pdf_parse_new_ray.fixtures.jpeggen import (encode_baseline_jpeg,
+                                                encode_progressive_jpeg)
 from pdf_parse_new_ray.pdfkernel.jpeg import JPEGError, decode_jpeg
 
 
@@ -51,16 +54,52 @@ def test_noise_roundtrip_exercises_ac_runs():
     assert np.abs(out.astype(int) - img.astype(int)).mean() < 8
 
 
-def test_rejects_non_baseline():
+def test_rejects_invalid_streams():
     with pytest.raises(JPEGError):
         decode_jpeg(b"not a jpeg")
-    # progressive marker (SOF2) must reject, not mis-decode
+    # a baseline scan mislabeled SOF2 carries an illegal progressive scan
+    # header (Ss=0, Se=63) — must reject, not mis-decode
     img = _gradient(16, 16)
     jpg = bytearray(encode_baseline_jpeg(img))
     idx = jpg.find(b"\xff\xc0")
     jpg[idx + 1] = 0xC2
     with pytest.raises(JPEGError):
         decode_jpeg(bytes(jpg))
+    # arithmetic-coded / lossless frame markers still reject
+    jpg[idx + 1] = 0xC9
+    with pytest.raises(JPEGError):
+        decode_jpeg(bytes(jpg))
+
+
+def test_progressive_matches_baseline_exact():
+    """Progressive scans reconstruct the same quantized coefficients as
+    the baseline twin, so decoded pixels must be IDENTICAL — covering DC
+    first/refine, AC spectral bands, EOB runs and AC refinement."""
+    rng = np.random.RandomState(7)
+    cases = [
+        ("gradient", _gradient(48, 64), {}),
+        ("noise-odd", rng.randint(0, 256, (13, 21)).astype(np.uint8), {}),
+        ("two-level-sa", rng.randint(0, 256, (40, 56)).astype(np.uint8),
+         dict(al_dc=2, al_ac=2)),
+        ("no-split", rng.randint(0, 256, (16, 16)).astype(np.uint8),
+         dict(spectral_split=False)),
+        ("flat-eobruns", np.full((64, 64), 77, np.uint8), {}),
+    ]
+    for name, img, kw in cases:
+        b = decode_jpeg(encode_baseline_jpeg(img))
+        p = decode_jpeg(encode_progressive_jpeg(img, **kw))
+        assert b[:3] == p[:3], name
+        assert np.array_equal(b[3], p[3]), name
+
+
+def test_progressive_color_420_exact():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (33, 47, 3)).astype(np.uint8)
+    b = decode_jpeg(encode_baseline_jpeg(img, subsample_420=True))
+    p = decode_jpeg(encode_progressive_jpeg(img, subsample_420=True,
+                                            al_dc=2, al_ac=2))
+    assert b[:3] == p[:3] == (33, 47, 3)
+    assert np.array_equal(b[3], p[3])
 
 
 def test_multimodal_stage_decodes_jpeg(ray_session):
@@ -70,9 +109,10 @@ def test_multimodal_stage_decodes_jpeg(ray_session):
 
     img = _gradient(20, 30)
     jpg = encode_baseline_jpeg(img)
+    pjpg = encode_progressive_jpeg(img)
     batch = pa.table({
-        "media_ref": pa.array(["img-1", "junk-1"], pa.string()),
-        "bytes": pa.array([jpg, b"\xff\xd8\xff\xe0garbage"], pa.binary()),
+        "media_ref": pa.array(["img-1", "junk-1", "prog-1"], pa.string()),
+        "bytes": pa.array([jpg, b"\xff\xd8\xff\xe0garbage", pjpg], pa.binary()),
     })
     out = MediaFeatureExtractor()(batch).to_pylist()
     assert out[0]["media_type"] == "jpeg"
@@ -81,3 +121,5 @@ def test_multimodal_stage_decodes_jpeg(ray_session):
     assert out[1]["media_type"] == "jpeg"
     assert out[1]["decoded"] is False  # corrupt jpeg absorbs to error
     assert out[1]["error"]
+    assert out[2]["decoded"] is True  # progressive decodes for real now
+    assert (out[2]["width"], out[2]["height"]) == (30, 20)
