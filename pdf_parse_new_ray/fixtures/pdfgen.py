@@ -843,6 +843,48 @@ def make_symbolic_truetype_pdf(win_names: bool = True) -> tuple[bytes, str]:
     return b.build(root), expected
 
 
+def make_identity_v_pdf() -> bytes:
+    """Type0 / Identity-V CID font (WMode=1): vertical writing mode.
+    Two vertical columns (right column first, as CJK layout reads), a TJ
+    with kerning numbers (which shift Y in vertical mode), and a Td line
+    step — exercising the kernel's font.vertical advance/assembly paths
+    (reference: styles[].vertical + the vertical branches of appendText,
+    build/pdf.worker.js textContent path).  Expected text is locked
+    byte-exact against the live reference in tests and the differential
+    sweep."""
+    tou = (b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
+           b"1 begincodespacerange <0000> <FFFF> endcodespacerange "
+           b"1 beginbfrange <0041> <005A> <0041> endbfrange "  # CID==U+0041..
+           b"endcmap end end")
+    b = PDFBuilder()
+    tou_num = b.add_stream(b"", tou, "flate")
+    desc_num = b.add(b"<< /Type /FontDescriptor /FontName /SynthV /Flags 4 /Ascent 750 /Descent -250 /ItalicAngle 0 /CapHeight 700 /StemV 80 /FontBBox [0 -250 1000 750] >>")
+    cid_num = b.add(f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthV /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> /FontDescriptor {desc_num} 0 R /DW 1000 /DW2 [880 -1000] >>".encode())
+    font_num = b.add(f"<< /Type /Font /Subtype /Type0 /BaseFont /SynthV /Encoding /Identity-V /DescendantFonts [{cid_num} 0 R] /ToUnicode {tou_num} 0 R >>".encode())
+
+    def hexs(s: str) -> str:
+        return "".join(f"{ord(ch):04X}" for ch in s)
+
+    content = (
+        "BT /F1 12 Tf "
+        # right-hand column, top of page, downward glyph run
+        f"1 0 0 1 400 700 Tm <{hexs('VERT')}> Tj "
+        # TJ: kerning numbers move along the vertical axis between glyphs
+        f"1 0 0 1 400 620 Tm [<{hexs('KE')}> -500 <{hexs('RN')}>] TJ "
+        # left-hand column via Td line step
+        f"1 0 0 1 340 700 Tm <{hexs('COL')}> Tj "
+        "0 -60 Td "
+        f"<{hexs('TWO')}> Tj "
+        "ET"
+    ).encode()
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 {font_num} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root)
+
+
 def make_rtl_pdf() -> bytes:
     """Mixed-direction fixture: codes ToUnicode-mapped to Hebrew letters
     around ASCII numerals and a Latin word — exercises the full bidi

@@ -190,6 +190,14 @@ def test_symbolic_truetype_no_tounicode(win_names):
     assert parse_pdf(pdf)["text"] == expected
 
 
+def test_identity_v_vertical_writing():
+    """Type0/Identity-V (WMode=1) vertical writing: per-run line breaks,
+    TJ kerning along the vertical axis, Td column step.  Expected locked
+    against the live reference run (also in the differential sweep)."""
+    pdf = pdfgen.make_identity_v_pdf()
+    assert parse_pdf(pdf)["text"] == "\n\nVERT\n \nKE\nRN\nCOL\n \nTWO"
+
+
 def test_rtl_mixed_direction_bidi():
     """Hebrew letters around numerals and a Latin word: full bidi
     (reference build/pdf.worker.js:32557).  Expected locked against the

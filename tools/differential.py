@@ -71,6 +71,7 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
         ("form-xobject", pdfgen.make_form_xobject_pdf()[0]),
         ("type3", pdfgen.make_type3_pdf()[0]),
         ("rtl-mixed", pdfgen.make_rtl_pdf()),
+        ("identity-v-vertical", pdfgen.make_identity_v_pdf()),
         ("ttf-win-names", pdfgen.make_symbolic_truetype_pdf(True)[0]),
         ("ttf-mac-name", pdfgen.make_symbolic_truetype_pdf(False)[0]),
         ("cff-builtin-encoding", pdfgen.make_cff_builtin_encoding_pdf()[0]),
