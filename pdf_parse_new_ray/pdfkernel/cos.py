@@ -305,6 +305,14 @@ _TOK_ARR_OPEN = Token("arr_open")
 _TOK_ARR_CLOSE = Token("arr_close")
 _TOK_EOF = Token("eof")
 
+# Tokens are immutable after construction, so repeated operators (Tj, Td,
+# TJ … once per text op) and resource names (/F1 …) intern to one shared
+# Token — content streams allocate one object per DISTINCT op/name, not
+# per occurrence (bounded; process-wide, like the glyph caches)
+_OP_TOKEN_CACHE: dict = {}
+_NAME_TOKEN_CACHE: dict = {}
+_INT_TOKEN_CACHE: dict = {}
+
 
 class FastLexer(Lexer):
     """Regex-dispatch tokenizer with byte-loop fallbacks.
@@ -330,7 +338,13 @@ class FastLexer(Lexer):
             txt = _NUM_RE.match(data, pos).group()
             self.pos = pos + len(txt)
             try:
-                return Token("int", int(txt))
+                v = int(txt)
+                if -1024 <= v <= 4096:  # TJ kerning / object numbers repeat
+                    tok = _INT_TOKEN_CACHE.get(v)
+                    if tok is None:
+                        tok = _INT_TOKEN_CACHE[v] = Token("int", v)
+                    return tok
+                return Token("int", v)
             except ValueError:
                 try:
                     return Token("num", float(txt))
@@ -343,7 +357,12 @@ class FastLexer(Lexer):
                 self.pos = pos
                 return self._read_name()
             self.pos = pos + 1 + len(name)
-            return Token("name", Name(name.decode("latin-1")))
+            tok = _NAME_TOKEN_CACHE.get(name)
+            if tok is None:
+                tok = Token("name", Name(name.decode("latin-1")))
+                if len(_NAME_TOKEN_CACHE) < 4096:
+                    _NAME_TOKEN_CACHE[name] = tok
+            return tok
         if c == 0x28:  # (
             self.pos = pos
             return self._read_literal_string()
@@ -378,15 +397,23 @@ class FastLexer(Lexer):
         if m is None:  # defensive: lone delimiter byte (parity with Lexer)
             self.pos = pos + 1
             return Token("op", data[pos:pos + 1].decode("latin-1"))
-        kw = m.group().decode("latin-1")
+        raw = m.group()
         self.pos = m.end()
+        tok = _OP_TOKEN_CACHE.get(raw)
+        if tok is not None:
+            return tok
+        kw = raw.decode("latin-1")
         if kw == "true":
-            return Token("bool", True)
-        if kw == "false":
-            return Token("bool", False)
-        if kw == "null":
-            return Token("null", None)
-        return Token("op", kw)
+            tok = Token("bool", True)
+        elif kw == "false":
+            tok = Token("bool", False)
+        elif kw == "null":
+            tok = Token("null", None)
+        else:
+            tok = Token("op", kw)
+        if len(_OP_TOKEN_CACHE) < 4096:
+            _OP_TOKEN_CACHE[raw] = tok
+        return tok
 
 
 class Parser:
@@ -399,21 +426,37 @@ class Parser:
     def __init__(self, data: bytes, pos: int = 0, resolve=None, fast: bool = False):
         self.lexer = (FastLexer if fast else Lexer)(data, pos)
         self.resolve = resolve
-        self._buf: list[Token] = []
+        # 2-slot lookahead (never more is needed for `num gen R|obj`);
+        # slot attributes avoid per-token list append/pop churn in the
+        # content-stream hot loop
+        self._t0: Optional[Token] = None
+        self._t1: Optional[Token] = None
 
     @property
     def pos(self) -> int:
-        return self.lexer.pos if not self._buf else self.lexer.pos  # approximate
+        return self.lexer.pos  # approximate when lookahead is buffered
+
+    def drop_lookahead(self) -> None:
+        """Discard buffered lookahead after the caller repositions the
+        lexer directly (inline-image EI skip, stream payload skip)."""
+        self._t0 = self._t1 = None
 
     def _next(self) -> Token:
-        if self._buf:
-            return self._buf.pop(0)
-        return self.lexer.next_token()
+        t = self._t0
+        if t is None:
+            return self.lexer.next_token()
+        self._t0 = self._t1
+        self._t1 = None
+        return t
 
     def _peek(self, k: int = 0) -> Token:
-        while len(self._buf) <= k:
-            self._buf.append(self.lexer.next_token())
-        return self._buf[k]
+        if self._t0 is None:
+            self._t0 = self.lexer.next_token()
+        if k == 0:
+            return self._t0
+        if self._t1 is None:
+            self._t1 = self.lexer.next_token()
+        return self._t1
 
     def parse_object(self) -> Any:
         tok = self._next()
@@ -496,5 +539,5 @@ class Parser:
                 raw = raw[:-1]
         end = data.find(b"endstream", pos + len(raw))
         self.lexer.pos = (end + 9) if end != -1 else pos + len(raw)
-        self._buf.clear()
+        self._t0 = self._t1 = None  # lexer repositioned: drop lookahead
         return StreamObj(d, raw)

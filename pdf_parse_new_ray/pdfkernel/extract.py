@@ -64,6 +64,14 @@ def normalize_unicode(s: str) -> str:
     return _NORM_RE.sub(rep, s)
 
 
+import unicodedata as _ud
+
+# precomputed Latin-1 bidi classes: the hot path (every extracted char
+# goes through _bidi_char_type) is a tuple index instead of a
+# unicodedata call + module lookup
+_BIDI_LOW = tuple(_ud.bidirectional(chr(i)) for i in range(256))
+
+
 def _bidi_char_type(code: int) -> str:
     """Character class exactly as the reference assigns it (bidi,
     build/pdf.worker.js:32557-32582): Unicode bidi class for <=0xFF and
@@ -71,10 +79,8 @@ def _bidi_char_type(code: int) -> str:
     except U+061D which the reference leaves untyped), fixed classes for
     the other RTL ranges, 'L' for everything else (including Hebrew
     presentation forms FB1D-FB4F \u2014 reference quirk kept for parity)."""
-    import unicodedata as _ud
-
     if code <= 0xFF:
-        return _ud.bidirectional(chr(code))
+        return _BIDI_LOW[code]
     if 0x0590 <= code <= 0x05F4:
         return "R"
     if 0x0600 <= code <= 0x06FF:
@@ -518,8 +524,30 @@ class TextExtractor:
             return (m[0] * x + m[1] * y) / scale, (m[2] * x + m[3] * y) / scale
 
         def compare_with_last_position(glyph_width) -> bool:
-            cur = get_current_text_transform()
-            pos_x, pos_y = cur[4], cur[5]
+            # get_current_text_transform inlined to LOCAL SCALARS: this
+            # runs once per glyph and the tuple it used to build was the
+            # kernel's single largest allocation site (same arithmetic,
+            # same operation order — bit-identical results)
+            tm = ts.text_matrix
+            fs = ts.font_size
+            w_ = fs * ts.text_h_scale
+            rise = ts.text_rise
+            p0 = tm[0] * w_
+            p1 = tm[1] * w_
+            p2 = tm[2] * fs
+            p3 = tm[3] * fs
+            p4 = tm[2] * rise + tm[4]
+            p5 = tm[3] * rise + tm[5]
+            c = ts.ctm
+            if c is IDENTITY:
+                c0, c1, c2, c3, pos_x, pos_y = p0, p1, p2, p3, p4, p5
+            else:
+                c0 = c[0] * p0 + c[2] * p1
+                c1 = c[1] * p0 + c[3] * p1
+                c2 = c[0] * p2 + c[2] * p3
+                c3 = c[1] * p2 + c[3] * p3
+                pos_x = c[0] * p4 + c[2] * p5 + c[4]
+                pos_y = c[1] * p4 + c[3] * p5 + c[5]
             font = ts.font
             if font is not None and font.vertical:
                 if (pos_x < view_box[0] or pos_x > view_box[2]
@@ -536,10 +564,10 @@ class TextExtractor:
             if last_x == pos_x and last_y == pos_y:
                 return True
             rotate = -1
-            if cur[0] and cur[1] == 0 and cur[2] == 0:
-                rotate = 0 if cur[0] > 0 else 180
-            elif cur[1] and cur[0] == 0 and cur[3] == 0:
-                rotate = 90 if cur[1] > 0 else 270
+            if c0 and c1 == 0 and c2 == 0:
+                rotate = 0 if c0 > 0 else 180
+            elif c1 and c0 == 0 and c3 == 0:
+                rotate = 90 if c1 > 0 else 270
             if rotate == 90:
                 pos_x, pos_y = pos_y, pos_x
                 last_x, last_y = last_y, last_x
@@ -549,7 +577,7 @@ class TextExtractor:
                 pos_x, pos_y = -pos_y, -pos_x
                 last_x, last_y = -last_y, -last_x
             elif rotate == -1:
-                pos_x, pos_y = apply_inverse_rotation(pos_x, pos_y, cur)
+                pos_x, pos_y = apply_inverse_rotation(pos_x, pos_y, (c0, c1, c2, c3))
                 last_x, last_y = apply_inverse_rotation(last_x, last_y, prev)
             if font.vertical:
                 advance_y = (last_y - pos_y) / tci["textAdvanceScale"]
@@ -631,8 +659,13 @@ class TextExtractor:
             scale = ts.font_matrix[0] * ts.font_size
             n = len(glyphs)
             # hot loop: bind per-run-constant state as locals (ts cannot be
-            # rebound mid-run; font/spacing/hscale are fixed for the run)
-            translate = ts.translate_text_matrix
+            # rebound mid-run; font/spacing/hscale are fixed for the run),
+            # and inline translate_text_matrix / save_last_char — one call
+            # per glyph each was ~10% of kernel CPU.  tm is only MUTATED
+            # (slots 4/5) inside the loop, never rebound, so the axis
+            # update m[4] += m[0]*dx; m[5] += m[1]*dx equals the full
+            # m[0]*x + m[2]*0 + m[4] expression bit-for-bit (±0.0 adds).
+            tm = ts.text_matrix
             vertical = font.vertical
             base_char_spacing = ts.char_spacing
             word_spacing = ts.word_spacing
@@ -648,40 +681,63 @@ class TextExtractor:
                 if not keep_white_space and glyph.is_space:
                     if not vertical:
                         char_spacing += scaled_dim + word_spacing
-                        translate(char_spacing * h_scale, 0)
+                        dx = char_spacing * h_scale
+                        tm[4] = tm[0] * dx + tm[4]
+                        tm[5] = tm[1] * dx + tm[5]
                     else:
                         char_spacing += -scaled_dim + word_spacing
-                        translate(0, -char_spacing)
-                    save_last_char(" ")
+                        dy = -char_spacing
+                        tm[4] = tm[2] * dy + tm[4]
+                        tm[5] = tm[3] * dy + tm[5]
+                    # save_last_char(" ") inlined
+                    p = two_pos[0]
+                    np_ = (p + 1) % 2
+                    two_last[p] = " "
+                    two_pos[0] = np_
                     continue
                 if not glyph.is_diacritic and not compare_with_last_position(scaled_dim):
                     if not vertical:
-                        translate(scaled_dim * h_scale, 0)
+                        dx = scaled_dim * h_scale
+                        tm[4] = tm[0] * dx + tm[4]
+                        tm[5] = tm[1] * dx + tm[5]
                     else:
-                        translate(0, scaled_dim)
+                        tm[4] = tm[2] * scaled_dim + tm[4]
+                        tm[5] = tm[3] * scaled_dim + tm[5]
                     continue
                 chunk = ensure_tci()
                 if glyph.is_diacritic:
                     scaled_dim = 0.0
                 if not vertical:
                     scaled_dim *= h_scale
-                    translate(scaled_dim, 0)
+                    tm[4] = tm[0] * scaled_dim + tm[4]
+                    tm[5] = tm[1] * scaled_dim + tm[5]
                     chunk["width"] += scaled_dim
                 else:
-                    translate(0, scaled_dim)
+                    tm[4] = tm[2] * scaled_dim + tm[4]
+                    tm[5] = tm[3] * scaled_dim + tm[5]
                     scaled_dim = abs(scaled_dim)
                     chunk["height"] += scaled_dim
                 if scaled_dim:
                     chunk["prevTransform"] = get_current_text_transform()
                 gu = glyph.unicode
-                if save_last_char(gu):
+                # save_last_char(gu) inlined
+                p = two_pos[0]
+                np_ = (p + 1) % 2
+                was_break = two_last[p] != " " and two_last[np_] == " "
+                two_last[p] = gu
+                two_pos[0] = np_
+                if not keep_white_space and was_break:
                     chunk["str"].append(" ")
                 chunk["str"].append(gu)
                 if char_spacing:
                     if not vertical:
-                        translate(char_spacing * h_scale, 0)
+                        dx = char_spacing * h_scale
+                        tm[4] = tm[0] * dx + tm[4]
+                        tm[5] = tm[1] * dx + tm[5]
                     else:
-                        translate(0, -char_spacing)
+                        dy = -char_spacing
+                        tm[4] = tm[2] * dy + tm[4]
+                        tm[5] = tm[3] * dy + tm[5]
 
         # --- operator loop ----------------------------------------------
         parser = Parser(content, 0, resolve=r, fast=True)
@@ -856,7 +912,7 @@ class TextExtractor:
                             parser.lexer.pos = idx + 2
                             break
                         scan = idx + 2
-                    parser._buf.clear()
+                    parser.drop_lookahead()
                 elif op in ("BMC", "BDC"):
                     flush_tci()
                     if include_marked_content:

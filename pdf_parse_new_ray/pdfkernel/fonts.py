@@ -442,16 +442,25 @@ class Font:
         if cached is not None:
             return cached
         glyphs: list[Glyph] = []
+        # per-code cache probed inline (one dict.get per glyph instead of
+        # a _make_glyph call — the hot loop of every Tj)
+        code_cache = self.__dict__.setdefault("_code_cache", {})
+        cget = code_cache.get
+        ap = glyphs.append
+        mg = self._make_glyph
         if self.composite:
             # 2-byte Identity mapping
             for i in range(0, len(chars) - 1, 2):
                 code = (chars[i] << 8) | chars[i + 1]
-                glyphs.append(self._make_glyph(code))
+                g = cget(code)
+                ap(g if g is not None else mg(code))
             if len(chars) % 2:  # dangling byte
-                glyphs.append(self._make_glyph(chars[-1]))
+                g = cget(chars[-1])
+                ap(g if g is not None else mg(chars[-1]))
         else:
             for b in chars:
-                glyphs.append(self._make_glyph(b))
+                g = cget(b)
+                ap(g if g is not None else mg(b))
         if len(self._glyph_cache) < 4096:
             self._glyph_cache[chars] = glyphs
         return glyphs
