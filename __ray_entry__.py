@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customers_without_orders": relational.q_customers_without_orders,
         "q_sessionization": relational.q_sessionization,
         "q_asof_view_before_click": relational.q_asof_view_before_click,
+        "q_price_band_join": relational.q_price_band_join,
         # text analysis
         "t_token_stats": text.t_token_stats,
         "t_quality_scores": text.t_quality_scores,
@@ -238,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "e_knn_bruteforce": ann.e_knn_bruteforce,
         "e_knn_lsh": ann.e_knn_lsh,
+        "e_knn_ivf": ann.e_knn_ivf,
         "e_label_centroids": ann.e_label_centroids,
         # extraction (flagship; north-rule pipeline)
         "x_extract_corpus": _extract_corpus,
@@ -342,6 +344,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_distinct_order_statuses": """
             SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus
+        """,
+        "q_price_band_join": """
+            WITH bands(band, lo, hi) AS (VALUES
+                """ + ", ".join(
+            f"('{n}', {lo}, {hi})" for n, lo, hi in
+            __import__("pdf_parse_new_ray.functions.relational",
+                       fromlist=["PRICE_BANDS"]).PRICE_BANDS) + """
+            )
+            SELECT b.band, count(*) AS n_parts,
+                   round(sum(p.p_retailprice), 2) AS total_price
+            FROM part p JOIN bands b
+              ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+            GROUP BY b.band ORDER BY b.band
         """,
         "q_customers_without_orders": """
             SELECT c_custkey, c_name FROM customer c

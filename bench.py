@@ -74,10 +74,14 @@ def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
 
     out_dir = f"/tmp/bench_out/sf{sf}_cpus{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
+    # GRAFT_N_PARTITIONS pins the output partitioning so --scaling runs the
+    # IDENTICAL job at both cluster sizes (a cluster-scaled partition count
+    # would compare two different jobs)
+    n_parts = int(os.environ.get("GRAFT_N_PARTITIONS", 0)) or max(16, num_cpus * 2)
     t0 = time.time()
     metrics = extract_documents(
         f"{base}/documents_interleaved", f"{base}/media",
-        out_dir=out_dir, n_partitions=max(16, num_cpus * 2),
+        out_dir=out_dir, n_partitions=n_parts,
     ).take_all()
     extract_s = time.time() - t0
     n_docs = int(sum(m["n_docs"] for m in metrics))
@@ -196,6 +200,10 @@ def run_scaling() -> dict:
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = scaling_dir
+        # identical job shape at both cluster sizes: pinned output
+        # partitioning and read-block granularity (only parallelism varies)
+        env["GRAFT_N_PARTITIONS"] = "64"
+        env["GRAFT_MEDIA_BLOCKS"] = "128"
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single"],
             capture_output=True, text=True, env=env, timeout=3600,

@@ -248,3 +248,109 @@ def e_knn_lsh(sf_dir: str, n_queries: int = 5, k: int = 5,
     out["nn_rank"] = out.groupby("query_id").cumcount() + 1
     out["cosine"] = out["cosine"].round(6)
     return out[["query_id", "nn_rank", "vec_id", "cosine"]]
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def _train_centroids(sf_dir: str, n_cells: int, n_iters: int = 8,
+                     sample_rows: int = 4096) -> np.ndarray:
+    """Deterministic k-means coarse quantizer on a bounded sample (the
+    standard IVF recipe: train on a sample, assign the full set
+    distributed).  Driver-side cost is O(sample × cells), independent of
+    corpus size."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    m = emb_matrix(t.slice(0, sample_rows))
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    # deterministic init: evenly-strided sample rows
+    cents = m[:: max(1, len(m) // n_cells)][:n_cells].copy()
+    for _ in range(n_iters):
+        assign = (m @ cents.T).argmax(axis=1)          # cosine ≡ dot (unit)
+        for c in range(len(cents)):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                cents[c] = v / np.linalg.norm(v)
+    return cents
+
+
+class IvfTopK:
+    """Per-batch IVF probe: assign batch vectors to their nearest centroid,
+    keep only those landing in each query's ``n_probe`` closest cells,
+    emit the batch-local per-query top-k (LshTopK shape — the candidate
+    set never materializes anywhere)."""
+
+    def __init__(self, queries_ref, cents: np.ndarray, n_probe: int, k: int):
+        obj = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.q_ids, q = obj
+        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.cents = cents
+        # (Q, n_probe) probed cell ids per query
+        order = (self.qn @ cents.T).argsort(axis=1)[:, ::-1]
+        self.probe = order[:, :n_probe]
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        vec_ids = ids_array(t, "vec_id")
+        m = emb_matrix(t)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cells = (m @ self.cents.T).argmax(axis=1)              # (B,)
+        scores = self.qn @ m.T                                 # (Q, B)
+        hit = (cells[None, :, None] == self.probe[:, None, :]).any(axis=2)
+        hit &= vec_ids[None, :] != self.q_ids[:, None]         # drop self
+        scores = np.where(hit, scores, -np.inf)
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k, scores.shape[1])
+        for qi, q_id in enumerate(self.q_ids):
+            idx = np.argpartition(-scores[qi], k - 1)[:k]
+            for j in idx:
+                if np.isfinite(scores[qi, j]):
+                    out_q.append(int(q_id))
+                    out_v.append(int(vec_ids[j]))
+                    out_s.append(float(scores[qi, j]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+
+def e_knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5,
+              n_cells: int = 16, n_probe: int = 10) -> pd.DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: k-means cells
+    trained on a driver-side sample, then ONE streaming pass assigns +
+    probes + scores per batch (no per-vector state leaves the workers;
+    driver merge is k × n_queries rows).  cells/probe trade scan
+    fraction (~n_probe/n_cells of the corpus) against recall —
+    the synthetic table's vectors are weakly clustered, so the default
+    probes 10/16 cells for recall@5 >= 0.9; clustered real embeddings
+    prune far harder at the same recall.  Same
+    output schema as e_knn_bruteforce/e_knn_lsh."""
+    q_ids, q = _query_matrix(sf_dir, n_queries)
+    cents = _train_centroids(sf_dir, n_cells)
+    ref = ray.put((q_ids, q))
+    local = _emb(sf_dir).map_batches(
+        IvfTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "cents": cents,
+                               "n_probe": n_probe, "k": k},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+    ).to_pandas()
+    if local.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "nn_rank": pd.Series(dtype="int64"),
+                             "vec_id": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    local["rank_key"] = -local["cosine"]
+    out = (local.sort_values(["query_id", "rank_key", "vec_id"])
+           .groupby("query_id", as_index=False).head(k))
+    out = out.drop(columns=["rank_key"]).reset_index(drop=True)
+    out["nn_rank"] = out.groupby("query_id").cumcount() + 1
+    out["cosine"] = out["cosine"].round(6)
+    return out[["query_id", "nn_rank", "vec_id", "cosine"]]

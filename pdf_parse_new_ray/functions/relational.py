@@ -659,3 +659,54 @@ def q_customers_without_orders(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame
         return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                              "c_name": pd.Series(dtype="object")})
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# range join (band join): fact rows matched to interval buckets
+# ---------------------------------------------------------------------------
+
+# 10-wide bands over the part price range (with a deliberate gap at
+# [950, 960) so unmatched-row semantics are exercised too)
+PRICE_BANDS = [(f"band_{i:02d}", float(lo), float(lo + 10))
+               for i, lo in enumerate(range(890, 1010, 10)) if lo != 950]
+
+
+def q_price_band_join(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join — the join variant Ray Data has no native
+    operator for: every part row lands in the band whose [lo, hi) range
+    contains its retail price.  The band table is broadcast (tiny, as
+    range dimensions are) and the probe is a vectorized searchsorted per
+    batch — NO shuffle of the fact side; partial per-band aggregates
+    collapse in one small groupby.  Bands are half-open and contiguous
+    here; the same probe handles gaps/overlaps by post-masking lo/hi."""
+    import numpy as np
+
+    names = [b[0] for b in PRICE_BANDS]
+    los = np.array([b[1] for b in PRICE_BANDS])
+    his = np.array([b[2] for b in PRICE_BANDS])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = t.column("p_retailprice").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(los, price, side="right") - 1
+        ok = (idx >= 0) & (price < his[np.clip(idx, 0, len(his) - 1)])
+        idx = idx[ok]
+        price = price[ok]
+        g = pa.table({
+            "band": pa.array(np.asarray(names, dtype=object)[idx], pa.string()),
+            "n": pa.array(np.ones(len(idx), np.int64)),
+            "price_sum": pa.array(price, pa.float64()),
+        }).group_by("band").aggregate([("n", "sum"), ("price_sum", "sum")])
+        from .joins import rename_agg
+
+        return rename_agg(g, {"n_sum": "n", "price_sum_sum": "price_sum"},
+                          ["band", "n", "price_sum"])
+
+    out = _rp(sf_dir, "part", ["p_retailprice"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby("band").aggregate(
+            Sum("n", alias_name="n_parts"),
+            Sum("price_sum", alias_name="total_price"),
+        ).to_pandas()
+    out["n_parts"] = out["n_parts"].astype("int64")
+    out = out.sort_values("band").reset_index(drop=True)
+    return _round_cols(out, {"total_price": 2})

@@ -27,6 +27,7 @@ through any shuffle — only extracted text does.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -505,8 +506,12 @@ def extract_documents(
     # fine-grained blocks keep the extract stage free of stragglers while
     # the bytes still stream straight from storage into the extract tasks.
     # Columns pruned at the read: the pipeline needs only ref + payload.
+    # GRAFT_MEDIA_BLOCKS pins the block count so a scaling comparison can
+    # run the IDENTICAL job at two cluster sizes (bench.py --scaling).
+    blocks_env = os.environ.get("GRAFT_MEDIA_BLOCKS")
     media = read_table(media_path, columns=["media_ref", "bytes"],
-                       override_num_blocks=max(16, cpus * 4))
+                       override_num_blocks=(int(blocks_env) if blocks_env
+                                            else max(16, cpus * 4)))
     if done:
         # resume: only extract media still referenced by remaining docs
         ref_ds = docs.map_batches(_explode_with_partition(n_partitions),

@@ -4,15 +4,15 @@
 Design for a 100 TB training-data pipeline: media payloads are opaque
 ``binary`` cells; each modality gets an actor-pool ``map_batches`` stage
 (decoder state built once per actor in ``__init__``) that emits typed
-feature columns.  PDFs are decoded for real by the pdfkernel, and JPEG
-(baseline AND progressive) is decoded for real by pdfkernel/jpeg.py
-(DCTDecode, the dominant embedded-image codec).  PNG/GIF/audio/video
-decoding requires codec
-libraries that are NOT in this container, so those decoders are STUBBED
-behind an import-try: when PIL / soundfile / av are absent we emit
-deterministic byte-level pseudo-features with ``decoded=False`` so the
-Ray-side plumbing (schema, batch size, actor signature, output layout) is
-real and testable end-to-end.
+feature columns.  REAL decoders (no external codec library needed):
+PDF via the pdfkernel, JPEG (baseline AND progressive) via
+pdfkernel/jpeg.py, PNG via stages/codecs.py (zlib + numpy unfiltering),
+WAV duration via RIFF header arithmetic.  GIF pixels and compressed
+audio/video require codec libraries that are NOT in this container, so
+those decoders are STUBBED behind an import-try: when PIL / soundfile /
+av are absent we emit deterministic byte-level pseudo-features with
+``decoded=False`` so the Ray-side plumbing (schema, batch size, actor
+signature, output layout) is real and testable end-to-end.
 
 Usage:
     media.map_batches(MediaFeatureExtractor, concurrency=(2, 8),
@@ -116,9 +116,20 @@ class MediaFeatureExtractor:
                 # rather than kill the whole map_batches task (same contract
                 # as _decode_pdf / the PIL path)
                 return -1, -1, False, f"{type(e).__name__}: {e}"
+        if kind == "png":
+            # REAL decode: dependency-free PNG (zlib + numpy unfiltering,
+            # stages/codecs.py); PIL takes over when available
+            if self._pil is None:
+                from .codecs import decode_png
+
+                try:
+                    h, w, _nc, _px = decode_png(blob)
+                    return w, h, True, None
+                except Exception as e:  # noqa: BLE001 — absorb-to-error
+                    return -1, -1, False, f"{type(e).__name__}: {e}"
         if self._pil is None:
-            # STUB (png/gif): codec library not available in this container —
-            # deterministic placeholders; plumbing (schema/batching) is real
+            # STUB (gif pixels need variable-width LZW): deterministic
+            # placeholder; plumbing (schema/batching) is real
             return -1, -1, False, None
         import io
 
@@ -129,8 +140,17 @@ class MediaFeatureExtractor:
             return -1, -1, False, f"{type(e).__name__}: {e}"
 
     def _decode_audio(self, blob: bytes) -> tuple[float, bool, Optional[str]]:
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+            # REAL decode: WAV duration is RIFF header arithmetic — no
+            # codec library needed (stages/codecs.py)
+            from .codecs import wav_duration
+
+            try:
+                return round(wav_duration(blob), 6), True, None
+            except Exception as e:  # noqa: BLE001 — absorb-to-error
+                return -1.0, False, f"{type(e).__name__}: {e}"
         if self._soundfile is None:
-            return -1.0, False, None  # STUB — see class docstring
+            return -1.0, False, None  # STUB (compressed audio) — see class docstring
         import io
 
         try:  # pragma: no cover

@@ -215,3 +215,28 @@ def test_anti_join_customers_without_orders(ray_session, tmp_path):
     # sf table: empty result with a stable typed schema
     empty = relational.q_customers_without_orders("/root/testdata/sf0.001")
     assert list(empty.columns) == ["c_custkey", "c_name"] and len(empty) == 0
+
+
+def test_knn_ivf_recall_vs_bruteforce(ray_session):
+    """IVF coarse-quantizer top-k holds recall@5 >= 0.9 against exact
+    brute force on the sf0.01 embeddings; reported cosines are exact
+    (only candidate generation is approximate)."""
+    from pdf_parse_new_ray.functions import ann
+
+    sf = "/root/testdata/sf0.01"
+    exact = ann.e_knn_bruteforce(sf)
+    approx = ann.e_knn_ivf(sf)
+    hits = tot = 0
+    exact_cos = {(int(r.query_id), int(r.vec_id)): r.cosine
+                 for r in exact.itertuples()}
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g["vec_id"])
+        got = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    assert tot > 0
+    assert hits / tot >= 0.9, f"recall {hits / tot:.2f}"
+    for r in approx.itertuples():
+        key = (int(r.query_id), int(r.vec_id))
+        if key in exact_cos:
+            assert abs(r.cosine - exact_cos[key]) < 1e-9

@@ -123,3 +123,113 @@ def test_multimodal_stage_decodes_jpeg(ray_session):
     assert out[1]["error"]
     assert out[2]["decoded"] is True  # progressive decodes for real now
     assert (out[2]["width"], out[2]["height"]) == (30, 20)
+
+
+def _encode_png(img: np.ndarray, filters=None, palette=None) -> bytes:
+    """Minimal PNG encoder for tests: 8-bit gray/RGB/RGBA (or palette when
+    `palette` given and img carries indices), per-row filter choice."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        px = img[:, :, None]
+    else:
+        px = img
+    h, w, nch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch] if palette is None else 3
+    bpp = nch
+    raw = bytearray()
+    prior = np.zeros(w * nch, np.int32)
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)] if filters else 0
+        raw.append(f)
+        if f == 0:
+            enc = row
+        elif f == 1:
+            left = np.concatenate((np.zeros(bpp, np.int32), row[:-bpp]))
+            enc = (row - left) & 0xFF
+        elif f == 2:
+            enc = (row - prior) & 0xFF
+        elif f == 3:
+            left = np.concatenate((np.zeros(bpp, np.int32), row[:-bpp]))
+            enc = (row - ((left + prior) >> 1)) & 0xFF
+        else:  # Paeth
+            left = np.concatenate((np.zeros(bpp, np.int32), row[:-bpp]))
+            upleft = np.concatenate((np.zeros(bpp, np.int32), prior[:-bpp]))
+            p = left + prior - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, upleft))
+            enc = (row - pred) & 0xFF
+        raw += enc.astype(np.uint8).tobytes()
+        prior = row
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_roundtrip_all_filters():
+    from pdf_parse_new_ray.stages.codecs import decode_png
+
+    rng = np.random.RandomState(5)
+    for nch, name in ((1, "gray"), (3, "rgb"), (4, "rgba")):
+        shape = (13, 17) if nch == 1 else (13, 17, nch)
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        png = _encode_png(img, filters=[0, 1, 2, 3, 4])
+        h, w, c, out = decode_png(png)
+        assert (h, w, c) == (13, 17, nch), name
+        assert np.array_equal(out, img), name  # PNG is lossless
+
+
+def test_png_palette_and_errors():
+    from pdf_parse_new_ray.stages.codecs import CodecError, decode_png
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1], [2, 0]], np.uint8)
+    h, w, c, out = decode_png(_encode_png(idx, palette=pal))
+    assert (h, w, c) == (2, 2, 3)
+    assert np.array_equal(out, pal[idx])
+    import pytest as _pt
+
+    with _pt.raises(CodecError):
+        decode_png(b"\x89PNG\r\n\x1a\njunk")
+    with _pt.raises(CodecError):
+        decode_png(b"not a png")
+
+
+def test_wav_duration_and_multimodal_real_decoders(ray_session):
+    import struct
+
+    import pyarrow as pa
+
+    from pdf_parse_new_ray.stages.codecs import wav_duration
+    from pdf_parse_new_ray.stages.multimodal import MediaFeatureExtractor
+
+    # 1 kHz mono 8-bit, 2500 bytes of data → 2.5 s
+    fmt = struct.pack("<HHIIHH", 1, 1, 1000, 1000, 1, 8)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", 2500) + b"\x00" * 2500
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert wav_duration(wav) == 2.5
+
+    png = _encode_png(np.zeros((6, 9), np.uint8), filters=[4])
+    batch = pa.table({
+        "media_ref": pa.array(["p", "w", "badwav"], pa.string()),
+        "bytes": pa.array([png, wav, b"RIFF\x10\x00\x00\x00WAVExxxx"], pa.binary()),
+    })
+    out = MediaFeatureExtractor()(batch).to_pylist()
+    assert out[0]["media_type"] == "png" and out[0]["decoded"] is True
+    assert (out[0]["width"], out[0]["height"]) == (9, 6)
+    assert out[1]["media_type"] == "wav" and out[1]["decoded"] is True
+    assert out[1]["duration_s"] == 2.5
+    assert out[2]["decoded"] is False and out[2]["error"]
