@@ -110,6 +110,27 @@ def _media_features(sf_dir: str):
     return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
 
 
+def _media_features_mixed(sf_dir: str):
+    """Multimodal feature stage over a MIXED media table (baseline +
+    progressive JPEG, PNG, GIF, WAV, PDF, corrupt blobs): every real
+    decoder runs distributed; corrupt inputs absorb to decoded=False."""
+    import re as _re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_parse_new_ray.fixtures.media_mixed import mixed_media_dir_for
+    from pdf_parse_new_ray.stages.multimodal import MediaFeatureExtractor
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
+    rows = rd.read_parquet(base, columns=["media_ref", "bytes"]).map_batches(
+        MediaFeatureExtractor, concurrency=(1, 4), batch_size=16,
+        batch_format="pyarrow",
+    ).take_all()
+    return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
+
+
 def _extract_media_titles(sf_dir: str):
     """Custom page_render hook through the distributed pipeline: the
     'module:function' contract (reference pagerenderModule, index.d.ts:32),
@@ -247,8 +268,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_extract_metadata": _extract_metadata,
         "x_extract_titles_render": _extract_media_titles,
         "x_extract_maxpages": _extract_media_maxpages,
-        # multimodal binary-column features (PDF decode real, image/audio stubbed)
+        # multimodal binary-column features (PDF/JPEG/PNG/GIF/WAV decode
+        # real; compressed audio/video stubbed)
         "m_media_features": _media_features,
+        "m_media_features_mixed": _media_features_mixed,
         # composition: extract -> dedup in one streaming lineage
         "x_extract_then_dedup": _extract_then_dedup,
     }

@@ -1,0 +1,137 @@
+"""Mixed-modality media table: deterministic JPEG (baseline +
+progressive), PNG, GIF, WAV, PDF and corrupt blobs, for exercising the
+multimodal feature stage's REAL decoders end-to-end in a distributed
+query (m_media_features_mixed).  Cached under /tmp, keyed by its own
+version (independent of the interleaved corpus cache).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MIXED_VERSION = "v1"
+
+
+def _make_wav(seconds: float, rate: int = 1000) -> bytes:
+    n = int(seconds * rate)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", n) + b"\x80" * n)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _make_gif(idx: np.ndarray, pal: np.ndarray) -> bytes:
+    h, w = idx.shape
+    full = np.zeros((256, 3), np.uint8)
+    full[: len(pal)] = pal
+    out = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
+    out += bytes([0x87, 0, 0]) + full.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00" + bytes([8])
+    bits = bytearray()
+    acc = nb = 0
+
+    def emit(code):
+        nonlocal acc, nb
+        acc |= code << nb
+        nb += 9
+        while nb >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+
+    emit(256)
+    for i, px in enumerate(idx.reshape(-1)):
+        if i and i % 100 == 0:
+            emit(256)
+        emit(int(px))
+    emit(257)
+    if nb:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        c = bits[i:i + 255]
+        out += bytes([len(c)]) + c
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _make_png(img: np.ndarray) -> bytes:
+    import zlib
+
+    h, w = img.shape[:2]
+    nch = 1 if img.ndim == 2 else img.shape[2]
+    color_type = {1: 0, 3: 2, 4: 6}[nch]
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += img[y].tobytes()
+
+    def chunk(ctype, payload):
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
+    from .jpeggen import encode_baseline_jpeg, encode_progressive_jpeg
+    from .pdfgen import make_seeded_pdf
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    refs, blobs, kinds = [], [], []
+    for i in range(n_rows):
+        kind = ("jpeg", "jpeg_progressive", "png", "gif", "wav", "pdf",
+                "junk")[i % 7]
+        h = int(rng.randint(8, 40))
+        w = int(rng.randint(8, 40))
+        if kind == "jpeg":
+            blob = encode_baseline_jpeg(rng.randint(0, 256, (h, w)).astype(np.uint8))
+        elif kind == "jpeg_progressive":
+            blob = encode_progressive_jpeg(
+                rng.randint(0, 256, (h, w, 3)).astype(np.uint8))
+        elif kind == "png":
+            blob = _make_png(rng.randint(0, 256, (h, w, 3)).astype(np.uint8))
+        elif kind == "gif":
+            pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+            blob = _make_gif(rng.randint(0, 256, (h, w)).astype(np.uint8), pal)
+        elif kind == "wav":
+            blob = _make_wav(float(rng.randint(1, 30)) / 10.0)
+        elif kind == "pdf":
+            blob = make_seeded_pdf(9_000_000 + i)[0]
+        else:
+            blob = bytes(rng.randint(0, 256, 64).astype(np.uint8))
+        refs.append(f"mixed-{i:06d}")
+        blobs.append(blob)
+        kinds.append(kind)
+    t = pa.table({
+        "media_ref": pa.array(refs, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "kind": pa.array(kinds, pa.string()),
+    })
+    pq.write_table(t, os.path.join(out_dir, "part-00000.parquet"))
+
+
+def mixed_media_dir_for(sf: float, base: str = "/tmp/graft_media_mixed") -> str:
+    n_rows = max(35, int(7_000 * sf))
+    out = os.path.join(base, f"sf{sf:g}")
+    marker = os.path.join(out, "_SUCCESS")
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if current != MIXED_VERSION:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        generate_mixed_media(out, n_rows=n_rows)
+        with open(marker, "w") as f:
+            f.write(MIXED_VERSION)
+    return out

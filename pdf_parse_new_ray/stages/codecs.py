@@ -1,10 +1,10 @@
 """Dependency-free media codecs for the multimodal feature stage.
 
-The container has no PIL/soundfile, but PNG and WAV need no external
-codec: PNG is zlib (stdlib) + per-row unfiltering (numpy), WAV duration
-is RIFF header arithmetic.  These upgrade two of the stage's honest
-stubs to REAL decoders; GIF pixel decode (variable-width LZW) and
-compressed audio stay stubbed.
+The container has no PIL/soundfile, but PNG, GIF and WAV need no
+external codec: PNG is zlib (stdlib) + per-row unfiltering (numpy), GIF
+is variable-code-width LZW over a color table, WAV duration is RIFF
+header arithmetic.  These upgrade three of the stage's honest stubs to
+REAL decoders; compressed audio/video stay stubbed.
 """
 
 from __future__ import annotations
@@ -130,3 +130,118 @@ def wav_duration(data: bytes) -> float:
     if not byte_rate or data_size is None:
         raise CodecError("missing fmt/data chunk")
     return data_size / byte_rate
+
+
+def _gif_lzw(data: bytes, min_code_size: int, max_pixels: int) -> bytes:
+    """GIF variable-code-width LZW (LSB-first packing, 3..12-bit codes,
+    clear/end codes, 4096-entry table cap)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    init = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(init)
+    width = min_code_size + 1
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    prev = None
+    for byte in data:
+        buf |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = buf & ((1 << width) - 1)
+            buf >>= width
+            nbits -= width
+            if code == clear:
+                table = list(init)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise CodecError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise CodecError("LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= max_pixels:
+                return bytes(out)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """GIF87a/89a first frame → (height, width, 3, uint8 RGB array)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise CodecError("not a GIF")
+    if len(data) < 13:
+        raise CodecError("truncated header")
+    w, h = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos:pos + 3 * n], np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension block
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise CodecError("truncated image descriptor")
+            _x, _y, iw, ih = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+            fl = data[pos + 9]
+            pos += 10
+            pal = gct
+            if fl & 0x80:
+                n = 2 << (fl & 7)
+                pal = np.frombuffer(data[pos:pos + 3 * n], np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None:
+                raise CodecError("no color table")
+            min_code = data[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise CodecError(f"bad LZW minimum code size {min_code}")
+            chunks = []
+            while pos < len(data) and data[pos]:
+                ln = data[pos]
+                chunks.append(data[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw(b"".join(chunks), min_code, iw * ih)
+            if len(idx) < iw * ih:
+                raise CodecError("short pixel data")
+            grid = np.frombuffer(idx[: iw * ih], np.uint8).reshape(ih, iw)
+            if fl & 0x40:  # Adam-style GIF interlace: rows arrive by pass
+                de = np.empty_like(grid)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    rows = range(start, ih, step)
+                    de[list(rows)] = grid[src:src + len(rows)]
+                    src += len(rows)
+                grid = de
+            px = pal[np.clip(grid, 0, len(pal) - 1)]
+            return ih, iw, 3, px
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            pos += 1
+    raise CodecError("no image data")

@@ -6,13 +6,14 @@ Design for a 100 TB training-data pipeline: media payloads are opaque
 (decoder state built once per actor in ``__init__``) that emits typed
 feature columns.  REAL decoders (no external codec library needed):
 PDF via the pdfkernel, JPEG (baseline AND progressive) via
-pdfkernel/jpeg.py, PNG via stages/codecs.py (zlib + numpy unfiltering),
-WAV duration via RIFF header arithmetic.  GIF pixels and compressed
-audio/video require codec libraries that are NOT in this container, so
-those decoders are STUBBED behind an import-try: when PIL / soundfile /
-av are absent we emit deterministic byte-level pseudo-features with
-``decoded=False`` so the Ray-side plumbing (schema, batch size, actor
-signature, output layout) is real and testable end-to-end.
+pdfkernel/jpeg.py, PNG (zlib + numpy unfiltering) and GIF
+(variable-width LZW) via stages/codecs.py, WAV duration via RIFF header
+arithmetic.  Compressed audio/video require codec libraries that are
+NOT in this container, so those decoders are STUBBED behind an
+import-try: when soundfile / av are absent we emit deterministic
+byte-level pseudo-features with ``decoded=False`` so the Ray-side
+plumbing (schema, batch size, actor signature, output layout) is real
+and testable end-to-end.
 
 Usage:
     media.map_batches(MediaFeatureExtractor, concurrency=(2, 8),
@@ -127,9 +128,17 @@ class MediaFeatureExtractor:
                     return w, h, True, None
                 except Exception as e:  # noqa: BLE001 — absorb-to-error
                     return -1, -1, False, f"{type(e).__name__}: {e}"
+        if kind == "gif" and self._pil is None:
+            # REAL decode: dependency-free GIF (variable-width LZW,
+            # stages/codecs.py); PIL takes over when available
+            from .codecs import decode_gif
+
+            try:
+                h, w, _nc, _px = decode_gif(blob)
+                return w, h, True, None
+            except Exception as e:  # noqa: BLE001 — absorb-to-error
+                return -1, -1, False, f"{type(e).__name__}: {e}"
         if self._pil is None:
-            # STUB (gif pixels need variable-width LZW): deterministic
-            # placeholder; plumbing (schema/batching) is real
             return -1, -1, False, None
         import io
 

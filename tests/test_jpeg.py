@@ -233,3 +233,88 @@ def test_wav_duration_and_multimodal_real_decoders(ray_session):
     assert out[1]["media_type"] == "wav" and out[1]["decoded"] is True
     assert out[1]["duration_s"] == 2.5
     assert out[2]["decoded"] is False and out[2]["error"]
+
+
+def _encode_gif(idx: np.ndarray, palette: np.ndarray,
+                interlace: bool = False) -> bytes:
+    """Minimal GIF89a encoder for tests (8-bit color table, LZW stream
+    emitting literal codes with periodic clear codes so the code width
+    stays 9 — valid, just not size-optimal)."""
+    import struct
+
+    h, w = idx.shape
+    pal = np.zeros((256, 3), np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    out += pal.tobytes()
+    fl = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([fl])
+    out += bytes([8])  # LZW minimum code size
+    rows = idx
+    if interlace:  # emit rows in GIF pass order
+        order = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order += list(range(start, h, step))
+        rows = idx[order]
+    # bitstream: 9-bit codes LSB-first, clear every 100 literals
+    bits = bytearray()
+    acc = nb = 0
+
+    def emit(code):
+        nonlocal acc, nb
+        acc |= code << nb
+        nb += 9
+        while nb >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+
+    emit(256)  # initial clear
+    for i, px in enumerate(rows.reshape(-1)):
+        if i and i % 100 == 0:
+            emit(256)  # keep the decoder table under 512 entries
+        emit(int(px))
+    emit(257)  # end
+    if nb:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip_and_interlace():
+    from pdf_parse_new_ray.stages.codecs import CodecError, decode_gif
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, (21, 13)).astype(np.uint8)
+    for interlace in (False, True):
+        h, w, c, out = decode_gif(_encode_gif(idx, pal, interlace=interlace))
+        assert (h, w, c) == (21, 13, 3)
+        assert np.array_equal(out, pal[idx]), f"interlace={interlace}"
+    import pytest as _pt
+
+    with _pt.raises(CodecError):
+        decode_gif(b"GIF89ajunk")
+    with _pt.raises(CodecError):
+        decode_gif(b"not a gif")
+
+
+def test_multimodal_stage_decodes_gif(ray_session):
+    import pyarrow as pa
+
+    from pdf_parse_new_ray.stages.multimodal import MediaFeatureExtractor
+
+    pal = np.tile(np.arange(256, dtype=np.uint8)[:, None], (1, 3))
+    gif = _encode_gif(np.zeros((5, 7), np.uint8), pal)
+    batch = pa.table({
+        "media_ref": pa.array(["g"], pa.string()),
+        "bytes": pa.array([gif], pa.binary()),
+    })
+    out = MediaFeatureExtractor()(batch).to_pylist()
+    assert out[0]["media_type"] == "gif" and out[0]["decoded"] is True
+    assert (out[0]["width"], out[0]["height"]) == (7, 5)
