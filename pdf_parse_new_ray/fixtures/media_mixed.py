@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-MIXED_VERSION = "v1"
+MIXED_VERSION = "v2"  # v2 adds CCITT-G4 TIFF media
 
 
 def _make_wav(seconds: float, rate: int = 1000) -> bytes:
@@ -80,6 +80,31 @@ def _make_png(img: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def _make_tiff_g4(img: np.ndarray) -> bytes:
+    """Single-strip little-endian CCITT-G4 TIFF."""
+    from .ccittgen import encode_g4
+
+    h, w = img.shape
+    strip = encode_g4(img)
+    entries = []
+    base = 8 + 2 + 12 * 8 + 4
+
+    def entry(tag, typ, vals, off):
+        size = {3: 2, 4: 4}[typ]
+        if size * len(vals) <= 4:
+            payload = b"".join(struct.pack("<" + ("H" if typ == 3 else "I"), v)
+                               for v in vals).ljust(4, b"\x00")
+            return struct.pack("<HHI", tag, typ, len(vals)) + payload
+        raise ValueError("inline only")
+
+    for tag, typ, vals in ((256, 4, [w]), (257, 4, [h]), (258, 3, [1]),
+                           (259, 3, [4]), (262, 3, [0]), (273, 4, [base]),
+                           (278, 4, [h]), (279, 4, [len(strip)])):
+        entries.append(entry(tag, typ, vals, base))
+    return (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 8)
+            + b"".join(entries) + b"\x00\x00\x00\x00" + strip)
+
+
 def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
     from .jpeggen import encode_baseline_jpeg, encode_progressive_jpeg
     from .pdfgen import make_seeded_pdf
@@ -89,7 +114,7 @@ def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
     refs, blobs, kinds = [], [], []
     for i in range(n_rows):
         kind = ("jpeg", "jpeg_progressive", "png", "gif", "wav", "pdf",
-                "junk")[i % 7]
+                "tiff_g4", "junk")[i % 8]
         h = int(rng.randint(8, 40))
         w = int(rng.randint(8, 40))
         if kind == "jpeg":
@@ -106,6 +131,8 @@ def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
             blob = _make_wav(float(rng.randint(1, 30)) / 10.0)
         elif kind == "pdf":
             blob = make_seeded_pdf(9_000_000 + i)[0]
+        elif kind == "tiff_g4":
+            blob = _make_tiff_g4((rng.rand(h, w) > 0.7).astype(np.uint8))
         else:
             blob = bytes(rng.randint(0, 256, 64).astype(np.uint8))
         refs.append(f"mixed-{i:06d}")

@@ -245,3 +245,96 @@ def decode_gif(data: bytes) -> tuple[int, int, int, np.ndarray]:
         else:
             pos += 1
     raise CodecError("no image data")
+
+
+def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Baseline TIFF first IFD → (height, width, n_channels, uint8 array).
+    Supports single-strip-or-multi-strip uncompressed (1), CCITT G4 (4,
+    via pdfkernel/ccitt.py) and LZW (5) for 1-bit bilevel and 8-bit
+    gray/RGB.  Anything else raises CodecError."""
+    if data[:4] == b"II*\x00":
+        endian = "<"
+    elif data[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        raise CodecError("not a TIFF")
+
+    def u16(off):
+        return struct.unpack_from(endian + "H", data, off)[0]
+
+    def u32(off):
+        return struct.unpack_from(endian + "I", data, off)[0]
+
+    ifd = u32(4)
+    if ifd + 2 > len(data):
+        raise CodecError("truncated IFD")
+    n = u16(ifd)
+    tags = {}
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        tag, typ, cnt = u16(e), u16(e + 2), u32(e + 4)
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue
+        if size * cnt <= 4:
+            off = e + 8
+        else:
+            off = u32(e + 8)
+        vals = []
+        for j in range(cnt):
+            if typ == 3:
+                vals.append(u16(off + 2 * j))
+            elif typ == 4:
+                vals.append(u32(off + 4 * j))
+            else:
+                vals.append(data[off + j])
+        tags[tag] = vals
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as e:
+        raise CodecError(f"missing required TIFF tag {e}") from e
+    bits = tags.get(258, [1])[0]
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    rows_per_strip = tags.get(278, [h])[0]
+    strips = [data[o:o + c] for o, c in zip(offsets, counts)]
+    if comp == 4:  # CCITT G4
+        if bits != 1 or spp != 1:
+            raise CodecError("G4 TIFF must be 1-bit bilevel")
+        from ..pdfkernel.ccitt import decode_ccitt
+
+        parts = []
+        for si, strip in enumerate(strips):
+            nrows = min(rows_per_strip, h - si * rows_per_strip)
+            parts.append(decode_ccitt(strip, columns=w, rows=nrows, k=-1))
+        img = np.concatenate(parts)  # 1 = black
+        # PhotometricInterpretation 0 = WhiteIsZero: black pixels are 1s
+        px = (img * 255 if photo == 1 else (1 - img) * 255).astype(np.uint8)
+        return h, w, 1, px
+    if comp == 5:  # LZW (TIFF flavor == PDF LZWDecode with EarlyChange=1)
+        from ..pdfkernel.filters import lzw_decode
+
+        strips = [lzw_decode(s) for s in strips]
+    elif comp != 1:
+        raise CodecError(f"unsupported TIFF compression {comp}")
+    raw = b"".join(strips)
+    if bits == 1 and spp == 1:
+        rows = []
+        stride = (w + 7) // 8
+        if len(raw) < stride * h:
+            raise CodecError("short TIFF pixel data")
+        grid = np.unpackbits(
+            np.frombuffer(raw[: stride * h], np.uint8).reshape(h, stride),
+            axis=1)[:, :w]
+        px = (grid * 255 if photo == 1 else (1 - grid) * 255).astype(np.uint8)
+        return h, w, 1, px
+    if bits != 8:
+        raise CodecError(f"unsupported TIFF bit depth {bits}")
+    if len(raw) < h * w * spp:
+        raise CodecError("short TIFF pixel data")
+    px = np.frombuffer(raw[: h * w * spp], np.uint8).reshape(h, w, spp)
+    return h, w, spp, (px[..., 0] if spp == 1 else px)

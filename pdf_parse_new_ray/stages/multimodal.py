@@ -6,8 +6,9 @@ Design for a 100 TB training-data pipeline: media payloads are opaque
 (decoder state built once per actor in ``__init__``) that emits typed
 feature columns.  REAL decoders (no external codec library needed):
 PDF via the pdfkernel, JPEG (baseline AND progressive) via
-pdfkernel/jpeg.py, PNG (zlib + numpy unfiltering) and GIF
-(variable-width LZW) via stages/codecs.py, WAV duration via RIFF header
+pdfkernel/jpeg.py, PNG (zlib + numpy unfiltering), GIF (variable-width
+LZW) and TIFF (uncompressed / TIFF-LZW / CCITT Group 4 via
+pdfkernel/ccitt.py) via stages/codecs.py, WAV duration via RIFF header
 arithmetic.  Compressed audio/video require codec libraries that are
 NOT in this container, so those decoders are STUBBED behind an
 import-try: when soundfile / av are absent we emit deterministic
@@ -53,6 +54,8 @@ def sniff_media_type(blob: Optional[bytes]) -> str:
         return "mp4"
     if blob.startswith(b"OggS"):
         return "ogg"
+    if blob.startswith(b"II*\x00") or blob.startswith(b"MM\x00*"):
+        return "tiff"
     return "unknown"
 
 
@@ -128,6 +131,16 @@ class MediaFeatureExtractor:
                     return w, h, True, None
                 except Exception as e:  # noqa: BLE001 — absorb-to-error
                     return -1, -1, False, f"{type(e).__name__}: {e}"
+        if kind == "tiff" and self._pil is None:
+            # REAL decode: baseline TIFF incl. CCITT Group 4 strips
+            # (stages/codecs.py + pdfkernel/ccitt.py) and TIFF-LZW
+            from .codecs import decode_tiff
+
+            try:
+                h, w, _nc, _px = decode_tiff(blob)
+                return w, h, True, None
+            except Exception as e:  # noqa: BLE001 — absorb-to-error
+                return -1, -1, False, f"{type(e).__name__}: {e}"
         if kind == "gif" and self._pil is None:
             # REAL decode: dependency-free GIF (variable-width LZW,
             # stages/codecs.py); PIL takes over when available
@@ -183,7 +196,7 @@ class MediaFeatureExtractor:
             np_, w, h, d, dec, e = 0, -1, -1, -1.0, False, None
             if kind == "pdf":
                 np_, dec, e = self._decode_pdf(blob)
-            elif kind in ("png", "jpeg", "gif"):
+            elif kind in ("png", "jpeg", "gif", "tiff"):
                 w, h, dec, e = self._decode_image(blob, kind)
             elif kind in ("wav", "mp3", "ogg", "mp4", "avi"):
                 d, dec, e = self._decode_audio(blob)

@@ -1,0 +1,189 @@
+"""CCITT G3/G4 decoder conformance (pdfkernel/ccitt.py) + the TIFF
+container path that carries it into the multimodal stage.  The encoders
+(fixtures/ccittgen.py) implement the standard T.4/T.6 coding procedure,
+so round-trips are bit-exact."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pdf_parse_new_ray.fixtures.ccittgen import encode_g3_1d, encode_g4
+from pdf_parse_new_ray.pdfkernel.ccitt import decode_ccitt, pack_bilevel
+from pdf_parse_new_ray.pdfkernel import PDFError
+
+
+def _cases():
+    rng = np.random.RandomState(3)
+    out = [
+        ("all-white", np.zeros((10, 40), np.uint8)),
+        ("all-black", np.ones((10, 40), np.uint8)),
+        ("sparse-noise", (rng.rand(24, 100) > 0.8).astype(np.uint8)),
+        ("dense-noise-odd", (rng.rand(12, 33) > 0.5).astype(np.uint8)),
+    ]
+    img = np.zeros((20, 64), np.uint8)
+    img[5:15, 10:50] = 1
+    out.append(("block", img))
+    img = np.zeros((16, 80), np.uint8)
+    img[:, ::7] = 1
+    out.append(("stripes", img))  # dense transitions: H/V/P mode mix
+    img = np.zeros((5, 2600), np.uint8)
+    img[:, 2590:] = 1
+    out.append(("long-runs", img))  # extended makeup codes (>1728)
+    for s in range(12):
+        r2 = np.random.RandomState(50 + s)
+        hh, ww = int(r2.randint(1, 40)), int(r2.randint(1, 200))
+        out.append((f"rand{s}", (r2.rand(hh, ww) > r2.rand()).astype(np.uint8)))
+    return out
+
+
+def test_g4_roundtrip_matrix():
+    for name, img in _cases():
+        out = decode_ccitt(encode_g4(img), columns=img.shape[1],
+                           rows=img.shape[0], k=-1)
+        assert np.array_equal(out, img), name
+
+
+def test_g3_1d_roundtrip_matrix():
+    for name, img in _cases():
+        out = decode_ccitt(encode_g3_1d(img), columns=img.shape[1],
+                           rows=img.shape[0], k=0)
+        assert np.array_equal(out, img), name
+
+
+def test_g4_eofb_terminates_without_rows():
+    img = (np.random.RandomState(1).rand(9, 31) > 0.6).astype(np.uint8)
+    out = decode_ccitt(encode_g4(img), columns=31, k=-1)
+    assert out.shape == (9, 31)
+    assert np.array_equal(out, img)
+
+
+def test_truncated_stream_rejects_with_rows():
+    img = np.ones((8, 64), np.uint8)
+    enc = encode_g4(img)
+    with pytest.raises(PDFError):
+        decode_ccitt(enc[: len(enc) // 3], columns=64, rows=8, k=-1)
+
+
+def test_pack_bilevel_conventions():
+    img = np.array([[1, 0, 1, 1, 0, 0, 0, 0]], np.uint8)
+    # PDF default (BlackIs1 false): 0 bits are black
+    assert pack_bilevel(img) == bytes([0b01001111])
+    assert pack_bilevel(img, black_is_1=True) == bytes([0b10110000])
+
+
+# --- TIFF container -------------------------------------------------------
+
+
+def _encode_tiff(strips, w, h, comp, bits=1, photo=0, rows_per_strip=None):
+    """Minimal little-endian TIFF writer for tests."""
+    rows_per_strip = rows_per_strip or h
+    entries = []
+    extra = bytearray()
+    base = 8 + 2 + 12 * 8 + 4  # header + count + 8 entries + next-IFD
+
+    def entry(tag, typ, vals):
+        size = {3: 2, 4: 4}[typ]
+        if size * len(vals) <= 4:
+            payload = b"".join(struct.pack("<" + ("H" if typ == 3 else "I"), v)
+                               for v in vals).ljust(4, b"\x00")
+            entries.append(struct.pack("<HHI", tag, typ, len(vals)) + payload)
+        else:
+            off = base + len(extra)
+            for v in vals:
+                extra.extend(struct.pack("<" + ("H" if typ == 3 else "I"), v))
+            entries.append(struct.pack("<HHII", tag, typ, len(vals), off))
+
+    strip_data_off = base  # patched after extras are known
+    # first pass to lay out value extras, then strip offsets
+    offsets = []
+    pos = 0
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [bits])
+    entry(259, 3, [comp])
+    entry(262, 3, [photo])
+    entry(273, 4, [0] * len(strips))  # patched below
+    entry(278, 4, [rows_per_strip])
+    entry(279, 4, [len(s) for s in strips])
+    data_off = base + len(extra)
+    abs_offsets = [data_off + o for o in offsets]
+    # rebuild entry 273 with real offsets
+    entries_final = []
+    extra2 = bytearray()
+    base2 = base
+
+    def entry2(tag, typ, vals):
+        size = {3: 2, 4: 4}[typ]
+        if size * len(vals) <= 4:
+            payload = b"".join(struct.pack("<" + ("H" if typ == 3 else "I"), v)
+                               for v in vals).ljust(4, b"\x00")
+            entries_final.append(struct.pack("<HHI", tag, typ, len(vals)) + payload)
+        else:
+            off = base2 + len(extra2)
+            for v in vals:
+                extra2.extend(struct.pack("<" + ("H" if typ == 3 else "I"), v))
+            entries_final.append(struct.pack("<HHII", tag, typ, len(vals), off))
+
+    entry2(256, 4, [w])
+    entry2(257, 4, [h])
+    entry2(258, 3, [bits])
+    entry2(259, 3, [comp])
+    entry2(262, 3, [photo])
+    entry2(273, 4, abs_offsets)
+    entry2(278, 4, [rows_per_strip])
+    entry2(279, 4, [len(s) for s in strips])
+    assert len(extra2) == len(extra)  # same layout both passes
+    out = b"II*\x00" + struct.pack("<I", 8)
+    out += struct.pack("<H", 8) + b"".join(entries_final) + b"\x00\x00\x00\x00"
+    out += bytes(extra2)
+    out += b"".join(strips)
+    return out
+
+
+def test_tiff_g4_and_uncompressed():
+    from pdf_parse_new_ray.stages.codecs import decode_tiff
+
+    img = (np.random.RandomState(7).rand(22, 61) > 0.7).astype(np.uint8)
+    # G4, two strips, WhiteIsZero
+    s1 = encode_g4(img[:11])
+    s2 = encode_g4(img[11:])
+    tif = _encode_tiff([s1, s2], 61, 22, comp=4, rows_per_strip=11)
+    h, w, c, px = decode_tiff(tif)
+    assert (h, w, c) == (22, 61, 1)
+    assert np.array_equal(px, (1 - img) * 255)  # photo=0: white is 0 → black=0
+    # uncompressed bilevel, single strip
+    packed = np.packbits(img, axis=1).tobytes()
+    tif2 = _encode_tiff([packed], 61, 22, comp=1, photo=1)
+    h, w, c, px = decode_tiff(tif2)
+    assert np.array_equal(px, img * 255)
+
+
+def test_tiff_lzw_gray_and_multimodal(ray_session):
+    import pyarrow as pa
+
+    from pdf_parse_new_ray.fixtures.pdfgen import lzw_encode
+    from pdf_parse_new_ray.stages.codecs import decode_tiff
+    from pdf_parse_new_ray.stages.multimodal import MediaFeatureExtractor
+
+    gray = np.random.RandomState(5).randint(0, 256, (14, 23)).astype(np.uint8)
+    tif = _encode_tiff([lzw_encode(gray.tobytes())], 23, 14, comp=5, bits=8,
+                       photo=1)
+    h, w, c, px = decode_tiff(tif)
+    assert (h, w, c) == (14, 23, 1)
+    assert np.array_equal(px, gray)
+
+    img = (np.random.RandomState(9).rand(9, 17) > 0.5).astype(np.uint8)
+    good = _encode_tiff([encode_g4(img)], 17, 9, comp=4)
+    batch = pa.table({
+        "media_ref": pa.array(["t", "bad"], pa.string()),
+        "bytes": pa.array([good, b"II*\x00garbage"], pa.binary()),
+    })
+    out = MediaFeatureExtractor()(batch).to_pylist()
+    assert out[0]["media_type"] == "tiff" and out[0]["decoded"] is True
+    assert (out[0]["width"], out[0]["height"]) == (17, 9)
+    assert out[1]["media_type"] == "tiff" and out[1]["decoded"] is False
+    assert out[1]["error"]
