@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionization": relational.q_sessionization,
         "q_asof_view_before_click": relational.q_asof_view_before_click,
         "q_price_band_join": relational.q_price_band_join,
+        "q_top_orders_per_customer": relational.q_top_orders_per_customer,
         # text analysis
         "t_token_stats": text.t_token_stats,
         "t_quality_scores": text.t_quality_scores,
@@ -385,6 +386,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
             ORDER BY c_custkey
+        """,
+        "q_top_orders_per_customer": """
+            SELECT o_custkey, rnk, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                FROM orders
+            ) WHERE rnk <= 2
+            ORDER BY o_custkey, rnk
         """,
         "q_asof_view_before_click": """
             SELECT c.event_id, c.user_id, c.ts,

@@ -710,3 +710,47 @@ def q_price_band_join(sf_dir: str) -> pd.DataFrame:
     out["n_parts"] = out["n_parts"].astype("int64")
     out = out.sort_values("band").reset_index(drop=True)
     return _round_cols(out, {"total_price": 2})
+
+
+# ---------------------------------------------------------------------------
+# windowed rank: top-N rows per group (row_number() OVER PARTITION BY)
+# ---------------------------------------------------------------------------
+
+def q_top_orders_per_customer(sf_dir: str, n: int = 2,
+                              n_buckets: int = 256) -> pd.DataFrame:
+    """Top-``n`` orders by total price per customer with their rank — the
+    row_number() window operator.  ONE shuffle on hash(custkey) buckets;
+    inside each bucket a vectorized MULTI-customer fold: sort by
+    (custkey, price desc, orderkey), rank = position − customer's run
+    start (no per-customer Python call; cost scales with buckets)."""
+    import numpy as np
+
+    from .joins import _bucket_of
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[
+            ("o_custkey", "ascending"), ("o_totalprice", "descending"),
+            ("o_orderkey", "ascending")])
+        t = g.take(order)
+        cust = t.column("o_custkey").combine_chunks().to_numpy(zero_copy_only=False)
+        m = len(cust)
+        new = np.ones(m, dtype=bool)
+        new[1:] = cust[1:] != cust[:-1]
+        starts = np.nonzero(new)[0]
+        rank = np.arange(m) - np.repeat(starts, np.diff(np.concatenate((starts, [m])))) + 1
+        keep = rank <= n
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "rnk": pa.array(rank[keep], pa.int64()),
+            "o_orderkey": t.column("o_orderkey"),
+            "o_totalprice": t.column("o_totalprice"),
+        })
+
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]) \
+        .map_batches(
+            lambda t: t.append_column("__bk", _bucket_of(t.column("o_custkey"), n_buckets)),
+            batch_format="pyarrow")
+    out = ds.groupby("__bk").map_groups(per_bucket, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
+    return _round_cols(out, {"o_totalprice": 2})
