@@ -151,9 +151,15 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         }).filter(pc.greater(t["l_shipdate"], pa.scalar(pd.Timestamp("1995-03-15")))),
         batch_format="pyarrow",
     )
+    # join partitions scale with the cluster (a fixed count would cap
+    # fact-fact join parallelism on a real cluster)
+    try:
+        n_join = max(4, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    except Exception:
+        n_join = 4
     joined = li.join(sel_orders.map_batches(
         lambda t: pa.table({"l_orderkey": t["o_orderkey"], "o_orderdate": t["o_orderdate"]}),
-        batch_format="pyarrow"), join_type="inner", num_partitions=4,
+        batch_format="pyarrow"), join_type="inner", num_partitions=n_join,
         on=("l_orderkey",), aggregator_ray_remote_args={"num_cpus": 0.5})
     out = joined.groupby("l_orderkey").aggregate(
         Sum("revenue_part", alias_name="revenue"),
