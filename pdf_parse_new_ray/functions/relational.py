@@ -143,6 +143,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
              ("o_orderdate", odate_type)],
         ).drop_columns(["in_seg"])  # inner-join semantics: only members survive
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    li_rows = li.count()  # parquet metadata — no scan
     li = li.map_batches(
         lambda t: pa.table({
             "l_orderkey": t["l_orderkey"],
@@ -151,12 +152,16 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         }).filter(pc.greater(t["l_shipdate"], pa.scalar(pd.Timestamp("1995-03-15")))),
         batch_format="pyarrow",
     )
-    # join partitions scale with the cluster (a fixed count would cap
-    # fact-fact join parallelism on a real cluster)
+    # join partitions scale with DATA (rows per partition target) and are
+    # capped by the cluster — a fixed count would cap fact-fact join
+    # parallelism on a real cluster, while a pure cluster count pays
+    # aggregator-actor startup for nothing at small scale (measured +30%
+    # on this query at sf0.1)
     try:
-        n_join = max(4, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
-        n_join = 4
+        cpus = 4
+    n_join = min(max(4, li_rows // 250_000), 2 * cpus)
     joined = li.join(sel_orders.map_batches(
         lambda t: pa.table({"l_orderkey": t["o_orderkey"], "o_orderdate": t["o_orderdate"]}),
         batch_format="pyarrow"), join_type="inner", num_partitions=n_join,
