@@ -76,30 +76,47 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         prior = img[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
         if f == 0:  # None
             out = cur
-        elif f == 1:  # Sub — sequential on the left neighbor
-            out = cur.copy()
-            for x in range(bpp, stride):
-                out[x] = (out[x] + out[x - bpp]) & 0xFF
+        elif f == 1:  # Sub: out[x] = cur[x] + out[x-bpp] is a per-channel
+            # prefix sum — vectorized as cumsum mod 256 over pixel columns
+            out = np.cumsum(cur.reshape(-1, bpp), axis=0).reshape(-1) & 0xFF
         elif f == 2:  # Up — fully vectorized
             out = (cur + prior) & 0xFF
-        elif f == 3:  # Average
-            out = cur.copy()
+        elif f == 3:  # Average — sequential on left; plain-int loop
+            # (numpy scalar indexing is ~10x slower than Python ints)
+            cl = cur.tolist()
+            pl = prior.tolist()
+            o = cl[:]
             for x in range(stride):
-                left = out[x - bpp] if x >= bpp else 0
-                out[x] = (out[x] + ((left + prior[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            out = cur.copy()
-            for x in range(stride):
-                a = out[x - bpp] if x >= bpp else 0
-                b = prior[x]
-                c = prior[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                left = o[x - bpp] if x >= bpp else 0
+                o[x] = (cl[x] + ((left + pl[x]) >> 1)) & 0xFF
+            out = o
+        elif f == 4:  # Paeth — sequential on left; plain-int loop
+            cl = cur.tolist()
+            pl = prior.tolist()
+            o = cl[:]
+            for x in range(bpp):
+                # left/upleft are 0: predictor degenerates to up
+                o[x] = (cl[x] + pl[x]) & 0xFF
+            for x in range(bpp, stride):
+                a = o[x - bpp]
+                b = pl[x]
+                c = pl[x - bpp]
+                pa = b - c
+                pb = a - c
+                pc = pa + pb
+                if pa < 0:
+                    pa = -pa
+                if pb < 0:
+                    pb = -pb
+                if pc < 0:
+                    pc = -pc
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                out[x] = (out[x] + pred) & 0xFF
+                o[x] = (cl[x] + pred) & 0xFF
+            out = o
         else:
             raise CodecError(f"unknown filter {f}")
-        img[y] = out.astype(np.uint8)
+        img[y] = np.asarray(out, dtype=np.uint8) if isinstance(out, list) \
+            else out.astype(np.uint8)
     px = img.reshape(h, w, nch)
     if color_type == 3:
         if palette is None:
