@@ -127,6 +127,9 @@ def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
         "d_exact_dedup": dedup.d_exact_dedup,
         "d_minhash_pairs": dedup.d_minhash_pairs,
         "e_knn_bruteforce": ann.e_knn_bruteforce,
+        "e_knn_ivf": ann.e_knn_ivf,
+        "q_top_orders_per_customer": relational.q_top_orders_per_customer,
+        "q_price_band_join": relational.q_price_band_join,
     }
     for name, fn in bench_queries.items():
         t0 = time.time()

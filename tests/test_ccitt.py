@@ -187,3 +187,51 @@ def test_tiff_lzw_gray_and_multimodal(ray_session):
     assert (out[0]["width"], out[0]["height"]) == (17, 9)
     assert out[1]["media_type"] == "tiff" and out[1]["decoded"] is False
     assert out[1]["error"]
+
+
+def test_multimodal_fuzz_never_crashes(ray_session):
+    """Random mutations of every container format must flow through the
+    multimodal stage as decoded=False-or-True rows — never a crashed
+    task, never a hang (absorb-to-error contract across ALL decoders)."""
+    import pyarrow as pa
+
+    from pdf_parse_new_ray.fixtures.ccittgen import encode_g4
+    from pdf_parse_new_ray.fixtures.jpeggen import (encode_baseline_jpeg,
+                                                    encode_progressive_jpeg)
+    from pdf_parse_new_ray.stages.multimodal import MediaFeatureExtractor
+
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_jpeg import _encode_gif, _encode_png
+
+    rng = np.random.RandomState(123)
+    img = rng.randint(0, 256, (12, 17)).astype(np.uint8)
+    bil = (img > 128).astype(np.uint8)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    seeds = [
+        encode_baseline_jpeg(img),
+        encode_progressive_jpeg(img),
+        _encode_png(img),
+        _encode_gif(img, pal),
+        _encode_tiff([encode_g4(bil)], 17, 12, comp=4),
+        _encode_tiff([np.packbits(bil, axis=1).tobytes()], 17, 12, comp=1),
+    ]
+    refs, blobs = [], []
+    k = 0
+    for seed in seeds:
+        for _ in range(40):
+            blob = bytearray(seed)
+            for _ in range(rng.randint(1, 8)):
+                blob[rng.randint(0, len(blob))] = rng.randint(0, 256)
+            refs.append(f"fz-{k}")
+            blobs.append(bytes(blob))
+            k += 1
+    batch = pa.table({"media_ref": pa.array(refs, pa.string()),
+                      "bytes": pa.array(blobs, pa.binary())})
+    out = MediaFeatureExtractor()(batch).to_pylist()
+    assert len(out) == len(blobs)
+    for r in out:
+        assert isinstance(r["decoded"], bool)
+        if not r["decoded"] and r["media_type"] in (
+                "jpeg", "png", "gif", "tiff"):
+            assert r["error"] or r["media_type"]  # absorbed, surfaced
