@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-MIXED_VERSION = "v2"  # v2 adds CCITT-G4 TIFF media
+MIXED_VERSION = "v3"  # v2: +CCITT-G4 TIFF; v3: +MP3 (Xing VBR), +MP4
 
 
 def _make_wav(seconds: float, rate: int = 1000) -> bytes:
@@ -105,6 +105,25 @@ def _make_tiff_g4(img: np.ndarray) -> bytes:
             + b"".join(entries) + b"\x00\x00\x00\x00" + strip)
 
 
+def _make_mp3(n_frames: int = 20) -> bytes:
+    """MPEG1 Layer-III mono 128 kbps VBR stream with a Xing frame count."""
+    flen = 144 * 128000 // 44100
+    frame = bytearray([0xFF, 0xFB, 0x90, 0xC0]) + b"\x00" * (flen - 4)
+    off = 4 + 17  # mono MPEG1 side-info
+    frame[off:off + 4] = b"Xing"
+    frame[off + 4:off + 8] = struct.pack(">I", 1)
+    frame[off + 8:off + 12] = struct.pack(">I", n_frames)
+    return bytes(frame) * n_frames
+
+
+def _make_mp4(duration_s: float, timescale: int = 1000) -> bytes:
+    mvhd = bytes([0, 0, 0, 0]) + struct.pack(">II", 0, 0) \
+        + struct.pack(">II", timescale, int(duration_s * timescale)) + b"\x00" * 80
+    mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    moov = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+    return struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00" + moov
+
+
 def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
     from .jpeggen import encode_baseline_jpeg, encode_progressive_jpeg
     from .pdfgen import make_seeded_pdf
@@ -114,7 +133,7 @@ def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
     refs, blobs, kinds = [], [], []
     for i in range(n_rows):
         kind = ("jpeg", "jpeg_progressive", "png", "gif", "wav", "pdf",
-                "tiff_g4", "junk")[i % 8]
+                "tiff_g4", "mp3", "mp4", "junk")[i % 10]
         h = int(rng.randint(8, 40))
         w = int(rng.randint(8, 40))
         if kind == "jpeg":
@@ -133,6 +152,10 @@ def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
             blob = make_seeded_pdf(9_000_000 + i)[0]
         elif kind == "tiff_g4":
             blob = _make_tiff_g4((rng.rand(h, w) > 0.7).astype(np.uint8))
+        elif kind == "mp3":
+            blob = _make_mp3(n_frames=int(rng.randint(5, 40)))
+        elif kind == "mp4":
+            blob = _make_mp4(float(rng.randint(1, 600)) / 10.0)
         else:
             blob = bytes(rng.randint(0, 256, 64).astype(np.uint8))
         refs.append(f"mixed-{i:06d}")

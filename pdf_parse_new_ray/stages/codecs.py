@@ -1,10 +1,14 @@
 """Dependency-free media codecs for the multimodal feature stage.
 
-The container has no PIL/soundfile, but PNG, GIF and WAV need no
-external codec: PNG is zlib (stdlib) + per-row unfiltering (numpy), GIF
-is variable-code-width LZW over a color table, WAV duration is RIFF
-header arithmetic.  These upgrade three of the stage's honest stubs to
-REAL decoders; compressed audio/video stay stubbed.
+The container has no PIL/soundfile, but these formats need no external
+codec: PNG is zlib (stdlib) + per-row unfiltering (numpy), GIF is
+variable-code-width LZW over a color table, TIFF is an IFD walk over
+uncompressed / TIFF-LZW / CCITT-G4 strips (pdfkernel/ccitt.py), and
+WAV / MP3 / MP4 durations are header arithmetic (RIFF chunks, MPEG
+frame headers + Xing VBR counts, moov/mvhd timescale).  Together with
+the kernel's JPEG decoder they make every common container REAL in the
+media stage; only full payload decode of compressed audio/video (ogg,
+avi sample data) stays stubbed.
 """
 
 from __future__ import annotations
@@ -355,3 +359,89 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise CodecError("short TIFF pixel data")
     px = np.frombuffer(raw[: h * w * spp], np.uint8).reshape(h, w, spp)
     return h, w, spp, (px[..., 0] if spp == 1 else px)
+
+
+_MP3_BITRATES = {  # kbps, MPEG1 Layer III / MPEG2(.5) Layer III
+    1: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def mp3_duration(data: bytes) -> float:
+    """MP3 duration from frame headers: Xing/Info frame count when
+    present (VBR), else file-size / first-frame bitrate (CBR estimate)."""
+    pos = 0
+    if data[:3] == b"ID3":  # skip ID3v2 (syncsafe size)
+        if len(data) < 10:
+            raise CodecError("truncated ID3")
+        sz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + sz
+    # find frame sync
+    while pos + 4 <= len(data):
+        if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
+            break
+        pos += 1
+    if pos + 4 > len(data):
+        raise CodecError("no MP3 frame sync")
+    h1 = data[pos + 1]
+    h2 = data[pos + 2]
+    version = (h1 >> 3) & 3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (h1 >> 1) & 3            # 1=Layer III
+    if version == 1 or layer != 1:
+        raise CodecError("unsupported MPEG version/layer")
+    br_idx = (h2 >> 4) & 0xF
+    sr_idx = (h2 >> 2) & 3
+    if sr_idx == 3:
+        raise CodecError("bad sample-rate index")
+    mpeg1 = version == 3
+    bitrate = _MP3_BITRATES[1 if mpeg1 else 2][br_idx] * 1000
+    rate = _MP3_RATES[version][sr_idx]
+    spf = 1152 if mpeg1 else 576     # samples per Layer-III frame
+    if not bitrate:
+        raise CodecError("free-format bitrate")
+    # Xing/Info header (VBR): side-info offset depends on version/channels
+    mode = (data[pos + 3] >> 6) & 3
+    side = (17 if mode == 3 else 32) if mpeg1 else (9 if mode == 3 else 17)
+    tag_off = pos + 4 + side
+    tag = data[tag_off:tag_off + 4]
+    if tag in (b"Xing", b"Info") and data[tag_off + 7] & 1:
+        frames = struct.unpack(">I", data[tag_off + 8:tag_off + 12])[0]
+        return frames * spf / rate
+    return (len(data) - pos) * 8 / bitrate
+
+
+def mp4_duration(data: bytes) -> float:
+    """MP4/ISO-BMFF duration from the moov/mvhd box."""
+    def walk(lo: int, hi: int, depth: int = 0) -> float:
+        pos = lo
+        while pos + 8 <= hi:
+            size = struct.unpack(">I", data[pos:pos + 4])[0]
+            typ = data[pos + 4:pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit size
+                size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+                body = pos + 16
+            if size < 8:
+                raise CodecError("bad box size")
+            if typ == b"moov" and depth == 0:
+                return walk(body, min(pos + size, hi), 1)
+            if typ == b"mvhd" and depth == 1:
+                ver = data[body]
+                if ver == 1:
+                    ts = struct.unpack(">I", data[body + 20:body + 24])[0]
+                    dur = struct.unpack(">Q", data[body + 24:body + 32])[0]
+                else:
+                    ts = struct.unpack(">I", data[body + 12:body + 16])[0]
+                    dur = struct.unpack(">I", data[body + 16:body + 20])[0]
+                if not ts:
+                    raise CodecError("zero mvhd timescale")
+                return dur / ts
+            pos += size
+        raise CodecError("no mvhd box")
+
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise CodecError("not an MP4")
+    return walk(0, len(data))

@@ -162,17 +162,21 @@ class MediaFeatureExtractor:
             return -1, -1, False, f"{type(e).__name__}: {e}"
 
     def _decode_audio(self, blob: bytes) -> tuple[float, bool, Optional[str]]:
-        if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
-            # REAL decode: WAV duration is RIFF header arithmetic — no
-            # codec library needed (stages/codecs.py)
-            from .codecs import wav_duration
+        # REAL header-level duration decode — no codec library needed
+        # (stages/codecs.py): WAV (RIFF arithmetic), MP3 (frame header +
+        # Xing VBR frame count), MP4 (moov/mvhd timescale)
+        kind = sniff_media_type(blob)
+        if kind in ("wav", "mp3", "mp4"):
+            from .codecs import mp3_duration, mp4_duration, wav_duration
 
+            fn = {"wav": wav_duration, "mp3": mp3_duration,
+                  "mp4": mp4_duration}[kind]
             try:
-                return round(wav_duration(blob), 6), True, None
+                return round(fn(blob), 6), True, None
             except Exception as e:  # noqa: BLE001 — absorb-to-error
                 return -1.0, False, f"{type(e).__name__}: {e}"
         if self._soundfile is None:
-            return -1.0, False, None  # STUB (compressed audio) — see class docstring
+            return -1.0, False, None  # STUB (ogg/avi payload decode)
         import io
 
         try:  # pragma: no cover

@@ -235,3 +235,58 @@ def test_multimodal_fuzz_never_crashes(ray_session):
         if not r["decoded"] and r["media_type"] in (
                 "jpeg", "png", "gif", "tiff"):
             assert r["error"] or r["media_type"]  # absorbed, surfaced
+
+
+def _make_mp3(n_frames=40, bitrate_idx=9, vbr=False):
+    """Minimal MPEG1 Layer-III CBR/VBR stream (silent frames)."""
+    # header: sync, MPEG1 (11), Layer III (01), no CRC (1)
+    h0, h1 = 0xFF, 0xFB
+    h2 = (bitrate_idx << 4) | (0 << 2)  # 44100 Hz
+    h3 = 0xC0  # mono
+    bitrate = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+               160, 192, 224, 256, 320, 0)[bitrate_idx] * 1000
+    flen = 144 * bitrate // 44100
+    frame = bytearray([h0, h1, h2, h3]) + b"\x00" * (flen - 4)
+    if vbr:
+        # Xing tag at 4 + side_info(17 for mono MPEG1)
+        off = 4 + 17
+        frame[off:off + 4] = b"Xing"
+        frame[off + 4:off + 8] = struct.pack(">I", 1)  # flags: frames
+        frame[off + 8:off + 12] = struct.pack(">I", n_frames)
+    return bytes(frame) * n_frames
+
+
+def _make_mp4(duration_s=7.5, timescale=1000):
+    mvhd = bytes([0, 0, 0, 0]) + struct.pack(">II", 0, 0) \
+        + struct.pack(">II", timescale, int(duration_s * timescale)) + b"\x00" * 80
+    mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    moov = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def test_audio_video_durations(ray_session):
+    import pyarrow as pa
+
+    from pdf_parse_new_ray.stages.codecs import mp3_duration, mp4_duration
+    from pdf_parse_new_ray.stages.multimodal import MediaFeatureExtractor
+
+    mp3_cbr = _make_mp3(n_frames=38)  # 38 * 1152 / 44100 s via size/bitrate
+    d = mp3_duration(mp3_cbr)
+    assert abs(d - 38 * 1152 / 44100) < 0.05  # CBR estimate
+    mp3_vbr = _make_mp3(n_frames=25, vbr=True)
+    assert abs(mp3_duration(mp3_vbr) - 25 * 1152 / 44100) < 1e-9  # exact
+    mp4 = _make_mp4(7.5)
+    assert mp4_duration(mp4) == 7.5
+
+    batch = pa.table({
+        "media_ref": pa.array(["a", "b", "c", "bad"], pa.string()),
+        "bytes": pa.array([mp3_cbr, mp3_vbr, mp4,
+                           b"\xff\xfb\x7cbad-sr-index"], pa.binary()),
+    })
+    out = MediaFeatureExtractor()(batch).to_pylist()
+    assert out[0]["media_type"] == "mp3" and out[0]["decoded"] is True
+    assert out[1]["decoded"] is True
+    assert abs(out[1]["duration_s"] - 25 * 1152 / 44100) < 1e-6
+    assert out[2]["media_type"] == "mp4" and out[2]["duration_s"] == 7.5
+    assert out[3]["decoded"] is False and out[3]["error"]
