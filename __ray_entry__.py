@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_view_before_click": relational.q_asof_view_before_click,
         "q_price_band_join": relational.q_price_band_join,
         "q_top_orders_per_customer": relational.q_top_orders_per_customer,
+        "q_order_price_quantiles": relational.q_order_price_quantiles,
         # text analysis
         "t_token_stats": text.t_token_stats,
         "t_quality_scores": text.t_quality_scores,
@@ -386,6 +387,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
             ORDER BY c_custkey
+        """,
+        "q_order_price_quantiles": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   round(quantile_disc(o_totalprice, 0.5), 2) AS median_price,
+                   round(quantile_disc(o_totalprice, 0.9), 2) AS p90_price
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "q_top_orders_per_customer": """
             SELECT o_custkey, rnk, o_orderkey, round(o_totalprice, 2) AS o_totalprice

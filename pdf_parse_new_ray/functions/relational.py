@@ -765,3 +765,52 @@ def q_top_orders_per_customer(sf_dir: str, n: int = 2,
     out = ds.groupby("__bk").map_groups(per_bucket, batch_format="pyarrow").to_pandas()
     out = out.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
     return _round_cols(out, {"o_totalprice": 2})
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles (no global sort)
+# ---------------------------------------------------------------------------
+
+def q_order_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group median/p90 of order totals WITHOUT a global sort:
+    prices are discrete at cent granularity, so each batch emits
+    (priority, cents) count partials, ONE small groupby merges them, and
+    the driver walks the cumulative counts.  The shuffle is bounded by
+    DISTINCT VALUES × groups (≈ price-range cents × 5), not by rows — a
+    sort-based quantile would be an all-to-all over the fact table."""
+    import numpy as np
+
+    from .joins import rename_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)))
+        g = pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "cents": pc.cast(cents, pa.int64()),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["o_orderpriority", "cents"]).aggregate([("n", "sum")])
+        return rename_agg(g, {"n_sum": "n"}, ["o_orderpriority", "cents", "n"])
+
+    counts = _rp(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby(["o_orderpriority", "cents"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+
+    rows = []
+    for prio, g in counts.groupby("o_orderpriority"):
+        g = g.sort_values("cents")
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g["cents"].to_numpy()
+
+        def q_disc(q: float) -> float:
+            # DuckDB quantile_disc: element at index ceil(n*q)-1
+            import math
+
+            target = max(1, math.ceil(n * q))
+            return float(vals[int(np.searchsorted(cum, target))]) / 100.0
+
+        rows.append({"o_orderpriority": prio, "n_orders": n,
+                     "median_price": round(q_disc(0.5), 2),
+                     "p90_price": round(q_disc(0.9), 2)})
+    return pd.DataFrame(rows).sort_values("o_orderpriority").reset_index(drop=True)
