@@ -4,11 +4,11 @@ The container has no PIL/soundfile, but these formats need no external
 codec: PNG is zlib (stdlib) + per-row unfiltering (numpy), GIF is
 variable-code-width LZW over a color table, TIFF is an IFD walk over
 uncompressed / TIFF-LZW / CCITT-G4 strips (pdfkernel/ccitt.py), and
-WAV / MP3 / MP4 durations are header arithmetic (RIFF chunks, MPEG
-frame headers + Xing VBR counts, moov/mvhd timescale).  Together with
-the kernel's JPEG decoder they make every common container REAL in the
-media stage; only full payload decode of compressed audio/video (ogg,
-avi sample data) stays stubbed.
+WAV / MP3 / MP4 / Ogg durations are header arithmetic (RIFF chunks,
+MPEG frame headers + Xing VBR counts, moov/mvhd timescale, Ogg granule
+positions).  Together with the kernel's JPEG decoder they make every
+common container REAL in the media stage; only full payload decode of
+compressed audio/video samples stays stubbed.
 """
 
 from __future__ import annotations
@@ -445,3 +445,39 @@ def mp4_duration(data: bytes) -> float:
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise CodecError("not an MP4")
     return walk(0, len(data))
+
+
+def ogg_duration(data: bytes) -> float:
+    """Ogg duration from the identification header (Vorbis rate / Opus
+    48 kHz + pre-skip) and the LAST page's granule position."""
+    if data[:4] != b"OggS":
+        raise CodecError("not an Ogg stream")
+    if len(data) < 28:
+        raise CodecError("truncated Ogg page")
+    nsegs = data[26]
+    body = 27 + nsegs
+    seg_total = sum(data[27:body])
+    first = data[body:body + seg_total]
+    rate = None
+    preskip = 0
+    if first[:7] == b"\x01vorbis":
+        if len(first) < 16:
+            raise CodecError("short vorbis id header")
+        rate = struct.unpack("<I", first[12:16])[0]
+    elif first[:8] == b"OpusHead":
+        if len(first) < 12:
+            raise CodecError("short OpusHead")
+        preskip = struct.unpack("<H", first[10:12])[0]
+        rate = 48000  # granule positions are always 48 kHz for Opus
+    else:
+        raise CodecError("unknown Ogg codec")
+    if not rate:
+        raise CodecError("zero sample rate")
+    # last page's granule position
+    last = data.rfind(b"OggS")
+    if last < 0 or last + 14 > len(data):
+        raise CodecError("no final page")
+    granule = struct.unpack("<q", data[last + 6:last + 14])[0]
+    if granule < 0:
+        raise CodecError("unset granule position")
+    return max(0, granule - preskip) / rate

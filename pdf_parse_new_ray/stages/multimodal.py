@@ -166,11 +166,12 @@ class MediaFeatureExtractor:
         # (stages/codecs.py): WAV (RIFF arithmetic), MP3 (frame header +
         # Xing VBR frame count), MP4 (moov/mvhd timescale)
         kind = sniff_media_type(blob)
-        if kind in ("wav", "mp3", "mp4"):
-            from .codecs import mp3_duration, mp4_duration, wav_duration
+        if kind in ("wav", "mp3", "mp4", "ogg"):
+            from .codecs import (mp3_duration, mp4_duration, ogg_duration,
+                                 wav_duration)
 
             fn = {"wav": wav_duration, "mp3": mp3_duration,
-                  "mp4": mp4_duration}[kind]
+                  "mp4": mp4_duration, "ogg": ogg_duration}[kind]
             try:
                 return round(fn(blob), 6), True, None
             except Exception as e:  # noqa: BLE001 — absorb-to-error

@@ -290,3 +290,38 @@ def test_audio_video_durations(ray_session):
     assert abs(out[1]["duration_s"] - 25 * 1152 / 44100) < 1e-6
     assert out[2]["media_type"] == "mp4" and out[2]["duration_s"] == 7.5
     assert out[3]["decoded"] is False and out[3]["error"]
+
+
+def _make_ogg_vorbis(rate=8000, total_samples=12000):
+    def page(body, granule, seq, typ=0):
+        segs = []
+        n = len(body)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+        hdr = (b"OggS" + bytes([0, typ]) + struct.pack("<q", granule)
+               + struct.pack("<III", 1, seq, 0) + bytes([len(segs)])
+               + bytes(segs))
+        return hdr + body
+    idh = b"\x01vorbis" + struct.pack("<IB", 0, 1) + struct.pack("<I", rate) \
+        + b"\x00" * 12
+    return page(idh, 0, 0, typ=2) + page(b"\x00" * 10, total_samples, 1, typ=4)
+
+
+def test_ogg_duration(ray_session):
+    import pyarrow as pa
+
+    from pdf_parse_new_ray.stages.codecs import CodecError, ogg_duration
+    from pdf_parse_new_ray.stages.multimodal import MediaFeatureExtractor
+
+    ogg = _make_ogg_vorbis(rate=8000, total_samples=12000)
+    assert ogg_duration(ogg) == 1.5
+    with pytest.raises(CodecError):
+        ogg_duration(b"OggSjunk")
+
+    batch = pa.table({"media_ref": pa.array(["o"], pa.string()),
+                      "bytes": pa.array([ogg], pa.binary())})
+    out = MediaFeatureExtractor()(batch).to_pylist()
+    assert out[0]["media_type"] == "ogg" and out[0]["decoded"] is True
+    assert out[0]["duration_s"] == 1.5
