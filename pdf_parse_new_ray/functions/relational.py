@@ -28,6 +28,10 @@ def _rp(sf_dir: str, table: str, columns=None) -> rd.Dataset:
 # runs.  One knob so tests can force the distributed path on small data.
 BROADCAST_DIM_ROWS = 2_000_000
 
+# task-mode warm broadcast state for q3's gated small-scale path (keyed by
+# the ObjectRef hex so distinct queries/inputs never share state)
+_Q3_TASK_STATE: dict = {}
+
 
 def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
     for c, nd in spec.items():
@@ -114,20 +118,19 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
             r["c_custkey"] for r in
             cust.filter(expr="c_mktsegment == 'BUILDING'").take_all())
         keys_ref = ray.put(seg_keys)
+        ck = ("q3keys", keys_ref.hex())
 
-        class FilterByCust:
-            def __init__(self, keys):
-                keys = ray.get(keys) if isinstance(keys, ray.ObjectRef) else keys
-                # vectorized membership: Arrow value_set built once per actor
-                self._keys = pa.array(keys, pa.int64())
+        def filter_by_cust(batch: pa.Table) -> pa.Table:
+            # task-mode warm value_set (module cache, no actor spin-up):
+            # ray.get of a local-object-store ref is zero-copy and the
+            # Arrow array is built once per worker process
+            keys = _Q3_TASK_STATE.get(ck)
+            if keys is None:
+                keys = _Q3_TASK_STATE[ck] = pa.array(ray.get(keys_ref), pa.int64())
+            return date_filter(batch.filter(
+                pc.is_in(batch["o_custkey"], value_set=keys)))
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                return date_filter(batch.filter(
-                    pc.is_in(batch["o_custkey"], value_set=self._keys)))
-
-        sel_orders = orders.map_batches(
-            FilterByCust, fn_constructor_kwargs={"keys": keys_ref},
-            batch_format="pyarrow", concurrency=(1, 4))
+        sel_orders = orders.map_batches(filter_by_cust, batch_format="pyarrow")
     else:
         from .joins import attach_value
 
@@ -152,6 +155,51 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         }).filter(pc.greater(t["l_shipdate"], pa.scalar(pd.Timestamp("1995-03-15")))),
         batch_format="pyarrow",
     )
+    # size-gated probe: when the ORDERS table itself is broadcastable the
+    # filtered selection certainly is — ship (o_orderkey, o_orderdate)
+    # once via ray.put and fold revenue inside each lineitem batch (no
+    # join aggregator actors, no groupby shuffle; partials are bounded by
+    # the gated selection size).  Past the gate, the Ray-native hash join
+    # below runs with data-scaled partitions.
+    if orders.count() <= BROADCAST_DIM_ROWS:
+        # Arrow-native materialize (gated small): keeps the source
+        # timestamp unit exact — a pandas roundtrip would silently
+        # rewrite timestamp[s] to [us] and break result-dtype parity
+        sel_tab = pa.concat_tables(ray.get(sel_orders.to_arrow_refs()))
+        sel_ref = ray.put(sel_tab)
+        jk = ("q3join", sel_ref.hex())
+
+        def broadcast_join_fold(t: pa.Table) -> pa.Table:
+            state = _Q3_TASK_STATE.get(jk)
+            if state is None:
+                tab = ray.get(sel_ref)
+                state = _Q3_TASK_STATE[jk] = (tab["o_orderkey"].combine_chunks(),
+                                              tab["o_orderdate"].combine_chunks())
+            keys, dates = state
+            idx = pc.index_in(t["l_orderkey"], value_set=keys)
+            mask = pc.is_valid(idx)
+            hit = pc.filter(idx, mask)
+            part = pa.table({
+                "l_orderkey": pc.filter(t["l_orderkey"], mask),
+                "o_orderdate": pc.take(dates, hit),
+                "revenue_part": pc.filter(t["revenue_part"], mask),
+            })
+            g = part.group_by(["l_orderkey", "o_orderdate"]).aggregate(
+                [("revenue_part", "sum")])
+            from .joins import rename_agg
+            return rename_agg(g, {"revenue_part_sum": "revenue_part"},
+                              ["l_orderkey", "o_orderdate", "revenue_part"])
+
+        partials = li.map_batches(broadcast_join_fold,
+                                  batch_format="pyarrow").to_pandas()
+        out = (partials.groupby(["l_orderkey"], as_index=False)
+               .agg(revenue=("revenue_part", "sum"),
+                    o_orderdate=("o_orderdate", "min")))
+        out = out.rename(columns={"l_orderkey": "o_orderkey"})
+        out = out.sort_values(["revenue", "o_orderkey"],
+                              ascending=[False, True]).head(10).reset_index(drop=True)
+        return _round_cols(out, {"revenue": 2})
+
     # join partitions scale with DATA (rows per partition target) and are
     # capped by the cluster — a fixed count would cap fact-fact join
     # parallelism on a real cluster, while a pure cluster count pays
@@ -171,6 +219,10 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         Min("o_orderdate", alias_name="o_orderdate"),
     ).to_pandas()
     out = out.rename(columns={"l_orderkey": "o_orderkey"})
+    # Ray's Min aggregate narrows timestamp[us] to [s]; restore the source
+    # unit so both q3 plans (broadcast fold / shuffle join) agree exactly
+    src_unit = orders.schema().base_schema.field("o_orderdate").type.unit
+    out["o_orderdate"] = out["o_orderdate"].astype(f"datetime64[{src_unit}]")
     out = out.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10).reset_index(drop=True)
     return _round_cols(out, {"revenue": 2})
 
