@@ -1,0 +1,394 @@
+"""Deterministic JBIG2 encoder for fixtures (ITU-T T.88, embedded flavor).
+
+Produces arithmetic-coded JBIG2 streams — generic regions (all four GB
+templates, optional TPGDON), symbol dictionary + text region pairs, and
+pattern-dictionary + halftone regions — used to exercise
+`pdfkernel/jbig2.py` and to differential-test it against the live
+reference decoder (tools/jbig2_ref.py).  Encoder-side procedures follow
+T.88 Annex E (MQ coder) and Annex A (integer coding); everything here is
+the mirror image of the decoder and shares its context-labeling scheme.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..pdfkernel.jbig2 import (_CODING_TEMPLATES, _QE, _TPGDON_CONTEXTS,
+                               ContextCache, _log2)
+
+
+class MQEncoder:
+    """MQ arithmetic encoder (T.88 E.3): BYTEOUT with 0xFF stuffing and
+    carry propagation, FLUSH appends the FF AC terminator."""
+
+    def __init__(self):
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        # leading dummy byte absorbs a (theoretical) carry before the
+        # first real BYTEOUT; stripped in finish()
+        self.out = bytearray([0])
+
+    def _byteout(self) -> None:
+        out = self.out
+        if out[-1] == 0xFF:
+            out.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            out.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            # carry into the previous byte
+            out[-1] += 1
+            if out[-1] == 0xFF:
+                self.c &= 0x7FFFFFF
+                out.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                out.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def encode(self, cx: bytearray, pos: int, d: int) -> None:
+        state = cx[pos]
+        icx = state >> 1
+        mps = state & 1
+        qe, nmps, nlps, switch = _QE[icx]
+        if d == mps:
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            cx[pos] = (nmps << 1) | mps
+        else:
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                mps = 1 - mps
+            cx[pos] = (nlps << 1) | mps
+        while True:
+            self.a = (self.a << 1) & 0xFFFF
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def finish(self) -> bytes:
+        # SETBITS
+        temp = (self.c + self.a - 1) & 0xFFFF0000
+        if temp < self.c:
+            temp += 0x8000
+        self.c = temp
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        if self.out[-1] != 0xFF:
+            self.out.append(0xFF)
+        self.out.append(0xAC)
+        if self.out[0] != 0:
+            raise AssertionError("carry before first byte")
+        return bytes(self.out[1:])
+
+
+def encode_integer(cache: ContextCache, name: str, enc: MQEncoder, v):
+    """Mirror of decode_integer; v=None encodes OOB."""
+    cx = cache.get_contexts(name)
+    prev = 1
+
+    def put(bit: int) -> None:
+        nonlocal prev
+        enc.encode(cx, prev, bit)
+        prev = (prev << 1) | bit if prev < 256 else \
+            ((((prev << 1) | bit) & 511) | 256)
+
+    def put_bits(value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            put((value >> i) & 1)
+
+    if v is None:  # OOB = sign 1, value 0
+        put(1)
+        put(0)
+        put_bits(0, 2)
+        return
+    sign = 0 if v >= 0 else 1
+    av = -v if v < 0 else v
+    put(sign)
+    if av < 4:
+        put(0)
+        put_bits(av, 2)
+    elif av < 20:
+        put(1)
+        put(0)
+        put_bits(av - 4, 4)
+    elif av < 84:
+        put(1)
+        put(1)
+        put(0)
+        put_bits(av - 20, 6)
+    elif av < 340:
+        put(1)
+        put(1)
+        put(1)
+        put(0)
+        put_bits(av - 84, 8)
+    elif av < 4436:
+        put(1)
+        put(1)
+        put(1)
+        put(1)
+        put(0)
+        put_bits(av - 340, 12)
+    else:
+        put(1)
+        put(1)
+        put(1)
+        put(1)
+        put(1)
+        put_bits(av - 4436, 32)
+
+
+def encode_iaid(cache: ContextCache, enc: MQEncoder, code_length: int,
+                value: int) -> None:
+    cx = cache.get_contexts("IAID")
+    prev = 1
+    t = value + (1 << code_length)
+    for i in range(code_length - 1, -1, -1):
+        bit = (t >> i) & 1
+        enc.encode(cx, prev, bit)
+        prev = (prev << 1) | bit
+
+
+def encode_generic(enc: MQEncoder, bitmap, template: int, at,
+                   cache: ContextCache, tpgdon: bool = False) -> None:
+    """Encode a bitmap (list of int rows, 1=black) as a generic region
+    using the decoder's sorted-template context labeling."""
+    height = len(bitmap)
+    width = len(bitmap[0]) if height else 0
+    template_px = sorted(list(_CODING_TEMPLATES[template]) + list(at),
+                         key=lambda p: (p[1], p[0]))
+    tlen = len(template_px)
+    pseudo = _TPGDON_CONTEXTS[template]
+    cx = cache.get_contexts("GB")
+    ltp = 0
+    for i in range(height):
+        if tpgdon:
+            typical = i > 0 and bytes(bitmap[i]) == bytes(bitmap[i - 1])
+            sltp = (1 if typical else 0) ^ ltp
+            enc.encode(cx, pseudo, sltp)
+            ltp ^= sltp
+            if ltp:
+                continue
+        row = bitmap[i]
+        for j in range(width):
+            label = 0
+            shift = tlen - 1
+            for x, y in template_px:
+                j0 = j + x
+                if 0 <= j0 < width:
+                    i0 = i + y
+                    if i0 >= 0 and bitmap[i0][j0]:
+                        label |= 1 << shift
+                shift -= 1
+            enc.encode(cx, label, row[j])
+
+
+# ---------------------------------------------------------------------------
+# segment framing (embedded organization, short-form headers)
+# ---------------------------------------------------------------------------
+
+def _segment(number: int, seg_type: int, referred: list[int],
+             page: int, payload: bytes) -> bytes:
+    if len(referred) > 4:
+        raise ValueError("short-form header supports <= 4 referred segments")
+    head = struct.pack(">IB", number, seg_type)
+    head += bytes([len(referred) << 5])
+    ref_size = 1 if number <= 256 else (2 if number <= 65536 else 4)
+    for r in referred:
+        head += r.to_bytes(ref_size, "big")
+    head += bytes([page])
+    head += struct.pack(">I", len(payload))
+    return head + payload
+
+
+def _region_info(width: int, height: int, x: int = 0, y: int = 0,
+                 comb_op: int = 0) -> bytes:
+    return struct.pack(">IIIIB", width, height, x, y, comb_op)
+
+
+def page_info_segment(number: int, width: int, height: int,
+                      default_pixel: int = 0, comb_op: int = 0,
+                      comb_op_override: bool = False) -> bytes:
+    flags = (default_pixel << 2) | (comb_op << 3) | \
+        (0x40 if comb_op_override else 0)
+    payload = struct.pack(">IIIIBH", width, height, 0, 0, flags, 0)
+    return _segment(number, 48, [], 1, payload)
+
+
+_NOMINAL_AT = ((3, -1), (-3, -1), (2, -2), (-2, -2))
+
+
+def generic_region_segment(number: int, bitmap, template: int = 0,
+                           at=None, tpgdon: bool = False, x: int = 0,
+                           y: int = 0, comb_op: int = 0,
+                           lossless: bool = False) -> bytes:
+    height = len(bitmap)
+    width = len(bitmap[0])
+    if at is None:
+        at = _NOMINAL_AT[:4 if template == 0 else 1]
+    enc = MQEncoder()
+    cache = ContextCache()
+    encode_generic(enc, bitmap, template, at, cache, tpgdon=tpgdon)
+    data = enc.finish()
+    flags = (template << 1) | (8 if tpgdon else 0)
+    payload = _region_info(width, height, x, y, comb_op) + bytes([flags])
+    for ax, ay in at:
+        payload += bytes([ax & 0xFF, ay & 0xFF])
+    payload += data
+    return _segment(number, 39 if lossless else 38, [], 1, payload)
+
+
+def symbol_dict_segment(number: int, symbols: list, template: int = 0,
+                        at=None) -> bytes:
+    """Arithmetic symbol dictionary exporting every symbol.  Symbols are
+    encoded in the given order grouped into ascending-height classes."""
+    if at is None:
+        at = _NOMINAL_AT[:4 if template == 0 else 1]
+    order = sorted(range(len(symbols)), key=lambda k: len(symbols[k]))
+    enc = MQEncoder()
+    cache = ContextCache()
+    height = 0
+    i = 0
+    while i < len(order):
+        h = len(symbols[order[i]])
+        encode_integer(cache, "IADH", enc, h - height)
+        height = h
+        width = 0
+        while i < len(order) and len(symbols[order[i]]) == height:
+            sym = symbols[order[i]]
+            w = len(sym[0])
+            encode_integer(cache, "IADW", enc, w - width)
+            width = w
+            encode_generic(enc, sym, template, at, cache)
+            i += 1
+        encode_integer(cache, "IADW", enc, None)  # OOB ends height class
+    # export all: run of 0 non-exported, then run of all exported
+    encode_integer(cache, "IAEX", enc, 0)
+    encode_integer(cache, "IAEX", enc, len(symbols))
+    data = enc.finish()
+    flags = template << 10
+    payload = struct.pack(">H", flags)
+    for ax, ay in at:
+        payload += bytes([ax & 0xFF, ay & 0xFF])
+    payload += struct.pack(">II", len(symbols), len(symbols))
+    payload += data
+    return payload, order
+
+
+def build_symbol_text_stream(width: int, height: int, symbols: list,
+                             placements) -> bytes:
+    """Full embedded stream: page info + symbol dictionary + text region.
+
+    symbols: list of bitmaps (list of int rows).  placements: list of
+    (symbol_index, s_left, t_top) with TOPLEFT reference corner and no
+    transposition.  Mirrors the decoder's strip walk: per strip IADT
+    delta, IAFS for the first S, then IADS deltas measured from the
+    previous symbol's right edge (left + width - 1), OOB to end a strip.
+    """
+    payload, order = symbol_dict_segment(2, symbols)
+    dict_seg = _segment(2, 0, [], 1, payload)
+    # dictionary export order permutes ids (sorted by height);
+    # remap placement ids to exported positions
+    remap = {orig: pos for pos, orig in enumerate(order)}
+    code_length = _log2(len(symbols))
+    enc = MQEncoder()
+    cache = ContextCache()
+    by_t: dict[int, list] = {}
+    for sym, s, t in placements:
+        by_t.setdefault(t, []).append((s, sym))
+    strip_ts = sorted(by_t)
+    encode_integer(cache, "IADT", enc, 0)  # initial stripT = -0
+    cur_strip_t = 0
+    first_s = 0
+    for t in strip_ts:
+        encode_integer(cache, "IADT", enc, t - cur_strip_t)
+        cur_strip_t = t
+        row = sorted(by_t[t])
+        encode_integer(cache, "IAFS", enc, row[0][0] - first_s)
+        first_s = row[0][0]
+        prev_right = None
+        for s, sym in row:
+            if prev_right is not None:
+                encode_integer(cache, "IADS", enc, s - prev_right)
+            encode_iaid(cache, enc, code_length, remap[sym])
+            prev_right = s + len(symbols[sym][0]) - 1
+        encode_integer(cache, "IADS", enc, None)
+    data = enc.finish()
+    flags = 1 << 4  # ref corner TOPLEFT, strip size 1, not transposed
+    payload = _region_info(width, height, 0, 0, 0)
+    payload += struct.pack(">H", flags)
+    payload += struct.pack(">I", len(placements))
+    payload += data
+    text_seg = _segment(3, 6, [2], 1, payload)
+    return page_info_segment(1, width, height) + dict_seg + text_seg
+
+
+def build_generic_stream(bitmap, template: int = 0, at=None,
+                         tpgdon: bool = False,
+                         default_pixel: int = 0) -> bytes:
+    height = len(bitmap)
+    width = len(bitmap[0])
+    return (page_info_segment(1, width, height, default_pixel=default_pixel)
+            + generic_region_segment(2, bitmap, template, at, tpgdon))
+
+
+def build_halftone_stream(values: np.ndarray, patterns: list,
+                          pat_w: int, pat_h: int) -> bytes:
+    """values: (grid_h, grid_w) int array of pattern indices; patterns:
+    list of bitmaps pat_h x pat_w.  Axis-aligned grid, spacing =
+    max(pat_w, pat_h)."""
+    grid_h, grid_w = values.shape
+    n_pat = len(patterns)
+    step = max(pat_w, pat_h)
+    width = grid_w * step
+    height = grid_h * step
+    # pattern dictionary: collective bitmap, AT = (-pat_w, 0) + template-0
+    collective = [sum((list(p[r]) for p in patterns), [])
+                  for r in range(pat_h)]
+    enc = MQEncoder()
+    cache = ContextCache()
+    at = [(-pat_w, 0), (-3, -1), (2, -2), (-2, -2)]
+    encode_generic(enc, collective, 0, at, cache)
+    pat_payload = bytes([0, pat_w, pat_h]) + struct.pack(">I", n_pat - 1) \
+        + enc.finish()
+    pat_seg = _segment(2, 16, [], 1, pat_payload)
+    # halftone region: gray-coded bit planes, MSB first, shared contexts
+    bits_per_value = _log2(n_pat)
+    gray = values ^ (values >> 1)
+    enc = MQEncoder()
+    cache = ContextCache()
+    h_at = [(3, -1), (-3, -1), (2, -2), (-2, -2)]
+    for j in range(bits_per_value - 1, -1, -1):
+        plane = ((gray >> j) & 1).astype(np.uint8)
+        encode_generic(enc, plane.tolist(), 0, h_at, cache)
+    ht_flags = 0  # arithmetic, template 0, no skip, OR, default 0
+    payload = _region_info(width, height, 0, 0, 0) + bytes([ht_flags])
+    payload += struct.pack(">IIII", grid_w, grid_h, 0, 0)
+    payload += struct.pack(">HH", step << 8, 0)
+    payload += enc.finish()
+    ht_seg = _segment(3, 22, [2], 1, payload)
+    return page_info_segment(1, width, height) + pat_seg + ht_seg

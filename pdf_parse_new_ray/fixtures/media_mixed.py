@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-MIXED_VERSION = "v3"  # v2: +CCITT-G4 TIFF; v3: +MP3 (Xing VBR), +MP4
+MIXED_VERSION = "v4"  # v2: +CCITT-G4 TIFF; v3: +MP3/MP4; v4: +JBIG2
 
 
 def _make_wav(seconds: float, rate: int = 1000) -> bytes:
@@ -133,7 +133,7 @@ def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
     refs, blobs, kinds = [], [], []
     for i in range(n_rows):
         kind = ("jpeg", "jpeg_progressive", "png", "gif", "wav", "pdf",
-                "tiff_g4", "mp3", "mp4", "junk")[i % 10]
+                "tiff_g4", "mp3", "mp4", "jbig2", "junk")[i % 11]
         h = int(rng.randint(8, 40))
         w = int(rng.randint(8, 40))
         if kind == "jpeg":
@@ -156,6 +156,15 @@ def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
             blob = _make_mp3(n_frames=int(rng.randint(5, 40)))
         elif kind == "mp4":
             blob = _make_mp4(float(rng.randint(1, 600)) / 10.0)
+        elif kind == "jbig2":
+            from .jbig2gen import build_generic_stream
+
+            img = (rng.rand(h, w) > 0.75).astype(np.uint8)
+            stream = build_generic_stream(img.tolist(), template=0,
+                                          tpgdon=bool(i % 2))
+            # standalone file header: magic, sequential org + known pages
+            blob = (b"\x97JB2\r\n\x1a\x0a" + bytes([1])
+                    + struct.pack(">I", 1) + stream)
         else:
             blob = bytes(rng.randint(0, 256, 64).astype(np.uint8))
         refs.append(f"mixed-{i:06d}")

@@ -56,6 +56,8 @@ def sniff_media_type(blob: Optional[bytes]) -> str:
         return "ogg"
     if blob.startswith(b"II*\x00") or blob.startswith(b"MM\x00*"):
         return "tiff"
+    if blob.startswith(b"\x97JB2\r\n\x1a\n"):
+        return "jbig2"
     return "unknown"
 
 
@@ -141,6 +143,18 @@ class MediaFeatureExtractor:
                 return w, h, True, None
             except Exception as e:  # noqa: BLE001 — absorb-to-error
                 return -1, -1, False, f"{type(e).__name__}: {e}"
+        if kind == "jbig2":
+            # REAL decode: from-scratch T.88 decoder (pdfkernel/jbig2.py —
+            # MQ coder, generic/symbol/text/halftone regions); capped at
+            # 4M pixels per blob (per-pixel arithmetic decode is CPU-heavy
+            # — larger scans report metadata only, decoded=False)
+            from ..pdfkernel.jbig2 import decode_jbig2_file
+
+            try:
+                _pk, w, h = decode_jbig2_file(blob, max_pixels=1 << 22)
+                return w, h, True, None
+            except Exception as e:  # noqa: BLE001 — absorb-to-error
+                return -1, -1, False, f"{type(e).__name__}: {e}"
         if kind == "gif" and self._pil is None:
             # REAL decode: dependency-free GIF (variable-width LZW,
             # stages/codecs.py); PIL takes over when available
@@ -201,7 +215,7 @@ class MediaFeatureExtractor:
             np_, w, h, d, dec, e = 0, -1, -1, -1.0, False, None
             if kind == "pdf":
                 np_, dec, e = self._decode_pdf(blob)
-            elif kind in ("png", "jpeg", "gif", "tiff"):
+            elif kind in ("png", "jpeg", "gif", "tiff", "jbig2"):
                 w, h, dec, e = self._decode_image(blob, kind)
             elif kind in ("wav", "mp3", "ogg", "mp4", "avi"):
                 d, dec, e = self._decode_audio(blob)
