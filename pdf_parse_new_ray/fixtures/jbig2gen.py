@@ -87,22 +87,37 @@ class MQEncoder:
             if self.a & 0x8000:
                 break
 
+    def _setbits_flush(self) -> None:
+        # SETBITS fills the low C bits with ONES — matching the 0xFF
+        # bytes every conformant decoder synthesizes at end-of-data —
+        # while keeping C inside the final interval [C, C+A)
+        upper = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= upper:
+            self.c -= 0x8000
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        if self.out[0] != 0:
+            raise AssertionError("carry before first byte")
+
     def finish(self) -> bytes:
-        # SETBITS
-        temp = (self.c + self.a - 1) & 0xFFFF0000
-        if temp < self.c:
-            temp += 0x8000
-        self.c = temp
-        self.c <<= self.ct
-        self._byteout()
-        self.c <<= self.ct
-        self._byteout()
+        """T.88 FLUSH: terminate with the FF AC marker pair."""
+        self._setbits_flush()
         if self.out[-1] != 0xFF:
             self.out.append(0xFF)
         self.out.append(0xAC)
-        if self.out[0] != 0:
-            raise AssertionError("carry before first byte")
         return bytes(self.out[1:])
+
+    def finish_raw(self) -> bytes:
+        """T.800-style termination (JPEG2000 codeblock segments): no
+        marker tail, and a trailing 0xFF is discarded."""
+        self._setbits_flush()
+        end = len(self.out)
+        if self.out[end - 1] == 0xFF:
+            end -= 1
+        return bytes(self.out[1:end])
 
 
 def encode_integer(cache: ContextCache, name: str, enc: MQEncoder, v):

@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-MIXED_VERSION = "v4"  # v2: +CCITT-G4 TIFF; v3: +MP3/MP4; v4: +JBIG2
+MIXED_VERSION = "v5"  # v3: +MP3/MP4; v4: +JBIG2; v5: +JPEG2000
 
 
 def _make_wav(seconds: float, rate: int = 1000) -> bytes:
@@ -133,7 +133,7 @@ def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
     refs, blobs, kinds = [], [], []
     for i in range(n_rows):
         kind = ("jpeg", "jpeg_progressive", "png", "gif", "wav", "pdf",
-                "tiff_g4", "mp3", "mp4", "jbig2", "junk")[i % 11]
+                "tiff_g4", "mp3", "mp4", "jbig2", "jp2", "junk")[i % 12]
         h = int(rng.randint(8, 40))
         w = int(rng.randint(8, 40))
         if kind == "jpeg":
@@ -165,6 +165,15 @@ def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
             # standalone file header: magic, sequential org + known pages
             blob = (b"\x97JB2\r\n\x1a\x0a" + bytes([1])
                     + struct.pack(">I", 1) + stream)
+        elif kind == "jp2":
+            from .jpxgen import encode_jpx, wrap_jp2
+
+            if i % 2:
+                img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+                blob = wrap_jp2(encode_jpx(img, levels=1), w, h, 3)
+            else:
+                img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+                blob = encode_jpx(img, levels=2)  # raw codestream flavor
         else:
             blob = bytes(rng.randint(0, 256, 64).astype(np.uint8))
         refs.append(f"mixed-{i:06d}")

@@ -1,0 +1,162 @@
+"""JPEG2000 tests: encoder/decoder roundtrips (DWT, T1, full
+codestream), three-way conformance against the reference's openjpeg
+wasm decoder, property parsing parity, fuzz absorption, and the
+multimodal stage integration."""
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+from pdf_parse_new_ray.fixtures.jpxgen import (encode_jpx, fdwt53,
+                                               t1_encode_block, wrap_jp2)
+from pdf_parse_new_ray.pdfkernel.jpx import (JPXError, decode_jpx, idwt53,
+                                             parse_jpx_properties,
+                                             t1_decode_block)
+
+
+def _ref_available() -> bool:
+    return shutil.which("node") is not None and \
+        os.path.exists("/root/reference/lib/pdf.js/v4.5.136/build/pdf.worker.js")
+
+
+def test_dwt_roundtrip_awkward_sizes():
+    rng = np.random.default_rng(1)
+    for shape in [(17, 23), (16, 16), (1, 9), (9, 1), (33, 47), (5, 5),
+                  (2, 2)]:
+        for levels in (1, 2, 3):
+            img = rng.integers(-300, 300, shape).astype(np.int64)
+            ll, chain = fdwt53(img, levels)
+            assert np.array_equal(idwt53(ll, chain), img), (shape, levels)
+
+
+def test_t1_roundtrip_all_bands():
+    rng = np.random.default_rng(2)
+    for band in ("LL", "HL", "LH", "HH"):
+        for shape in [(16, 16), (7, 11), (4, 4), (64, 64), (3, 2), (1, 1),
+                      (5, 64)]:
+            c = rng.integers(-200, 200, shape).astype(np.int64)
+            enc = t1_encode_block(c, band, 12)
+            if enc is None:
+                continue
+            data, zbp, npass = enc
+            out = t1_decode_block(data, shape[1], shape[0], band, zbp,
+                                  npass, 12)
+            assert np.array_equal(out, c), (band, shape)
+
+
+def test_codestream_roundtrip_gray_rgb():
+    rng = np.random.default_rng(3)
+    for shape, levels in [((21, 17), 2), ((64, 64), 1), ((40, 33), 3),
+                          ((8, 8), 0)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(decode_jpx(encode_jpx(img, levels=levels)),
+                              img), (shape, levels)
+    img = rng.integers(0, 256, (25, 31, 3)).astype(np.uint8)
+    for rct in (True, False):
+        assert np.array_equal(decode_jpx(encode_jpx(img, rct=rct)), img)
+    # multiple codeblocks per subband (16x16 blocks exercise tag trees)
+    img = rng.integers(0, 256, (70, 90)).astype(np.uint8)
+    assert np.array_equal(decode_jpx(encode_jpx(img, cb_exp=4)), img)
+    # constant image: empty high-band packets
+    img = np.full((33, 29), 128, np.uint8)
+    assert np.array_equal(decode_jpx(encode_jpx(img)), img)
+
+
+def test_jp2_container_and_properties():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (19, 27)).astype(np.uint8)
+    cs = encode_jpx(img, levels=1)
+    jp2 = wrap_jp2(cs, 27, 19, 1)
+    assert np.array_equal(decode_jpx(jp2), img)
+    props = parse_jpx_properties(cs)
+    assert props == {"width": 27, "height": 19, "bitsPerComponent": 8,
+                     "componentsCount": 1}
+
+
+@pytest.mark.skipif(not _ref_available(), reason="node/reference unavailable")
+def test_differential_vs_openjpeg():
+    """Three-way agreement: our encoder's streams decoded by the
+    reference's openjpeg wasm must equal both the original image and
+    our decoder's output — pixel exact."""
+    from jpx_ref import ref_decode
+
+    rng = np.random.default_rng(42)
+    cases = []
+    for shape, levels, kw in [((21, 17), 2, {}), ((40, 33), 3, {}),
+                              ((70, 90), 2, {"cb_exp": 4}),
+                              ((25, 31, 3), 2, {"rct": True}),
+                              ((25, 31, 3), 1, {"rct": False})]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        cases.append((img, encode_jpx(img, levels=levels, **kw)))
+    img = np.full((33, 29), 128, np.uint8)
+    cases.append((img, encode_jpx(img)))
+    for img, cs in cases:
+        h, w = img.shape[:2]
+        ref = np.frombuffer(ref_decode(cs), dtype=np.uint8).reshape(h, w, 4)
+        mine = decode_jpx(cs)
+        if img.ndim == 2:
+            assert np.array_equal(ref[..., 0], mine)
+            assert np.array_equal(mine, img)
+        else:
+            assert np.array_equal(ref[..., :3], mine)
+            assert np.array_equal(mine, img)
+
+
+def test_unsupported_features_reject():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (9, 9)).astype(np.uint8)
+    cs = bytearray(encode_jpx(img, levels=1))
+    # flip the transform byte in COD (5/3 -> 9/7): must reject cleanly
+    cod_at = bytes(cs).find(b"\xff\x52")
+    cs[cod_at + 4 + 9] = 0  # SPcod transform field
+    with pytest.raises(JPXError):
+        decode_jpx(bytes(cs))
+    with pytest.raises(JPXError):
+        decode_jpx(b"\xff\x4f\xff\x51" + b"\x00" * 40)
+    with pytest.raises(JPXError):
+        parse_jpx_properties(b"no size marker here")
+
+
+def test_fuzz_mutations_absorb():
+    import struct
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    stream = bytearray(encode_jpx(img, levels=1))
+    for i in range(60):
+        mutated = bytearray(stream)
+        if i % 3 == 0:
+            mutated = mutated[:rng.integers(1, len(mutated))]
+        else:
+            pos = int(rng.integers(0, len(mutated)))
+            mutated[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            decode_jpx(bytes(mutated), max_pixels=1 << 20)
+        except (JPXError, IndexError, ValueError, KeyError, struct.error):
+            pass
+
+
+def test_multimodal_stage_decodes_jp2(ray_session):
+    import ray.data as rd
+
+    from pdf_parse_new_ray.stages.multimodal import MediaFeatureExtractor
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (14, 19, 3)).astype(np.uint8)
+    jp2 = wrap_jp2(encode_jpx(img, levels=1), 19, 14, 3)
+    raw = encode_jpx(rng.integers(0, 256, (9, 7)).astype(np.uint8))
+    ds = rd.from_items([{"media_ref": "a", "bytes": jp2},
+                        {"media_ref": "b", "bytes": raw},
+                        {"media_ref": "c", "bytes": b"\xff\x4f\xff\x51junk"}])
+    out = ds.map_batches(MediaFeatureExtractor, concurrency=1,
+                         batch_format="pyarrow").to_pandas().set_index("media_ref")
+    assert out.loc["a"].media_type == "jp2"
+    assert bool(out.loc["a"].decoded) and out.loc["a"].width == 19
+    assert bool(out.loc["b"].decoded) and out.loc["b"].height == 9
+    assert not bool(out.loc["c"].decoded)
