@@ -110,6 +110,29 @@ def _media_features(sf_dir: str):
     return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
 
 
+def _pdf_images(sf_dir: str):
+    """Embedded-image inventory + decode over the mixed table's PDF
+    blobs: every image XObject is decoded through the kernel codec set
+    (JBIG2Decode incl. JBIG2Globals, JPXDecode, DCTDecode,
+    CCITTFaxDecode, raw) — one row per image, absorbed errors."""
+    import re as _re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_parse_new_ray.fixtures.media_mixed import mixed_media_dir_for
+    from pdf_parse_new_ray.stages.multimodal import PdfImageExtractor
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
+    rows = rd.read_parquet(base, columns=["media_ref", "bytes"]).map_batches(
+        PdfImageExtractor, concurrency=(1, 4), batch_size=8,
+        batch_format="pyarrow",
+    ).take_all()
+    return pd.DataFrame(
+        sorted(rows, key=lambda r: (r["media_ref"], r["page"], r["name"])))
+
+
 def _media_features_mixed(sf_dir: str):
     """Multimodal feature stage over a MIXED media table (baseline +
     progressive JPEG, PNG, GIF, WAV, PDF, corrupt blobs): every real
@@ -274,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # real; compressed audio/video stubbed)
         "m_media_features": _media_features,
         "m_media_features_mixed": _media_features_mixed,
+        "m_pdf_images": _pdf_images,
         # composition: extract -> dedup in one streaming lineage
         "x_extract_then_dedup": _extract_then_dedup,
     }

@@ -326,6 +326,24 @@ def build_symbol_text_stream(width: int, height: int, symbols: list,
     """
     payload, order = symbol_dict_segment(2, symbols)
     dict_seg = _segment(2, 0, [], 1, payload)
+    text_seg = _text_region_segment(symbols, placements, order,
+                                    width, height)
+    return page_info_segment(1, width, height) + dict_seg + text_seg
+
+
+def build_symbol_text_chunks(width: int, height: int, symbols: list,
+                             placements) -> tuple[bytes, bytes]:
+    """PDF `JBIG2Decode` flavor: (JBIG2Globals chunk carrying the symbol
+    dictionary, image chunk carrying page info + text region)."""
+    payload, order = symbol_dict_segment(2, symbols)
+    dict_seg = _segment(2, 0, [], 0, payload)  # globals: page assoc 0
+    text_seg = _text_region_segment(symbols, placements, order,
+                                    width, height)
+    return dict_seg, page_info_segment(1, width, height) + text_seg
+
+
+def _text_region_segment(symbols: list, placements, order: list,
+                         width: int, height: int) -> bytes:
     # dictionary export order permutes ids (sorted by height);
     # remap placement ids to exported positions
     remap = {orig: pos for pos, orig in enumerate(order)}
@@ -358,8 +376,7 @@ def build_symbol_text_stream(width: int, height: int, symbols: list,
     payload += struct.pack(">H", flags)
     payload += struct.pack(">I", len(placements))
     payload += data
-    text_seg = _segment(3, 6, [2], 1, payload)
-    return page_info_segment(1, width, height) + dict_seg + text_seg
+    return _segment(3, 6, [2], 1, payload)
 
 
 def build_generic_stream(bitmap, template: int = 0, at=None,

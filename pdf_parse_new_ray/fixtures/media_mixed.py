@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-MIXED_VERSION = "v5"  # v3: +MP3/MP4; v4: +JBIG2; v5: +JPEG2000
+MIXED_VERSION = "v6"  # v4: +JBIG2; v5: +JPEG2000; v6: +image-bearing PDFs
 
 
 def _make_wav(seconds: float, rate: int = 1000) -> bytes:
@@ -133,7 +133,8 @@ def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
     refs, blobs, kinds = [], [], []
     for i in range(n_rows):
         kind = ("jpeg", "jpeg_progressive", "png", "gif", "wav", "pdf",
-                "tiff_g4", "mp3", "mp4", "jbig2", "jp2", "junk")[i % 12]
+                "tiff_g4", "mp3", "mp4", "jbig2", "jp2", "pdf_images",
+                "junk")[i % 13]
         h = int(rng.randint(8, 40))
         w = int(rng.randint(8, 40))
         if kind == "jpeg":
@@ -174,6 +175,10 @@ def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
             else:
                 img = rng.randint(0, 256, (h, w)).astype(np.uint8)
                 blob = encode_jpx(img, levels=2)  # raw codestream flavor
+        elif kind == "pdf_images":
+            from .imagepdf import make_images_pdf
+
+            blob = make_images_pdf(seed=i)[0]
         else:
             blob = bytes(rng.randint(0, 256, 64).astype(np.uint8))
         refs.append(f"mixed-{i:06d}")

@@ -253,3 +253,68 @@ class MediaFeatureExtractor:
             "decoded": pa.array(decoded, pa.bool_()),
             "error": pa.array(err, pa.string()),
         })
+
+
+class PdfImageExtractor:
+    """Actor-pool stage: (media_ref, bytes) → one row per embedded image
+    XObject, decoded through the kernel codec set (JBIG2/JPX/DCT/CCITT/
+    raw — pdfkernel/images.py).  Non-PDF and unparseable blobs yield a
+    single absorbed-error row so the stage never fails a task.  At scale
+    this runs with small batch sizes (blobs are large) and per-actor
+    warm state, like MediaFeatureExtractor."""
+
+    def __init__(self, max_pixels: int = 1 << 22):
+        self._max_pixels = max_pixels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfkernel.images import list_images
+
+        refs = batch.column("media_ref").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        rows = {k: [] for k in ("media_ref", "page", "name", "filter",
+                                "width", "height", "bpc", "colorspace",
+                                "decoded", "pixel_sha256", "error")}
+        for ref, blob in zip(refs, blobs):
+            blob = blob or b""
+            if sniff_media_type(blob) != "pdf":
+                continue  # image inventory is a PDF-only surface
+            try:
+                images = list_images(blob, max_pixels=self._max_pixels)
+            except Exception as e:  # noqa: BLE001 — absorb-to-error
+                rows["media_ref"].append(ref)
+                rows["page"].append(0)
+                rows["name"].append("")
+                rows["filter"].append("")
+                rows["width"].append(-1)
+                rows["height"].append(-1)
+                rows["bpc"].append(-1)
+                rows["colorspace"].append("")
+                rows["decoded"].append(False)
+                rows["pixel_sha256"].append(None)
+                rows["error"].append(f"{type(e).__name__}: {e}")
+                continue
+            for im in images:
+                rows["media_ref"].append(ref)
+                rows["page"].append(im["page"])
+                rows["name"].append(im["name"])
+                rows["filter"].append(im["filter"])
+                rows["width"].append(im["width"])
+                rows["height"].append(im["height"])
+                rows["bpc"].append(im["bpc"])
+                rows["colorspace"].append(im["colorspace"])
+                rows["decoded"].append(im["decoded"])
+                rows["pixel_sha256"].append(im["pixel_sha256"])
+                rows["error"].append(im["error"])
+        return pa.table({
+            "media_ref": pa.array(rows["media_ref"], pa.string()),
+            "page": pa.array(rows["page"], pa.int32()),
+            "name": pa.array(rows["name"], pa.string()),
+            "filter": pa.array(rows["filter"], pa.string()),
+            "width": pa.array(rows["width"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+            "bpc": pa.array(rows["bpc"], pa.int32()),
+            "colorspace": pa.array(rows["colorspace"], pa.string()),
+            "decoded": pa.array(rows["decoded"], pa.bool_()),
+            "pixel_sha256": pa.array(rows["pixel_sha256"], pa.string()),
+            "error": pa.array(rows["error"], pa.string()),
+        })

@@ -160,3 +160,34 @@ def test_multimodal_stage_decodes_jp2(ray_session):
     assert bool(out.loc["a"].decoded) and out.loc["a"].width == 19
     assert bool(out.loc["b"].decoded) and out.loc["b"].height == 9
     assert not bool(out.loc["c"].decoded)
+
+
+def test_pdf_embedded_images_all_codecs(ray_session):
+    """The m_pdf_images surface: every codec decodes inside a real PDF,
+    and text extraction over the same PDF stays byte-identical."""
+    import ray.data as rd
+
+    from pdf_parse_new_ray.fixtures.imagepdf import make_images_pdf
+    from pdf_parse_new_ray.pdfkernel import parse_pdf
+    from pdf_parse_new_ray.pdfkernel.images import list_images
+    from pdf_parse_new_ray.stages.multimodal import PdfImageExtractor
+
+    pdf, expected = make_images_pdf(11)
+    local = {r["name"]: r for r in list_images(pdf)}
+    assert set(local) == set(expected)
+    for name, (filt, w, h) in expected.items():
+        rec = local[name]
+        assert (rec["filter"], rec["width"], rec["height"]) == (filt, w, h)
+        assert rec["decoded"] and rec["error"] is None
+        assert rec["pixel_sha256"]
+    assert "five embedded codecs" in parse_pdf(pdf)["text"]
+    # distributed: same rows through the actor-pool stage
+    ds = rd.from_items([{"media_ref": "p1", "bytes": pdf},
+                        {"media_ref": "bad", "bytes": b"%PDF-1.4 broken"}])
+    out = ds.map_batches(PdfImageExtractor, concurrency=1,
+                         batch_format="pyarrow").to_pandas()
+    good = out[out.media_ref == "p1"]
+    assert len(good) == 5 and good.decoded.all()
+    assert set(good.name) == set(expected)
+    bad = out[out.media_ref == "bad"]
+    assert len(bad) == 1 and not bad.decoded.any()
