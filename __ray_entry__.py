@@ -273,11 +273,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "t_token_stats": text.t_token_stats,
         "t_quality_scores": text.t_quality_scores,
+        "t_repetition_signals": text.t_repetition_signals,
         "t_langid": text.t_langid,
         "t_fingerprints": text.t_fingerprints,
         # dedup
         "d_exact_dedup": dedup.d_exact_dedup,
         "d_dup_groups": dedup.d_dup_groups,
+        "d_paragraph_dedup": dedup.d_paragraph_dedup,
         "d_minhash_pairs": dedup.d_minhash_pairs,
         "d_simhash": dedup.d_simhash,
         "d_ngram_jaccard": dedup.d_ngram_jaccard,
@@ -470,6 +472,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT) AS total_alpha,
                    CAST(sum(length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS total_space
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "t_repetition_signals": """
+            WITH lstat AS (
+                SELECT doc_id, count(*) AS n_lines,
+                       round(1.0 - count(DISTINCT line) / count(*), 6)
+                           AS dup_line_frac
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, chr(10))) AS line
+                      FROM documents)
+                GROUP BY doc_id
+            ), words AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+                       unnest(range(len(regexp_extract_all(lower(text),
+                                                           '[a-z]+')))) AS ord
+                FROM documents
+            ), bigrams AS (
+                SELECT doc_id,
+                       w || ' ' || lead(w) OVER (PARTITION BY doc_id
+                                                 ORDER BY ord) AS bg
+                FROM words
+                QUALIFY lead(w) OVER (PARTITION BY doc_id
+                                      ORDER BY ord) IS NOT NULL
+            ), bstat AS (
+                SELECT doc_id, round(max(cnt) * 1.0 / sum(cnt), 6)
+                           AS top_bigram_frac
+                FROM (SELECT doc_id, bg, count(*) AS cnt
+                      FROM bigrams GROUP BY doc_id, bg)
+                GROUP BY doc_id
+            )
+            SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+                   coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
+            FROM lstat l LEFT JOIN bstat b USING (doc_id)
+            ORDER BY l.doc_id
+        """,
+        "d_paragraph_dedup": """
+            SELECT md5(para) AS para_md5,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM (SELECT doc_id,
+                         trim(unnest(string_split(text,
+                                                  chr(10) || chr(10)))) AS para
+                  FROM documents)
+            WHERE para <> ''
+            GROUP BY para HAVING count(*) > 1
+            ORDER BY para_md5
         """,
         "t_fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id

@@ -130,6 +130,8 @@ def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
         "e_knn_ivf": ann.e_knn_ivf,
         "q_top_orders_per_customer": relational.q_top_orders_per_customer,
         "q_price_band_join": relational.q_price_band_join,
+        "t_repetition_signals": tfn.t_repetition_signals,
+        "d_paragraph_dedup": dedup.d_paragraph_dedup,
     }
     for name, fn in bench_queries.items():
         t0 = time.time()

@@ -565,3 +565,56 @@ def _embedding_neardup_lsh(sf_dir: str, threshold: float,
     if df.empty:
         return empty
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup: explode → ONE bucketed shuffle → Arrow
+# group_by per bucket (same scale shape as d_exact_dedup, but the unit
+# is the paragraph — sub-document dedup a 100 TB curation pipeline runs
+# before training)
+# ---------------------------------------------------------------------------
+
+def d_paragraph_dedup(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Cross-document duplicated paragraphs: documents split on blank
+    lines, whitespace-trimmed, empties dropped; one row per paragraph
+    occurring more than once with (para_md5, n_docs, n_occurrences).
+    SQL-oracled (string_split + unnest in DuckDB)."""
+    from ..state import checkpoint as ckpt
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids, md5s = [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            for para in (text or "").split("\n\n"):
+                para = para.strip()
+                if not para:
+                    continue
+                doc_ids.append(doc_id)
+                md5s.append(hashlib.md5(para.encode("utf-8")).hexdigest())
+        md5_arr = pa.array(md5s, pa.string())
+        return pa.table({
+            "para_md5": md5_arr,
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "__bk": ckpt.partition_column(md5_arr, n_buckets),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .joins import rename_agg
+
+        out = g.group_by("para_md5").aggregate(
+            [("doc_id", "count_distinct"), ("doc_id", "count")])
+        out = rename_agg(out, {"doc_id_count_distinct": "n_docs",
+                               "doc_id_count": "n_occurrences"},
+                         ["para_md5", "n_docs", "n_occurrences"])
+        return out.filter(pc.greater(out["n_occurrences"], pa.scalar(1)))
+
+    out = _docs(sf_dir).map_batches(explode, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow") \
+        .to_pandas()
+    if out.empty:  # no cross-document paragraph reuse in this corpus
+        return pd.DataFrame({"para_md5": pd.Series(dtype="object"),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "n_occurrences": pd.Series(dtype="int64")})
+    return out.sort_values("para_md5").reset_index(drop=True)

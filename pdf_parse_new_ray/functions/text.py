@@ -165,3 +165,46 @@ def t_fingerprints(sf_dir: str) -> pd.DataFrame:
 
     out = _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+class RepetitionSignals:
+    """Stateful stage: Gopher-style repetition quality signals —
+    duplicate-line fraction and most-frequent-word-bigram fraction per
+    document.  Regex compiled once per actor; map-only (no shuffle)."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-z]+")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        n_lines, dup_line, top_bigram = [], [], []
+        for text in t.column("text").to_pylist():
+            lines = (text or "").split("\n")
+            n = len(lines)
+            n_lines.append(n)
+            dup_line.append(round(1.0 - len(set(lines)) / n, 6) if n else 0.0)
+            words = self.word.findall((text or "").lower())
+            if len(words) < 2:
+                top_bigram.append(0.0)
+            else:
+                c = Counter(f"{a} {b}" for a, b in zip(words, words[1:]))
+                total = len(words) - 1
+                top_bigram.append(round(max(c.values()) / total, 6))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "dup_line_frac": pa.array(dup_line, pa.float64()),
+            "top_bigram_frac": pa.array(top_bigram, pa.float64()),
+        })
+
+
+def t_repetition_signals(sf_dir: str) -> pd.DataFrame:
+    """Per-document repetition signals (the Gopher rep filters' shape):
+    dup_line_frac = 1 - distinct/total lines; top_bigram_frac = count of
+    the most frequent lowercase word bigram / total bigrams.  Formulas
+    shared exactly with the DuckDB oracle."""
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        RepetitionSignals, concurrency=(1, 8), batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -240,3 +240,77 @@ def test_knn_ivf_recall_vs_bruteforce(ray_session):
         key = (int(r.query_id), int(r.vec_id))
         if key in exact_cos:
             assert abs(r.cosine - exact_cos[key]) < 1e-9
+
+
+@pytest.fixture(scope="module")
+def planted_para_dir(tmp_path_factory):
+    """documents.parquet with cross-document repeated PARAGRAPHS."""
+    d = tmp_path_factory.mktemp("planted_para")
+    boiler = "Subscribe to our newsletter for updates."
+    legal = "All rights reserved.\nTerms apply."
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"Unique intro one.\n\n{boiler}\n\nBody text alpha.",
+            f"Unique intro two.\n\n{boiler}\n\n{legal}",
+            f"{legal}\n\nSomething else entirely.",
+            "No shared paragraphs here at all.\n\nJust this doc.",
+        ],
+        "lang": ["en"] * 4,
+        "source": ["plant"] * 4,
+    }
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_paragraph_dedup_planted(ray_session, planted_para_dir):
+    import duckdb
+
+    import __ray_entry__ as entry
+    from pdf_parse_new_ray.functions import dedup
+
+    out = dedup.d_paragraph_dedup(planted_para_dir)
+    # boilerplate para in docs 1+2; legal para in docs 2+3
+    assert len(out) == 2
+    assert sorted(out.n_docs) == [2, 2]
+    assert sorted(out.n_occurrences) == [2, 2]
+    # exact agreement with the SQL oracle on the planted table
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{planted_para_dir}/documents.parquet')")
+    ora = con.execute(entry.oracle_sql()["d_paragraph_dedup"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.sort_index(axis=1), ora.sort_index(axis=1), check_dtype=False)
+
+
+def test_repetition_signals_known_values(ray_session, tmp_path):
+    import duckdb
+
+    import __ray_entry__ as entry
+    from pdf_parse_new_ray.functions import text as tx
+
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": [
+            "same line\nsame line\nsame line\nother",   # 2/4 dup lines
+            "alpha beta alpha beta alpha beta gamma",   # dominant bigram
+            "",                                          # degenerate
+        ],
+        "lang": ["en"] * 3,
+        "source": ["t"] * 3,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = tx.t_repetition_signals(str(tmp_path)).set_index("doc_id")
+    assert out.loc[1, "n_lines"] == 4
+    assert out.loc[1, "dup_line_frac"] == 0.5
+    # "alpha beta" appears 3x of 6 bigrams
+    assert out.loc[2, "top_bigram_frac"] == 0.5
+    assert out.loc[3, "dup_line_frac"] == 0.0
+    assert out.loc[3, "top_bigram_frac"] == 0.0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    ora = con.execute(entry.oracle_sql()["t_repetition_signals"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.reset_index().sort_index(axis=1), ora.sort_index(axis=1),
+        check_dtype=False)
