@@ -424,3 +424,194 @@ def build_halftone_stream(values: np.ndarray, patterns: list,
     payload += enc.finish()
     ht_seg = _segment(3, 22, [2], 1, payload)
     return page_info_segment(1, width, height) + pat_seg + ht_seg
+
+
+# ---------------------------------------------------------------------------
+# Huffman-coded flavors (T.88 Annex B): symbol dictionary with an
+# uncompressed collective bitmap, text region with a runcode symbol-ID
+# table, optional custom table segments (type 53)
+# ---------------------------------------------------------------------------
+
+from ..pdfkernel.jbig2 import (HuffmanTable, decode_tables_segment,  # noqa: E402
+                               standard_table)
+
+
+class BitWriterMSB:
+    """Plain MSB-first bit writer (Huffman segment data — no stuffing)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, bit: int) -> None:
+        self.acc = (self.acc << 1) | bit
+        self.n += 1
+        if self.n == 8:
+            self.out.append(self.acc)
+            self.acc = 0
+            self.n = 0
+
+    def write_bits(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.write((value >> i) & 1)
+
+    def byte_align(self) -> None:
+        while self.n:
+            self.write(0)
+
+    def finish(self) -> bytes:
+        self.byte_align()
+        return bytes(self.out)
+
+
+def huff_encode(bw: BitWriterMSB, table: HuffmanTable, value) -> None:
+    """Emit `value` (None = OOB) with the table's covering line."""
+    for ln in table.lines:
+        if ln.prefix_length == 0:
+            continue
+        if value is None:
+            if ln.is_oob:
+                bw.write_bits(ln.prefix_code, ln.prefix_length)
+                return
+            continue
+        if ln.is_oob:
+            continue
+        if ln.is_lower:
+            if value <= ln.range_low:
+                bw.write_bits(ln.prefix_code, ln.prefix_length)
+                bw.write_bits(ln.range_low - value, ln.range_length)
+                return
+        elif ln.range_low <= value and (
+                ln.range_length >= 32
+                or value < ln.range_low + (1 << ln.range_length)):
+            bw.write_bits(ln.prefix_code, ln.prefix_length)
+            bw.write_bits(value - ln.range_low, ln.range_length)
+            return
+    raise ValueError(f"value {value} not encodable by table")
+
+
+def symbol_dict_segment_huffman(symbols: list) -> tuple[bytes, list]:
+    """Huffman symbol dictionary payload (selectors 0: DH=B.4, DW=B.2,
+    BMSIZE=B.1; uncompressed collective bitmaps), exporting everything.
+    Returns (payload, height-sorted order)."""
+    order = sorted(range(len(symbols)), key=lambda k: len(symbols[k]))
+    t_dh, t_dw, t_b1 = standard_table(4), standard_table(2), \
+        standard_table(1)
+    bw = BitWriterMSB()
+    height = 0
+    i = 0
+    while i < len(order):
+        h = len(symbols[order[i]])
+        huff_encode(bw, t_dh, h - height)
+        height = h
+        width = 0
+        cls = []
+        while i < len(order) and len(symbols[order[i]]) == height:
+            sym = symbols[order[i]]
+            huff_encode(bw, t_dw, len(sym[0]) - width)
+            width = len(sym[0])
+            cls.append(sym)
+            i += 1
+        huff_encode(bw, t_dw, None)  # OOB ends the height class
+        huff_encode(bw, t_b1, 0)     # BMSIZE=0: uncompressed collective
+        bw.byte_align()
+        total_w = sum(len(s[0]) for s in cls)
+        for y in range(height):
+            for sym in cls:
+                for px in sym[y]:
+                    bw.write(px)
+            # row padding to byte boundary (readUncompressedBitmap)
+            pad = (-total_w) % 8
+            for _ in range(pad):
+                bw.write(0)
+    huff_encode(bw, t_b1, 0)
+    huff_encode(bw, t_b1, len(symbols))
+    flags = 1  # huffman; all selectors 0; template 0
+    payload = struct.pack(">H", flags)
+    payload += struct.pack(">II", len(symbols), len(symbols))
+    payload += bw.finish()
+    return payload, order
+
+
+def custom_ds_table_segment(number: int, lowest: int = -16,
+                            highest: int = 16) -> bytes:
+    """A type-53 coded table usable as a DS table (selector 3): one
+    zero-range line per value in [lowest, highest), uniform prefix
+    length, with OOB."""
+    n_lines = highest - lowest
+    plen = max(4, (n_lines + 3 - 1).bit_length())
+    bw = BitWriterMSB()
+    for _ in range(n_lines):
+        bw.write_bits(plen, 4)  # prefix length
+        bw.write_bits(0, 1)     # range length 0
+    bw.write_bits(plen, 4)      # lower line
+    bw.write_bits(plen, 4)      # upper line
+    bw.write_bits(plen, 4)      # OOB line
+    flags = 1 | ((4 - 1) << 1) | ((1 - 1) << 4)  # OOB, 4-bit plen, 1-bit rlen
+    payload = bytes([flags]) + struct.pack(">ii", lowest, highest) \
+        + bw.finish()
+    return _segment(number, 53, [], 1, payload)
+
+
+def build_huffman_symbol_text_stream(width: int, height: int,
+                                     symbols: list, placements,
+                                     custom_ds: bool = False) -> bytes:
+    """Full embedded stream with HUFFMAN coding: page info + (optional
+    custom DS table) + huffman symbol dictionary + huffman text region.
+    Same placement semantics as build_symbol_text_stream."""
+    segs = [page_info_segment(1, width, height)]
+    referred = []
+    ds_sel = 0
+    t_ds = standard_table(8)
+    if custom_ds:
+        table_seg = custom_ds_table_segment(5)
+        segs.append(table_seg)
+        referred.append(5)
+        ds_sel = 3
+        # encode with the decoder's exact view of the table (short-form
+        # header for segment 5 with no referred segments is 11 bytes)
+        t_ds = decode_tables_segment(table_seg, 11, len(table_seg))
+    payload, order = symbol_dict_segment_huffman(symbols)
+    segs.append(_segment(2, 0, referred, 1, payload))
+    remap = {orig: pos for pos, orig in enumerate(order)}
+    n = len(symbols)
+    code_len = max(1, (n - 1).bit_length()) if n > 1 else 1
+    t_fs, t_dt = standard_table(6), standard_table(11)
+    bw = BitWriterMSB()
+    # runcode preamble: 35 4-bit lengths; only runcode `code_len` used
+    for i in range(35):
+        bw.write_bits(1 if i == code_len else 0, 4)
+    # every symbol gets code length `code_len`; the runcode table has a
+    # single 1-bit code (0) for that length
+    for _ in range(n):
+        bw.write_bits(0, 1)
+    bw.byte_align()
+    by_t: dict[int, list] = {}
+    for sym, s, t in placements:
+        by_t.setdefault(t, []).append((s, sym))
+    strip_ts = sorted(by_t)
+    huff_encode(bw, t_dt, 1)  # initial stripT = -1 (B.11 encodes >= 1)
+    cur_t = -1
+    first_s = 0
+    for t in strip_ts:
+        huff_encode(bw, t_dt, t - cur_t)
+        cur_t = t
+        row = sorted(by_t[t])
+        huff_encode(bw, t_fs, row[0][0] - first_s)
+        first_s = row[0][0]
+        prev_right = None
+        for s, sym in row:
+            if prev_right is not None:
+                huff_encode(bw, t_ds, s - prev_right)
+            bw.write_bits(remap[sym], code_len)
+            prev_right = s + len(symbols[sym][0]) - 1
+        huff_encode(bw, t_ds, None)  # OOB ends the strip
+    flags = 1 | (1 << 4)  # huffman, TOPLEFT corner, strip size 1
+    hflags = (ds_sel << 2)  # FS sel 0, DS sel, DT sel 0
+    payload = _region_info(width, height, 0, 0, 0)
+    payload += struct.pack(">HH", flags, hflags)
+    payload += struct.pack(">I", len(placements))
+    payload += bw.finish()
+    segs.append(_segment(3, 6, referred + [2], 1, payload))
+    return b"".join(segs)

@@ -385,6 +385,278 @@ def decode_refinement(mq: MQDecoder, width: int, height: int, template: int,
 
 
 # ---------------------------------------------------------------------------
+# Annex B: Huffman tables (standard B.1-B.15, custom table segments)
+# ---------------------------------------------------------------------------
+
+class BitReader:
+    """MSB-first bit reader for Huffman-coded segment data (no byte
+    stuffing; byte_align drops the partial byte)."""
+
+    __slots__ = ("data", "pos", "end", "shift", "cur")
+
+    def __init__(self, data, start: int, end: int):
+        self.data = data
+        self.pos = start
+        self.end = end
+        self.shift = -1
+        self.cur = 0
+
+    def read_bit(self) -> int:
+        if self.shift < 0:
+            if self.pos >= self.end:
+                raise JBIG2Error("end of data while reading bit")
+            self.cur = self.data[self.pos]
+            self.pos += 1
+            self.shift = 7
+        bit = (self.cur >> self.shift) & 1
+        self.shift -= 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        self.shift = -1
+
+
+class HuffmanLine:
+    """(range_low, prefix_length, range_length, prefix_code[, lower]) or
+    (prefix_length, prefix_code) for the OOB line — the spec's Table
+    B.x row shape."""
+
+    __slots__ = ("range_low", "prefix_length", "range_length",
+                 "prefix_code", "is_lower", "is_oob")
+
+    def __init__(self, spec):
+        if len(spec) == 2:
+            self.is_oob = True
+            self.range_low = 0
+            self.prefix_length = spec[0]
+            self.range_length = 0
+            self.prefix_code = spec[1]
+            self.is_lower = False
+        else:
+            self.is_oob = False
+            self.range_low = spec[0]
+            self.prefix_length = spec[1]
+            self.range_length = spec[2]
+            self.prefix_code = spec[3]
+            self.is_lower = len(spec) > 4 and spec[4] == "lower"
+
+
+class HuffmanTable:
+    def __init__(self, lines: list, codes_assigned: bool):
+        if not codes_assigned:
+            self._assign_codes(lines)
+        self.lines = lines
+        self._by_code = {}
+        self._max_len = 0
+        for ln in lines:
+            if ln.prefix_length > 0:
+                key = (ln.prefix_length, ln.prefix_code)
+                if key in self._by_code:
+                    raise JBIG2Error("duplicate Huffman prefix code")
+                self._by_code[key] = ln
+                self._max_len = max(self._max_len, ln.prefix_length)
+
+    @staticmethod
+    def _assign_codes(lines: list) -> None:
+        """Canonical code assignment (B.3) from prefix lengths."""
+        max_len = max((ln.prefix_length for ln in lines), default=0)
+        hist = [0] * (max_len + 1)
+        for ln in lines:
+            hist[ln.prefix_length] += 1
+        hist[0] = 0
+        first = 0
+        for length in range(1, max_len + 1):
+            first = (first + hist[length - 1]) << 1
+            code = first
+            for ln in lines:
+                if ln.prefix_length == length:
+                    ln.prefix_code = code
+                    code += 1
+
+    def decode(self, br: BitReader):
+        length = 0
+        code = 0
+        while True:
+            code = (code << 1) | br.read_bit()
+            length += 1
+            if length > self._max_len:
+                raise JBIG2Error("invalid Huffman data")
+            ln = self._by_code.get((length, code))
+            if ln is None:
+                continue
+            if ln.is_oob:
+                return None
+            offset = br.read_bits(ln.range_length)
+            return ln.range_low + (-offset if ln.is_lower else offset)
+
+
+# standard tables B.1-B.15 (T.88 Annex B, public constants; codes given)
+_STANDARD_TABLE_SPECS = {
+    1: [(0, 1, 4, 0x0), (16, 2, 8, 0x2), (272, 3, 16, 0x6),
+        (65808, 3, 32, 0x7)],
+    2: [(0, 1, 0, 0x0), (1, 2, 0, 0x2), (2, 3, 0, 0x6), (3, 4, 3, 0xE),
+        (11, 5, 6, 0x1E), (75, 6, 32, 0x3E), (6, 0x3F)],
+    3: [(-256, 8, 8, 0xFE), (0, 1, 0, 0x0), (1, 2, 0, 0x2), (2, 3, 0, 0x6),
+        (3, 4, 3, 0xE), (11, 5, 6, 0x1E), (-257, 8, 32, 0xFF, "lower"),
+        (75, 7, 32, 0x7E), (6, 0x3E)],
+    4: [(1, 1, 0, 0x0), (2, 2, 0, 0x2), (3, 3, 0, 0x6), (4, 4, 3, 0xE),
+        (12, 5, 6, 0x1E), (76, 5, 32, 0x1F)],
+    5: [(-255, 7, 8, 0x7E), (1, 1, 0, 0x0), (2, 2, 0, 0x2), (3, 3, 0, 0x6),
+        (4, 4, 3, 0xE), (12, 5, 6, 0x1E), (-256, 7, 32, 0x7F, "lower"),
+        (76, 6, 32, 0x3E)],
+    6: [(-2048, 5, 10, 0x1C), (-1024, 4, 9, 0x8), (-512, 4, 8, 0x9),
+        (-256, 4, 7, 0xA), (-128, 5, 6, 0x1D), (-64, 5, 5, 0x1E),
+        (-32, 4, 5, 0xB), (0, 2, 7, 0x0), (128, 3, 7, 0x2),
+        (256, 3, 8, 0x3), (512, 4, 9, 0xC), (1024, 4, 10, 0xD),
+        (-2049, 6, 32, 0x3E, "lower"), (2048, 6, 32, 0x3F)],
+    7: [(-1024, 4, 9, 0x8), (-512, 3, 8, 0x0), (-256, 4, 7, 0x9),
+        (-128, 5, 6, 0x1A), (-64, 5, 5, 0x1B), (-32, 4, 5, 0xA),
+        (0, 4, 5, 0xB), (32, 5, 5, 0x1C), (64, 5, 6, 0x1D),
+        (128, 4, 7, 0xC), (256, 3, 8, 0x1), (512, 3, 9, 0x2),
+        (1024, 3, 10, 0x3), (-1025, 5, 32, 0x1E, "lower"),
+        (2048, 5, 32, 0x1F)],
+    8: [(-15, 8, 3, 0xFC), (-7, 9, 1, 0x1FC), (-5, 8, 1, 0xFD),
+        (-3, 9, 0, 0x1FD), (-2, 7, 0, 0x7C), (-1, 4, 0, 0xA),
+        (0, 2, 1, 0x0), (2, 5, 0, 0x1A), (3, 6, 0, 0x3A), (4, 3, 4, 0x4),
+        (20, 6, 1, 0x3B), (22, 4, 4, 0xB), (38, 4, 5, 0xC),
+        (70, 5, 6, 0x1B), (134, 5, 7, 0x1C), (262, 6, 7, 0x3C),
+        (390, 7, 8, 0x7D), (646, 6, 10, 0x3D),
+        (-16, 9, 32, 0x1FE, "lower"), (1670, 9, 32, 0x1FF), (2, 0x1)],
+    9: [(-31, 8, 4, 0xFC), (-15, 9, 2, 0x1FC), (-11, 8, 2, 0xFD),
+        (-7, 9, 1, 0x1FD), (-5, 7, 1, 0x7C), (-3, 4, 1, 0xA),
+        (-1, 3, 1, 0x2), (1, 3, 1, 0x3), (3, 5, 1, 0x1A), (5, 6, 1, 0x3A),
+        (7, 3, 5, 0x4), (39, 6, 2, 0x3B), (43, 4, 5, 0xB),
+        (75, 4, 6, 0xC), (139, 5, 7, 0x1B), (267, 5, 8, 0x1C),
+        (523, 6, 8, 0x3C), (779, 7, 9, 0x7D), (1291, 6, 11, 0x3D),
+        (-32, 9, 32, 0x1FE, "lower"), (3339, 9, 32, 0x1FF), (2, 0x0)],
+    10: [(-21, 7, 4, 0x7A), (-5, 8, 0, 0xFC), (-4, 7, 0, 0x7B),
+         (-3, 5, 0, 0x18), (-2, 2, 2, 0x0), (2, 5, 0, 0x19),
+         (3, 6, 0, 0x36), (4, 7, 0, 0x7C), (5, 8, 0, 0xFD),
+         (6, 2, 6, 0x1), (70, 5, 5, 0x1A), (102, 6, 5, 0x37),
+         (134, 6, 6, 0x38), (198, 6, 7, 0x39), (326, 6, 8, 0x3A),
+         (582, 6, 9, 0x3B), (1094, 6, 10, 0x3C), (2118, 7, 11, 0x7D),
+         (-22, 8, 32, 0xFE, "lower"), (4166, 8, 32, 0xFF), (2, 0x2)],
+    11: [(1, 1, 0, 0x0), (2, 2, 1, 0x2), (4, 4, 0, 0xC), (5, 4, 1, 0xD),
+         (7, 5, 1, 0x1C), (9, 5, 2, 0x1D), (13, 6, 2, 0x3C),
+         (17, 7, 2, 0x7A), (21, 7, 3, 0x7B), (29, 7, 4, 0x7C),
+         (45, 7, 5, 0x7D), (77, 7, 6, 0x7E), (141, 7, 32, 0x7F)],
+    12: [(1, 1, 0, 0x0), (2, 2, 0, 0x2), (3, 3, 1, 0x6), (5, 5, 0, 0x1C),
+         (6, 5, 1, 0x1D), (8, 6, 1, 0x3C), (10, 7, 0, 0x7A),
+         (11, 7, 1, 0x7B), (13, 7, 2, 0x7C), (17, 7, 3, 0x7D),
+         (25, 7, 4, 0x7E), (41, 8, 5, 0xFE), (73, 8, 32, 0xFF)],
+    13: [(1, 1, 0, 0x0), (2, 3, 0, 0x4), (3, 4, 0, 0xC), (4, 5, 0, 0x1C),
+         (5, 4, 1, 0xD), (7, 3, 3, 0x5), (15, 6, 1, 0x3A),
+         (17, 6, 2, 0x3B), (21, 6, 3, 0x3C), (29, 6, 4, 0x3D),
+         (45, 6, 5, 0x3E), (77, 7, 6, 0x7E), (141, 7, 32, 0x7F)],
+    14: [(-2, 3, 0, 0x4), (-1, 3, 0, 0x5), (0, 1, 0, 0x0), (1, 3, 0, 0x6),
+         (2, 3, 0, 0x7)],
+    15: [(-24, 7, 4, 0x7C), (-8, 6, 2, 0x3C), (-4, 5, 1, 0x1C),
+         (-2, 4, 0, 0xC), (-1, 3, 0, 0x4), (0, 1, 0, 0x0), (1, 3, 0, 0x5),
+         (2, 4, 0, 0xD), (3, 5, 1, 0x1D), (5, 6, 2, 0x3D),
+         (9, 7, 4, 0x7D), (-25, 7, 32, 0x7E, "lower"), (25, 7, 32, 0x7F)],
+}
+_STANDARD_TABLES: dict = {}
+
+
+def standard_table(number: int) -> HuffmanTable:
+    t = _STANDARD_TABLES.get(number)
+    if t is None:
+        spec = _STANDARD_TABLE_SPECS.get(number)
+        if spec is None:
+            raise JBIG2Error(f"standard table B.{number} does not exist")
+        t = _STANDARD_TABLES[number] = HuffmanTable(
+            [HuffmanLine(s) for s in spec], True)
+    return t
+
+
+def decode_tables_segment(data, start: int, end: int) -> HuffmanTable:
+    """7.4.13 coded Huffman table segment → HuffmanTable."""
+    flags = data[start]
+    lowest = _i32(_read_u32(data, start + 1))
+    highest = _i32(_read_u32(data, start + 5))
+    br = BitReader(data, start + 9, end)
+    prefix_bits = ((flags >> 1) & 7) + 1
+    range_bits = ((flags >> 4) & 7) + 1
+    lines = []
+    low = lowest
+    while True:
+        plen = br.read_bits(prefix_bits)
+        rlen = br.read_bits(range_bits)
+        lines.append(HuffmanLine((low, plen, rlen, 0)))
+        low += 1 << rlen
+        if low >= highest:
+            break
+    plen = br.read_bits(prefix_bits)
+    lines.append(HuffmanLine((lowest - 1, plen, 32, 0, "lower")))
+    plen = br.read_bits(prefix_bits)
+    lines.append(HuffmanLine((highest, plen, 32, 0)))
+    if flags & 1:
+        plen = br.read_bits(prefix_bits)
+        lines.append(HuffmanLine((plen, 0)))
+    return HuffmanTable(lines, False)
+
+
+def _custom_table(index: int, referred: list, custom: dict) -> HuffmanTable:
+    cur = 0
+    for ref in referred:
+        table = custom.get(ref)
+        if table is not None:
+            if index == cur:
+                return table
+            cur += 1
+    raise JBIG2Error("can't find custom Huffman table")
+
+
+def read_uncompressed_bitmap(br: BitReader, width: int, height: int):
+    bitmap = []
+    for _ in range(height):
+        row = bytearray(width)
+        for x in range(width):
+            row[x] = br.read_bit()
+        br.byte_align()
+        bitmap.append(row)
+    return bitmap
+
+
+def symbol_id_huffman_table(br: BitReader, n_symbols: int) -> HuffmanTable:
+    """6.4.4.1: runcode-coded symbol-ID code lengths from the stream."""
+    run_lines = [HuffmanLine((i, br.read_bits(4), 0, 0)) for i in range(35)]
+    run_table = HuffmanTable(run_lines, False)
+    lines = []
+    i = 0
+    while i < n_symbols:
+        code_len = run_table.decode(br)
+        if code_len is None or code_len > 34:
+            raise JBIG2Error("invalid code length in symbol ID table")
+        if code_len >= 32:
+            if code_len == 32:
+                if i == 0:
+                    raise JBIG2Error("no previous value in symbol ID table")
+                repeats = br.read_bits(2) + 3
+                repeated = lines[i - 1].prefix_length
+            elif code_len == 33:
+                repeats = br.read_bits(3) + 3
+                repeated = 0
+            else:
+                repeats = br.read_bits(7) + 11
+                repeated = 0
+            for _ in range(repeats):
+                lines.append(HuffmanLine((i, repeated, 0, 0)))
+                i += 1
+        else:
+            lines.append(HuffmanLine((i, code_len, 0, 0)))
+            i += 1
+    br.byte_align()
+    return HuffmanTable(lines, False)
+
+
+# ---------------------------------------------------------------------------
 # 6.5 Symbol dictionary / 6.4 text region (arithmetic coding)
 # ---------------------------------------------------------------------------
 
@@ -452,30 +724,46 @@ def decode_text_region(refinement: bool, width: int, height: int,
                        strip_size: int, symbols: list, code_length: int,
                        transposed: int, ds_offset: int, ref_corner: int,
                        comb_op: int, r_template: int, r_at,
-                       mq: MQDecoder, cache: ContextCache):
+                       mq, cache, huffman: dict | None = None):
+    """Text region placement walk; integers come from the arithmetic IAx
+    procedures or, in Huffman mode, from the `huffman` dict's tables
+    ('br' BitReader, 'ids'/'fs'/'ds'/'dt' HuffmanTables, 'log_strip')."""
     _check_dims(width, height, "text region")
     if num_instances > width * height + 1:
         raise JBIG2Error(f"implausible instance count {num_instances}")
+    if huffman:
+        br = huffman["br"]
+        read_dt = lambda: huffman["dt"].decode(br)          # noqa: E731
+        read_fs = lambda: huffman["fs"].decode(br)          # noqa: E731
+        read_ds = lambda: huffman["ds"].decode(br)          # noqa: E731
+        read_it = lambda: br.read_bits(huffman["log_strip"])  # noqa: E731
+        read_id = lambda: huffman["ids"].decode(br)         # noqa: E731
+    else:
+        read_dt = lambda: decode_integer(cache, "IADT", mq)  # noqa: E731
+        read_fs = lambda: decode_integer(cache, "IAFS", mq)  # noqa: E731
+        read_ds = lambda: decode_integer(cache, "IADS", mq)  # noqa: E731
+        read_it = lambda: decode_integer(cache, "IAIT", mq)  # noqa: E731
+        read_id = lambda: decode_iaid(cache, mq, code_length)  # noqa: E731
     fill = default_pixel and 1
     bitmap = [bytearray([fill] * width) if fill else bytearray(width)
               for _ in range(height)]
-    strip_t = decode_integer(cache, "IADT", mq)
+    strip_t = read_dt()
     if strip_t is None:
         raise JBIG2Error("OOB initial strip T")
     strip_t = -strip_t
     first_s = 0
     i = 0
     while i < num_instances:
-        dt = decode_integer(cache, "IADT", mq)
+        dt = read_dt()
         strip_t += dt
-        first_s += decode_integer(cache, "IAFS", mq)
+        first_s += read_fs()
         cur_s = first_s
         while True:
             cur_t = 0
             if strip_size > 1:
-                cur_t = decode_integer(cache, "IAIT", mq)
+                cur_t = read_it()
             t = strip_size * strip_t + cur_t
-            sym_id = decode_iaid(cache, mq, code_length)
+            sym_id = read_id()
             apply_ref = refinement and decode_integer(cache, "IARI", mq)
             sym = symbols[sym_id]
             sym_w = len(sym[0]) if sym else 0
@@ -536,11 +824,83 @@ def decode_text_region(refinement: bool, width: int, height: int,
                         raise JBIG2Error(
                             f"combination operator {comb_op} not supported")
             i += 1
-            ds = decode_integer(cache, "IADS", mq)
+            ds = read_ds()
             if ds is None:
                 break  # OOB: end of strip
             cur_s += increment + ds + ds_offset
     return bitmap
+
+
+def decode_symbol_dictionary_huffman(input_symbols: list, num_new: int,
+                                     tables: dict, br: BitReader,
+                                     data) -> list:
+    """6.5 symbol dictionary, Huffman variant (no refinement): height
+    classes carry one collective bitmap each — uncompressed rows or an
+    MMR (T.6) stream of explicit byte length — split by the decoded
+    symbol widths."""
+    if num_new > _MAX_DIM:
+        raise JBIG2Error(f"implausible new-symbol count {num_new}")
+    from .ccitt import decode_ccitt
+
+    new_symbols: list = []
+    widths_all: list[int] = []
+    height = 0
+    while len(new_symbols) < num_new:
+        dh = tables["dh"].decode(br)
+        if dh is None:
+            raise JBIG2Error("OOB delta height in symbol dictionary")
+        height += dh
+        _check_dims(1, height, "symbol height class")
+        width = 0
+        total_width = 0
+        first = len(widths_all)
+        while True:
+            dw = tables["dw"].decode(br)
+            if dw is None:
+                break
+            width += dw
+            total_width += width
+            _check_dims(width, height, "symbol")
+            widths_all.append(width)
+            if len(widths_all) - first > num_new:
+                raise JBIG2Error("height class exceeds new-symbol count")
+        bm_size = tables["bm"].decode(br)
+        br.byte_align()
+        _check_dims(total_width, height, "collective bitmap")
+        if bm_size == 0:
+            collective = read_uncompressed_bitmap(br, total_width, height)
+        else:
+            chunk = bytes(data[br.pos:br.pos + bm_size])
+            try:
+                img = decode_ccitt(chunk, columns=total_width, rows=height,
+                                   k=-1)
+            except Exception as e:
+                raise JBIG2Error(f"MMR collective bitmap: {e}") from e
+            collective = [bytearray(r) for r in img.tolist()]
+            br.pos += bm_size
+            br.byte_align()
+        n_decoded = len(widths_all)
+        if first == n_decoded - 1:
+            new_symbols.append(collective)
+        else:
+            x0 = 0
+            for w in widths_all[first:n_decoded]:
+                new_symbols.append([row[x0:x0 + w] for row in collective])
+                x0 += w
+    flags: list[bool] = []
+    flag = False
+    total = len(input_symbols) + num_new
+    b1 = standard_table(1)
+    while len(flags) < total:
+        run = b1.decode(br)
+        if run is None:
+            raise JBIG2Error("OOB export run length")
+        flags.extend([flag] * run)
+        flag = not flag
+    exported = [s for s, f in zip(input_symbols, flags) if f]
+    exported.extend(s for s, f in
+                    zip(new_symbols, flags[len(input_symbols):]) if f)
+    return exported
 
 
 # ---------------------------------------------------------------------------
@@ -736,6 +1096,7 @@ class _PageAssembler:
         self.buffer: bytearray | None = None
         self.symbols: dict[int, list] = {}
         self.patterns: dict[int, list] = {}
+        self.custom_tables: dict[int, HuffmanTable] = {}
         self.max_pixels = max_pixels
 
     def on_page_info(self, info: dict) -> None:
@@ -794,14 +1155,20 @@ def _process_segment(header: dict, data, start: int, end: int,
         pos += 2
         huffman = bool(flags & 1)
         refinement = bool(flags & 2)
+        dh_sel = (flags >> 2) & 3
+        dw_sel = (flags >> 4) & 3
+        bm_sel = (flags >> 6) & 1
+        agg_sel = (flags >> 7) & 1
         template = (flags >> 10) & 3
         r_template = (flags >> 12) & 1
-        if huffman:
-            raise JBIG2Error("Huffman symbol dictionaries are not supported")
+        if huffman and refinement:
+            raise JBIG2Error("symbol refinement with Huffman "
+                             "is not supported")
         at = []
-        for _ in range(4 if template == 0 else 1):
-            at.append((_read_i8(data, pos), _read_i8(data, pos + 1)))
-            pos += 2
+        if not huffman:
+            for _ in range(4 if template == 0 else 1):
+                at.append((_read_i8(data, pos), _read_i8(data, pos + 1)))
+                pos += 2
         r_at = []
         if refinement and not r_template:
             for _ in range(2):
@@ -814,9 +1181,34 @@ def _process_segment(header: dict, data, start: int, end: int,
         input_symbols: list = []
         for ref in header["referred_to"]:
             input_symbols.extend(page.symbols.get(ref, []))
-        exported = decode_symbol_dictionary(
-            refinement, input_symbols, num_new, template, at,
-            r_template, r_at, data, pos, end)
+        if huffman:
+            custom_idx = 0
+            tables = {}
+            for key, sel, std_base in (("dh", dh_sel, 4), ("dw", dw_sel, 2)):
+                if sel in (0, 1):
+                    tables[key] = standard_table(sel + std_base)
+                elif sel == 3:
+                    tables[key] = _custom_table(
+                        custom_idx, header["referred_to"],
+                        page.custom_tables)
+                    custom_idx += 1
+                else:
+                    raise JBIG2Error(f"invalid Huffman {key} selector")
+            tables["bm"] = (_custom_table(custom_idx, header["referred_to"],
+                                          page.custom_tables)
+                            if bm_sel else standard_table(1))
+            custom_idx += bm_sel
+            tables["agg"] = (_custom_table(custom_idx,
+                                           header["referred_to"],
+                                           page.custom_tables)
+                             if agg_sel else standard_table(1))
+            br = BitReader(data, pos, end)
+            exported = decode_symbol_dictionary_huffman(
+                input_symbols, num_new, tables, br, data)
+        else:
+            exported = decode_symbol_dictionary(
+                refinement, input_symbols, num_new, template, at,
+                r_template, r_at, data, pos, end)
         del num_ex  # reference derives the export set from IAEX runs alone
         page.symbols[header["number"]] = exported
     elif t in (6, 7):  # immediate (lossless) text region
@@ -835,8 +1227,12 @@ def _process_segment(header: dict, data, start: int, end: int,
         # 5-bit signed DS offset at bits 10-14
         ds_offset = _i32((flags << 17) & 0xFFFFFFFF) >> 27
         r_template = (flags >> 15) & 1
+        if huffman and refinement:
+            raise JBIG2Error("refinement with Huffman is not supported")
+        hflags = 0
         if huffman:
-            raise JBIG2Error("Huffman text regions are not supported")
+            hflags = _read_u16(data, pos)
+            pos += 2
         r_at = []
         if refinement and not r_template:
             for _ in range(2):
@@ -848,12 +1244,39 @@ def _process_segment(header: dict, data, start: int, end: int,
         for ref in header["referred_to"]:
             symbols.extend(page.symbols.get(ref, []))
         code_length = _log2(len(symbols))
-        mq = MQDecoder(data, pos, end)
-        cache = ContextCache()
-        bitmap = decode_text_region(
-            refinement, info["width"], info["height"], default_pixel,
-            num_instances, strip_size, symbols, code_length, transposed,
-            ds_offset, ref_corner, comb_op, r_template, r_at, mq, cache)
+        if huffman:
+            fs_sel = hflags & 3
+            ds_sel = (hflags >> 2) & 3
+            dt_sel = (hflags >> 4) & 3
+            br = BitReader(data, pos, end)
+            ids = symbol_id_huffman_table(br, len(symbols))
+            custom_idx = 0
+            hm = {"br": br, "ids": ids, "log_strip": log_strip}
+            for key, sel, std_base, n_std in (("fs", fs_sel, 6, 2),
+                                              ("ds", ds_sel, 8, 3),
+                                              ("dt", dt_sel, 11, 3)):
+                if sel < n_std:
+                    hm[key] = standard_table(sel + std_base)
+                elif sel == 3:
+                    hm[key] = _custom_table(custom_idx,
+                                            header["referred_to"],
+                                            page.custom_tables)
+                    custom_idx += 1
+                else:
+                    raise JBIG2Error(f"invalid Huffman {key} selector")
+            bitmap = decode_text_region(
+                False, info["width"], info["height"], default_pixel,
+                num_instances, strip_size, symbols, code_length,
+                transposed, ds_offset, ref_corner, comb_op, r_template,
+                r_at, None, None, huffman=hm)
+        else:
+            mq = MQDecoder(data, pos, end)
+            cache = ContextCache()
+            bitmap = decode_text_region(
+                refinement, info["width"], info["height"], default_pixel,
+                num_instances, strip_size, symbols, code_length,
+                transposed, ds_offset, ref_corner, comb_op, r_template,
+                r_at, mq, cache)
         page.draw(info, bitmap)
     elif t == 16:  # pattern dictionary
         flags = data[pos]
@@ -929,8 +1352,9 @@ def _process_segment(header: dict, data, start: int, end: int,
         page.on_page_info(info)
     elif t in (49, 50, 51, 62):  # end-of-page/stripe/file, extension
         pass
-    elif t == 53:  # coded Huffman tables — only needed for Huffman modes
-        raise JBIG2Error("custom Huffman tables are not supported")
+    elif t == 53:  # coded Huffman table segment
+        page.custom_tables[header["number"]] = \
+            decode_tables_segment(data, pos, end)
     else:
         raise JBIG2Error(f"segment type {t} is not implemented")
 

@@ -163,3 +163,52 @@ def test_multimodal_stage_decodes_jbig2(ray_session):
     assert bool(row.decoded) and row.width == 19 and row.height == 14
     bad = out[out.media_ref == "m2"].iloc[0]
     assert bad.media_type == "jbig2" and not bool(bad.decoded)
+
+
+def test_huffman_symbol_text_roundtrip_and_reference():
+    """Huffman-coded symbol dictionary (uncompressed collective bitmap)
+    + Huffman text region, with standard tables and with a custom
+    type-53 DS table — placement exact and byte-exact vs reference."""
+    from pdf_parse_new_ray.fixtures.jbig2gen import \
+        build_huffman_symbol_text_stream
+
+    glyph_a = [[0, 1, 0], [1, 0, 1], [1, 1, 1], [1, 0, 1]]
+    glyph_b = [[1, 1, 0], [1, 0, 1], [1, 1, 0], [1, 0, 1], [1, 1, 0]]
+    dot = [[1]]
+    placements = [(0, 2, 1), (1, 7, 1), (0, 12, 1), (2, 16, 4),
+                  (1, 3, 8), (0, 10, 8)]
+    for custom in (False, True):
+        stream = build_huffman_symbol_text_stream(
+            24, 16, [glyph_a, glyph_b, dot], placements, custom_ds=custom)
+        img = decode_jbig2(stream)
+        assert img[1:5, 2:5].tolist() == glyph_a, custom
+        assert img[1:6, 7:10].tolist() == glyph_b, custom
+        assert img[4, 16] == 1, custom
+        if _ref_available():
+            from jbig2_ref import ref_decode
+
+            packed, _w, _h = decode_jbig2_packed(stream)
+            assert ref_decode(stream) == packed, custom
+
+
+def test_huffman_fuzz_absorbs():
+    import struct
+
+    from pdf_parse_new_ray.fixtures.jbig2gen import \
+        build_huffman_symbol_text_stream
+
+    glyphs = [[[1, 0], [0, 1]], [[1]]]
+    stream = bytearray(build_huffman_symbol_text_stream(
+        12, 8, glyphs, [(0, 1, 1), (1, 5, 3)]))
+    rng = np.random.default_rng(13)
+    for i in range(50):
+        mutated = bytearray(stream)
+        if i % 3 == 0:
+            mutated = mutated[:rng.integers(1, len(mutated))]
+        else:
+            pos = int(rng.integers(0, len(mutated)))
+            mutated[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            decode_jbig2_packed(bytes(mutated), max_pixels=1 << 20)
+        except (JBIG2Error, IndexError, ValueError, KeyError, struct.error):
+            pass
