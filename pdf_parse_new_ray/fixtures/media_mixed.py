@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-MIXED_VERSION = "v6"  # v4: +JBIG2; v5: +JPEG2000; v6: +image-bearing PDFs
+MIXED_VERSION = "v7"  # v5: +JPEG2000; v6: +image PDFs; v7: +AVI
 
 
 def _make_wav(seconds: float, rate: int = 1000) -> bytes:
@@ -116,6 +116,17 @@ def _make_mp3(n_frames: int = 20) -> bytes:
     return bytes(frame) * n_frames
 
 
+def _make_avi(duration_s: float, fps: int = 25) -> bytes:
+    total = int(round(duration_s * fps))
+    usec = int(1e6 / fps)
+    avih = struct.pack("<14I", usec, 0, 0, 0, total, 0, 1, 0,
+                       320, 240, 0, 0, 0, 0)
+    hdrl = b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", 4 + len(hdrl)) + b"hdrl" + hdrl
+    body = b"AVI " + lst
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _make_mp4(duration_s: float, timescale: int = 1000) -> bytes:
     mvhd = bytes([0, 0, 0, 0]) + struct.pack(">II", 0, 0) \
         + struct.pack(">II", timescale, int(duration_s * timescale)) + b"\x00" * 80
@@ -134,7 +145,7 @@ def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
     for i in range(n_rows):
         kind = ("jpeg", "jpeg_progressive", "png", "gif", "wav", "pdf",
                 "tiff_g4", "mp3", "mp4", "jbig2", "jp2", "pdf_images",
-                "junk")[i % 13]
+                "avi", "junk")[i % 14]
         h = int(rng.randint(8, 40))
         w = int(rng.randint(8, 40))
         if kind == "jpeg":
@@ -179,6 +190,8 @@ def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
             from .imagepdf import make_images_pdf
 
             blob = make_images_pdf(seed=i)[0]
+        elif kind == "avi":
+            blob = _make_avi(float(rng.randint(1, 300)) / 10.0)
         else:
             blob = bytes(rng.randint(0, 256, 64).astype(np.uint8))
         refs.append(f"mixed-{i:06d}")

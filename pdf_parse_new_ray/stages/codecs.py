@@ -481,3 +481,26 @@ def ogg_duration(data: bytes) -> float:
     if granule < 0:
         raise CodecError("unset granule position")
     return max(0, granule - preskip) / rate
+
+
+def avi_duration(data: bytes) -> float:
+    """AVI duration from the avih main header: dwMicroSecPerFrame ×
+    dwTotalFrames (RIFF 'AVI ' → LIST hdrl → avih)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+    pos = 12
+    n = len(data)
+    while pos + 8 <= n:
+        fourcc = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        if fourcc == b"LIST":
+            list_type = data[pos + 8:pos + 12]
+            if list_type == b"hdrl":
+                pos += 12  # descend into the hdrl list
+                continue
+        elif fourcc == b"avih":
+            usec_per_frame, = struct.unpack_from("<I", data, pos + 8)
+            total_frames, = struct.unpack_from("<I", data, pos + 24)
+            return usec_per_frame * total_frames / 1e6
+        pos += 8 + size + (size & 1)
+    raise ValueError("no avih header found")

@@ -65,16 +65,17 @@ def sniff_media_type(blob: Optional[bytes]) -> str:
 
 
 def _byte_entropy(blob: bytes, cap: int = 1 << 16) -> float:
-    """Shannon entropy of the first ``cap`` bytes — a deterministic,
-    library-free content feature used by the stub decoders."""
+    """Shannon entropy of the first ``cap`` bytes — vectorized
+    (np.bincount; a Python byte loop here cost ~5 ms per 64 KB blob)."""
     sample = blob[:cap]
     if not sample:
         return 0.0
-    counts = [0] * 256
-    for b in sample:
-        counts[b] += 1
-    n = len(sample)
-    return -sum((c / n) * math.log2(c / n) for c in counts if c)
+    import numpy as np
+
+    counts = np.bincount(np.frombuffer(sample, dtype=np.uint8),
+                         minlength=256)
+    p = counts[counts > 0] / len(sample)
+    return float(-(p * np.log2(p)).sum() + 0.0)  # +0.0 normalizes -0.0
 
 
 class MediaFeatureExtractor:
@@ -193,14 +194,16 @@ class MediaFeatureExtractor:
     def _decode_audio(self, blob: bytes) -> tuple[float, bool, Optional[str]]:
         # REAL header-level duration decode — no codec library needed
         # (stages/codecs.py): WAV (RIFF arithmetic), MP3 (frame header +
-        # Xing VBR frame count), MP4 (moov/mvhd timescale)
+        # Xing VBR frame count), MP4 (moov/mvhd timescale), Ogg (granule
+        # positions), AVI (avih frame count x frame duration)
         kind = sniff_media_type(blob)
-        if kind in ("wav", "mp3", "mp4", "ogg"):
-            from .codecs import (mp3_duration, mp4_duration, ogg_duration,
-                                 wav_duration)
+        if kind in ("wav", "mp3", "mp4", "ogg", "avi"):
+            from .codecs import (avi_duration, mp3_duration, mp4_duration,
+                                 ogg_duration, wav_duration)
 
             fn = {"wav": wav_duration, "mp3": mp3_duration,
-                  "mp4": mp4_duration, "ogg": ogg_duration}[kind]
+                  "mp4": mp4_duration, "ogg": ogg_duration,
+                  "avi": avi_duration}[kind]
             try:
                 return round(fn(blob), 6), True, None
             except Exception as e:  # noqa: BLE001 — absorb-to-error

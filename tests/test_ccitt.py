@@ -325,3 +325,24 @@ def test_ogg_duration(ray_session):
     out = MediaFeatureExtractor()(batch).to_pylist()
     assert out[0]["media_type"] == "ogg" and out[0]["decoded"] is True
     assert out[0]["duration_s"] == 1.5
+
+
+def test_avi_duration(ray_session):
+    import ray.data as rd
+
+    from pdf_parse_new_ray.fixtures.media_mixed import _make_avi
+    from pdf_parse_new_ray.stages.codecs import avi_duration
+    from pdf_parse_new_ray.stages.multimodal import MediaFeatureExtractor
+
+    blob = _make_avi(12.3)
+    assert abs(avi_duration(blob) - 12.32) < 1e-9  # 25fps rounding
+    ds = rd.from_items([{"media_ref": "v1", "bytes": blob},
+                        {"media_ref": "v2",
+                         "bytes": b"RIFF\x10\x00\x00\x00AVI corrupt!"}])
+    out = ds.map_batches(MediaFeatureExtractor, concurrency=1,
+                         batch_format="pyarrow").to_pandas().set_index(
+                             "media_ref")
+    assert out.loc["v1"].media_type == "avi"
+    assert bool(out.loc["v1"].decoded)
+    assert abs(out.loc["v1"].duration_s - 12.32) < 1e-6
+    assert not bool(out.loc["v2"].decoded)
