@@ -283,76 +283,209 @@ _GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
 
 
 def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
-               rct: bool = True) -> bytes:
+               rct: bool = True, layers: int = 1,
+               tiles: tuple[int, int] = (1, 1)) -> bytes:
     """img: (h, w) or (h, w, 3) uint8 → raw JPEG2000 codestream
-    (lossless 5/3, single tile, one layer, LRCP)."""
+    (lossless 5/3, LRCP).  layers=2 assigns each codeblock wholly to a
+    quality layer (alternating) to exercise multi-layer packet headers;
+    tiles=(tx, ty) splits the image into a tile grid aligned to the
+    DWT levels."""
     if img.ndim == 2:
-        planes = [img.astype(np.int64) - 128]
         mct = 0
+        n_comp = 1
     elif img.shape[2] == 3:
-        r = img[..., 0].astype(np.int64) - 128
-        g = img[..., 1].astype(np.int64) - 128
-        b = img[..., 2].astype(np.int64) - 128
-        if rct:
-            planes = list(forward_rct(r, g, b))
-            mct = 1
-        else:
-            planes = [r, g, b]
-            mct = 0
+        mct = 1 if rct else 0
+        n_comp = 3
     else:
         raise ValueError("1- or 3-component images only")
     h, w = img.shape[:2]
-    cb_w = cb_h = 1 << cb_exp
-    n_comp = len(planes)
-    # transform + per-band coefficient grids
-    comp_bands = []
-    for plane in planes:
-        ll, chain = fdwt53(plane, levels)
-        bands = {(0, "LL"): ll}
-        for r_i, (hl, lh, hh) in enumerate(chain):
-            res = r_i + 1
-            bands[(res, "HL")] = hl
-            bands[(res, "LH")] = lh
-            bands[(res, "HH")] = hh
-        comp_bands.append(bands)
-    # choose guard bits so Mb covers the largest magnitude everywhere
+    n_tx, n_ty = tiles
+    align = 1 << levels
+    if n_tx > 1:
+        xt = max(align, ((w + n_tx - 1) // n_tx + align - 1)
+                 // align * align)
+    else:
+        xt = max(w, 1)
+    if n_ty > 1:
+        yt = max(align, ((h + n_ty - 1) // n_ty + align - 1)
+                 // align * align)
+    else:
+        yt = max(h, 1)
+    n_tx = (w + xt - 1) // xt
+    n_ty = (h + yt - 1) // yt
     depth = 8
+    # per-tile transforms first so guard bits cover every tile
+    tile_planes = []
+    for ty in range(n_ty):
+        for tx in range(n_tx):
+            sub = img[ty * yt:(ty + 1) * yt, tx * xt:(tx + 1) * xt]
+            if sub.ndim == 2:
+                planes = [sub.astype(np.int64) - 128]
+            else:
+                r = sub[..., 0].astype(np.int64) - 128
+                g = sub[..., 1].astype(np.int64) - 128
+                b = sub[..., 2].astype(np.int64) - 128
+                planes = list(forward_rct(r, g, b)) if rct else [r, g, b]
+            comp_bands = []
+            for plane in planes:
+                ll, chain = fdwt53(plane, levels)
+                bands = {(0, "LL"): ll}
+                for r_i, (hl, lh, hh) in enumerate(chain):
+                    bands[(r_i + 1, "HL")] = hl
+                    bands[(r_i + 1, "LH")] = lh
+                    bands[(r_i + 1, "HH")] = hh
+                comp_bands.append(bands)
+            tile_planes.append(comp_bands)
     guard = 2
-    for bands in comp_bands:
-        for (res, name), arr in bands.items():
-            if arr.size == 0:
-                continue
-            msb = int(np.abs(arr).max()).bit_length()
-            eps = depth + _GAIN[name]
-            need = msb - eps + 1
-            guard = max(guard, need)
+    for comp_bands in tile_planes:
+        for bands in comp_bands:
+            for (res, name), arr in bands.items():
+                if arr.size == 0:
+                    continue
+                msb = int(np.abs(arr).max()).bit_length()
+                guard = max(guard, msb - (depth + _GAIN[name]) + 1)
     guard = min(guard, 7)
-    # encode codeblocks and build packets
-    packets = []
-    for res in range(levels + 1):
-        for c in range(n_comp):
-            packets.append(_build_packet(comp_bands[c], res, cb_w, cb_h,
-                                         depth, guard))
     # markers
     out = bytearray(b"\xff\x4f")  # SOC
-    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, n_comp)
+    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, n_comp)
     siz += b"".join(struct.pack(">BBB", depth - 1, 1, 1)
                     for _ in range(n_comp))
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
-    cod = struct.pack(">BBHBBBBBB", 0, 0, 1, mct, levels,
+    cod = struct.pack(">BBHBBBBBB", 0, 0, layers, mct, levels,
                       cb_exp - 2, cb_exp - 2, 0, 1)
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
-    n_bands = 1 + 3 * levels
     qcd = bytes([guard << 5]) + bytes(
         ((depth + g) << 3) for g in _qcd_gains(levels))
-    assert len(qcd) == 1 + n_bands
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
-    body = b"".join(packets)
-    psot = 12 + 2 + len(body)
-    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
-    out += b"\xff\x93" + body
+    for isot, comp_bands in enumerate(tile_planes):
+        tx0 = (isot % n_tx) * xt
+        ty0 = (isot // n_tx) * yt
+        body = _encode_tile_body(comp_bands, levels, 1 << cb_exp,
+                                 depth, guard, layers, tx0, ty0)
+        psot = 12 + 2 + len(body)
+        out += b"\xff\x90" + struct.pack(">HHIBB", 10, isot, psot, 0, 1)
+        out += b"\xff\x93" + body
     out += b"\xff\xd9"  # EOC
     return bytes(out)
+
+
+def _encode_tile_body(comp_bands: list, levels: int, cb_size: int,
+                      depth: int, guard: int, layers: int,
+                      tx0: int = 0, ty0: int = 0) -> bytes:
+    """All packets of one tile in LRCP order.  With layers=2, codeblock
+    (bx+by+res) parity picks the layer; tag-tree state persists across
+    the layer packets exactly as the decoder replays it.  Codeblock
+    grids anchor at GLOBAL subband coordinates (tile origin >> level)."""
+    from ..pdfkernel.jpx import codeblock_grid
+
+    n_comp = len(comp_bands)
+    # per (component, res, band): codeblock encodings + persistent state
+    state: dict = {}
+    for c in range(n_comp):
+        for res in range(levels + 1):
+            lvl = levels if res == 0 else levels - res + 1
+            ox, oy = tx0 >> lvl, ty0 >> lvl
+            for name in (("LL",) if res == 0 else ("HL", "LH", "HH")):
+                arr = comp_bands[c][(res, name)]
+                bh, bw = arr.shape
+                if bw == 0 or bh == 0:
+                    state[(c, res, name)] = None
+                    continue
+                gx = codeblock_grid(ox, bw, cb_size)
+                gy = codeblock_grid(oy, bh, cb_size)
+                n_x, n_y = len(gx), len(gy)
+                mb = depth + _GAIN[name] + guard - 1
+                blocks = []
+                layer_of = np.zeros((n_y, n_x), dtype=np.int32)
+                for by, (y0, bh_) in enumerate(gy):
+                    for bx, (x0, bw_) in enumerate(gx):
+                        block = arr[y0:y0 + bh_, x0:x0 + bw_]
+                        enc = t1_encode_block(block, name, mb)
+                        blocks.append(enc)
+                        if layers > 1:
+                            layer_of[by, bx] = (bx + by + res) % layers
+                # never-included blocks get inclusion value = layers
+                # (>= every threshold)
+                incl_vals = np.array(
+                    [[layer_of[yy, xx]
+                      if blocks[yy * n_x + xx] is not None else layers
+                      for xx in range(n_x)] for yy in range(n_y)],
+                    dtype=np.int32)
+                zbp_vals = np.array(
+                    [[blocks[yy * n_x + xx][1]
+                      if blocks[yy * n_x + xx] is not None else 0
+                      for xx in range(n_x)] for yy in range(n_y)],
+                    dtype=np.int32)
+                state[(c, res, name)] = {
+                    "n_x": n_x, "n_y": n_y, "blocks": blocks,
+                    "layer_of": layer_of,
+                    "incl": TagTreeEncoder(incl_vals),
+                    "zbp": TagTreeEncoder(zbp_vals),
+                    "lblock": np.full((n_y, n_x), 3, dtype=np.int32),
+                    "emitted": np.zeros((n_y, n_x), dtype=bool),
+                }
+    packets = []
+    for layer in range(layers):
+        for res in range(levels + 1):
+            for c in range(n_comp):
+                packets.append(_emit_packet(state, c, res, layer))
+    return b"".join(packets)
+
+
+def _emit_packet(state: dict, c: int, res: int, layer: int) -> bytes:
+    names = ("LL",) if res == 0 else ("HL", "LH", "HH")
+    any_data = False
+    for name in names:
+        sb = state[(c, res, name)]
+        if sb is None:
+            continue
+        lo = sb["layer_of"]
+        for by in range(sb["n_y"]):
+            for bx in range(sb["n_x"]):
+                blk = sb["blocks"][by * sb["n_x"] + bx]
+                if blk is not None and lo[by, bx] == layer:
+                    any_data = True
+    bw_ = _BitWriter()
+    if not any_data:
+        bw_.write(0)
+        return bw_.finish()
+    bw_.write(1)
+    bodies = []
+    for name in names:
+        sb = state[(c, res, name)]
+        if sb is None:
+            continue
+        n_x, n_y = sb["n_x"], sb["n_y"]
+        lo = sb["layer_of"]
+        for by in range(n_y):
+            for bx in range(n_x):
+                blk = sb["blocks"][by * n_x + bx]
+                if sb["emitted"][by, bx]:
+                    # included in an earlier layer: whole block was
+                    # emitted there, so this layer contributes nothing
+                    bw_.write(0)
+                    continue
+                sb["incl"].encode(bx, by, layer + 1,
+                                  lambda b: bw_.write(b))
+                if blk is None or lo[by, bx] != layer:
+                    continue
+                sb["emitted"][by, bx] = True
+                data, zero_bp, n_passes = blk
+                sb["zbp"].encode_until_known(bx, by,
+                                             lambda b: bw_.write(b))
+                _write_passes(bw_, n_passes)
+                base = int(sb["lblock"][by, bx]) + \
+                    n_passes.bit_length() - 1
+                need = max(0, len(data).bit_length() - base)
+                for _ in range(need):
+                    bw_.write(1)
+                bw_.write(0)
+                sb["lblock"][by, bx] += need
+                nbits = int(sb["lblock"][by, bx]) + \
+                    n_passes.bit_length() - 1
+                bw_.write_bits(len(data), nbits)
+                bodies.append(data)
+    return bw_.finish() + b"".join(bodies)
 
 
 def _qcd_gains(levels: int):
@@ -360,72 +493,6 @@ def _qcd_gains(levels: int):
     for _ in range(levels):
         gains.extend([1, 1, 2])
     return gains
-
-
-def _build_packet(bands: dict, res: int, cb_w: int, cb_h: int,
-                  depth: int, guard: int) -> bytes:
-    names = ("LL",) if res == 0 else ("HL", "LH", "HH")
-    # collect codeblock encodings per band
-    band_blocks = []
-    any_data = False
-    for name in names:
-        arr = bands[(res, name)]
-        bh, bw = arr.shape
-        if bw == 0 or bh == 0:
-            band_blocks.append((name, 0, 0, []))
-            continue
-        n_x = (bw + cb_w - 1) // cb_w
-        n_y = (bh + cb_h - 1) // cb_h
-        mb = depth + _GAIN[name] + guard - 1
-        blocks = []
-        for by in range(n_y):
-            for bx in range(n_x):
-                block = arr[by * cb_h:(by + 1) * cb_h,
-                            bx * cb_w:(bx + 1) * cb_w]
-                enc = t1_encode_block(block, name, mb)
-                blocks.append(enc)
-                if enc is not None:
-                    any_data = True
-        band_blocks.append((name, n_x, n_y, blocks))
-    bw_ = _BitWriter()
-    if not any_data:
-        bw_.write(0)
-        return bw_.finish()
-    bw_.write(1)
-    bodies = []
-    for name, n_x, n_y, blocks in band_blocks:
-        if n_x == 0:
-            continue
-        incl_vals = np.array(
-            [[0 if blocks[yy * n_x + xx] is not None else 1
-              for xx in range(n_x)] for yy in range(n_y)], dtype=np.int32)
-        zbp_vals = np.array(
-            [[blocks[yy * n_x + xx][1] if blocks[yy * n_x + xx] is not None
-              else 0 for xx in range(n_x)] for yy in range(n_y)],
-            dtype=np.int32)
-        incl_tree = TagTreeEncoder(incl_vals)
-        zbp_tree = TagTreeEncoder(zbp_vals)
-        lblock = np.full((n_y, n_x), 3, dtype=np.int32)
-        for by in range(n_y):
-            for bx in range(n_x):
-                blk = blocks[by * n_x + bx]
-                incl_tree.encode(bx, by, 1, lambda b: bw_.write(b))
-                if blk is None:
-                    continue
-                data, zero_bp, n_passes = blk
-                zbp_tree.encode_until_known(bx, by,
-                                            lambda b: bw_.write(b))
-                _write_passes(bw_, n_passes)
-                base = int(lblock[by, bx]) + n_passes.bit_length() - 1
-                need = max(0, len(data).bit_length() - base)
-                for _ in range(need):
-                    bw_.write(1)
-                bw_.write(0)
-                lblock[by, bx] += need
-                nbits = int(lblock[by, bx]) + n_passes.bit_length() - 1
-                bw_.write_bits(len(data), nbits)
-                bodies.append(data)
-    return bw_.finish() + b"".join(bodies)
 
 
 def wrap_jp2(codestream: bytes, width: int, height: int,

@@ -392,20 +392,34 @@ class _Codeblock:
         self.included = False
 
 
+def codeblock_grid(origin: int, size: int, cb: int) -> list[tuple[int, int]]:
+    """(local offset, extent) per codeblock along one axis — the grid is
+    anchored at GLOBAL multiples of the codeblock size (B.7), so a tile
+    band starting mid-cell gets a short first block."""
+    if size <= 0:
+        return []
+    first = origin // cb
+    last = (origin + size - 1) // cb
+    out = []
+    for g in range(first, last + 1):
+        lo = max(g * cb - origin, 0)
+        hi = min((g + 1) * cb - origin, size)
+        out.append((lo, hi - lo))
+    return out
+
+
 class _Subband:
-    def __init__(self, band: str, w: int, h: int, cb_w: int, cb_h: int):
+    def __init__(self, band: str, w: int, h: int, cb_w: int, cb_h: int,
+                 origin_x: int = 0, origin_y: int = 0):
         self.band = band
         self.w, self.h = w, h
-        self.cb_w, self.cb_h = cb_w, cb_h
-        self.n_cb_x = max(1, (w + cb_w - 1) // cb_w) if w else 0
-        self.n_cb_y = max(1, (h + cb_h - 1) // cb_h) if h else 0
-        if w == 0 or h == 0:
-            self.n_cb_x = self.n_cb_y = 0
+        gx = codeblock_grid(origin_x, w, cb_w)
+        gy = codeblock_grid(origin_y, h, cb_h)
+        self.n_cb_x = len(gx)
+        self.n_cb_y = len(gy)
         self.blocks = [
-            [_Codeblock(bx * cb_w, by * cb_h,
-                        min(cb_w, w - bx * cb_w), min(cb_h, h - by * cb_h))
-             for bx in range(self.n_cb_x)]
-            for by in range(self.n_cb_y)]
+            [_Codeblock(x0, y0, bw, bh) for (x0, bw) in gx]
+            for (y0, bh) in gy]
         self.incl_tree = TagTree(max(1, self.n_cb_x), max(1, self.n_cb_y))
         self.zbp_tree = TagTree(max(1, self.n_cb_x), max(1, self.n_cb_y))
         self.lblock = np.full((max(1, self.n_cb_y), max(1, self.n_cb_x)), 3,
@@ -496,7 +510,7 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
     cod = None
     qcd_exps = None
     guard_bits = 2
-    tile_data = []
+    tile_data: dict[int, list] = {}
     n = len(data)
     while pos + 4 <= n:
         marker = struct.unpack_from(">H", data, pos)[0]
@@ -513,11 +527,10 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
                 ssiz, xr, yr = struct.unpack_from(
                     ">BBB", data, body + 36 + 3 * c)
                 comps.append((ssiz, xr, yr))
-            siz = {"w": xsiz - xosiz, "h": ysiz - yosiz, "comps": comps}
+            siz = {"w": xsiz - xosiz, "h": ysiz - yosiz, "comps": comps,
+                   "xt": xtsiz, "yt": ytsiz}
             if xosiz or yosiz or xtosiz or ytosiz:
                 raise JPXError("image/tile offsets are not supported")
-            if xtsiz < xsiz or ytsiz < ysiz:
-                raise JPXError("multiple tiles are not supported")
             for ssiz, xr, yr in comps:
                 if ssiz != 7:
                     raise JPXError("only 8-bit unsigned components "
@@ -536,15 +549,15 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
             transform = data[body + 9]
             if scod & 1:
                 raise JPXError("custom precincts are not supported")
-            if layers != 1:
-                raise JPXError("multiple quality layers are not supported")
+            if not 1 <= layers <= 1024:
+                raise JPXError(f"implausible layer count {layers}")
             if cb_style != 0:
                 raise JPXError("code-block style variants not supported")
             if transform != 1:
                 raise JPXError("only the reversible 5/3 transform "
                                "is supported")
             cod = {"prog": prog, "mct": mct, "levels": levels,
-                   "cbw": cbw, "cbh": cbh}
+                   "cbw": cbw, "cbh": cbh, "layers": layers}
         elif marker == 0xFF5C:  # QCD
             sqcd = data[body]
             style = sqcd & 0x1F
@@ -555,13 +568,14 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
             qcd_exps = [data[body + 1 + i] >> 3
                         for i in range(length - 3)]
         elif marker == 0xFF90:  # SOT
+            isot = struct.unpack_from(">H", data, body)[0]
             psot = struct.unpack_from(">I", data, body + 2)[0]
             tile_end = pos + psot if psot else n
             # find SOD
             sod = data.find(b"\xff\x93", body)
             if sod < 0:
                 raise JPXError("missing SOD marker")
-            tile_data.append(data[sod + 2:tile_end])
+            tile_data.setdefault(isot, []).append(data[sod + 2:tile_end])
             pos = tile_end
             continue
         elif marker in (0xFF64, 0xFF55, 0xFF57, 0xFF58, 0xFF63):
@@ -579,62 +593,98 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
     w, h = siz["w"], siz["h"]
     if max_pixels and w * h * len(siz["comps"]) > max_pixels:
         raise JPXError(f"image {w}x{h} exceeds the decode cap")
-    comps = _decode_tile(b"".join(tile_data), siz, cod, qcd_exps,
-                         guard_bits)
+    xt, yt = siz["xt"], siz["yt"]
+    n_tx = (w + xt - 1) // xt
+    n_ty = (h + yt - 1) // yt
+    # tile origins must stay even at every decomposition level so the
+    # per-tile DWT's origin-0 lifting parity matches the global sample
+    # grid (encoders emit aligned grids; others are rare) — only the
+    # dimensions that actually split need alignment
+    align = 1 << cod["levels"]
+    if (n_tx > 1 and xt % align) or (n_ty > 1 and yt % align):
+        raise JPXError("tile grid not aligned to the DWT levels")
+    n_comp = len(siz["comps"])
+    full = [np.zeros((h, w), dtype=np.int64) for _ in range(n_comp)]
+    for ty in range(n_ty):
+        for tx in range(n_tx):
+            isot = ty * n_tx + tx
+            parts = tile_data.get(isot)
+            if parts is None:
+                raise JPXError(f"missing tile {isot}")
+            x0, y0 = tx * xt, ty * yt
+            tw = min(xt, w - x0)
+            th = min(yt, h - y0)
+            comps = _decode_tile(b"".join(parts), tw, th, n_comp, cod,
+                                 qcd_exps, guard_bits, x0, y0)
+            for c in range(n_comp):
+                full[c][y0:y0 + th, x0:x0 + tw] = comps[c]
     depth = 8
     half = 1 << (depth - 1)
-    if cod["mct"] and len(comps) >= 3:
-        r, g, b = inverse_rct(comps[0], comps[1], comps[2])
-        comps[0:3] = [r, g, b]
+    if cod["mct"] and n_comp >= 3:
+        r, g, b = inverse_rct(full[0], full[1], full[2])
+        full[0:3] = [r, g, b]
     out = [np.clip(c + half, 0, (1 << depth) - 1).astype(np.uint8)
-           for c in comps]
+           for c in full]
     if len(out) == 1:
         return out[0]
     return np.stack(out, axis=-1)
 
 
-def _decode_tile(body: bytes, siz: dict, cod: dict, qcd_exps: list,
-                 guard_bits: int) -> list:
-    w, h = siz["w"], siz["h"]
-    n_comp = len(siz["comps"])
+def _decode_tile(body: bytes, w: int, h: int, n_comp: int, cod: dict,
+                 qcd_exps: list, guard_bits: int,
+                 tx0: int = 0, ty0: int = 0) -> list:
     levels = cod["levels"]
     cbw, cbh = cod["cbw"], cod["cbh"]
     xs = _sizes_per_level(w, levels)
     ys = _sizes_per_level(h, levels)
-    # per component: build subband structures
+    # per component: build subband structures (band origins in global
+    # subband coordinates anchor the codeblock grids)
     comp_bands = []
     for _ in range(n_comp):
         bands = {}
         ll_w = xs[-1][0] if levels else w
         ll_h = ys[-1][0] if levels else h
-        bands[(0, "LL")] = _Subband("LL", ll_w, ll_h, cbw, cbh)
+        bands[(0, "LL")] = _Subband("LL", ll_w, ll_h, cbw, cbh,
+                                    tx0 >> levels, ty0 >> levels)
         for r in range(1, levels + 1):
             lvl = levels - r + 1  # decomposition level of these bands
             lo_x, hi_x = xs[lvl - 1]
             lo_y, hi_y = ys[lvl - 1]
-            bands[(r, "HL")] = _Subband("HL", hi_x, lo_y, cbw, cbh)
-            bands[(r, "LH")] = _Subband("LH", lo_x, hi_y, cbw, cbh)
-            bands[(r, "HH")] = _Subband("HH", hi_x, hi_y, cbw, cbh)
+            ox, oy = tx0 >> lvl, ty0 >> lvl
+            bands[(r, "HL")] = _Subband("HL", hi_x, lo_y, cbw, cbh, ox, oy)
+            bands[(r, "LH")] = _Subband("LH", lo_x, hi_y, cbw, cbh, ox, oy)
+            bands[(r, "HH")] = _Subband("HH", hi_x, hi_y, cbw, cbh, ox, oy)
         comp_bands.append(bands)
-    # packet walk — 1 layer, 1 tile, default precincts: every supported
-    # progression order visits (resolution, component) in the same
-    # nesting for LRCP/RLCP; RPCL/PCRL/CPRL permute but with a single
-    # precinct the packet set per (r, c) is identical, so parse in
-    # r-major order for LRCP/RLCP/RPCL and c-major for CPRL/PCRL
+    # packet walk — default precincts (one per resolution): LRCP nests
+    # layer-outer, RLCP resolution-outer; with a single layer every
+    # supported progression collapses to the same r-major or c-major walk
+    layers = cod["layers"]
+    prog = cod["prog"]
     order = []
-    if cod["prog"] in (0, 1, 2):  # LRCP / RLCP / RPCL
+    if prog == 0:  # LRCP
+        for layer in range(layers):
+            for r in range(levels + 1):
+                for c in range(n_comp):
+                    order.append((layer, r, c))
+    elif prog in (1, 2):  # RLCP / RPCL (identical with default precincts)
+        if prog == 2 and layers != 1:
+            raise JPXError("RPCL with multiple layers is not supported")
         for r in range(levels + 1):
-            for c in range(n_comp):
-                order.append((r, c))
-    elif cod["prog"] in (3, 4):  # PCRL / CPRL
+            for layer in range(layers):
+                for c in range(n_comp):
+                    order.append((layer, r, c))
+    elif prog in (3, 4):  # PCRL / CPRL
+        if layers != 1:
+            raise JPXError("PCRL/CPRL with multiple layers "
+                           "is not supported")
         for c in range(n_comp):
             for r in range(levels + 1):
-                order.append((r, c))
+                order.append((0, r, c))
     else:
-        raise JPXError(f"unknown progression order {cod['prog']}")
+        raise JPXError(f"unknown progression order {prog}")
     pos = 0
-    for r, c in order:
-        pos = _parse_packet(body, pos, comp_bands[c], r)
+    for layer, r, c in order:
+        pos = _parse_packet(body, pos, comp_bands[c], r, layer)
     # T1-decode every codeblock, assemble subbands, inverse DWT
     comps = []
     for c in range(n_comp):
@@ -665,7 +715,8 @@ def _decode_tile(body: bytes, siz: dict, cod: dict, qcd_exps: list,
     return comps
 
 
-def _parse_packet(body: bytes, pos: int, bands: dict, r: int) -> int:
+def _parse_packet(body: bytes, pos: int, bands: dict, r: int,
+                  layer: int) -> int:
     br = _BitReader(body, pos)
     if not br.read():  # empty packet
         return br.align()
@@ -676,26 +727,33 @@ def _parse_packet(body: bytes, pos: int, bands: dict, r: int) -> int:
         for by in range(sb.n_cb_y):
             for bx in range(sb.n_cb_x):
                 cb = sb.blocks[by][bx]
-                included = sb.incl_tree.decode(bx, by, 1, br.read)
-                if not included:
-                    continue
-                cb.included = True
-                # first (only) inclusion: zero bitplanes via tag tree
-                t = 1
-                while not sb.zbp_tree.decode(bx, by, t, br.read):
-                    t += 1
-                cb.zero_bp = sb.zbp_tree.value(bx, by)
-                cb.num_passes = _parse_passes(br)
+                if cb.included:
+                    # already included in an earlier layer: 1 bit says
+                    # whether this layer contributes
+                    if not br.read():
+                        continue
+                else:
+                    # first-inclusion tag tree at threshold layer+1
+                    if not sb.incl_tree.decode(bx, by, layer + 1, br.read):
+                        continue
+                    cb.included = True
+                    # first inclusion: zero bitplanes via tag tree
+                    t = 1
+                    while not sb.zbp_tree.decode(bx, by, t, br.read):
+                        t += 1
+                    cb.zero_bp = sb.zbp_tree.value(bx, by)
+                n_passes = _parse_passes(br)
+                cb.num_passes += n_passes
                 while br.read():
                     sb.lblock[by, bx] += 1
                 nbits = int(sb.lblock[by, bx]) + \
-                    int(cb.num_passes).bit_length() - 1
+                    int(n_passes).bit_length() - 1
                 length = 0
                 for _ in range(nbits):
                     length = (length << 1) | br.read()
                 contributions.append((cb, length))
     pos = br.align()
     for cb, length in contributions:
-        cb.data = body[pos:pos + length]
+        cb.data = cb.data + body[pos:pos + length]
         pos += length
     return pos

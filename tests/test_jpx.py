@@ -191,3 +191,35 @@ def test_pdf_embedded_images_all_codecs(ray_session):
     assert set(good.name) == set(expected)
     bad = out[out.media_ref == "bad"]
     assert len(bad) == 1 and not bad.decoded.any()
+
+
+def test_multitile_multilayer_roundtrip():
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (37, 61)).astype(np.uint8)
+    for kw in [dict(levels=1, tiles=(3, 2)),
+               dict(levels=1, layers=2, cb_exp=4),
+               dict(levels=1, tiles=(3, 2), cb_exp=4),
+               dict(levels=2, tiles=(2, 2), layers=2, cb_exp=4),
+               dict(levels=0, tiles=(2, 2))]:
+        assert np.array_equal(decode_jpx(encode_jpx(img, **kw)), img), kw
+    rgb = rng.integers(0, 256, (24, 36, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpx(encode_jpx(rgb, levels=2, tiles=(2, 1), layers=2,
+                              cb_exp=4)), rgb)
+
+
+@pytest.mark.skipif(not _ref_available(), reason="node/reference unavailable")
+def test_multitile_multilayer_vs_openjpeg():
+    """Global codeblock-grid anchoring and layered packets must decode
+    identically through the reference's openjpeg wasm."""
+    from jpx_ref import ref_decode
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (37, 61)).astype(np.uint8)
+    for kw in [dict(levels=1, tiles=(3, 2), cb_exp=4),
+               dict(levels=2, tiles=(2, 2), layers=2, cb_exp=4),
+               dict(levels=1, tiles=(2, 1), layers=2, cb_exp=4)]:
+        cs = encode_jpx(img, **kw)
+        ref = np.frombuffer(ref_decode(cs), dtype=np.uint8)
+        assert np.array_equal(ref.reshape(37, 61, 4)[..., 0], img), kw
+        assert np.array_equal(decode_jpx(cs), img), kw
