@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_exact_dedup": dedup.d_exact_dedup,
         "d_dup_groups": dedup.d_dup_groups,
         "d_paragraph_dedup": dedup.d_paragraph_dedup,
+        "d_dup_clusters": dedup.d_dup_clusters,
         "d_minhash_pairs": dedup.d_minhash_pairs,
         "d_simhash": dedup.d_simhash,
         "d_ngram_jaccard": dedup.d_ngram_jaccard,

@@ -618,3 +618,97 @@ def d_paragraph_dedup(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
                              "n_docs": pd.Series(dtype="int64"),
                              "n_occurrences": pd.Series(dtype="int64")})
     return out.sort_values("para_md5").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over verified pair edges —
+# the step after pair generation in a real dedup pipeline (keep one doc
+# per component).  Size-gated: driver union-find while the edge set is
+# small (near-dup edges are a sliver of the corpus after LSH+verify);
+# past the gate, distributed min-label propagation — each round is ONE
+# bucketed shuffle over symmetric edges plus a tiny aggregate, and
+# convergence is detected by the strictly-decreasing label sum (no
+# extra join).  Rounds are bounded by component diameter.
+# ---------------------------------------------------------------------------
+
+CLUSTER_BROADCAST_EDGES = 2_000_000
+
+
+def cluster_edges(edges: pd.DataFrame, n_buckets: int = 64,
+                  max_rounds: int = 64) -> pd.DataFrame:
+    """edges: DataFrame with int64 columns (a, b) → DataFrame
+    (doc_id, cluster) where cluster = min doc_id of the component."""
+    if len(edges) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster": pd.Series(dtype="int64")})
+    if len(edges) <= CLUSTER_BROADCAST_EDGES:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(edges["a"], edges["b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        rows = sorted((n, find(n)) for n in parent)
+        return pd.DataFrame({"doc_id": [r[0] for r in rows],
+                             "cluster": [r[1] for r in rows]})
+    # distributed: symmetric edges bucketed by source node; labels ride
+    # along in the same buckets so each round is one shuffle
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..state import checkpoint as ckpt
+
+    sym = pa.table({
+        "u": pa.array(pd.concat([edges["a"], edges["b"]]), pa.int64()),
+        "v": pa.array(pd.concat([edges["b"], edges["a"]]), pa.int64()),
+    })
+    edge_ds = rd.from_arrow(sym).map_batches(
+        lambda t: t.append_column(
+            "__bk", ckpt.partition_column(t["u"], n_buckets)),
+        batch_format="pyarrow").materialize()
+    nodes = pc.unique(sym["u"])
+    labels = pa.table({"node": nodes, "label": nodes})
+    prev_sum = None
+    for _ in range(max_rounds):
+        lab_ref = ray.put(labels)
+
+        def propagate(t: pa.Table, ref=lab_ref) -> pa.Table:
+            lab = ray.get(ref)
+            idx = pc.index_in(t["u"], value_set=lab["node"].combine_chunks())
+            lu = pc.take(lab["label"].combine_chunks(), idx)
+            g = pa.table({"node": t["v"], "label": lu}) \
+                .group_by("node").aggregate([("label", "min")])
+            return pa.table({"node": g["node"], "label": g["label_min"]})
+
+        msgs = edge_ds.map_batches(propagate, batch_format="pyarrow") \
+            .to_arrow_refs()
+        msg_tbl = pa.concat_tables(ray.get(msgs) + [labels])
+        g = msg_tbl.group_by("node").aggregate([("label", "min")])
+        labels = pa.table({"node": g["node"], "label": g["label_min"]})
+        cur = pc.sum(labels["label"]).as_py()
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    out = labels.to_pandas().rename(columns={"node": "doc_id",
+                                             "label": "cluster"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def d_dup_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """Near-duplicate clusters from MinHash pair edges: (doc_id,
+    cluster) with cluster = smallest doc_id in the connected component
+    (the canonical keep candidate)."""
+    pairs = d_minhash_pairs(sf_dir, threshold=threshold)
+    return cluster_edges(pairs[["a", "b"]])

@@ -314,3 +314,28 @@ def test_repetition_signals_known_values(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out.reset_index().sort_index(axis=1), ora.sort_index(axis=1),
         check_dtype=False)
+
+
+def test_dup_clusters_planted(ray_session, monkeypatch):
+    """Connected components over near-dup edges: chain A-B-C merges into
+    one cluster; the distributed label-propagation path must agree with
+    the driver union-find path."""
+    from pdf_parse_new_ray.functions import dedup
+
+    edges = pd.DataFrame({"a": [1, 2, 10, 30, 31],
+                          "b": [2, 3, 11, 31, 32]})
+    small = dedup.cluster_edges(edges)
+    assert dict(zip(small.doc_id, small.cluster)) == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 30, 31: 30, 32: 30}
+    monkeypatch.setattr(dedup, "CLUSTER_BROADCAST_EDGES", 0)
+    big = dedup.cluster_edges(edges)
+    pd.testing.assert_frame_equal(small, big.astype(small.dtypes.to_dict()))
+
+
+def test_dup_clusters_from_minhash(ray_session, planted_docs_dir):
+    from pdf_parse_new_ray.functions import dedup
+
+    out = dedup.d_dup_clusters(planted_docs_dir, threshold=0.5)
+    # docs 1,2 exact dups + 3 near-dup → one cluster rooted at 1
+    by = dict(zip(out.doc_id, out.cluster))
+    assert by[1] == 1 and by[2] == 1 and by[3] == 1
