@@ -491,9 +491,11 @@ def huff_encode(bw: BitWriterMSB, table: HuffmanTable, value) -> None:
     raise ValueError(f"value {value} not encodable by table")
 
 
-def symbol_dict_segment_huffman(symbols: list) -> tuple[bytes, list]:
+def symbol_dict_segment_huffman(symbols: list,
+                                mmr: bool = False) -> tuple[bytes, list]:
     """Huffman symbol dictionary payload (selectors 0: DH=B.4, DW=B.2,
-    BMSIZE=B.1; uncompressed collective bitmaps), exporting everything.
+    BMSIZE=B.1), exporting everything.  Collective bitmaps are
+    uncompressed rows or, with mmr=True, explicit-length T.6 streams.
     Returns (payload, height-sorted order)."""
     order = sorted(range(len(symbols)), key=lambda k: len(symbols[k]))
     t_dh, t_dw, t_b1 = standard_table(4), standard_table(2), \
@@ -514,17 +516,29 @@ def symbol_dict_segment_huffman(symbols: list) -> tuple[bytes, list]:
             cls.append(sym)
             i += 1
         huff_encode(bw, t_dw, None)  # OOB ends the height class
-        huff_encode(bw, t_b1, 0)     # BMSIZE=0: uncompressed collective
-        bw.byte_align()
         total_w = sum(len(s[0]) for s in cls)
-        for y in range(height):
-            for sym in cls:
-                for px in sym[y]:
-                    bw.write(px)
-            # row padding to byte boundary (readUncompressedBitmap)
-            pad = (-total_w) % 8
-            for _ in range(pad):
-                bw.write(0)
+        if mmr:
+            from .ccittgen import encode_g4
+
+            collective = np.array(
+                [sum((list(s[y]) for s in cls), []) for y in range(height)],
+                dtype=np.uint8)
+            data = encode_g4(collective, with_eofb=False)
+            huff_encode(bw, t_b1, len(data))
+            bw.byte_align()
+            for byte in data:
+                bw.write_bits(byte, 8)
+        else:
+            huff_encode(bw, t_b1, 0)  # BMSIZE=0: uncompressed collective
+            bw.byte_align()
+            for y in range(height):
+                for sym in cls:
+                    for px in sym[y]:
+                        bw.write(px)
+                # row padding to byte boundary (readUncompressedBitmap)
+                pad = (-total_w) % 8
+                for _ in range(pad):
+                    bw.write(0)
     huff_encode(bw, t_b1, 0)
     huff_encode(bw, t_b1, len(symbols))
     flags = 1  # huffman; all selectors 0; template 0
@@ -556,7 +570,8 @@ def custom_ds_table_segment(number: int, lowest: int = -16,
 
 def build_huffman_symbol_text_stream(width: int, height: int,
                                      symbols: list, placements,
-                                     custom_ds: bool = False) -> bytes:
+                                     custom_ds: bool = False,
+                                     mmr: bool = False) -> bytes:
     """Full embedded stream with HUFFMAN coding: page info + (optional
     custom DS table) + huffman symbol dictionary + huffman text region.
     Same placement semantics as build_symbol_text_stream."""
@@ -572,7 +587,7 @@ def build_huffman_symbol_text_stream(width: int, height: int,
         # encode with the decoder's exact view of the table (short-form
         # header for segment 5 with no referred segments is 11 bytes)
         t_ds = decode_tables_segment(table_seg, 11, len(table_seg))
-    payload, order = symbol_dict_segment_huffman(symbols)
+    payload, order = symbol_dict_segment_huffman(symbols, mmr=mmr)
     segs.append(_segment(2, 0, referred, 1, payload))
     remap = {orig: pos for pos, orig in enumerate(order)}
     n = len(symbols)

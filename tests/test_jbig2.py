@@ -177,9 +177,10 @@ def test_huffman_symbol_text_roundtrip_and_reference():
     dot = [[1]]
     placements = [(0, 2, 1), (1, 7, 1), (0, 12, 1), (2, 16, 4),
                   (1, 3, 8), (0, 10, 8)]
-    for custom in (False, True):
+    for custom, mmr in ((False, False), (True, False), (False, True)):
         stream = build_huffman_symbol_text_stream(
-            24, 16, [glyph_a, glyph_b, dot], placements, custom_ds=custom)
+            24, 16, [glyph_a, glyph_b, dot], placements, custom_ds=custom,
+            mmr=mmr)
         img = decode_jbig2(stream)
         assert img[1:5, 2:5].tolist() == glyph_a, custom
         assert img[1:6, 7:10].tolist() == glyph_b, custom
