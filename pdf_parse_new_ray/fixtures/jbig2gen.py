@@ -630,3 +630,175 @@ def build_huffman_symbol_text_stream(width: int, height: int,
     payload += bw.finish()
     segs.append(_segment(3, 6, referred + [2], 1, payload))
     return b"".join(segs)
+
+
+# ---------------------------------------------------------------------------
+# refinement coding (6.3): encoder mirror of decode_refinement, a
+# refinement-aggregate symbol dictionary (SDREFAGG=1 refining the
+# exports of a base dictionary), and a text region with per-instance
+# IARI refinement
+# ---------------------------------------------------------------------------
+
+from ..pdfkernel.jbig2 import _REFINEMENT_TEMPLATES  # noqa: E402
+
+
+def encode_refinement(enc: MQEncoder, bitmap, reference, dx: int, dy: int,
+                      template: int, at, cache: ContextCache) -> None:
+    coding = list(_REFINEMENT_TEMPLATES[template][0])
+    ref_tpl = list(_REFINEMENT_TEMPLATES[template][1])
+    if template == 0:
+        coding.append(tuple(at[0]))
+        ref_tpl.append(tuple(at[1]))
+    height = len(bitmap)
+    width = len(bitmap[0]) if height else 0
+    ref_h = len(reference)
+    ref_w = len(reference[0]) if ref_h else 0
+    cx = cache.get_contexts("GR")
+    for i in range(height):
+        for j in range(width):
+            label = 0
+            for x, y in coding:
+                i0, j0 = i + y, j + x
+                if i0 < 0 or j0 < 0 or j0 >= width:
+                    label <<= 1
+                else:
+                    label = (label << 1) | bitmap[i0][j0]
+            for x, y in ref_tpl:
+                i0, j0 = i + y - dy, j + x - dx
+                if i0 < 0 or i0 >= ref_h or j0 < 0 or j0 >= ref_w:
+                    label <<= 1
+                else:
+                    label = (label << 1) | reference[i0][j0]
+            enc.encode(cx, label, bitmap[i][j])
+
+
+_R_AT = ((-1, -1), (-1, -1))
+
+
+def refagg_dict_payload(input_symbols: list, refined: list) -> bytes:
+    """SDREFAGG=1 dictionary: each new symbol refines an input symbol.
+    refined: list of (input_index, bitmap, rdx, rdy), ascending heights.
+    Exports ONLY the new symbols."""
+    enc = MQEncoder()
+    cache = ContextCache()
+    num_new = len(refined)
+    code_len = _log2(len(input_symbols) + num_new)
+    order = sorted(range(num_new), key=lambda k: len(refined[k][1]))
+    cur_h = 0
+    i = 0
+    while i < num_new:
+        h = len(refined[order[i]][1])
+        encode_integer(cache, "IADH", enc, h - cur_h)
+        cur_h = h
+        cur_w = 0
+        while i < num_new and len(refined[order[i]][1]) == cur_h:
+            base_idx, bitmap, rdx, rdy = refined[order[i]]
+            encode_integer(cache, "IADW", enc, len(bitmap[0]) - cur_w)
+            cur_w = len(bitmap[0])
+            encode_integer(cache, "IAAI", enc, 1)  # single instance
+            encode_iaid(cache, enc, code_len, base_idx)
+            encode_integer(cache, "IARDX", enc, rdx)
+            encode_integer(cache, "IARDY", enc, rdy)
+            encode_refinement(enc, bitmap, input_symbols[base_idx],
+                              rdx, rdy, 0, _R_AT, cache)
+            i += 1
+        encode_integer(cache, "IADW", enc, None)
+    # export flags: skip the input symbols, export the new ones
+    encode_integer(cache, "IAEX", enc, len(input_symbols))
+    encode_integer(cache, "IAEX", enc, num_new)
+    data = enc.finish()
+    flags = 2  # refinement, arithmetic, templates 0, rtemplate 0
+    payload = struct.pack(">H", flags)
+    for ax, ay in _NOMINAL_AT:  # GB AT pixels (template 0) — nominal
+        payload += bytes([ax & 0xFF, ay & 0xFF])
+    for ax, ay in _R_AT:
+        payload += bytes([ax & 0xFF, ay & 0xFF])
+    payload += struct.pack(">II", num_new, num_new)
+    return payload + data
+
+
+def build_refined_symbol_text_stream(width: int, height: int,
+                                     base_symbols: list, refined: list,
+                                     placements,
+                                     inline_refine=None) -> bytes:
+    """Page with a base dictionary (seg 2), a refinement-aggregate
+    dictionary refining its exports (seg 3, SDREFAGG=1), and a text
+    region (seg 4) placing ids [bases..., refined...].  placements:
+    (symbol_id, s_left, t_top).  inline_refine: optional dict mapping a
+    placement INDEX to (bitmap, rdw, rdh, rdx, rdy) applied via IARI=1
+    at that instance (TEXT-REGION refinement)."""
+    base_payload, base_order = symbol_dict_segment(2, base_symbols)
+    segs = [page_info_segment(1, width, height),
+            _segment(2, 0, [], 1, base_payload)]
+    base_remap = {orig: pos for pos, orig in enumerate(base_order)}
+    exported_bases = [base_symbols[base_order[i]]
+                      for i in range(len(base_symbols))]
+    refined_mapped = [(base_remap[bi], bm, rdx, rdy)
+                      for bi, bm, rdx, rdy in refined]
+    segs.append(_segment(3, 0, [2], 1,
+                         refagg_dict_payload(exported_bases,
+                                             refined_mapped)))
+    # text region referring to both dictionaries: ids are bases (in
+    # exported order) then refined (ascending-height order)
+    n_sym = len(base_symbols) + len(refined)
+    code_len = _log2(n_sym)
+    enc = MQEncoder()
+    cache = ContextCache()
+    r_order = sorted(range(len(refined)),
+                     key=lambda k: len(refined[k][1]))
+    r_remap = {orig: len(base_symbols) + pos
+               for pos, orig in enumerate(r_order)}
+
+    def text_id(sym_id: int) -> int:
+        if sym_id < len(base_symbols):
+            return base_remap[sym_id]
+        return r_remap[sym_id - len(base_symbols)]
+
+    by_t: dict[int, list] = {}
+    for idx, (sym, s, t) in enumerate(placements):
+        by_t.setdefault(t, []).append((s, sym, idx))
+    strip_ts = sorted(by_t)
+    encode_integer(cache, "IADT", enc, 0)
+    cur_strip_t = 0
+    first_s = 0
+    all_syms = exported_bases + [refined[k][1] for k in r_order]
+    inline_refine = inline_refine or {}
+    for t in strip_ts:
+        encode_integer(cache, "IADT", enc, t - cur_strip_t)
+        cur_strip_t = t
+        row = sorted(by_t[t])
+        encode_integer(cache, "IAFS", enc, row[0][0] - first_s)
+        first_s = row[0][0]
+        prev_right = None
+        for s, sym, pidx in row:
+            if prev_right is not None:
+                encode_integer(cache, "IADS", enc, s - prev_right)
+            tid = text_id(sym)
+            encode_iaid(cache, enc, code_len, tid)
+            inline = inline_refine.get(pidx)
+            if inline is None:
+                encode_integer(cache, "IARI", enc, 0)
+                placed = all_syms[tid]
+            else:
+                bitmap, rdw, rdh, rdx, rdy = inline
+                encode_integer(cache, "IARI", enc, 1)
+                encode_integer(cache, "IARDW", enc, rdw)
+                encode_integer(cache, "IARDH", enc, rdh)
+                encode_integer(cache, "IARDX", enc, rdx)
+                encode_integer(cache, "IARDY", enc, rdy)
+                encode_refinement(enc, bitmap, all_syms[tid],
+                                  (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                                  0, _R_AT, cache)
+                placed = bitmap
+            prev_right = s + len(placed[0]) - 1
+        encode_integer(cache, "IADS", enc, None)
+    data = enc.finish()
+    flags = 2 | (1 << 4)  # refinement, TOPLEFT corner, rtemplate 0
+    payload = _region_info(width, height, 0, 0, 0)
+    payload += struct.pack(">H", flags)
+    for ax, ay in _R_AT:
+        payload += bytes([ax & 0xFF, ay & 0xFF])
+    payload += struct.pack(">I", len(placements))
+    payload += data
+    segs.append(_segment(4, 6, [2, 3], 1, payload))
+    return b"".join(segs)

@@ -213,3 +213,29 @@ def test_huffman_fuzz_absorbs():
             decode_jbig2_packed(bytes(mutated), max_pixels=1 << 20)
         except (JBIG2Error, IndexError, ValueError, KeyError, struct.error):
             pass
+
+
+def test_refinement_symbol_dict_and_text_region():
+    """SDREFAGG=1 dictionary (new symbol refines a base dictionary's
+    export) and per-instance IARI text-region refinement, byte-exact
+    vs the reference."""
+    from pdf_parse_new_ray.fixtures.jbig2gen import \
+        build_refined_symbol_text_stream
+
+    glyph_a = [[0, 1, 0], [1, 0, 1], [1, 1, 1], [1, 0, 1]]
+    glyph_b = [[1, 1, 0], [1, 0, 1], [1, 1, 0], [1, 0, 1], [1, 1, 0]]
+    a_prime = [[0, 1, 0], [1, 1, 1], [1, 1, 1], [1, 0, 1]]
+    blob = [[1, 1, 1, 1], [1, 0, 0, 1], [1, 0, 0, 1], [1, 1, 1, 1]]
+    placements = [(0, 1, 1), (1, 6, 1), (2, 11, 1), (1, 3, 8)]
+    stream = build_refined_symbol_text_stream(
+        20, 16, [glyph_a, glyph_b], [(0, a_prime, 0, 0)], placements,
+        inline_refine={3: (blob, 1, -1, 0, 0)})
+    img = decode_jbig2(stream)
+    assert img[1:5, 1:4].tolist() == glyph_a
+    assert img[1:6, 6:9].tolist() == glyph_b
+    assert img[1:5, 11:14].tolist() == a_prime
+    if _ref_available():
+        from jbig2_ref import ref_decode
+
+        packed, _w, _h = decode_jbig2_packed(stream)
+        assert ref_decode(stream) == packed
