@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customer_nation_balance": relational.q_customer_nation_balance,
         "q_distinct_order_statuses": relational.q_distinct_order_statuses,
         "q_customers_without_orders": relational.q_customers_without_orders,
+        "q_rollup_revenue": relational.q_rollup_revenue,
         "q_sessionization": relational.q_sessionization,
         "q_asof_view_before_click": relational.q_asof_view_before_click,
         "q_price_band_join": relational.q_price_band_join,
@@ -274,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_token_stats": text.t_token_stats,
         "t_quality_scores": text.t_quality_scores,
         "t_repetition_signals": text.t_repetition_signals,
+        "t_tfidf_top_terms": text.t_tfidf_top_terms,
         "t_langid": text.t_langid,
         "t_fingerprints": text.t_fingerprints,
         # dedup
@@ -474,6 +476,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS total_space
             FROM documents GROUP BY source ORDER BY source
         """,
+        "q_rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
         "t_repetition_signals": """
             WITH lstat AS (
                 SELECT doc_id, count(*) AS n_lines,
@@ -507,6 +518,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
             FROM lstat l LEFT JOIN bstat b USING (doc_id)
             ORDER BY l.doc_id
+        """,
+        "t_tfidf_top_terms": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                           AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM words GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       tf.tf * ln(n.n * 1.0 / df.df) AS tfidf
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term) AS rk
+                  FROM scored)
+            WHERE rk = 1 ORDER BY doc_id
         """,
         "d_paragraph_dedup": """
             SELECT md5(para) AS para_md5,

@@ -866,3 +866,48 @@ def q_order_price_quantiles(sf_dir: str) -> pd.DataFrame:
                      "median_price": round(q_disc(0.5), 2),
                      "p90_price": round(q_disc(0.9), 2)})
     return pd.DataFrame(rows).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP(l_returnflag, l_linestatus) revenue: detail rows, per-flag
+    subtotals, and a grand total — all DERIVED from one scan's partials
+    (map-side combine → one tiny groupby; the coarser levels re-aggregate
+    the fine partials on the driver, never the fact table)."""
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_extendedprice",
+              "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "rev": rev,
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("rev", "sum"), ("rev", "count")])
+        from .joins import rename_agg
+
+        return rename_agg(g, {"rev_sum": "rev", "rev_count": "n"},
+                          ["l_returnflag", "l_linestatus", "rev", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    detail = (parts.groupby(["l_returnflag", "l_linestatus"],
+                            as_index=False)
+              .agg(revenue=("rev", "sum"), n_items=("n", "sum")))
+    subtotal = (detail.groupby("l_returnflag", as_index=False)
+                .agg(revenue=("revenue", "sum"),
+                     n_items=("n_items", "sum")))
+    subtotal["l_linestatus"] = None
+    total = pd.DataFrame({
+        "l_returnflag": [None], "l_linestatus": [None],
+        "revenue": [detail.revenue.sum()],
+        "n_items": [detail.n_items.sum()],
+    })
+    out = pd.concat([detail, subtotal, total], ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    out = out[["l_returnflag", "l_linestatus", "revenue", "n_items"]]
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="first"
+    ).reset_index(drop=True)

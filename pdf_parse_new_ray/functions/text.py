@@ -208,3 +208,71 @@ def t_repetition_signals(sf_dir: str) -> pd.DataFrame:
         RepetitionSignals, concurrency=(1, 8), batch_format="pyarrow",
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def t_tfidf_top_terms(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Per-document top TF-IDF term (tfidf = tf * ln(N/df)).
+
+    Scale plan — TWO bucketed shuffles, no broadcast of the vocabulary:
+    (1) per-doc term counts explode to (doc, term, tf) rows bucketed by
+    term; inside each term-bucket the df is computed AND attached with
+    one Arrow group_by + index_in (df never leaves its bucket);
+    (2) scored rows re-bucket by doc_id and each bucket emits the argmax
+    row per document (tfidf DESC, term ASC tie-break)."""
+    from ..state import checkpoint as ckpt
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+    word = re.compile(r"[a-z]+")
+
+    def explode(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        doc_ids, terms, tfs = [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            for term, tf in Counter(word.findall((text or "").lower())).items():
+                doc_ids.append(doc_id)
+                terms.append(term)
+                tfs.append(tf)
+        terms_arr = pa.array(terms, pa.string())
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term": terms_arr,
+            "tf": pa.array(tfs, pa.int64()),
+            "__bk": ckpt.partition_column(terms_arr, n_buckets),
+        })
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        dfs = g.group_by("term").aggregate([("doc_id", "count")])
+        idx = pc.index_in(g["term"], value_set=dfs["term"].combine_chunks())
+        df = pc.take(dfs["doc_id_count"].combine_chunks(), idx)
+        tfidf = g["tf"].to_numpy(zero_copy_only=False) * \
+            np.log(n_docs / df.to_numpy(zero_copy_only=False))
+        doc_arr = g["doc_id"]
+        return pa.table({
+            "doc_id": doc_arr,
+            "term": g["term"],
+            "tf": g["tf"],
+            "df": df,
+            "tfidf": pa.array(tfidf, pa.float64()),
+            "__dbk": ckpt.partition_column(doc_arr, n_buckets),
+        })
+
+    def top_per_doc(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        df = df.sort_values(["doc_id", "tfidf", "term"],
+                            ascending=[True, False, True])
+        best = df.groupby("doc_id", as_index=False).first()
+        return pa.Table.from_pandas(
+            best[["doc_id", "term", "tf", "df", "tfidf"]],
+            preserve_index=False)
+
+    out = docs.map_batches(explode, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(score_bucket, batch_format="pyarrow") \
+        .groupby("__dbk").map_groups(top_per_doc, batch_format="pyarrow") \
+        .to_pandas()
+    out["tfidf"] = out["tfidf"].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)

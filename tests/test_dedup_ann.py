@@ -339,3 +339,37 @@ def test_dup_clusters_from_minhash(ray_session, planted_docs_dir):
     # docs 1,2 exact dups + 3 near-dup → one cluster rooted at 1
     by = dict(zip(out.doc_id, out.cluster))
     assert by[1] == 1 and by[2] == 1 and by[3] == 1
+
+
+def test_tfidf_known_values(ray_session, tmp_path):
+    import math
+
+    from pdf_parse_new_ray.functions import text as tx
+
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": ["apple apple banana", "banana cherry", "cherry cherry date"],
+        "lang": ["en"] * 3, "source": ["t"] * 3,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = tx.t_tfidf_top_terms(str(tmp_path)).set_index("doc_id")
+    # doc 1: apple tf=2 df=1 → 2*ln(3); beats banana (1*ln(1.5))
+    assert out.loc[1, "term"] == "apple"
+    assert abs(out.loc[1, "tfidf"] - round(2 * math.log(3), 6)) < 1e-9
+    # doc 2: cherry df=2 vs banana df=2, equal tfidf → term ASC tie-break
+    assert out.loc[2, "term"] == "banana"
+    # doc 3: date tf=1 df=1 → ln(3) vs cherry 2*ln(1.5)=0.81 → ln(3)=1.10
+    assert out.loc[3, "term"] == "date"
+
+
+def test_rollup_levels_consistent(ray_session):
+    from pdf_parse_new_ray.functions import relational
+
+    out = relational.q_rollup_revenue("/root/testdata/sf0.001")
+    total = out[out.l_returnflag.isna()]
+    assert len(total) == 1
+    detail = out[out.l_linestatus.notna()]
+    sub = out[out.l_returnflag.notna() & out.l_linestatus.isna()]
+    assert abs(detail.revenue.sum() - float(total.revenue.iloc[0])) < 1.0
+    assert int(detail.n_items.sum()) == int(total.n_items.iloc[0])
+    assert int(sub.n_items.sum()) == int(total.n_items.iloc[0])
