@@ -1,8 +1,10 @@
 """Deterministic JBIG2 encoder for fixtures (ITU-T T.88, embedded flavor).
 
-Produces arithmetic-coded JBIG2 streams — generic regions (all four GB
-templates, optional TPGDON), symbol dictionary + text region pairs, and
-pattern-dictionary + halftone regions — used to exercise
+Produces JBIG2 streams — generic regions (all four GB templates,
+optional TPGDON), symbol dictionary + text region pairs (arithmetic AND
+Huffman flavors incl. MMR collective bitmaps and custom table
+segments), refinement-aggregate dictionaries with IARI text refinement,
+and pattern-dictionary + halftone regions — used to exercise
 `pdfkernel/jbig2.py` and to differential-test it against the live
 reference decoder (tools/jbig2_ref.py).  Encoder-side procedures follow
 T.88 Annex E (MQ coder) and Annex A (integer coding); everything here is

@@ -2,8 +2,9 @@
 
 The mirror image of pdfkernel/jpx.py: reversible 5/3 forward DWT, EBCOT
 T1 bitplane encoding on the shared MQ coder, tag-tree packet headers,
-single-tile LRCP codestream, optional reversible color transform and a
-JP2 container wrapper.  Streams from here are decoded by BOTH our
+LRCP codestreams with optional multi-tile grids (DWT-aligned) and
+multiple quality layers, reversible color transform and a JP2 container
+wrapper.  Streams from here are decoded by BOTH our
 decoder and the reference's openjpeg wasm (tools/jpx_ref.py) and must
 produce identical samples — conformance of the pair is established by
 that three-way agreement.
