@@ -891,10 +891,13 @@ def q_rollup_revenue(sf_dir: str) -> pd.DataFrame:
         return rename_agg(g, {"rev_sum": "rev", "rev_count": "n"},
                           ["l_returnflag", "l_linestatus", "rev", "n"])
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    detail = (parts.groupby(["l_returnflag", "l_linestatus"],
-                            as_index=False)
-              .agg(revenue=("rev", "sum"), n_items=("n", "sum")))
+    # merge partials in a Ray groupby (detail level is ~6 groups); only
+    # the merged detail rows reach the driver — a driver-side concat of
+    # per-batch partials would scale with batch count, not group count
+    detail = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("rev", alias_name="revenue"),
+            Sum("n", alias_name="n_items")).to_pandas()
     subtotal = (detail.groupby("l_returnflag", as_index=False)
                 .agg(revenue=("revenue", "sum"),
                      n_items=("n_items", "sum")))
