@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_price_band_join": relational.q_price_band_join,
         "q_top_orders_per_customer": relational.q_top_orders_per_customer,
         "q_order_price_quantiles": relational.q_order_price_quantiles,
+        "q_running_balance": relational.q_running_balance,
         # text analysis
         "t_token_stats": text.t_token_stats,
         "t_quality_scores": text.t_quality_scores,
@@ -278,6 +279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_tfidf_top_terms": text.t_tfidf_top_terms,
         "t_langid": text.t_langid,
         "t_fingerprints": text.t_fingerprints,
+        "t_scrub_pii": text.t_scrub_pii,
+        "t_top_bigrams": text.t_top_bigrams,
+        "t_above_median_by_lang": text.t_above_median_by_lang,
         # dedup
         "d_exact_dedup": dedup.d_exact_dedup,
         "d_dup_groups": dedup.d_dup_groups,
@@ -557,6 +561,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t_fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+        """,
+        "t_scrub_pii": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{text.EMAIL_PATTERN}'))
+                       AS n_emails,
+                   len(regexp_extract_all(
+                       regexp_replace(text, '{text.EMAIL_PATTERN}',
+                                      '<EMAIL>', 'g'),
+                       '{text.NUMBER_PATTERN}')) AS n_numbers,
+                   regexp_replace(
+                       regexp_replace(text, '{text.EMAIL_PATTERN}',
+                                      '<EMAIL>', 'g'),
+                       '{text.NUMBER_PATTERN}', '<NUM>', 'g') AS scrubbed
+            FROM documents ORDER BY doc_id
+        """,
+        "t_top_bigrams": """
+            WITH toks AS (
+                SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws
+                FROM documents
+            ), grams AS (
+                SELECT ws[i] || ' ' || ws[i+1] AS gram
+                FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+            )
+            SELECT gram, count(*) AS n FROM grams
+            GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+        """,
+        "t_above_median_by_lang": """
+            SELECT lang, count(*) AS n_docs
+            FROM documents
+            WHERE n_chars > (SELECT quantile_disc(n_chars, 0.5)
+                             FROM documents)
+            GROUP BY lang ORDER BY lang
+        """,
+        "q_running_balance": """
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                       OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) / 100.0
+                       AS running_total
+            FROM orders
+            ORDER BY o_custkey, o_orderdate, o_orderkey
         """,
         "d_exact_dedup": """
             SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id,

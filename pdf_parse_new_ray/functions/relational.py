@@ -914,3 +914,55 @@ def q_rollup_revenue(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["l_returnflag", "l_linestatus"], na_position="first"
     ).reset_index(drop=True)
+
+
+def q_running_balance(sf_dir: str, n_buckets: int = 256,
+                      write_dir: str | None = None) -> pd.DataFrame:
+    """Per-customer running order total (the prefix-sum window operator:
+    SUM() OVER (PARTITION BY custkey ORDER BY date, key)).
+
+    ONE shuffle on hash(o_custkey) buckets, then a vectorized MULTI-
+    customer fold per bucket: sort by (cust, date, key), accumulate in
+    INTEGER CENTS (int64 cumsum minus each customer's base — exact, so it
+    equals the oracle's sequential window sum bit-for-bit where a float
+    cumsum-difference could flip a rounding digit), divide once at the
+    end.  Python cost scales with buckets, not customers."""
+    import numpy as np
+
+    from .joins import _bucket_of
+
+    def fold(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("o_custkey", "ascending"), ("o_orderdate", "ascending"),
+            ("o_orderkey", "ascending")])
+        g = group.take(order)
+        cust = g.column("o_custkey").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            g.column("o_totalprice"), pa.scalar(100.0))), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(cust)
+        run = np.cumsum(cents)
+        new_cust = np.ones(n, dtype=bool)
+        new_cust[1:] = cust[1:] != cust[:-1]
+        starts = np.nonzero(new_cust)[0]
+        base = np.repeat(run[starts] - cents[starts],
+                         np.diff(np.concatenate((starts, [n]))))
+        run = run - base
+        return pa.table({
+            "o_custkey": g.column("o_custkey"),
+            "o_orderkey": g.column("o_orderkey"),
+            "o_orderdate": g.column("o_orderdate"),
+            "running_total": pa.array(run / 100.0, pa.float64()),
+        })
+
+    orders = _rp(sf_dir, "orders",
+                 ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: t.append_column("__bk", _bucket_of(t.column("o_custkey"), n_buckets)),
+        batch_format="pyarrow")
+    ds = orders.groupby("__bk").map_groups(fold, batch_format="pyarrow")
+    if write_dir is not None:
+        return _write_windowed(ds, write_dir)
+    df = pd.DataFrame(ds.take_all())
+    return df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
+        .reset_index(drop=True)

@@ -276,3 +276,124 @@ def t_tfidf_top_terms(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
         .to_pandas()
     out["tfidf"] = out["tfidf"].round(6)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# PII patterns shared verbatim with the DuckDB oracle (both engines are
+# RE2-based, so the same source string has identical match semantics)
+EMAIL_PATTERN = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+NUMBER_PATTERN = r"[0-9]+"
+
+
+def t_scrub_pii(sf_dir: str) -> pd.DataFrame:
+    """Per-document PII scrub: replace emails then digit runs with typed
+    placeholder tokens and count the redactions — the redaction primitive
+    of a training-data pipeline (emails scrubbed FIRST so their digits are
+    not double-counted as numbers; the oracle nests its regexp_replace the
+    same way).  Map-only, fully vectorized (Arrow RE2 kernels); the
+    synthetic sf corpus contains no PII, so the planted-fixture pytest
+    (tests/test_functions.py) is the non-vacuous check while the driver
+    oracle locks the formula shape."""
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_emails = pc.cast(pc.count_substring_regex(text, EMAIL_PATTERN),
+                           pa.int64())
+        no_email = pc.replace_substring_regex(text, EMAIL_PATTERN, "<EMAIL>")
+        n_numbers = pc.cast(pc.count_substring_regex(no_email, NUMBER_PATTERN),
+                            pa.int64())
+        scrubbed = pc.replace_substring_regex(no_email, NUMBER_PATTERN, "<NUM>")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_emails": n_emails,
+            "n_numbers": n_numbers,
+            "scrubbed": scrubbed,
+        })
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def t_top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus-wide top-k word bigrams by count (the n-gram census that
+    feeds contamination / boilerplate analyses).
+
+    Scale plan: per-batch Counter partials collapse each batch to its
+    DISTINCT grams before the only shuffle (a groupby bounded by
+    vocabulary-squared-observed, not by corpus rows); after the merge each
+    block holds disjoint grams, so a per-block local top-k reduces driver
+    traffic to k x num_blocks rows."""
+    from collections import Counter
+
+    word = re.compile(r"[a-z]+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            ws = word.findall((text or "").lower())
+            c.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        return pa.table({
+            "gram": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                              ("gram", "ascending")])
+        return t.take(order[:k])
+
+    merged = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("n", alias_name="n")) \
+        .map_batches(local_topk, batch_format="pyarrow")
+    df = merged.to_pandas()
+    df = df.sort_values(["n", "gram"], ascending=[False, True]).head(k)
+    return df.reset_index(drop=True)[["gram", "n"]]
+
+
+def t_above_median_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Docs-above-corpus-median-length count per language — the two-phase
+    computed-scalar-broadcast shape (a global exact quantile feeds a
+    distributed filter).  Phase 1 reuses the value-counting exact-quantile
+    trick from q_order_price_quantiles (shuffle bounded by DISTINCT
+    lengths, not rows); the median scalar then rides into phase 2's filter
+    as a plain closure capture (one int — no ray.put needed)."""
+    import math
+
+    import numpy as np
+
+    from .joins import rename_agg
+
+    def length_counts(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "n_chars": t.column("n_chars"),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by("n_chars").aggregate([("n", "sum")])
+        return rename_agg(g, {"n_sum": "n"}, ["n_chars", "n"])
+
+    counts = _docs(sf_dir, ["n_chars"]) \
+        .map_batches(length_counts, batch_format="pyarrow", batch_size=65536) \
+        .groupby("n_chars").aggregate(Sum("n", alias_name="n")).to_pandas() \
+        .sort_values("n_chars")
+    cum = counts["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    # DuckDB quantile_disc(x, 0.5): element at index ceil(n*0.5)-1
+    target = max(1, math.ceil(total * 0.5))
+    median = int(counts["n_chars"].to_numpy()[int(np.searchsorted(cum, target))])
+
+    def above(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater(t.column("n_chars"), median))
+        if keep.num_rows == 0:
+            # typed empty output — an untyped empty group_by result makes
+            # the streaming executor warn about schema drift
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64())})
+        g = pa.table({
+            "lang": keep.column("lang"),
+            "n": pa.array(np.ones(keep.num_rows, np.int64)),
+        }).group_by("lang").aggregate([("n", "sum")])
+        return rename_agg(g, {"n_sum": "n_docs"}, ["lang", "n_docs"])
+
+    out = _docs(sf_dir, ["lang", "n_chars"]) \
+        .map_batches(above, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n_docs", alias_name="n_docs")).to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)[["lang", "n_docs"]]

@@ -373,3 +373,127 @@ def test_rollup_levels_consistent(ray_session):
     assert abs(detail.revenue.sum() - float(total.revenue.iloc[0])) < 1.0
     assert int(detail.n_items.sum()) == int(total.n_items.iloc[0])
     assert int(sub.n_items.sum()) == int(total.n_items.iloc[0])
+
+
+def test_scrub_pii_planted(ray_session, tmp_path):
+    """PII scrub on planted emails/digits: Ray's Arrow-RE2 path must agree
+    exactly with the DuckDB oracle (the sf corpus has no PII, so this is
+    the non-vacuous check)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from pdf_parse_new_ray.functions import text as tx
+
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": [
+            "contact bob.smith@example.com or call 555 1234 ext 9",
+            "no pii here at all",
+            "two mails a@b.co c.d@e.org and id 0042",
+        ],
+        "lang": ["en"] * 3,
+        "source": ["t"] * 3,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = tx.t_scrub_pii(str(tmp_path)).set_index("doc_id")
+    assert out.loc[1, "n_emails"] == 1 and out.loc[1, "n_numbers"] == 3
+    assert out.loc[1, "scrubbed"] == \
+        "contact <EMAIL> or call <NUM> <NUM> ext <NUM>"
+    assert out.loc[2, "n_emails"] == 0 and out.loc[2, "n_numbers"] == 0
+    # digits inside emails are scrubbed as <EMAIL>, not double-counted
+    assert out.loc[3, "n_emails"] == 2 and out.loc[3, "n_numbers"] == 1
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    ora = con.execute(entry.oracle_sql()["t_scrub_pii"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.reset_index().sort_index(axis=1), ora.sort_index(axis=1),
+        check_dtype=False)
+
+
+def test_top_bigrams_known_counts(ray_session, tmp_path):
+    import duckdb
+
+    import __ray_entry__ as entry
+    from pdf_parse_new_ray.functions import text as tx
+
+    rows = {
+        "doc_id": [1, 2],
+        "text": ["red fox red fox red", "red fox blue fox"],
+        "lang": ["en"] * 2,
+        "source": ["t"] * 2,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = tx.t_top_bigrams(str(tmp_path), k=3)
+    # "red fox": 2 (doc1) + 1 (doc2) = 3; "fox red": 2; "blue fox"/"fox
+    # blue": 1 each → "blue fox" wins the tie by gram ASC
+    assert list(out.gram) == ["red fox", "fox red", "blue fox"]
+    assert list(out.n) == [3, 2, 1]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    sql = entry.oracle_sql()["t_top_bigrams"].replace("LIMIT 20", "LIMIT 3")
+    ora = con.execute(sql).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.sort_index(axis=1), ora.sort_index(axis=1), check_dtype=False)
+
+
+def test_above_median_by_lang_exact(ray_session, tmp_path):
+    """Even-count corpus: quantile_disc takes the LOWER middle element —
+    the Ray value-count walk must pick the same one as DuckDB."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from pdf_parse_new_ray.functions import text as tx
+
+    texts = ["a" * n for n in (10, 20, 30, 40)]
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": texts,
+        "lang": ["en", "en", "fr", "fr"],
+        "source": ["t"] * 4,
+        "n_chars": [len(t) for t in texts],
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = tx.t_above_median_by_lang(str(tmp_path))
+    # median_disc of (10,20,30,40) = 20 → above: 30(fr), 40(fr)
+    assert dict(zip(out.lang, out.n_docs)) == {"fr": 2}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    ora = con.execute(entry.oracle_sql()["t_above_median_by_lang"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.sort_index(axis=1), ora.sort_index(axis=1), check_dtype=False)
+
+
+def test_running_balance_exact_and_write_dir(ray_session, tmp_path):
+    """Integer-cents prefix sum equals the SQL window sum exactly, and the
+    write_dir scale hatch streams the same rows to parquet."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from pdf_parse_new_ray.functions import relational
+
+    sf = "/root/testdata/sf0.001"
+    out = relational.q_running_balance(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf}/orders.parquet')")
+    ora = con.execute(entry.oracle_sql()["q_running_balance"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.sort_index(axis=1), ora.sort_index(axis=1), check_dtype=False)
+    # final running_total per customer == their plain sum
+    import pyarrow.parquet as _pq
+    last = out.groupby("o_custkey").last()["running_total"]
+    sums = con.execute(
+        "SELECT o_custkey, SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0"
+        " AS s FROM orders GROUP BY o_custkey ORDER BY o_custkey").fetchdf()
+    assert np.allclose(last.sort_index().to_numpy(),
+                       sums.set_index("o_custkey")["s"].sort_index().to_numpy())
+    d = str(tmp_path / "rb_out")
+    metrics = relational.q_running_balance(sf, write_dir=d)
+    assert int(metrics.n_rows.iloc[0]) == len(out)
+    files = list((tmp_path / "rb_out").glob("*.parquet"))
+    assert files
+    n = sum(_pq.read_metadata(str(f)).num_rows for f in files)
+    assert n == len(out)
