@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_orders_per_customer": relational.q_top_orders_per_customer,
         "q_order_price_quantiles": relational.q_order_price_quantiles,
         "q_running_balance": relational.q_running_balance,
+        "q_rolling_avg": relational.q_rolling_avg,
         # text analysis
         "t_token_stats": text.t_token_stats,
         "t_quality_scores": text.t_quality_scores,
@@ -282,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_scrub_pii": text.t_scrub_pii,
         "t_top_bigrams": text.t_top_bigrams,
         "t_above_median_by_lang": text.t_above_median_by_lang,
+        "t_doc_sample": text.t_doc_sample,
         # dedup
         "d_exact_dedup": dedup.d_exact_dedup,
         "d_dup_groups": dedup.d_dup_groups,
@@ -602,6 +604,23 @@ def oracle_sql() -> dict[str, str]:
                        AS running_total
             FROM orders
             ORDER BY o_custkey, o_orderdate, o_orderkey
+        """,
+        "q_rolling_avg": """
+            SELECT user_id, event_id, ts,
+                   SUM(CAST(round(value * 1000000) AS BIGINT))
+                       OVER w / (1000000.0 * COUNT(*) OVER w)
+                       AS rolling_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, ts, event_id
+        """,
+        "t_doc_sample": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  IN ('0', '1', '2', '3')
+            ORDER BY doc_id
         """,
         "d_exact_dedup": """
             SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id,

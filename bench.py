@@ -132,6 +132,9 @@ def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
         "q_price_band_join": relational.q_price_band_join,
         "t_repetition_signals": tfn.t_repetition_signals,
         "d_paragraph_dedup": dedup.d_paragraph_dedup,
+        "q_running_balance": relational.q_running_balance,
+        "q_rolling_avg": relational.q_rolling_avg,
+        "t_top_bigrams": tfn.t_top_bigrams,
     }
     for name, fn in bench_queries.items():
         t0 = time.time()
@@ -155,7 +158,8 @@ def _calib_work(blobs):
     return len(blobs), _t.process_time() - t0
 
 
-def run_calibration(scaling_dir: str, n_docs: int = 6400) -> dict:
+def run_calibration(scaling_dir: str, n_docs: int = 6400,
+                    lo: int = 8, hi: int = 32) -> dict:
     """No-Ray hardware ceiling: the identical kernel under plain
     multiprocessing at 8 and 32 processes on the same PDFs.  This machine is
     a single-socket fixed-clock Xeon; memory bandwidth is shared, so CPU
@@ -169,7 +173,7 @@ def run_calibration(scaling_dir: str, n_docs: int = 6400) -> dict:
 
     blobs = pds.dataset(f"{scaling_dir}/media").head(n_docs).column("bytes").to_pylist()
     out = {}
-    for nproc in (8, 32):
+    for nproc in (lo, hi):
         chunks = [blobs[i::nproc * 4] for i in range(nproc * 4)]
         with mp.Pool(nproc) as p:
             p.map(_calib_work, chunks[:nproc])  # warm imports, untimed
@@ -180,7 +184,7 @@ def run_calibration(scaling_dir: str, n_docs: int = 6400) -> dict:
         out[nproc] = {"wall_s": round(wall, 3), "docs_per_sec": round(n / wall, 1),
                       "agg_cpu_s": round(sum(r[1] for r in res), 1)}
     out["ceiling_efficiency"] = round(
-        (out[32]["docs_per_sec"] / out[8]["docs_per_sec"]) / 4, 3)
+        (out[hi]["docs_per_sec"] / out[lo]["docs_per_sec"]) / (hi / lo), 3)
     return out
 
 
@@ -197,11 +201,17 @@ def run_scaling() -> dict:
     from pdf_parse_new_ray.fixtures.corpus import corpus_dir_for
 
     scaling_dir = corpus_dir_for(scaling_sf)  # generate/cache before timing
+    # GRAFT_SCALING_CPUS="lo,hi" overrides the 8→32 pair: the shared host
+    # often delivers only ~16 effective cores (see BASELINE.md capacity
+    # probes), so an 8→16 pair measures N→2N inside real capacity while
+    # the 8→32 default stays the driver-contract headline
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
     # two interleaved trials per CPU count, best-of: this sandbox is a
     # shared-host VM with noisy neighbors; best-of approximates the
     # steady-state throughput the north metric defines
     results: dict = {}
-    for cpus in (8, 32, 32, 8):
+    for cpus in (lo, hi, hi, lo):
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = scaling_dir
@@ -217,11 +227,11 @@ def run_scaling() -> dict:
         r = json.loads(line)
         if cpus not in results or r["docs_per_sec"] > results[cpus]["docs_per_sec"]:
             results[cpus] = r
-    r8, r32 = results[8], results[32]
-    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / (32 / 8)
-    calib = run_calibration(scaling_dir)
+    r8, r32 = results[lo], results[hi]
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / (hi / lo)
+    calib = run_calibration(scaling_dir, lo=lo, hi=hi)
     return {
-        "metric": "scaling efficiency (num_cpus 8 -> 32, fresh sessions, same input)",
+        "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, fresh sessions, same input)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "hardware_ceiling_efficiency": calib["ceiling_efficiency"],
@@ -229,14 +239,15 @@ def run_scaling() -> dict:
         if calib["ceiling_efficiency"] else None,
         "calibration": calib,
         "sf": r8["sf"],
-        "docs_per_sec_8": r8["docs_per_sec"],
-        "docs_per_sec_32": r32["docs_per_sec"],
-        "pages_per_sec_8": r8["pages_per_sec"],
-        "pages_per_sec_32": r32["pages_per_sec"],
-        "wall_sec_8": r8["value"],
-        "wall_sec_32": r32["value"],
-        "num_cpus": 32,
-        "queries": {"extract_8cpu": r8["value"], "extract_32cpu": r32["value"]},
+        f"docs_per_sec_{lo}": r8["docs_per_sec"],
+        f"docs_per_sec_{hi}": r32["docs_per_sec"],
+        f"pages_per_sec_{lo}": r8["pages_per_sec"],
+        f"pages_per_sec_{hi}": r32["pages_per_sec"],
+        f"wall_sec_{lo}": r8["value"],
+        f"wall_sec_{hi}": r32["value"],
+        "num_cpus": hi,
+        "queries": {f"extract_{lo}cpu": r8["value"],
+                    f"extract_{hi}cpu": r32["value"]},
     }
 
 

@@ -966,3 +966,57 @@ def q_running_balance(sf_dir: str, n_buckets: int = 256,
     df = pd.DataFrame(ds.take_all())
     return df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
         .reset_index(drop=True)
+
+
+def q_rolling_avg(sf_dir: str, window: int = 5, n_buckets: int = 256,
+                  write_dir: str | None = None) -> pd.DataFrame:
+    """Per-user rolling mean of event values over the last `window` events
+    (ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW) — the bounded-frame
+    windowed aggregate.
+
+    Same shape as q_sessionization: ONE shuffle on hash(user_id), then a
+    vectorized multi-user fold per bucket.  Values accumulate as exact
+    int64 MICROUNITS (round(value*1e6)) with the sliding sum taken as a
+    cumsum difference clamped at each user's first row — integer math, so
+    it matches the oracle's window sum bit-for-bit; the divide happens
+    once at the end against the per-row frame length."""
+    import numpy as np
+
+    from .joins import _bucket_of
+
+    def fold(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = group.take(order)
+        uid = g.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        micro = pc.cast(pc.round(pc.multiply(
+            g.column("value"), pa.scalar(1e6))), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(uid)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(new_user)[0]
+        user_start = np.repeat(starts, np.diff(np.concatenate((starts, [n]))))
+        i = np.arange(n)
+        lo = np.maximum(i - (window - 1), user_start)
+        cum = np.concatenate(([0], np.cumsum(micro)))
+        frame_sum = cum[i + 1] - cum[lo]
+        frame_len = i - lo + 1
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "event_id": g.column("event_id"),
+            "ts": g.column("ts"),
+            "rolling_avg": pa.array(
+                frame_sum / (1e6 * frame_len), pa.float64()),
+        })
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    ev = ev.map_batches(
+        lambda t: t.append_column("__bk", _bucket_of(t.column("user_id"), n_buckets)),
+        batch_format="pyarrow")
+    ds = ev.groupby("__bk").map_groups(fold, batch_format="pyarrow")
+    if write_dir is not None:
+        return _write_windowed(ds, write_dir)
+    df = pd.DataFrame(ds.take_all())
+    return df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)

@@ -397,3 +397,23 @@ def t_above_median_by_lang(sf_dir: str) -> pd.DataFrame:
         .map_batches(above, batch_format="pyarrow") \
         .groupby("lang").aggregate(Sum("n_docs", alias_name="n_docs")).to_pandas()
     return out.sort_values("lang").reset_index(drop=True)[["lang", "n_docs"]]
+
+
+def t_doc_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 25% corpus sample: keep docs whose md5(doc_id) first
+    hex nibble is 0-3 — the reproducible-subset primitive (eval splits,
+    audits, contamination spot-checks).  Content-independent and
+    stateless, so the same doc is in the sample on every run and every
+    cluster size; a map-only distributed filter (never a driver-side
+    random.sample).  Being hash-based it is self-stratifying: every
+    language/source stratum is sampled at ~25% without a per-stratum
+    shuffle."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = [hashlib.md5(str(d).encode()).hexdigest()[0] in "0123"
+                for d in t.column("doc_id").to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    out = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

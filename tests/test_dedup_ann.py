@@ -497,3 +497,61 @@ def test_running_balance_exact_and_write_dir(ray_session, tmp_path):
     assert files
     n = sum(_pq.read_metadata(str(f)).num_rows for f in files)
     assert n == len(out)
+
+
+def test_doc_sample_deterministic(ray_session, tmp_path):
+    """Hash sample is content-independent, reproducible, and agrees with
+    the md5-prefix oracle row-for-row."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from pdf_parse_new_ray.functions import text as tx
+
+    n = 64
+    rows = {
+        "doc_id": list(range(n)),
+        "text": [f"doc {i}" for i in range(n)],
+        "lang": ["en", "fr"] * (n // 2),
+        "source": ["t"] * n,
+        "n_chars": [5 + (i % 7) for i in range(n)],
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out1 = tx.t_doc_sample(str(tmp_path))
+    out2 = tx.t_doc_sample(str(tmp_path))
+    pd.testing.assert_frame_equal(out1, out2)  # deterministic
+    assert 0 < len(out1) < n                   # a strict subset
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    ora = con.execute(entry.oracle_sql()["t_doc_sample"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        out1.sort_index(axis=1), ora.sort_index(axis=1), check_dtype=False)
+
+
+def test_rolling_avg_frame_semantics(ray_session, tmp_path):
+    """Bounded-frame rolling mean: frame clamps at each user's first rows,
+    and the integer-microunit sums agree with the SQL window bit-for-bit."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from pdf_parse_new_ray.functions import relational
+
+    sf = "/root/testdata/sf0.001"
+    out = relational.q_rolling_avg(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    ora = con.execute(entry.oracle_sql()["q_rolling_avg"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.sort_index(axis=1), ora.sort_index(axis=1), check_dtype=False)
+    # hand-check one user: first row's frame is itself
+    u = out[out.user_id == out.user_id.iloc[0]]
+    ev = con.execute(
+        "SELECT value FROM events WHERE user_id = ? ORDER BY ts, event_id",
+        [int(u.user_id.iloc[0])]).fetchdf()["value"].to_numpy()
+    assert abs(u.rolling_avg.iloc[0] -
+               round(ev[0] * 1e6) / 1e6) < 1e-12
+    k = min(len(ev) - 1, 7)
+    lo = max(0, k - 4)
+    expect = sum(round(v * 1e6) for v in ev[lo:k + 1]) / (1e6 * (k + 1 - lo))
+    assert abs(u.rolling_avg.iloc[k] - expect) < 1e-12
