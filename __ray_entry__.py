@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_order_price_quantiles": relational.q_order_price_quantiles,
         "q_running_balance": relational.q_running_balance,
         "q_rolling_avg": relational.q_rolling_avg,
+        "q_event_type_pivot": relational.q_event_type_pivot,
         # text analysis
         "t_token_stats": text.t_token_stats,
         "t_quality_scores": text.t_quality_scores,
@@ -614,6 +615,18 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, ts, event_id
+        """,
+        "q_event_type_pivot": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 1000000) AS BIGINT)
+                       ELSE 0 END) / 1000000.0 AS purchase_value
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "t_doc_sample": """
             SELECT doc_id, lang, n_chars

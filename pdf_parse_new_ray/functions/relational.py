@@ -1020,3 +1020,37 @@ def q_rolling_avg(sf_dir: str, window: int = 5, n_buckets: int = 256,
         return _write_windowed(ds, write_dir)
     df = pd.DataFrame(ds.take_all())
     return df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Per-user event-type pivot (conditional aggregation): one count
+    column per type plus the purchase-value total.  Map-side the pivot is
+    pure Arrow kernels (equal → cast → if_else), so each batch collapses
+    to plain Sum-able columns and the ONLY shuffle is the final
+    user_id groupby of already-partial rows.  Purchase value accumulates
+    as exact int64 microunits (divide once at the end) so the result
+    matches the oracle's window-order-independent SUM bit-for-bit."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        cols = {"user_id": t.column("user_id")}
+        for ty in EVENT_TYPES:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(et, ty), pa.int64())
+        micro = pc.cast(pc.round(pc.multiply(t.column("value"),
+                                             pa.scalar(1e6))), pa.int64())
+        cols["purchase_micro"] = pc.if_else(
+            pc.equal(et, "purchase"), micro, pa.scalar(0, pa.int64()))
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in EVENT_TYPES]
+    aggs.append(Sum("purchase_micro", alias_name="purchase_micro"))
+    out = _rp(sf_dir, "events", ["user_id", "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(*aggs).to_pandas()
+    out["purchase_value"] = out["purchase_micro"] / 1e6
+    out = out.drop(columns=["purchase_micro"])
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -555,3 +555,25 @@ def test_rolling_avg_frame_semantics(ray_session, tmp_path):
     lo = max(0, k - 4)
     expect = sum(round(v * 1e6) for v in ev[lo:k + 1]) / (1e6 * (k + 1 - lo))
     assert abs(u.rolling_avg.iloc[k] - expect) < 1e-12
+
+
+def test_event_type_pivot_consistent(ray_session):
+    """Pivot counts must re-sum to the raw type counts, and agree with
+    the conditional-aggregation oracle."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from pdf_parse_new_ray.functions import relational
+
+    sf = "/root/testdata/sf0.001"
+    out = relational.q_event_type_pivot(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    ora = con.execute(entry.oracle_sql()["q_event_type_pivot"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.sort_index(axis=1), ora.sort_index(axis=1), check_dtype=False)
+    raw = con.execute("SELECT event_type, count(*) AS n FROM events "
+                      "GROUP BY event_type").fetchdf()
+    for ty, n in zip(raw.event_type, raw.n):
+        assert int(out[f"n_{ty}"].sum()) == int(n)
