@@ -391,10 +391,16 @@ def build_generic_stream(bitmap, template: int = 0, at=None,
 
 
 def build_halftone_stream(values: np.ndarray, patterns: list,
-                          pat_w: int, pat_h: int) -> bytes:
+                          pat_w: int, pat_h: int,
+                          mmr: bool = False) -> bytes:
     """values: (grid_h, grid_w) int array of pattern indices; patterns:
     list of bitmaps pat_h x pat_w.  Axis-aligned grid, spacing =
-    max(pat_w, pat_h)."""
+    max(pat_w, pat_h).  With mmr=True both the pattern dictionary
+    (HDMMR=1, T.6 collective bitmap, no EOFB) and the halftone region
+    (HMMR=1, gray planes back-to-back on one cursor, EOFB after each)
+    use MMR coding per T.88 6.7.5/C.5."""
+    from .ccittgen import encode_g4
+
     grid_h, grid_w = values.shape
     n_pat = len(patterns)
     step = max(pat_w, pat_h)
@@ -403,27 +409,38 @@ def build_halftone_stream(values: np.ndarray, patterns: list,
     # pattern dictionary: collective bitmap, AT = (-pat_w, 0) + template-0
     collective = [sum((list(p[r]) for p in patterns), [])
                   for r in range(pat_h)]
-    enc = MQEncoder()
-    cache = ContextCache()
-    at = [(-pat_w, 0), (-3, -1), (2, -2), (-2, -2)]
-    encode_generic(enc, collective, 0, at, cache)
-    pat_payload = bytes([0, pat_w, pat_h]) + struct.pack(">I", n_pat - 1) \
-        + enc.finish()
+    if mmr:
+        coll_data = encode_g4(np.array(collective, dtype=np.uint8),
+                              with_eofb=False)
+    else:
+        enc = MQEncoder()
+        cache = ContextCache()
+        at = [(-pat_w, 0), (-3, -1), (2, -2), (-2, -2)]
+        encode_generic(enc, collective, 0, at, cache)
+        coll_data = enc.finish()
+    pat_payload = bytes([1 if mmr else 0, pat_w, pat_h]) \
+        + struct.pack(">I", n_pat - 1) + coll_data
     pat_seg = _segment(2, 16, [], 1, pat_payload)
     # halftone region: gray-coded bit planes, MSB first, shared contexts
     bits_per_value = _log2(n_pat)
     gray = values ^ (values >> 1)
-    enc = MQEncoder()
-    cache = ContextCache()
-    h_at = [(3, -1), (-3, -1), (2, -2), (-2, -2)]
-    for j in range(bits_per_value - 1, -1, -1):
-        plane = ((gray >> j) & 1).astype(np.uint8)
-        encode_generic(enc, plane.tolist(), 0, h_at, cache)
-    ht_flags = 0  # arithmetic, template 0, no skip, OR, default 0
+    if mmr:
+        plane_data = b"".join(
+            encode_g4(((gray >> j) & 1).astype(np.uint8), with_eofb=True)
+            for j in range(bits_per_value - 1, -1, -1))
+    else:
+        enc = MQEncoder()
+        cache = ContextCache()
+        h_at = [(3, -1), (-3, -1), (2, -2), (-2, -2)]
+        for j in range(bits_per_value - 1, -1, -1):
+            plane = ((gray >> j) & 1).astype(np.uint8)
+            encode_generic(enc, plane.tolist(), 0, h_at, cache)
+        plane_data = enc.finish()
+    ht_flags = 1 if mmr else 0  # template 0, no skip, OR, default 0
     payload = _region_info(width, height, 0, 0, 0) + bytes([ht_flags])
     payload += struct.pack(">IIII", grid_w, grid_h, 0, 0)
     payload += struct.pack(">HH", step << 8, 0)
-    payload += enc.finish()
+    payload += plane_data
     ht_seg = _segment(3, 22, [2], 1, payload)
     return page_info_segment(1, width, height) + pat_seg + ht_seg
 

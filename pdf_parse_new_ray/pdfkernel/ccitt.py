@@ -282,3 +282,63 @@ def pack_bilevel(img: np.ndarray, black_is_1: bool = False) -> bytes:
     output convention: BlackIs1 false ⇒ 0 bits are black)."""
     px = img if black_is_1 else (1 - img)
     return np.packbits(px, axis=1).tobytes()
+
+
+def decode_mmr_planes(data: bytes, columns: int, rows: int,
+                      n_planes: int) -> list[np.ndarray]:
+    """Decode `n_planes` consecutive T.6 bitplanes from ONE shared bit
+    cursor — the JBIG2 halftone HMMR=1 layout (T.88 6.6.5.2 via C.5:
+    gray-code planes coded back-to-back, each terminated by EOFB; the
+    reference runs one Reader through all planes,
+    build/pdf.worker.js:9994-10005,10926-10963).  Plane boundaries
+    byte-align after each EOFB (the encoder pads, matching the
+    reference's byte-granular input pulls).  A truncated stream
+    zero-fills the remainder, as the reference's eof path does."""
+    bits = _Bits(data)
+    planes: list[np.ndarray] = []
+    eof = False
+    for _p in range(n_planes):
+        out: list[np.ndarray] = []
+        ref = [columns, columns]
+        while len(out) < rows:
+            if eof or bits.exhausted():
+                out.append(np.zeros(columns, dtype=np.uint8))
+                continue
+            try:
+                changes = _decode_line_2d(bits, ref, columns)
+            except PDFError:
+                eof = True
+                continue
+            if not changes and _peek_is_eol_tail(bits):
+                # EOFB arrived before `rows` rows: reference pads with
+                # zero rows (readNextChar returns -1 → currentByte 0)
+                eof = True
+                continue
+            out.append(_changes_to_row(changes, columns))
+            ref = changes + [columns, columns]
+        if not eof:
+            _consume_eofb(bits)
+        planes.append(np.stack(out))
+    return planes
+
+
+def _peek_is_eol_tail(bits: _Bits) -> bool:
+    # _decode_line_2d returns [] after reading an EOL *prefix* (7 zeros);
+    # treat it as the start of EOFB unconditionally — inside JBIG2 MMR
+    # planes no other code begins with 7 zero bits
+    return True
+
+
+def _consume_eofb(bits: _Bits) -> None:
+    """Consume EOFB (two T.4 EOLs: 000000000001 twice) and byte-align.
+    Tolerant of fill zeros before each '1' bit; a missing/truncated EOFB
+    just exhausts the stream."""
+    for _ in range(2):
+        zeros = 0
+        while not bits.exhausted():
+            if bits.read_bit():
+                break
+            zeros += 1
+            if zeros > 64:
+                return
+    bits.byte_align()

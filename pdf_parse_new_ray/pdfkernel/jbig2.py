@@ -955,10 +955,14 @@ def decode_halftone_region(mmr: bool, patterns: list, template: int,
             at.extend([(-3, -1), (2, -2), (-2, -2)])
     planes: list = [None] * bits_per_value
     if mmr:
-        # MMR gray-code planes share one T.6 cursor across planes with
-        # EOFB separators — unsupported (absorbed); PDF halftones are
-        # arithmetic-coded in practice
-        raise JBIG2Error("MMR halftone bitplanes are not supported")
+        # gray-code planes share ONE T.6 cursor, each plane EOFB-
+        # terminated (reference build/pdf.worker.js:9994-10005)
+        from .ccitt import decode_mmr_planes
+
+        arrs = decode_mmr_planes(bytes(data[start:end]), grid_w, grid_h,
+                                 bits_per_value)
+        for k, i in enumerate(range(bits_per_value - 1, -1, -1)):
+            planes[i] = arrs[k]
     else:
         mq = MQDecoder(data, start, end)
         cache = ContextCache()

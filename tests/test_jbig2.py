@@ -239,3 +239,33 @@ def test_refinement_symbol_dict_and_text_region():
 
         packed, _w, _h = decode_jbig2_packed(stream)
         assert ref_decode(stream) == packed
+
+
+def test_halftone_mmr_roundtrip():
+    """HMMR=1: gray planes share one T.6 cursor with per-plane EOFB
+    (T.88 C.5; reference pdf.worker.js:9994-10005), pattern dictionary
+    HDMMR=1 collective bitmap."""
+    pats8 = [[[int(bool(v & (1 << (2 - r)) and c != 1)) for c in range(3)]
+              for r in range(3)] for v in range(8)]
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 8, (9, 11))
+    stream = build_halftone_stream(vals, pats8, 3, 3, mmr=True)
+    img = decode_jbig2(stream)
+    for mg in range(9):
+        for ng in range(11):
+            cell = img[mg * 3:mg * 3 + 3, ng * 3:ng * 3 + 3]
+            assert cell.tolist() == pats8[int(vals[mg, ng])], (mg, ng)
+
+
+@pytest.mark.skipif(not _ref_available(), reason="node/reference unavailable")
+def test_halftone_mmr_vs_reference():
+    from jbig2_ref import ref_decode
+
+    rng = np.random.default_rng(13)
+    pats = [[[0, 0], [0, 0]], [[1, 0], [0, 0]], [[1, 0], [0, 1]],
+            [[1, 1], [1, 1]]]
+    for shape in ((5, 6), (13, 3), (1, 9)):
+        vals = rng.integers(0, 4, shape)
+        stream = build_halftone_stream(vals, pats, 2, 2, mmr=True)
+        packed, _w, _h = decode_jbig2_packed(stream)
+        assert ref_decode(stream) == packed, shape
