@@ -77,6 +77,63 @@ def forward_rct(r: np.ndarray, g: np.ndarray, b: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# forward irreversible 9/7 DWT (T.800 F.4.8.1) + ICT — the lossy-path
+# mirror of pdfkernel.jpx.idwt97/inverse_ict, used by the perfect-
+# reconstruction unit tests today and by lossy fixture generation once
+# the decoder's codestream walk routes transform=0 streams.
+# ---------------------------------------------------------------------------
+
+def _fdwt97_1d(x: np.ndarray, axis: int):
+    from ..pdfkernel.jpx import (_DWT_ALPHA, _DWT_BETA, _DWT_GAMMA,
+                                 _DWT_DELTA, _DWT_K, _lift_even, _lift_odd)
+    if axis == 0:
+        x = x.T
+    n = x.shape[1]
+    if n == 1:
+        out = x.astype(np.float32)
+        return (out, np.zeros((x.shape[0], 0), dtype=np.float32)) \
+            if axis == 1 else (out.T, np.zeros((0, x.shape[0]),
+                                               dtype=np.float32))
+    even = np.ascontiguousarray(x[:, 0::2], dtype=np.float32)
+    odd = np.ascontiguousarray(x[:, 1::2], dtype=np.float32)
+    _lift_odd(odd, even, _DWT_ALPHA)
+    _lift_even(even, odd, _DWT_BETA)
+    _lift_odd(odd, even, _DWT_GAMMA)
+    _lift_even(even, odd, _DWT_DELTA)
+    low = (even * np.float32(1.0 / _DWT_K)).astype(np.float32)
+    high = (odd * _DWT_K).astype(np.float32)
+    if axis == 0:
+        return low.T, high.T
+    return low, high
+
+
+def fdwt97(img: np.ndarray, levels: int):
+    """Returns (ll, [(hl, lh, hh)] coarsest-first) matching idwt97."""
+    cur = np.asarray(img, dtype=np.float32)
+    bands = []
+    for _ in range(levels):
+        top, bot = _fdwt97_1d(cur, axis=0)
+        ll, hl = _fdwt97_1d(top, axis=1)
+        lh, hh = _fdwt97_1d(bot, axis=1)
+        bands.append((hl, lh, hh))
+        cur = ll
+    bands.reverse()
+    return cur, bands
+
+
+def forward_ict(r: np.ndarray, g: np.ndarray, b: np.ndarray):
+    r = np.asarray(r, np.float32)
+    g = np.asarray(g, np.float32)
+    b = np.asarray(b, np.float32)
+    y = np.float32(0.299) * r + np.float32(0.587) * g + np.float32(0.114) * b
+    cb = np.float32(-0.168736) * r - np.float32(0.331264) * g \
+        + np.float32(0.5) * b
+    cr = np.float32(0.5) * r - np.float32(0.418688) * g \
+        - np.float32(0.081312) * b
+    return y, cb, cr
+
+
+# ---------------------------------------------------------------------------
 # T1 encoder — mirrors pdfkernel.jpx pass structure bit for bit
 # ---------------------------------------------------------------------------
 

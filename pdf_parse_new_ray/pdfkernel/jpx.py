@@ -304,6 +304,113 @@ def inverse_rct(y: np.ndarray, u: np.ndarray, v: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# irreversible 9/7 inverse DWT (T.800 F.4.8.2) + ICT + scalar dequant
+#
+# Float kernels for the lossy JPX path.  The codestream walk does not
+# route transform=0 / QCD style 1-2 streams here yet — that wiring lands
+# together with differential fixtures against the reference's openjpeg
+# wasm decoder (pdf.worker.js:12314-12864), whose float32 evaluation
+# order these kernels follow (single-precision lifting, one step at a
+# time over the full row).  Until then decode_jpx keeps rejecting lossy
+# streams with a clean JPXError; the kernels are unit-tested for
+# perfect reconstruction against the matching forward transform in
+# fixtures/jpxgen.py (tests/test_jpx.py).
+# ---------------------------------------------------------------------------
+
+_DWT_ALPHA = np.float32(-1.586134342059924)
+_DWT_BETA = np.float32(-0.052980118572961)
+_DWT_GAMMA = np.float32(0.882911075530934)
+_DWT_DELTA = np.float32(0.443506852043971)
+_DWT_K = np.float32(1.230174104914001)
+
+
+def _lift_even(even: np.ndarray, high: np.ndarray, coef) -> None:
+    """even[n] += coef * (high[n-1] + high[n]), symmetric extension."""
+    n_lo, n_hi = even.shape[1], high.shape[1]
+    hpad = np.empty((high.shape[0], n_hi + 2), dtype=np.float32)
+    hpad[:, 1:-1] = high
+    hpad[:, 0] = high[:, 0]
+    hpad[:, -1] = high[:, -1]
+    even += coef * (hpad[:, :n_lo] + hpad[:, 1:n_lo + 1])
+
+
+def _lift_odd(odd: np.ndarray, even: np.ndarray, coef) -> None:
+    """odd[n] += coef * (even[n] + even[n+1]), symmetric extension."""
+    n_lo, n_hi = even.shape[1], odd.shape[1]
+    epad = np.empty((even.shape[0], n_hi + 1), dtype=np.float32)
+    epad[:, :n_lo] = even
+    if n_hi + 1 > n_lo:  # odd total length ends on a high sample
+        epad[:, -1] = even[:, -1]
+    odd += coef * (epad[:, :n_hi] + epad[:, 1:n_hi + 1])
+
+
+def _idwt97_1d(low: np.ndarray, high: np.ndarray, axis: int) -> np.ndarray:
+    """Inverse irreversible lifting along `axis` (float32 2-D arrays)."""
+    if axis == 0:
+        low, high = low.T, high.T
+    n_lo, n_hi = low.shape[1], high.shape[1]
+    n = n_lo + n_hi
+    if n == 1:
+        out = low.astype(np.float32) if n_lo == 1 \
+            else high.astype(np.float32)
+        return out if axis == 1 else out.T
+    # undo the normalization, then the four lifting steps in reverse
+    even = (low.astype(np.float32) * _DWT_K).astype(np.float32)
+    odd = (high.astype(np.float32) * np.float32(1.0 / _DWT_K)
+           ).astype(np.float32)
+    _lift_even(even, odd, -_DWT_DELTA)
+    _lift_odd(odd, even, -_DWT_GAMMA)
+    _lift_even(even, odd, -_DWT_BETA)
+    _lift_odd(odd, even, -_DWT_ALPHA)
+    x = np.empty((low.shape[0], n), dtype=np.float32)
+    x[:, 0::2] = even
+    x[:, 1::2] = odd
+    return x if axis == 1 else x.T
+
+
+def idwt97(ll: np.ndarray, bands: list) -> np.ndarray:
+    """bands: [(hl, lh, hh)] from the coarsest level to the finest;
+    inputs are dequantized float32 coefficient arrays."""
+    cur = np.asarray(ll, dtype=np.float32)
+    for hl, lh, hh in bands:
+        top = _idwt97_1d(cur, np.asarray(hl, np.float32), axis=1)
+        bot = _idwt97_1d(np.asarray(lh, np.float32),
+                         np.asarray(hh, np.float32), axis=1)
+        cur = _idwt97_1d(top, bot, axis=0)
+    return cur
+
+
+def inverse_ict(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    """Irreversible color transform inverse (T.800 G.3)."""
+    y = np.asarray(y, np.float32)
+    cb = np.asarray(cb, np.float32)
+    cr = np.asarray(cr, np.float32)
+    r = y + np.float32(1.402) * cr
+    g = y - np.float32(0.344136) * cb - np.float32(0.714136) * cr
+    b = y + np.float32(1.772) * cb
+    return r, g, b
+
+
+def dequant_stepsize(exponent: int, mantissa: int, rb: int) -> float:
+    """Scalar quantizer step Δb = 2^(Rb − εb) × (1 + μb/2^11)
+    (T.800 E.1.1); Rb = component depth + band log2 gain."""
+    return float(2.0 ** (rb - exponent) * (1.0 + mantissa / 2048.0))
+
+
+def dequantize(q: np.ndarray, stepsize: float,
+               half_bit: bool = False) -> np.ndarray:
+    """Midpoint reconstruction q̂ = sign(q)·(|q| + r)·Δb with r = 0.5
+    when the codestream was truncated mid-bitplane (half_bit), else 0
+    (E.1.1.2).  q holds signed integer magnitudes from the T1 decode."""
+    q = np.asarray(q)
+    mag = np.abs(q).astype(np.float32)
+    if half_bit:
+        mag = np.where(mag > 0, mag + np.float32(0.5), mag)
+    return (np.sign(q).astype(np.float32) * mag
+            * np.float32(stepsize)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
 # tag trees (B.10.2)
 # ---------------------------------------------------------------------------
 

@@ -223,3 +223,47 @@ def test_multitile_multilayer_vs_openjpeg():
         ref = np.frombuffer(ref_decode(cs), dtype=np.uint8)
         assert np.array_equal(ref.reshape(37, 61, 4)[..., 0], img), kw
         assert np.array_equal(decode_jpx(cs), img), kw
+
+
+def test_dwt97_perfect_reconstruction():
+    """Irreversible 9/7 float kernels: forward (jpxgen.fdwt97) then
+    inverse (jpx.idwt97) reconstructs awkward shapes to well under the
+    0.5 rounding radius, so round-half-away recovers the exact pixels."""
+    from pdf_parse_new_ray.fixtures.jpxgen import fdwt97
+    from pdf_parse_new_ray.pdfkernel.jpx import idwt97
+    rng = np.random.default_rng(7)
+    for shape in [(17, 23), (16, 16), (1, 9), (9, 1), (33, 47), (5, 5),
+                  (2, 2)]:
+        for levels in (1, 2, 3):
+            img = rng.integers(-128, 128, shape).astype(np.int64)
+            ll, chain = fdwt97(img, levels)
+            rec = idwt97(ll, chain)
+            err = float(np.max(np.abs(rec - img)))
+            assert err < 1e-2, (shape, levels, err)
+            assert np.array_equal(np.round(rec).astype(np.int64), img)
+
+
+def test_ict_roundtrip():
+    from pdf_parse_new_ray.fixtures.jpxgen import forward_ict
+    from pdf_parse_new_ray.pdfkernel.jpx import inverse_ict
+    rng = np.random.default_rng(8)
+    r, g, b = (rng.integers(-128, 128, (31, 29)).astype(np.float32)
+               for _ in range(3))
+    rr, gg, bb = inverse_ict(*forward_ict(r, g, b))
+    for a, a2 in ((r, rr), (g, gg), (b, bb)):
+        assert float(np.max(np.abs(a - a2))) < 1e-2
+        assert np.array_equal(np.round(a2), a)
+
+
+def test_dequantize_stepsize():
+    from pdf_parse_new_ray.pdfkernel.jpx import dequant_stepsize, dequantize
+    # Rb = εb and μb = 0 → Δb = 1 (the reversible degenerate case)
+    assert dequant_stepsize(8, 0, 8) == 1.0
+    # T.800 E.1 worked shape: Δ = 2^(9-7) * (1 + 1024/2048) = 6.0
+    assert dequant_stepsize(7, 1024, 9) == 6.0
+    q = np.array([[3, -2, 0]], dtype=np.int64)
+    out = dequantize(q, 6.0)
+    assert out.dtype == np.float32
+    assert np.array_equal(out, np.array([[18.0, -12.0, 0.0]], np.float32))
+    half = dequantize(q, 6.0, half_bit=True)
+    assert np.array_equal(half, np.array([[21.0, -15.0, 0.0]], np.float32))
