@@ -342,12 +342,16 @@ _GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
 
 def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                rct: bool = True, layers: int = 1,
-               tiles: tuple[int, int] = (1, 1)) -> bytes:
+               tiles: tuple[int, int] = (1, 1), lossy: bool = False,
+               quant_mant: int = 0) -> bytes:
     """img: (h, w) or (h, w, 3) uint8 → raw JPEG2000 codestream
-    (lossless 5/3, LRCP).  layers=2 assigns each codeblock wholly to a
-    quality layer (alternating) to exercise multi-layer packet headers;
-    tiles=(tx, ty) splits the image into a tile grid aligned to the
-    DWT levels."""
+    (LRCP; lossless 5/3 by default).  layers=2 assigns each codeblock
+    wholly to a quality layer (alternating) to exercise multi-layer
+    packet headers; tiles=(tx, ty) splits the image into a tile grid
+    aligned to the DWT levels.  lossy=True switches to the irreversible
+    9/7 transform + ICT with scalar-expounded quantization (QCD style
+    2), εb = Rb so Δb = 1 + quant_mant/2048 — near-lossless at mant 0,
+    visibly coarser as the mantissa grows."""
     if img.ndim == 2:
         mct = 0
         n_comp = 1
@@ -377,21 +381,45 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     for ty in range(n_ty):
         for tx in range(n_tx):
             sub = img[ty * yt:(ty + 1) * yt, tx * xt:(tx + 1) * xt]
-            if sub.ndim == 2:
+            if lossy:
+                if sub.ndim == 2:
+                    planes = [sub.astype(np.float32) - np.float32(128)]
+                else:
+                    r = sub[..., 0].astype(np.float32) - np.float32(128)
+                    g = sub[..., 1].astype(np.float32) - np.float32(128)
+                    b = sub[..., 2].astype(np.float32) - np.float32(128)
+                    planes = list(forward_ict(r, g, b)) if rct \
+                        else [r, g, b]
+            elif sub.ndim == 2:
                 planes = [sub.astype(np.int64) - 128]
             else:
                 r = sub[..., 0].astype(np.int64) - 128
                 g = sub[..., 1].astype(np.int64) - 128
                 b = sub[..., 2].astype(np.int64) - 128
                 planes = list(forward_rct(r, g, b)) if rct else [r, g, b]
+            delta = np.float32(1.0 + quant_mant / 2048.0)
+
+            def _quant(a: np.ndarray) -> np.ndarray:
+                # deadzone scalar quantizer (E.1): sign·floor(|c|/Δb)
+                return (np.sign(a)
+                        * np.floor(np.abs(a) / delta)).astype(np.int64)
+
             comp_bands = []
             for plane in planes:
-                ll, chain = fdwt53(plane, levels)
-                bands = {(0, "LL"): ll}
-                for r_i, (hl, lh, hh) in enumerate(chain):
-                    bands[(r_i + 1, "HL")] = hl
-                    bands[(r_i + 1, "LH")] = lh
-                    bands[(r_i + 1, "HH")] = hh
+                if lossy:
+                    ll, chain = fdwt97(plane, levels)
+                    bands = {(0, "LL"): _quant(ll)}
+                    for r_i, (hl, lh, hh) in enumerate(chain):
+                        bands[(r_i + 1, "HL")] = _quant(hl)
+                        bands[(r_i + 1, "LH")] = _quant(lh)
+                        bands[(r_i + 1, "HH")] = _quant(hh)
+                else:
+                    ll, chain = fdwt53(plane, levels)
+                    bands = {(0, "LL"): ll}
+                    for r_i, (hl, lh, hh) in enumerate(chain):
+                        bands[(r_i + 1, "HL")] = hl
+                        bands[(r_i + 1, "LH")] = lh
+                        bands[(r_i + 1, "HH")] = hh
                 comp_bands.append(bands)
             tile_planes.append(comp_bands)
     guard = 2
@@ -410,10 +438,15 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                     for _ in range(n_comp))
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
     cod = struct.pack(">BBHBBBBBB", 0, 0, layers, mct, levels,
-                      cb_exp - 2, cb_exp - 2, 0, 1)
+                      cb_exp - 2, cb_exp - 2, 0, 0 if lossy else 1)
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
-    qcd = bytes([guard << 5]) + bytes(
-        ((depth + g) << 3) for g in _qcd_gains(levels))
+    if lossy:  # scalar expounded: 16-bit (εb<<11 | μb) per subband
+        qcd = bytes([(guard << 5) | 2]) + b"".join(
+            struct.pack(">H", ((depth + g) << 11) | quant_mant)
+            for g in _qcd_gains(levels))
+    else:
+        qcd = bytes([guard << 5]) + bytes(
+            ((depth + g) << 3) for g in _qcd_gains(levels))
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
     for isot, comp_bands in enumerate(tile_planes):
         tx0 = (isot % n_tx) * xt

@@ -8,15 +8,18 @@ JpxImage.parseImageProperties (pdf.worker.js:12893-12915).  Output is
 verified pixel-exact against that wasm decoder under node
 (tools/jpx_ref.py) in tests/test_jpx.py.
 
-Covered: raw codestreams and JP2 containers; single tile; reversible
-5/3 wavelet, any decomposition level count; EBCOT T1 arithmetic
-decoding (MQ coder shared with the JBIG2 kernel); tag-tree packet
-headers, LRCP/RLCP/RPCL progressions collapsing to the same packet walk
-at one layer; 1- and 3-component images, reversible color transform.
+Covered: raw codestreams and JP2 containers; DWT-aligned multi-tile
+grids and multiple quality layers; reversible 5/3 wavelet, any
+decomposition level count; irreversible lossy 9/7 wavelet with scalar
+quantization (QCD styles 1 derived / 2 expounded) and the irreversible
+color transform; EBCOT T1 arithmetic decoding (MQ coder shared with the
+JBIG2 kernel); tag-tree packet headers, LRCP/RLCP/RPCL progressions
+collapsing to the same packet walk at one layer; 1- and 3-component
+images, reversible color transform.
 
-Raises JPXError for: lossy 9/7 streams, multiple tiles/layers, custom
-precincts, subsampling, coder bypass/termination variants, >8-bit
-samples.  Callers absorb to decoded=False (multimodal stage contract).
+Raises JPXError for: custom precincts, subsampling, coder
+bypass/termination variants, >8-bit samples.  Callers absorb to
+decoded=False (multimodal stage contract).
 """
 
 from __future__ import annotations
@@ -660,20 +663,29 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
                 raise JPXError(f"implausible layer count {layers}")
             if cb_style != 0:
                 raise JPXError("code-block style variants not supported")
-            if transform != 1:
-                raise JPXError("only the reversible 5/3 transform "
-                               "is supported")
+            if transform not in (0, 1):
+                raise JPXError(f"unknown wavelet transform {transform}")
             cod = {"prog": prog, "mct": mct, "levels": levels,
-                   "cbw": cbw, "cbh": cbh, "layers": layers}
+                   "cbw": cbw, "cbh": cbh, "layers": layers,
+                   "transform": transform}
         elif marker == 0xFF5C:  # QCD
             sqcd = data[body]
             style = sqcd & 0x1F
             guard_bits = sqcd >> 5
-            if style != 0:
-                raise JPXError("only no-quantization (reversible) QCD "
-                               "is supported")
-            qcd_exps = [data[body + 1 + i] >> 3
-                        for i in range(length - 3)]
+            if style == 0:  # no quantization (reversible path)
+                qcd_exps = {"style": 0,
+                            "exps": [data[body + 1 + i] >> 3
+                                     for i in range(length - 3)],
+                            "mants": None}
+            elif style in (1, 2):  # scalar derived / scalar expounded
+                n_vals = (length - 3) // 2
+                vals = [struct.unpack_from(">H", data, body + 1 + 2 * i)[0]
+                        for i in range(n_vals)]
+                qcd_exps = {"style": style,
+                            "exps": [v >> 11 for v in vals],
+                            "mants": [v & 0x7FF for v in vals]}
+            else:
+                raise JPXError(f"unknown quantization style {style}")
         elif marker == 0xFF90:  # SOT
             isot = struct.unpack_from(">H", data, body)[0]
             psot = struct.unpack_from(">I", data, body + 2)[0]
@@ -697,6 +709,10 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
         raise JPXError("incomplete codestream headers")
     if not tile_data:
         raise JPXError("no tile data")
+    if cod["transform"] == 1 and qcd_exps["style"] != 0:
+        raise JPXError("reversible 5/3 requires no-quantization QCD")
+    if cod["transform"] == 0 and qcd_exps["style"] == 0:
+        raise JPXError("irreversible 9/7 requires scalar quantization")
     w, h = siz["w"], siz["h"]
     if max_pixels and w * h * len(siz["comps"]) > max_pixels:
         raise JPXError(f"image {w}x{h} exceeds the decode cap")
@@ -711,7 +727,9 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
     if (n_tx > 1 and xt % align) or (n_ty > 1 and yt % align):
         raise JPXError("tile grid not aligned to the DWT levels")
     n_comp = len(siz["comps"])
-    full = [np.zeros((h, w), dtype=np.int64) for _ in range(n_comp)]
+    lossy = cod["transform"] == 0
+    full = [np.zeros((h, w), dtype=np.float32 if lossy else np.int64)
+            for _ in range(n_comp)]
     for ty in range(n_ty):
         for tx in range(n_tx):
             isot = ty * n_tx + tx
@@ -728,8 +746,13 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
     depth = 8
     half = 1 << (depth - 1)
     if cod["mct"] and n_comp >= 3:
-        r, g, b = inverse_rct(full[0], full[1], full[2])
+        if lossy:
+            r, g, b = inverse_ict(full[0], full[1], full[2])
+        else:
+            r, g, b = inverse_rct(full[0], full[1], full[2])
         full[0:3] = [r, g, b]
+    if lossy:  # round-half-to-even like the reference's lrintf path
+        full = [np.round(c).astype(np.int64) for c in full]
     out = [np.clip(c + half, 0, (1 << depth) - 1).astype(np.uint8)
            for c in full]
     if len(out) == 1:
@@ -793,16 +816,25 @@ def _decode_tile(body: bytes, w: int, h: int, n_comp: int, cod: dict,
     for layer, r, c in order:
         pos = _parse_packet(body, pos, comp_bands[c], r, layer)
     # T1-decode every codeblock, assemble subbands, inverse DWT
+    lossy = cod["transform"] == 0
+    style = qcd_exps["style"]
+    exps, mants = qcd_exps["exps"], qcd_exps["mants"]
     comps = []
     for c in range(n_comp):
         bands = comp_bands[c]
         arrays = {}
         for (r, name), sb in bands.items():
-            # QCD SPqcd order: LL, then HL/LH/HH per resolution level
-            band_index = 0 if r == 0 else 3 * (r - 1) + \
-                {"HL": 1, "LH": 2, "HH": 3}[name]
-            exp = qcd_exps[band_index] if band_index < len(qcd_exps) \
-                else qcd_exps[-1]
+            if style == 1:
+                # scalar derived (E-5): εb = ε0 − N_L + n_b, one μ0
+                exp = exps[0] - (0 if r == 0 else r - 1)
+                mant = mants[0]
+            else:
+                # QCD SPqcd order: LL, then HL/LH/HH per resolution level
+                band_index = 0 if r == 0 else 3 * (r - 1) + \
+                    {"HL": 1, "LH": 2, "HH": 3}[name]
+                exp = exps[band_index] if band_index < len(exps) \
+                    else exps[-1]
+                mant = mants[band_index] if style == 2 else 0
             mb = exp + guard_bits - 1
             arr = np.zeros((sb.h, sb.w), dtype=np.int64)
             for row in sb.blocks:
@@ -812,13 +844,20 @@ def _decode_tile(body: bytes, w: int, h: int, n_comp: int, cod: dict,
                     coeffs = t1_decode_block(cb.data, cb.w, cb.h, name,
                                              cb.zero_bp, cb.num_passes, mb)
                     arr[cb.y0:cb.y0 + cb.h, cb.x0:cb.x0 + cb.w] = coeffs
+            if lossy:
+                gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[name]
+                step = dequant_stepsize(exp, mant, 8 + gain)
+                # midpoint (half-bit) reconstruction — the convention
+                # the reference's openjpeg wasm uses; with it our output
+                # matches that decoder to within ±1 (float op order)
+                arr = dequantize(arr, step, half_bit=True)
             arrays[(r, name)] = arr
         ll = arrays[(0, "LL")]
         chain = []
         for r in range(1, levels + 1):
             chain.append((arrays[(r, "HL")], arrays[(r, "LH")],
                           arrays[(r, "HH")]))
-        comps.append(idwt53(ll, chain))
+        comps.append(idwt97(ll, chain) if lossy else idwt53(ll, chain))
     return comps
 
 

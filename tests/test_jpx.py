@@ -267,3 +267,51 @@ def test_dequantize_stepsize():
     assert np.array_equal(out, np.array([[18.0, -12.0, 0.0]], np.float32))
     half = dequantize(q, 6.0, half_bit=True)
     assert np.array_equal(half, np.array([[21.0, -15.0, 0.0]], np.float32))
+
+
+def test_lossy_roundtrip():
+    """9/7 + scalar quantization end-to-end: our encoder's lossy
+    streams decode to within the quantizer's error bound, tighter as
+    the mantissa shrinks."""
+    rng = np.random.default_rng(13)
+    for shape, kw, bound in [((33, 47), {}, 4), ((21, 17), {"levels": 1}, 4),
+                             ((25, 31, 3), {"rct": True}, 6),
+                             ((25, 31, 3), {"rct": False}, 4),
+                             ((40, 33), {"quant_mant": 512}, 6),
+                             ((16, 16), {"tiles": (2, 1)}, 4)]:
+        base = np.add.outer(np.arange(shape[0]) * 3,
+                            np.arange(shape[1]) * 2) % 200
+        img = base[..., None].repeat(3, -1) if len(shape) == 3 else base
+        img = np.clip(img + rng.integers(0, 30, shape), 0, 255
+                      ).astype(np.uint8)
+        out = decode_jpx(encode_jpx(img, lossy=True, **kw))
+        diff = np.abs(out.astype(int) - img.astype(int))
+        assert diff.max() <= bound, (shape, kw, diff.max())
+
+
+def test_lossy_vs_openjpeg():
+    """The reference's openjpeg wasm decodes our lossy streams; with
+    midpoint reconstruction our decoder matches it to within ±1
+    everywhere (residual float32 op-order difference), exactly on
+    >99% of samples."""
+    if not _ref_available():
+        pytest.skip("node / reference tree unavailable")
+    from jpx_ref import ref_decode
+
+    rng = np.random.default_rng(14)
+    for shape, kw in [((33, 47), {}), ((25, 31, 3), {"rct": True}),
+                      ((25, 31, 3), {"rct": False}),
+                      ((40, 33), {"quant_mant": 512})]:
+        base = np.add.outer(np.arange(shape[0]) * 3,
+                            np.arange(shape[1]) * 2) % 200
+        img = base[..., None].repeat(3, -1) if len(shape) == 3 else base
+        img = np.clip(img + rng.integers(0, 30, shape), 0, 255
+                      ).astype(np.uint8)
+        cs = encode_jpx(img, lossy=True, **kw)
+        h, w = shape[:2]
+        ref = np.frombuffer(ref_decode(cs), np.uint8).reshape(h, w, 4)
+        mine = decode_jpx(cs)
+        ref_px = ref[..., 0] if img.ndim == 2 else ref[..., :3]
+        diff = np.abs(ref_px.astype(int) - mine.astype(int))
+        assert diff.max() <= 1, (shape, kw, diff.max())
+        assert (diff == 0).mean() > 0.99, (shape, kw)
