@@ -79,8 +79,8 @@ def forward_rct(r: np.ndarray, g: np.ndarray, b: np.ndarray):
 # ---------------------------------------------------------------------------
 # forward irreversible 9/7 DWT (T.800 F.4.8.1) + ICT — the lossy-path
 # mirror of pdfkernel.jpx.idwt97/inverse_ict, used by the perfect-
-# reconstruction unit tests today and by lossy fixture generation once
-# the decoder's codestream walk routes transform=0 streams.
+# reconstruction unit tests and by lossy fixture generation
+# (encode_jpx(lossy=True)).
 # ---------------------------------------------------------------------------
 
 def _fdwt97_1d(x: np.ndarray, axis: int):
@@ -343,7 +343,9 @@ _GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
 def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                rct: bool = True, layers: int = 1,
                tiles: tuple[int, int] = (1, 1), lossy: bool = False,
-               quant_mant: int = 0) -> bytes:
+               quant_mant: int = 0,
+               qcc_mants: dict[int, int] | None = None,
+               coc_cbs: dict[int, int] | None = None) -> bytes:
     """img: (h, w) or (h, w, 3) uint8 → raw JPEG2000 codestream
     (LRCP; lossless 5/3 by default).  layers=2 assigns each codeblock
     wholly to a quality layer (alternating) to exercise multi-layer
@@ -351,7 +353,9 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     aligned to the DWT levels.  lossy=True switches to the irreversible
     9/7 transform + ICT with scalar-expounded quantization (QCD style
     2), εb = Rb so Δb = 1 + quant_mant/2048 — near-lossless at mant 0,
-    visibly coarser as the mantissa grows."""
+    visibly coarser as the mantissa grows.  qcc_mants (comp → mantissa)
+    emits per-component QCC overrides; coc_cbs (comp → codeblock exp)
+    emits per-component COC codeblock-size overrides."""
     if img.ndim == 2:
         mct = 0
         n_comp = 1
@@ -397,22 +401,22 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 g = sub[..., 1].astype(np.int64) - 128
                 b = sub[..., 2].astype(np.int64) - 128
                 planes = list(forward_rct(r, g, b)) if rct else [r, g, b]
-            delta = np.float32(1.0 + quant_mant / 2048.0)
-
-            def _quant(a: np.ndarray) -> np.ndarray:
+            def _quant(a: np.ndarray, mant: int) -> np.ndarray:
                 # deadzone scalar quantizer (E.1): sign·floor(|c|/Δb)
+                d = np.float32(1.0 + mant / 2048.0)
                 return (np.sign(a)
-                        * np.floor(np.abs(a) / delta)).astype(np.int64)
+                        * np.floor(np.abs(a) / d)).astype(np.int64)
 
             comp_bands = []
-            for plane in planes:
+            for ci, plane in enumerate(planes):
+                m_c = (qcc_mants or {}).get(ci, quant_mant)
                 if lossy:
                     ll, chain = fdwt97(plane, levels)
-                    bands = {(0, "LL"): _quant(ll)}
+                    bands = {(0, "LL"): _quant(ll, m_c)}
                     for r_i, (hl, lh, hh) in enumerate(chain):
-                        bands[(r_i + 1, "HL")] = _quant(hl)
-                        bands[(r_i + 1, "LH")] = _quant(lh)
-                        bands[(r_i + 1, "HH")] = _quant(hh)
+                        bands[(r_i + 1, "HL")] = _quant(hl, m_c)
+                        bands[(r_i + 1, "LH")] = _quant(lh, m_c)
+                        bands[(r_i + 1, "HH")] = _quant(hh, m_c)
                 else:
                     ll, chain = fdwt53(plane, levels)
                     bands = {(0, "LL"): ll}
@@ -440,6 +444,10 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     cod = struct.pack(">BBHBBBBBB", 0, 0, layers, mct, levels,
                       cb_exp - 2, cb_exp - 2, 0, 0 if lossy else 1)
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
+    for ci, ce in sorted((coc_cbs or {}).items()):
+        spcoc = struct.pack(">BBBBBBB", ci, 0, levels, ce - 2, ce - 2, 0,
+                            0 if lossy else 1)
+        out += b"\xff\x53" + struct.pack(">H", len(spcoc) + 2) + spcoc
     if lossy:  # scalar expounded: 16-bit (εb<<11 | μb) per subband
         qcd = bytes([(guard << 5) | 2]) + b"".join(
             struct.pack(">H", ((depth + g) << 11) | quant_mant)
@@ -448,10 +456,18 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
         qcd = bytes([guard << 5]) + bytes(
             ((depth + g) << 3) for g in _qcd_gains(levels))
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
+    if lossy and qcc_mants:  # per-component quantization overrides
+        for ci, m in sorted(qcc_mants.items()):
+            qb = bytes([ci, (guard << 5) | 2]) + b"".join(
+                struct.pack(">H", ((depth + g) << 11) | m)
+                for g in _qcd_gains(levels))
+            out += b"\xff\x5d" + struct.pack(">H", len(qb) + 2) + qb
     for isot, comp_bands in enumerate(tile_planes):
         tx0 = (isot % n_tx) * xt
         ty0 = (isot // n_tx) * yt
-        body = _encode_tile_body(comp_bands, levels, 1 << cb_exp,
+        cbs = [1 << (coc_cbs or {}).get(c, cb_exp)
+               for c in range(n_comp)]
+        body = _encode_tile_body(comp_bands, levels, cbs,
                                  depth, guard, layers, tx0, ty0)
         psot = 12 + 2 + len(body)
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, isot, psot, 0, 1)
@@ -460,7 +476,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     return bytes(out)
 
 
-def _encode_tile_body(comp_bands: list, levels: int, cb_size: int,
+def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
                       depth: int, guard: int, layers: int,
                       tx0: int = 0, ty0: int = 0) -> bytes:
     """All packets of one tile in LRCP order.  With layers=2, codeblock
@@ -482,8 +498,8 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_size: int,
                 if bw == 0 or bh == 0:
                     state[(c, res, name)] = None
                     continue
-                gx = codeblock_grid(ox, bw, cb_size)
-                gy = codeblock_grid(oy, bh, cb_size)
+                gx = codeblock_grid(ox, bw, cb_sizes[c])
+                gy = codeblock_grid(oy, bh, cb_sizes[c])
                 n_x, n_y = len(gx), len(gy)
                 mb = depth + _GAIN[name] + guard - 1
                 blocks = []

@@ -1,4 +1,4 @@
-"""JPX / JPEG2000 decoder (ITU-T T.800) — lossless 5/3 profile.
+"""JPX / JPEG2000 decoder (ITU-T T.800) — lossless 5/3 + lossy 9/7.
 
 From-scratch implementation of the JPXDecode image path the reference
 delegates to its vendored openjpeg wasm module
@@ -12,7 +12,9 @@ Covered: raw codestreams and JP2 containers; DWT-aligned multi-tile
 grids and multiple quality layers; reversible 5/3 wavelet, any
 decomposition level count; irreversible lossy 9/7 wavelet with scalar
 quantization (QCD styles 1 derived / 2 expounded) and the irreversible
-color transform; EBCOT T1 arithmetic decoding (MQ coder shared with the
+color transform; COC/QCC per-component codeblock-size and
+quantization overrides (uniform levels/transform enforced); EBCOT T1
+arithmetic decoding (MQ coder shared with the
 JBIG2 kernel); tag-tree packet headers, LRCP/RLCP/RPCL progressions
 collapsing to the same packet walk at one layer; 1- and 3-component
 images, reversible color transform.
@@ -612,6 +614,23 @@ def _extract_codestream(data: bytes) -> bytes:
     raise JPXError("no contiguous codestream box found")
 
 
+def _parse_quant(data: bytes, at: int, nbytes: int) -> dict:
+    """Sqcd/Sqcc + SPqcd/SPqcc body shared by QCD and QCC (A.6.4-5)."""
+    sq = data[at]
+    style = sq & 0x1F
+    guard = sq >> 5
+    if style == 0:  # no quantization (reversible path)
+        return {"style": 0, "guard": guard, "mants": None,
+                "exps": [data[at + 1 + i] >> 3 for i in range(nbytes - 1)]}
+    if style in (1, 2):  # scalar derived / scalar expounded
+        vals = [struct.unpack_from(">H", data, at + 1 + 2 * i)[0]
+                for i in range((nbytes - 1) // 2)]
+        return {"style": style, "guard": guard,
+                "exps": [v >> 11 for v in vals],
+                "mants": [v & 0x7FF for v in vals]}
+    raise JPXError(f"unknown quantization style {style}")
+
+
 def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
     if data[:2] != b"\xff\x4f":
         raise JPXError("missing SOC marker")
@@ -619,7 +638,8 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
     siz = None
     cod = None
     qcd_exps = None
-    guard_bits = 2
+    coc: dict[int, dict] = {}
+    qcc: dict[int, dict] = {}
     tile_data: dict[int, list] = {}
     n = len(data)
     while pos + 4 <= n:
@@ -669,23 +689,20 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
                    "cbw": cbw, "cbh": cbh, "layers": layers,
                    "transform": transform}
         elif marker == 0xFF5C:  # QCD
-            sqcd = data[body]
-            style = sqcd & 0x1F
-            guard_bits = sqcd >> 5
-            if style == 0:  # no quantization (reversible path)
-                qcd_exps = {"style": 0,
-                            "exps": [data[body + 1 + i] >> 3
-                                     for i in range(length - 3)],
-                            "mants": None}
-            elif style in (1, 2):  # scalar derived / scalar expounded
-                n_vals = (length - 3) // 2
-                vals = [struct.unpack_from(">H", data, body + 1 + 2 * i)[0]
-                        for i in range(n_vals)]
-                qcd_exps = {"style": style,
-                            "exps": [v >> 11 for v in vals],
-                            "mants": [v & 0x7FF for v in vals]}
-            else:
-                raise JPXError(f"unknown quantization style {style}")
+            qcd_exps = _parse_quant(data, body, length - 2)
+        elif marker == 0xFF5D:  # QCC: per-component quantization
+            qcc[data[body]] = _parse_quant(data, body + 1, length - 3)
+        elif marker == 0xFF53:  # COC: per-component coding style
+            scoc = data[body + 1]
+            if scoc & 1:
+                raise JPXError("custom precincts are not supported")
+            if data[body + 5] != 0:
+                raise JPXError("code-block style variants not supported")
+            coc[data[body]] = {
+                "levels": data[body + 2],
+                "cbw": 1 << ((data[body + 3] & 0xF) + 2),
+                "cbh": 1 << ((data[body + 4] & 0xF) + 2),
+                "transform": data[body + 6]}
         elif marker == 0xFF90:  # SOT
             isot = struct.unpack_from(">H", data, body)[0]
             psot = struct.unpack_from(">I", data, body + 2)[0]
@@ -699,9 +716,9 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
             continue
         elif marker in (0xFF64, 0xFF55, 0xFF57, 0xFF58, 0xFF63):
             pass  # COM / TLM / PLM / PLT / CRG: informative only
-        elif marker in (0xFF53, 0xFF5D, 0xFF5E, 0xFF5F, 0xFF60, 0xFF61):
+        elif marker in (0xFF5E, 0xFF5F, 0xFF60, 0xFF61):
             raise JPXError(
-                "COC/QCC/RGN/POC/PPM/PPT marker segments are not supported")
+                "RGN/POC/PPM/PPT marker segments are not supported")
         else:
             raise JPXError(f"unsupported marker {marker:#x}")
         pos = body + length - 2
@@ -709,10 +726,22 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
         raise JPXError("incomplete codestream headers")
     if not tile_data:
         raise JPXError("no tile data")
-    if cod["transform"] == 1 and qcd_exps["style"] != 0:
-        raise JPXError("reversible 5/3 requires no-quantization QCD")
-    if cod["transform"] == 0 and qcd_exps["style"] == 0:
-        raise JPXError("irreversible 9/7 requires scalar quantization")
+    # resolve per-component coding/quantization (COC/QCC override the
+    # main COD/QCD); the packet walk and the MCT need uniform levels
+    # and transform across components — only codeblock sizes and
+    # quantization parameters may differ
+    n_comp = len(siz["comps"])
+    cods = [{**cod, **coc.get(c, {})} for c in range(n_comp)]
+    qcds = [qcc.get(c, qcd_exps) for c in range(n_comp)]
+    for c in range(n_comp):
+        if cods[c]["levels"] != cod["levels"] or \
+                cods[c]["transform"] != cod["transform"]:
+            raise JPXError("per-component decomposition-level or "
+                           "transform differences are not supported")
+        if cods[c]["transform"] == 1 and qcds[c]["style"] != 0:
+            raise JPXError("reversible 5/3 requires no-quantization QCD")
+        if cods[c]["transform"] == 0 and qcds[c]["style"] == 0:
+            raise JPXError("irreversible 9/7 requires scalar quantization")
     w, h = siz["w"], siz["h"]
     if max_pixels and w * h * len(siz["comps"]) > max_pixels:
         raise JPXError(f"image {w}x{h} exceeds the decode cap")
@@ -726,7 +755,6 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
     align = 1 << cod["levels"]
     if (n_tx > 1 and xt % align) or (n_ty > 1 and yt % align):
         raise JPXError("tile grid not aligned to the DWT levels")
-    n_comp = len(siz["comps"])
     lossy = cod["transform"] == 0
     full = [np.zeros((h, w), dtype=np.float32 if lossy else np.int64)
             for _ in range(n_comp)]
@@ -739,8 +767,8 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
             x0, y0 = tx * xt, ty * yt
             tw = min(xt, w - x0)
             th = min(yt, h - y0)
-            comps = _decode_tile(b"".join(parts), tw, th, n_comp, cod,
-                                 qcd_exps, guard_bits, x0, y0)
+            comps = _decode_tile(b"".join(parts), tw, th, n_comp, cods,
+                                 qcds, x0, y0)
             for c in range(n_comp):
                 full[c][y0:y0 + th, x0:x0 + tw] = comps[c]
     depth = 8
@@ -760,17 +788,18 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
     return np.stack(out, axis=-1)
 
 
-def _decode_tile(body: bytes, w: int, h: int, n_comp: int, cod: dict,
-                 qcd_exps: list, guard_bits: int,
-                 tx0: int = 0, ty0: int = 0) -> list:
+def _decode_tile(body: bytes, w: int, h: int, n_comp: int, cods: list,
+                 qcds: list, tx0: int = 0, ty0: int = 0) -> list:
+    cod = cods[0]  # levels/layers/prog/transform are uniform (enforced)
     levels = cod["levels"]
-    cbw, cbh = cod["cbw"], cod["cbh"]
     xs = _sizes_per_level(w, levels)
     ys = _sizes_per_level(h, levels)
     # per component: build subband structures (band origins in global
-    # subband coordinates anchor the codeblock grids)
+    # subband coordinates anchor the codeblock grids); codeblock sizes
+    # may differ per component via COC
     comp_bands = []
-    for _ in range(n_comp):
+    for c in range(n_comp):
+        cbw, cbh = cods[c]["cbw"], cods[c]["cbh"]
         bands = {}
         ll_w = xs[-1][0] if levels else w
         ll_h = ys[-1][0] if levels else h
@@ -817,10 +846,11 @@ def _decode_tile(body: bytes, w: int, h: int, n_comp: int, cod: dict,
         pos = _parse_packet(body, pos, comp_bands[c], r, layer)
     # T1-decode every codeblock, assemble subbands, inverse DWT
     lossy = cod["transform"] == 0
-    style = qcd_exps["style"]
-    exps, mants = qcd_exps["exps"], qcd_exps["mants"]
     comps = []
     for c in range(n_comp):
+        style = qcds[c]["style"]
+        exps, mants = qcds[c]["exps"], qcds[c]["mants"]
+        guard_bits = qcds[c]["guard"]
         bands = comp_bands[c]
         arrays = {}
         for (r, name), sb in bands.items():

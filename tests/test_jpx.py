@@ -315,3 +315,32 @@ def test_lossy_vs_openjpeg():
         diff = np.abs(ref_px.astype(int) - mine.astype(int))
         assert diff.max() <= 1, (shape, kw, diff.max())
         assert (diff == 0).mean() > 0.99, (shape, kw)
+
+
+def test_coc_qcc_per_component_overrides():
+    """COC (per-component codeblock size) and QCC (per-component
+    quantization) round-trip through our decoder and the reference's
+    openjpeg wasm: lossless stays three-way pixel-exact, lossy stays
+    within the quantizer bound and ±1 of the wasm."""
+    rng = np.random.default_rng(16)
+    base = np.add.outer(np.arange(25) * 3, np.arange(31) * 2) % 200
+    img = np.clip(base[..., None].repeat(3, -1)
+                  + rng.integers(0, 30, (25, 31, 3)), 0, 255
+                  ).astype(np.uint8)
+    have_ref = _ref_available()
+    if have_ref:
+        from jpx_ref import ref_decode
+    for lossy, kw, bound in [
+            (False, {"rct": True, "coc_cbs": {1: 4}}, 0),
+            (False, {"rct": False, "coc_cbs": {0: 4, 2: 5}}, 0),
+            (True, {"rct": False, "qcc_mants": {1: 1024, 2: 512}}, 5),
+            (True, {"rct": True, "coc_cbs": {1: 4},
+                    "qcc_mants": {1: 1024}}, 8)]:
+        cs = encode_jpx(img, lossy=lossy, **kw)
+        mine = decode_jpx(cs)
+        assert np.abs(mine.astype(int) - img.astype(int)).max() <= bound
+        if have_ref:
+            ref = np.frombuffer(ref_decode(cs), np.uint8
+                                ).reshape(25, 31, 4)[..., :3]
+            dvm = np.abs(ref.astype(int) - mine.astype(int))
+            assert dvm.max() <= (1 if lossy else 0), (lossy, kw)
