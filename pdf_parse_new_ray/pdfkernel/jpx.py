@@ -327,6 +327,12 @@ _DWT_BETA = np.float32(-0.052980118572961)
 _DWT_GAMMA = np.float32(0.882911075530934)
 _DWT_DELTA = np.float32(0.443506852043971)
 _DWT_K = np.float32(1.230174104914001)
+# the reference's openjpeg wasm scales the high band by the historic
+# fixed-point constant 13318/8192 = 1.625732422 (≈2/K but NOT equal:
+# 2/K = 1.6257861); its half is the effective inverse odd scale.  Using
+# it makes our lossy output bit-identical to that decoder — with 1/K
+# instead, ~0.5% of samples land ±1 off after rounding.
+_DWT_C13318_HALF = np.float32(1.625732422) * np.float32(0.5)
 
 
 def _lift_even(even: np.ndarray, high: np.ndarray, coef) -> None:
@@ -361,8 +367,7 @@ def _idwt97_1d(low: np.ndarray, high: np.ndarray, axis: int) -> np.ndarray:
         return out if axis == 1 else out.T
     # undo the normalization, then the four lifting steps in reverse
     even = (low.astype(np.float32) * _DWT_K).astype(np.float32)
-    odd = (high.astype(np.float32) * np.float32(1.0 / _DWT_K)
-           ).astype(np.float32)
+    odd = (high.astype(np.float32) * _DWT_C13318_HALF).astype(np.float32)
     _lift_even(even, odd, -_DWT_DELTA)
     _lift_odd(odd, even, -_DWT_GAMMA)
     _lift_even(even, odd, -_DWT_BETA)
