@@ -345,7 +345,9 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                tiles: tuple[int, int] = (1, 1), lossy: bool = False,
                quant_mant: int = 0,
                qcc_mants: dict[int, int] | None = None,
-               coc_cbs: dict[int, int] | None = None) -> bytes:
+               coc_cbs: dict[int, int] | None = None,
+               subsampling: dict[int, tuple[int, int]] | None = None,
+               ) -> bytes:
     """img: (h, w) or (h, w, 3) uint8 → raw JPEG2000 codestream
     (LRCP; lossless 5/3 by default).  layers=2 assigns each codeblock
     wholly to a quality layer (alternating) to exercise multi-layer
@@ -355,7 +357,10 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     2), εb = Rb so Δb = 1 + quant_mant/2048 — near-lossless at mant 0,
     visibly coarser as the mantissa grows.  qcc_mants (comp → mantissa)
     emits per-component QCC overrides; coc_cbs (comp → codeblock exp)
-    emits per-component COC codeblock-size overrides."""
+    emits per-component COC codeblock-size overrides.  subsampling
+    (comp → (dx, dy)) decimates components on the reference grid (the
+    4:2:0-style chroma layout); requires a single tile and no
+    inter-component transform (rct=False)."""
     if img.ndim == 2:
         mct = 0
         n_comp = 1
@@ -365,6 +370,11 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     else:
         raise ValueError("1- or 3-component images only")
     h, w = img.shape[:2]
+    if subsampling:
+        if tiles != (1, 1):
+            raise ValueError("subsampling requires a single tile")
+        if mct:
+            raise ValueError("subsampling requires rct=False (no MCT)")
     n_tx, n_ty = tiles
     align = 1 << levels
     if n_tx > 1:
@@ -409,6 +419,9 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
 
             comp_bands = []
             for ci, plane in enumerate(planes):
+                dx, dy = (subsampling or {}).get(ci, (1, 1))
+                if dx != 1 or dy != 1:
+                    plane = plane[::dy, ::dx]
                 m_c = (qcc_mants or {}).get(ci, quant_mant)
                 if lossy:
                     ll, chain = fdwt97(plane, levels)
@@ -438,8 +451,10 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     # markers
     out = bytearray(b"\xff\x4f")  # SOC
     siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, n_comp)
-    siz += b"".join(struct.pack(">BBB", depth - 1, 1, 1)
-                    for _ in range(n_comp))
+    siz += b"".join(
+        struct.pack(">BBB", depth - 1,
+                    *(subsampling or {}).get(c, (1, 1)))
+        for c in range(n_comp))
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
     cod = struct.pack(">BBHBBBBBB", 0, 0, layers, mct, levels,
                       cb_exp - 2, cb_exp - 2, 0, 0 if lossy else 1)

@@ -13,15 +13,16 @@ grids and multiple quality layers; reversible 5/3 wavelet, any
 decomposition level count; irreversible lossy 9/7 wavelet with scalar
 quantization (QCD styles 1 derived / 2 expounded) and the irreversible
 color transform; COC/QCC per-component codeblock-size and
-quantization overrides (uniform levels/transform enforced); EBCOT T1
-arithmetic decoding (MQ coder shared with the
+quantization overrides (uniform levels/transform enforced); 4:2:0 /
+4:2:2 chroma subsampling with the reference glue's sYCC→RGB
+conversion; EBCOT T1 arithmetic decoding (MQ coder shared with the
 JBIG2 kernel); tag-tree packet headers, LRCP/RLCP/RPCL progressions
 collapsing to the same packet walk at one layer; 1- and 3-component
 images, reversible color transform.
 
-Raises JPXError for: custom precincts, subsampling, coder
-bypass/termination variants, >8-bit samples.  Callers absorb to
-decoded=False (multimodal stage contract).
+Raises JPXError for: custom precincts, non-chroma subsampling
+layouts, coder bypass/termination variants, >8-bit samples.  Callers
+absorb to decoded=False (multimodal stage contract).
 """
 
 from __future__ import annotations
@@ -670,8 +671,6 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
                 if ssiz != 7:
                     raise JPXError("only 8-bit unsigned components "
                                    "are supported")
-                if xr != 1 or yr != 1:
-                    raise JPXError("subsampling is not supported")
         elif marker == 0xFF52:  # COD
             scod = data[body]
             prog = data[body + 1]
@@ -753,6 +752,19 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
     xt, yt = siz["xt"], siz["yt"]
     n_tx = (w + xt - 1) // xt
     n_ty = (h + yt - 1) // yt
+    sub = [(xr, yr) for (_, xr, yr) in siz["comps"]]
+    subsampled = any(s != (1, 1) for s in sub)
+    if subsampled:
+        if n_tx > 1 or n_ty > 1:
+            raise JPXError("subsampled components require a single tile")
+        if cod["mct"]:
+            raise JPXError("subsampled components cannot use the MCT")
+        # the reference's openjpeg glue treats 3-component images with
+        # subsampled chroma as sYCC and converts to RGB; other
+        # subsampling layouts would read past the component buffers
+        if n_comp != 3 or sub[0] != (1, 1) or sub[1] != sub[2] or                 sub[1] not in ((2, 2), (2, 1)):
+            raise JPXError("only 4:2:0 / 4:2:2 chroma subsampling "
+                           "is supported")
     # tile origins must stay even at every decomposition level so the
     # per-tile DWT's origin-0 lifting parity matches the global sample
     # grid (encoders emit aligned grids; others are rare) — only the
@@ -761,8 +773,10 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
     if (n_tx > 1 and xt % align) or (n_ty > 1 and yt % align):
         raise JPXError("tile grid not aligned to the DWT levels")
     lossy = cod["transform"] == 0
-    full = [np.zeros((h, w), dtype=np.float32 if lossy else np.int64)
-            for _ in range(n_comp)]
+    # per-component grids: ceil(size / sampling factor) at origin 0
+    comp_dims = [(-(-h // yr), -(-w // xr)) for (xr, yr) in sub]
+    full = [np.zeros(comp_dims[c], dtype=np.float32 if lossy else np.int64)
+            for c in range(n_comp)]
     for ty in range(n_ty):
         for tx in range(n_tx):
             isot = ty * n_tx + tx
@@ -772,10 +786,13 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
             x0, y0 = tx * xt, ty * yt
             tw = min(xt, w - x0)
             th = min(yt, h - y0)
-            comps = _decode_tile(b"".join(parts), tw, th, n_comp, cods,
-                                 qcds, x0, y0)
+            tile_dims = [comp_dims[c] if subsampled else (th, tw)
+                         for c in range(n_comp)]
+            comps = _decode_tile(b"".join(parts), tile_dims, n_comp,
+                                 cods, qcds, x0, y0)
             for c in range(n_comp):
-                full[c][y0:y0 + th, x0:x0 + tw] = comps[c]
+                ch_, cw_ = comps[c].shape
+                full[c][y0:y0 + ch_, x0:x0 + cw_] = comps[c]
     depth = 8
     half = 1 << (depth - 1)
     if cod["mct"] and n_comp >= 3:
@@ -786,28 +803,44 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
         full[0:3] = [r, g, b]
     if lossy:  # round-half-to-even like the reference's lrintf path
         full = [np.round(c).astype(np.int64) for c in full]
-    out = [np.clip(c + half, 0, (1 << depth) - 1).astype(np.uint8)
-           for c in full]
+    full = [np.clip(c + half, 0, (1 << depth) - 1) for c in full]
+    if subsampled:
+        # replicate chroma to the reference grid, then the sYCC→RGB
+        # conversion the reference's openjpeg glue performs
+        # (color.c sycc420/sycc422_to_rgb: double-precision products,
+        # C truncation toward zero, clamp) — verified bit-exact vs the
+        # wasm in tests/test_jpx.py
+        up = [np.repeat(np.repeat(a, yr, axis=0), xr, axis=1)[:h, :w]
+              for a, (xr, yr) in zip(full, sub)]
+        y = up[0].astype(np.float64)
+        cb = up[1].astype(np.float64) - float(half)
+        cr = up[2].astype(np.float64) - float(half)
+        upb = (1 << depth) - 1
+        full = [np.clip(y + np.trunc(1.402 * cr), 0, upb),
+                np.clip(y - np.trunc(0.344 * cb + 0.714 * cr), 0, upb),
+                np.clip(y + np.trunc(1.772 * cb), 0, upb)]
+    out = [c.astype(np.uint8) for c in full]
     if len(out) == 1:
         return out[0]
     return np.stack(out, axis=-1)
 
 
-def _decode_tile(body: bytes, w: int, h: int, n_comp: int, cods: list,
+def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
                  qcds: list, tx0: int = 0, ty0: int = 0) -> list:
     cod = cods[0]  # levels/layers/prog/transform are uniform (enforced)
     levels = cod["levels"]
-    xs = _sizes_per_level(w, levels)
-    ys = _sizes_per_level(h, levels)
     # per component: build subband structures (band origins in global
     # subband coordinates anchor the codeblock grids); codeblock sizes
     # may differ per component via COC
     comp_bands = []
     for c in range(n_comp):
+        ch, cw = tile_dims[c]
+        xs = _sizes_per_level(cw, levels)
+        ys = _sizes_per_level(ch, levels)
         cbw, cbh = cods[c]["cbw"], cods[c]["cbh"]
         bands = {}
-        ll_w = xs[-1][0] if levels else w
-        ll_h = ys[-1][0] if levels else h
+        ll_w = xs[-1][0] if levels else cw
+        ll_h = ys[-1][0] if levels else ch
         bands[(0, "LL")] = _Subband("LL", ll_w, ll_h, cbw, cbh,
                                     tx0 >> levels, ty0 >> levels)
         for r in range(1, levels + 1):

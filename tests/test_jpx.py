@@ -340,3 +340,32 @@ def test_coc_qcc_per_component_overrides():
             ref = np.frombuffer(ref_decode(cs), np.uint8
                                 ).reshape(25, 31, 4)[..., :3]
             assert np.array_equal(ref, mine), (lossy, kw)
+
+
+def test_chroma_subsampling_vs_openjpeg():
+    """4:2:0 / 4:2:2 chroma-subsampled streams: the reference's glue
+    upsamples by replication and applies openjpeg's sYCC→RGB integer
+    conversion; our decoder reproduces it pixel-exactly (lossless and
+    lossy, odd dims included)."""
+    if not _ref_available():
+        pytest.skip("node / reference tree unavailable")
+    from jpx_ref import ref_decode
+
+    rng = np.random.default_rng(18)
+    for shape, lossy, ss in [((26, 32, 3), False, {1: (2, 2), 2: (2, 2)}),
+                             ((26, 32, 3), True, {1: (2, 2), 2: (2, 2)}),
+                             ((25, 31, 3), False, {1: (2, 2), 2: (2, 2)}),
+                             ((25, 31, 3), False, {1: (2, 1), 2: (2, 1)}),
+                             ((8, 10, 3), True, {1: (2, 1), 2: (2, 1)})]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        cs = encode_jpx(img, lossy=lossy, rct=False, subsampling=ss)
+        mine = decode_jpx(cs)
+        h, w = shape[:2]
+        ref = np.frombuffer(ref_decode(cs), np.uint8
+                            ).reshape(h, w, 4)[..., :3]
+        assert np.array_equal(ref, mine), (shape, lossy, ss)
+    # non-chroma layouts reject cleanly instead of mismatching the glue
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    with pytest.raises(JPXError):
+        decode_jpx(encode_jpx(img, rct=False,
+                              subsampling={0: (2, 2), 2: (2, 2)}))
