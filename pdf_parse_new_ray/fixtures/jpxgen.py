@@ -17,7 +17,9 @@ import struct
 import numpy as np
 
 from ..pdfkernel.jpx import (T1Block, _sizes_per_level, _CTX_RL,
-                             _CTX_UNIFORM, t1_initial_contexts)
+                             _CTX_UNIFORM, t1_initial_contexts,
+                             _CBSTYLE_RESET, _CBSTYLE_TERMALL,
+                             _CBSTYLE_VSC, _CBSTYLE_SEGSYM)
 from .jbig2gen import MQEncoder
 
 
@@ -137,9 +139,13 @@ def forward_ict(r: np.ndarray, g: np.ndarray, b: np.ndarray):
 # T1 encoder — mirrors pdfkernel.jpx pass structure bit for bit
 # ---------------------------------------------------------------------------
 
-def t1_encode_block(coeffs: np.ndarray, band: str, mb: int):
-    """Encode one codeblock.  Returns (data, zero_bp, num_passes) or
-    None when the block is all-zero (not included)."""
+def t1_encode_block(coeffs: np.ndarray, band: str, mb: int,
+                    flags: int = 0):
+    """Encode one codeblock.  Returns (data, zero_bp, num_passes,
+    seg_lens) — seg_lens is the per-pass terminated-segment length
+    list under TERMALL, else None — or None when the block is all-zero
+    (not included).  flags: SPcod codeblock-style bits (RESET /
+    TERMALL / VSC / SEGSYM), mirroring t1_decode_block."""
     h, w = coeffs.shape
     mags = np.abs(coeffs).astype(np.int64)
     negs = coeffs < 0
@@ -150,9 +156,12 @@ def t1_encode_block(coeffs: np.ndarray, band: str, mb: int):
     if msb > mb:
         raise ValueError(f"magnitude needs {msb} bitplanes > Mb={mb}")
     zero_bp = mb - msb
-    st = T1Block(w, h, band)
-    enc = MQEncoder()
+    st = T1Block(w, h, band, vsc=bool(flags & _CBSTYLE_VSC))
+    _enc = [MQEncoder()]
     cx = t1_initial_contexts()
+
+    def emit(cxa, ctx, bit):
+        _enc[0].encode(cxa, ctx, bit)
 
     def spp(p):
         st.visited[:] = 0
@@ -165,10 +174,10 @@ def t1_encode_block(coeffs: np.ndarray, band: str, mb: int):
                         continue
                     st.visited[y, x] = 1
                     bit = int((mags[y, x] >> p) & 1)
-                    enc.encode(cx, st.zc_context(x, y), bit)
+                    emit(cx, st.zc_context(x, y), bit)
                     if bit:
                         ctx, xor = st.sc_context(x, y)
-                        enc.encode(cx, ctx, int(negs[y, x]) ^ xor)
+                        emit(cx, ctx, int(negs[y, x]) ^ xor)
                         st.set_significant(x, y, bool(negs[y, x]), p)
 
     def mrp(p):
@@ -179,7 +188,7 @@ def t1_encode_block(coeffs: np.ndarray, band: str, mb: int):
                     if not st.sig[y + 1, x + 1] or st.visited[y, x]:
                         continue
                     bit = int((mags[y, x] >> p) & 1)
-                    enc.encode(cx, st.mr_context(x, y), bit)
+                    emit(cx, st.mr_context(x, y), bit)
                     st.refined[y, x] = 1
 
     def cup(p):
@@ -199,35 +208,49 @@ def t1_encode_block(coeffs: np.ndarray, band: str, mb: int):
                         bits = [int((mags[yy, x] >> p) & 1)
                                 for yy in range(y0, y1)]
                         if not any(bits):
-                            enc.encode(cx, _CTX_RL, 0)
+                            emit(cx, _CTX_RL, 0)
                             continue
-                        enc.encode(cx, _CTX_RL, 1)
+                        emit(cx, _CTX_RL, 1)
                         first = bits.index(1)
-                        enc.encode(cx, _CTX_UNIFORM, (first >> 1) & 1)
-                        enc.encode(cx, _CTX_UNIFORM, first & 1)
+                        emit(cx, _CTX_UNIFORM, (first >> 1) & 1)
+                        emit(cx, _CTX_UNIFORM, first & 1)
                         y = y0 + first
                         ctx, xor = st.sc_context(x, y)
-                        enc.encode(cx, ctx, int(negs[y, x]) ^ xor)
+                        emit(cx, ctx, int(negs[y, x]) ^ xor)
                         st.set_significant(x, y, bool(negs[y, x]), p)
                         y += 1
                 while y < y1:
                     if not st.sig[y + 1, x + 1] and not st.visited[y, x]:
                         bit = int((mags[y, x] >> p) & 1)
-                        enc.encode(cx, st.zc_context(x, y), bit)
+                        emit(cx, st.zc_context(x, y), bit)
                         if bit:
                             ctx, xor = st.sc_context(x, y)
-                            enc.encode(cx, ctx, int(negs[y, x]) ^ xor)
+                            emit(cx, ctx, int(negs[y, x]) ^ xor)
                             st.set_significant(x, y, bool(negs[y, x]), p)
                     y += 1
         st.visited[:] = 0
 
-    cup(msb - 1)
+    schedule = [(cup, msb - 1)]
     for p in range(msb - 2, -1, -1):
-        spp(p)
-        mrp(p)
-        cup(p)
+        schedule += [(spp, p), (mrp, p), (cup, p)]
+    termall = flags & _CBSTYLE_TERMALL
+    segments = []
+    seg_lens = [] if termall else None
+    for fn, p in schedule:
+        fn(p)
+        if fn is cup and flags & _CBSTYLE_SEGSYM:
+            for b in (1, 0, 1, 0):  # segmentation symbol (D.4.2)
+                emit(cx, _CTX_UNIFORM, b)
+        if termall:
+            seg = _enc[0].finish_raw()
+            segments.append(seg)
+            seg_lens.append(len(seg))
+            _enc[0] = MQEncoder()
+        if flags & _CBSTYLE_RESET:
+            cx[:] = t1_initial_contexts()
     num_passes = 3 * msb - 2
-    return enc.finish_raw(), zero_bp, num_passes
+    data = b"".join(segments) if termall else _enc[0].finish_raw()
+    return data, zero_bp, num_passes, seg_lens
 
 
 # ---------------------------------------------------------------------------
@@ -347,7 +370,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                qcc_mants: dict[int, int] | None = None,
                coc_cbs: dict[int, int] | None = None,
                subsampling: dict[int, tuple[int, int]] | None = None,
-               ) -> bytes:
+               cb_style: int = 0) -> bytes:
     """img: (h, w) or (h, w, 3) uint8 → raw JPEG2000 codestream
     (LRCP; lossless 5/3 by default).  layers=2 assigns each codeblock
     wholly to a quality layer (alternating) to exercise multi-layer
@@ -357,7 +380,9 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     2), εb = Rb so Δb = 1 + quant_mant/2048 — near-lossless at mant 0,
     visibly coarser as the mantissa grows.  qcc_mants (comp → mantissa)
     emits per-component QCC overrides; coc_cbs (comp → codeblock exp)
-    emits per-component COC codeblock-size overrides.  subsampling
+    emits per-component COC codeblock-size overrides; cb_style sets
+    the SPcod codeblock-style bits (RESET 0x02 / TERMALL 0x04 /
+    VSC 0x08 / SEGSYM 0x20).  subsampling
     (comp → (dx, dy)) decimates components on the reference grid (the
     4:2:0-style chroma layout); requires a single tile and no
     inter-component transform (rct=False)."""
@@ -370,6 +395,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     else:
         raise ValueError("1- or 3-component images only")
     h, w = img.shape[:2]
+    if cb_style & ~0x2E:
+        raise ValueError("unsupported codeblock-style bits")
     if subsampling:
         if tiles != (1, 1):
             raise ValueError("subsampling requires a single tile")
@@ -457,11 +484,12 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
         for c in range(n_comp))
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
     cod = struct.pack(">BBHBBBBBB", 0, 0, layers, mct, levels,
-                      cb_exp - 2, cb_exp - 2, 0, 0 if lossy else 1)
+                      cb_exp - 2, cb_exp - 2, cb_style,
+                      0 if lossy else 1)
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
     for ci, ce in sorted((coc_cbs or {}).items()):
-        spcoc = struct.pack(">BBBBBBB", ci, 0, levels, ce - 2, ce - 2, 0,
-                            0 if lossy else 1)
+        spcoc = struct.pack(">BBBBBBB", ci, 0, levels, ce - 2, ce - 2,
+                            cb_style, 0 if lossy else 1)
         out += b"\xff\x53" + struct.pack(">H", len(spcoc) + 2) + spcoc
     if lossy:  # scalar expounded: 16-bit (εb<<11 | μb) per subband
         qcd = bytes([(guard << 5) | 2]) + b"".join(
@@ -483,7 +511,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
         cbs = [1 << (coc_cbs or {}).get(c, cb_exp)
                for c in range(n_comp)]
         body = _encode_tile_body(comp_bands, levels, cbs,
-                                 depth, guard, layers, tx0, ty0)
+                                 depth, guard, layers, tx0, ty0,
+                                 cb_style)
         psot = 12 + 2 + len(body)
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, isot, psot, 0, 1)
         out += b"\xff\x93" + body
@@ -493,7 +522,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
 
 def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
                       depth: int, guard: int, layers: int,
-                      tx0: int = 0, ty0: int = 0) -> bytes:
+                      tx0: int = 0, ty0: int = 0,
+                      cb_style: int = 0) -> bytes:
     """All packets of one tile in LRCP order.  With layers=2, codeblock
     (bx+by+res) parity picks the layer; tag-tree state persists across
     the layer packets exactly as the decoder replays it.  Codeblock
@@ -522,7 +552,8 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
                 for by, (y0, bh_) in enumerate(gy):
                     for bx, (x0, bw_) in enumerate(gx):
                         block = arr[y0:y0 + bh_, x0:x0 + bw_]
-                        enc = t1_encode_block(block, name, mb)
+                        enc = t1_encode_block(block, name, mb,
+                                              flags=cb_style)
                         blocks.append(enc)
                         if layers > 1:
                             layer_of[by, bx] = (bx + by + res) % layers
@@ -539,6 +570,7 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
                       for xx in range(n_x)] for yy in range(n_y)],
                     dtype=np.int32)
                 state[(c, res, name)] = {
+                    "termall": bool(cb_style & _CBSTYLE_TERMALL),
                     "n_x": n_x, "n_y": n_y, "blocks": blocks,
                     "layer_of": layer_of,
                     "incl": TagTreeEncoder(incl_vals),
@@ -592,20 +624,32 @@ def _emit_packet(state: dict, c: int, res: int, layer: int) -> bytes:
                 if blk is None or lo[by, bx] != layer:
                     continue
                 sb["emitted"][by, bx] = True
-                data, zero_bp, n_passes = blk
+                data, zero_bp, n_passes, seg_lens = blk
                 sb["zbp"].encode_until_known(bx, by,
                                              lambda b: bw_.write(b))
                 _write_passes(bw_, n_passes)
-                base = int(sb["lblock"][by, bx]) + \
-                    n_passes.bit_length() - 1
-                need = max(0, len(data).bit_length() - base)
-                for _ in range(need):
-                    bw_.write(1)
-                bw_.write(0)
-                sb["lblock"][by, bx] += need
-                nbits = int(sb["lblock"][by, bx]) + \
-                    n_passes.bit_length() - 1
-                bw_.write_bits(len(data), nbits)
+                if sb["termall"]:
+                    # one terminated segment per pass: each length uses
+                    # Lblock bits (B.10.7.5, log2(1 pass) adds none)
+                    need = max(0, max(ln.bit_length() for ln in seg_lens)
+                               - int(sb["lblock"][by, bx]))
+                    for _ in range(need):
+                        bw_.write(1)
+                    bw_.write(0)
+                    sb["lblock"][by, bx] += need
+                    for ln in seg_lens:
+                        bw_.write_bits(ln, int(sb["lblock"][by, bx]))
+                else:
+                    base = int(sb["lblock"][by, bx]) + \
+                        n_passes.bit_length() - 1
+                    need = max(0, len(data).bit_length() - base)
+                    for _ in range(need):
+                        bw_.write(1)
+                    bw_.write(0)
+                    sb["lblock"][by, bx] += need
+                    nbits = int(sb["lblock"][by, bx]) + \
+                        n_passes.bit_length() - 1
+                    bw_.write_bits(len(data), nbits)
                 bodies.append(data)
     return bw_.finish() + b"".join(bodies)
 

@@ -20,9 +20,13 @@ JBIG2 kernel); tag-tree packet headers, LRCP/RLCP/RPCL progressions
 collapsing to the same packet walk at one layer; 1- and 3-component
 images, reversible color transform.
 
+Codeblock-style bits RESET / TERMALL / VSC / SEGSYM are supported
+(per-pass terminated segments, stripe-causal contexts, segmentation
+symbols).
+
 Raises JPXError for: custom precincts, non-chroma subsampling
-layouts, coder bypass/termination variants, >8-bit samples.  Callers
-absorb to decoded=False (multimodal stage contract).
+layouts, coder bypass and predictable termination, >8-bit samples.
+Callers absorb to decoded=False (multimodal stage contract).
 """
 
 from __future__ import annotations
@@ -114,9 +118,11 @@ class T1Block:
     kept in small numpy arrays with a 1-px border to avoid bounds
     checks."""
 
-    def __init__(self, width: int, height: int, band: str):
+    def __init__(self, width: int, height: int, band: str,
+                 vsc: bool = False):
         self.w = width
         self.h = height
+        self.vsc = vsc  # D.7: rows below a stripe read as insignificant
         self.family = _band_family(band)
         # borders: index [y+1, x+1]
         self.sig = np.zeros((height + 2, width + 2), dtype=np.uint8)
@@ -128,9 +134,13 @@ class T1Block:
     def zc_context(self, x: int, y: int) -> int:
         s = self.sig
         h = int(s[y + 1, x]) + int(s[y + 1, x + 2])
-        v = int(s[y, x + 1]) + int(s[y + 2, x + 1])
-        d = int(s[y, x]) + int(s[y, x + 2]) + int(s[y + 2, x]) + \
-            int(s[y + 2, x + 2])
+        if self.vsc and (y & 3) == 3:
+            v = int(s[y, x + 1])
+            d = int(s[y, x]) + int(s[y, x + 2])
+        else:
+            v = int(s[y, x + 1]) + int(s[y + 2, x + 1])
+            d = int(s[y, x]) + int(s[y, x + 2]) + int(s[y + 2, x]) + \
+                int(s[y + 2, x + 2])
         return int(_ZC_TABLE[self.family, h, v, d])
 
     def sc_context(self, x: int, y: int):
@@ -141,7 +151,8 @@ class T1Block:
                 hc += 1 if g[y + 1, x + dx] >= 0 else -1
         hc = max(-1, min(1, hc))
         vc = 0
-        for dy in (0, 2):
+        dys = (0,) if (self.vsc and (y & 3) == 3) else (0, 2)
+        for dy in dys:
             if s[y + dy, x + 1]:
                 vc += 1 if g[y + dy, x + 1] >= 0 else -1
         vc = max(-1, min(1, vc))
@@ -150,14 +161,13 @@ class T1Block:
     def mr_context(self, x: int, y: int) -> int:
         if self.refined[y, x]:
             return 16
-        s = self.sig
-        any_n = (s[y + 1, x] or s[y + 1, x + 2] or s[y, x + 1]
-                 or s[y + 2, x + 1] or s[y, x] or s[y, x + 2]
-                 or s[y + 2, x] or s[y + 2, x + 2])
-        return 15 if any_n else 14
+        return 15 if self.has_sig_neighbor(x, y) else 14
 
     def has_sig_neighbor(self, x: int, y: int) -> bool:
         s = self.sig
+        if self.vsc and (y & 3) == 3:
+            return bool(s[y + 1, x] or s[y + 1, x + 2] or s[y, x + 1]
+                        or s[y, x] or s[y, x + 2])
         return bool(s[y + 1, x] or s[y + 1, x + 2] or s[y, x + 1]
                     or s[y + 2, x + 1] or s[y, x] or s[y, x + 2]
                     or s[y + 2, x] or s[y + 2, x + 2])
@@ -169,27 +179,55 @@ class T1Block:
         self.mag[y, x] = 1 << bitplane
 
 
+_CBSTYLE_RESET = 0x02
+_CBSTYLE_TERMALL = 0x04
+_CBSTYLE_VSC = 0x08
+_CBSTYLE_SEGSYM = 0x20
+
+
 def t1_decode_block(data: bytes, width: int, height: int, band: str,
                     zero_bitplanes: int, num_passes: int,
-                    mb: int) -> np.ndarray:
-    """Decode one codeblock's coefficient magnitudes+signs (int array)."""
-    st = T1Block(width, height, band)
-    mq = MQDecoder(data, 0, len(data))
+                    mb: int, flags: int = 0,
+                    seg_lens: list | None = None) -> np.ndarray:
+    """Decode one codeblock's coefficient magnitudes+signs (int array).
+    flags holds the SPcod codeblock-style bits (A.6.1): RESET re-inits
+    contexts after every pass, TERMALL gives each pass its own
+    terminated MQ segment (lengths in seg_lens), VSC masks the row
+    below a stripe, SEGSYM consumes the 4-bit segmentation symbol
+    after each cleanup pass."""
+    st = T1Block(width, height, band, vsc=bool(flags & _CBSTYLE_VSC))
     cx = t1_initial_contexts()
-    read = mq.read_bit
+    termall = flags & _CBSTYLE_TERMALL
+    if termall:
+        if seg_lens is None or len(seg_lens) < num_passes or \
+                sum(seg_lens[:num_passes]) > len(data):
+            raise JPXError("TERMALL segment lengths are inconsistent")
+        seg_off = 0
+        mq = None
+    else:
+        mq = MQDecoder(data, 0, len(data))
     bitplane = mb - 1 - zero_bitplanes
     pass_kind = 2  # cleanup first
-    for _ in range(num_passes):
+    for i in range(num_passes):
         if bitplane < 0:
             raise JPXError("pass count exceeds bitplanes")
+        if termall:
+            mq = MQDecoder(data, seg_off, seg_off + seg_lens[i])
+            seg_off += seg_lens[i]
+        read = mq.read_bit
         if pass_kind == 0:
             _spp(st, read, cx, bitplane)
         elif pass_kind == 1:
             _mrp(st, read, cx, bitplane)
         else:
             _cup(st, read, cx, bitplane)
+            if flags & _CBSTYLE_SEGSYM:
+                for _ in range(4):  # 0b1010, not enforced (like pdf.js)
+                    read(cx, _CTX_UNIFORM)
             bitplane -= 1
         pass_kind = (pass_kind + 1) % 3
+        if flags & _CBSTYLE_RESET:
+            cx = t1_initial_contexts()
     out = st.mag * np.where(
         st.sgn[1:-1, 1:-1] < 0, -1, 1).astype(np.int64)
     return out
@@ -500,7 +538,7 @@ class _BitReader:
 
 class _Codeblock:
     __slots__ = ("x0", "y0", "w", "h", "zero_bp", "num_passes", "data",
-                 "included")
+                 "included", "seg_lens")
 
     def __init__(self, x0, y0, w, h):
         self.x0, self.y0, self.w, self.h = x0, y0, w, h
@@ -508,6 +546,7 @@ class _Codeblock:
         self.num_passes = 0
         self.data = b""
         self.included = False
+        self.seg_lens = []
 
 
 def codeblock_grid(origin: int, size: int, cb: int) -> list[tuple[int, int]]:
@@ -685,13 +724,14 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
                 raise JPXError("custom precincts are not supported")
             if not 1 <= layers <= 1024:
                 raise JPXError(f"implausible layer count {layers}")
-            if cb_style != 0:
-                raise JPXError("code-block style variants not supported")
+            if cb_style & ~0x2E:
+                raise JPXError("coder bypass / predictable termination "
+                               "are not supported")
             if transform not in (0, 1):
                 raise JPXError(f"unknown wavelet transform {transform}")
             cod = {"prog": prog, "mct": mct, "levels": levels,
                    "cbw": cbw, "cbh": cbh, "layers": layers,
-                   "transform": transform}
+                   "transform": transform, "cb_style": cb_style}
         elif marker == 0xFF5C:  # QCD
             qcd_exps = _parse_quant(data, body, length - 2)
         elif marker == 0xFF5D:  # QCC: per-component quantization
@@ -700,12 +740,14 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
             scoc = data[body + 1]
             if scoc & 1:
                 raise JPXError("custom precincts are not supported")
-            if data[body + 5] != 0:
-                raise JPXError("code-block style variants not supported")
+            if data[body + 5] & ~0x2E:
+                raise JPXError("coder bypass / predictable termination "
+                               "are not supported")
             coc[data[body]] = {
                 "levels": data[body + 2],
                 "cbw": 1 << ((data[body + 3] & 0xF) + 2),
                 "cbh": 1 << ((data[body + 4] & 0xF) + 2),
+                "cb_style": data[body + 5],
                 "transform": data[body + 6]}
         elif marker == 0xFF90:  # SOT
             isot = struct.unpack_from(">H", data, body)[0]
@@ -881,7 +923,9 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
         raise JPXError(f"unknown progression order {prog}")
     pos = 0
     for layer, r, c in order:
-        pos = _parse_packet(body, pos, comp_bands[c], r, layer)
+        pos = _parse_packet(body, pos, comp_bands[c], r, layer,
+                            termall=bool(cods[c]["cb_style"]
+                                         & _CBSTYLE_TERMALL))
     # T1-decode every codeblock, assemble subbands, inverse DWT
     lossy = cod["transform"] == 0
     comps = []
@@ -909,8 +953,10 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
                 for cb in row:
                     if not cb.included or cb.num_passes == 0:
                         continue
-                    coeffs = t1_decode_block(cb.data, cb.w, cb.h, name,
-                                             cb.zero_bp, cb.num_passes, mb)
+                    coeffs = t1_decode_block(
+                        cb.data, cb.w, cb.h, name, cb.zero_bp,
+                        cb.num_passes, mb, flags=cods[c]["cb_style"],
+                        seg_lens=cb.seg_lens)
                     arr[cb.y0:cb.y0 + cb.h, cb.x0:cb.x0 + cb.w] = coeffs
             if lossy:
                 gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[name]
@@ -930,7 +976,7 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
 
 
 def _parse_packet(body: bytes, pos: int, bands: dict, r: int,
-                  layer: int) -> int:
+                  layer: int, termall: bool = False) -> int:
     br = _BitReader(body, pos)
     if not br.read():  # empty packet
         return br.align()
@@ -960,14 +1006,26 @@ def _parse_packet(body: bytes, pos: int, bands: dict, r: int,
                 cb.num_passes += n_passes
                 while br.read():
                     sb.lblock[by, bx] += 1
-                nbits = int(sb.lblock[by, bx]) + \
-                    int(n_passes).bit_length() - 1
-                length = 0
-                for _ in range(nbits):
-                    length = (length << 1) | br.read()
-                contributions.append((cb, length))
+                if termall:  # one terminated segment per pass
+                    lens = []
+                    for _ in range(n_passes):
+                        length = 0
+                        for _ in range(int(sb.lblock[by, bx])):
+                            length = (length << 1) | br.read()
+                        lens.append(length)
+                    contributions.append((cb, lens))
+                else:
+                    nbits = int(sb.lblock[by, bx]) + \
+                        int(n_passes).bit_length() - 1
+                    length = 0
+                    for _ in range(nbits):
+                        length = (length << 1) | br.read()
+                    contributions.append((cb, [length]))
     pos = br.align()
-    for cb, length in contributions:
-        cb.data = cb.data + body[pos:pos + length]
-        pos += length
+    for cb, lens in contributions:
+        for length in lens:
+            cb.data = cb.data + body[pos:pos + length]
+            pos += length
+        if termall:
+            cb.seg_lens.extend(lens)
     return pos

@@ -44,7 +44,7 @@ def test_t1_roundtrip_all_bands():
             enc = t1_encode_block(c, band, 12)
             if enc is None:
                 continue
-            data, zbp, npass = enc
+            data, zbp, npass, _ = enc
             out = t1_decode_block(data, shape[1], shape[0], band, zbp,
                                   npass, 12)
             assert np.array_equal(out, c), (band, shape)
@@ -369,3 +369,42 @@ def test_chroma_subsampling_vs_openjpeg():
     with pytest.raises(JPXError):
         decode_jpx(encode_jpx(img, rct=False,
                               subsampling={0: (2, 2), 2: (2, 2)}))
+
+
+def test_codeblock_style_bits_vs_openjpeg():
+    """SPcod style bits — RESET (0x02), TERMALL (0x04, one terminated
+    MQ segment per pass with per-pass lengths in the packet header),
+    VSC (0x08, stripe-causal contexts), SEGSYM (0x20) — alone and
+    combined, lossless and lossy: pixel-exact vs the reference's
+    openjpeg wasm and (lossless) vs the original."""
+    rng = np.random.default_rng(19)
+    img3 = rng.integers(0, 256, (25, 31, 3)).astype(np.uint8)
+    img1 = rng.integers(0, 256, (33, 47)).astype(np.uint8)
+    have_ref = _ref_available()
+    if have_ref:
+        from jpx_ref import ref_decode
+    cases = [(img1, {"cb_style": 0x02}), (img1, {"cb_style": 0x04}),
+             (img1, {"cb_style": 0x08}), (img1, {"cb_style": 0x20}),
+             (img1, {"cb_style": 0x2E}),
+             (img3, {"cb_style": 0x2E, "rct": True}),
+             (img1, {"cb_style": 0x04, "lossy": True}),
+             (img3, {"cb_style": 0x2E, "lossy": True, "rct": True}),
+             (img1, {"cb_style": 0x0C, "cb_exp": 4, "layers": 2})]
+    for img, kw in cases:
+        cs = encode_jpx(img, **kw)
+        mine = decode_jpx(cs)
+        if kw.get("lossy"):
+            assert np.abs(mine.astype(int) - img.astype(int)).max() <= 6
+        else:
+            assert np.array_equal(mine, img), kw
+        if have_ref:
+            h, w = img.shape[:2]
+            ref = np.frombuffer(ref_decode(cs), np.uint8).reshape(h, w, 4)
+            ref_px = ref[..., 0] if img.ndim == 2 else ref[..., :3]
+            assert np.array_equal(ref_px, mine), kw
+    # coder bypass stays a clean reject
+    cs = bytearray(encode_jpx(img1, levels=1))
+    cod_at = bytes(cs).find(b"\xff\x52")
+    cs[cod_at + 4 + 8] = 0x01  # SPcod style: bypass
+    with pytest.raises(JPXError):
+        decode_jpx(bytes(cs))
