@@ -19,8 +19,37 @@ import numpy as np
 from ..pdfkernel.jpx import (T1Block, _sizes_per_level, _CTX_RL,
                              _CTX_UNIFORM, t1_initial_contexts,
                              _CBSTYLE_RESET, _CBSTYLE_TERMALL,
-                             _CBSTYLE_VSC, _CBSTYLE_SEGSYM)
+                             _CBSTYLE_VSC, _CBSTYLE_SEGSYM,
+                             _CBSTYLE_BYPASS, _pass_is_raw,
+                             _terminates_after)
 from .jbig2gen import MQEncoder
+
+
+class RawEncoder:
+    """Raw (bypass) bit writer, D.6.2 — MSB-first with the stuffed
+    zero MSB after every 0xFF byte; mirror of jpx._RawDecoder."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.c = 0
+        self.ct = 8
+        self.width = 8
+
+    def encode_bit(self, bit: int) -> None:
+        self.ct -= 1
+        self.c |= bit << self.ct
+        if self.ct == 0:
+            self.out.append(self.c)
+            self.width = 7 if self.c == 0xFF else 8
+            self.c = 0
+            self.ct = self.width
+
+    def finish(self) -> bytes:
+        if self.ct < self.width:
+            self.out.append(self.c)  # zero-padded tail bits
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)  # a segment may not end on 0xFF
+        return bytes(self.out)
 
 
 # ---------------------------------------------------------------------------
@@ -142,9 +171,10 @@ def forward_ict(r: np.ndarray, g: np.ndarray, b: np.ndarray):
 def t1_encode_block(coeffs: np.ndarray, band: str, mb: int,
                     flags: int = 0):
     """Encode one codeblock.  Returns (data, zero_bp, num_passes,
-    seg_lens) — seg_lens is the per-pass terminated-segment length
-    list under TERMALL, else None — or None when the block is all-zero
-    (not included).  flags: SPcod codeblock-style bits (RESET /
+    pieces) — pieces is the [(n_passes, byte_length)] list of
+    terminated segments in data (a single entry when no termination
+    style is active) — or None when the block is all-zero (not
+    included).  flags: SPcod codeblock-style bits (BYPASS / RESET /
     TERMALL / VSC / SEGSYM), mirroring t1_decode_block."""
     h, w = coeffs.shape
     mags = np.abs(coeffs).astype(np.int64)
@@ -157,13 +187,14 @@ def t1_encode_block(coeffs: np.ndarray, band: str, mb: int,
         raise ValueError(f"magnitude needs {msb} bitplanes > Mb={mb}")
     zero_bp = mb - msb
     st = T1Block(w, h, band, vsc=bool(flags & _CBSTYLE_VSC))
-    _enc = [MQEncoder()]
+    mq = MQEncoder()
+    raw = None  # active RawEncoder during bypass SPP/MRP passes
     cx = t1_initial_contexts()
 
     def emit(cxa, ctx, bit):
-        _enc[0].encode(cxa, ctx, bit)
+        mq.encode(cxa, ctx, bit)
 
-    def spp(p):
+    def spp(p, rawmode):
         st.visited[:] = 0
         for y0 in range(0, h, 4):
             y1 = min(y0 + 4, h)
@@ -174,13 +205,19 @@ def t1_encode_block(coeffs: np.ndarray, band: str, mb: int,
                         continue
                     st.visited[y, x] = 1
                     bit = int((mags[y, x] >> p) & 1)
+                    if rawmode:  # D.6.1: raw bit + raw sign, no ctx
+                        raw.encode_bit(bit)
+                        if bit:
+                            raw.encode_bit(int(negs[y, x]))
+                            st.set_significant(x, y, bool(negs[y, x]), p)
+                        continue
                     emit(cx, st.zc_context(x, y), bit)
                     if bit:
                         ctx, xor = st.sc_context(x, y)
                         emit(cx, ctx, int(negs[y, x]) ^ xor)
                         st.set_significant(x, y, bool(negs[y, x]), p)
 
-    def mrp(p):
+    def mrp(p, rawmode):
         for y0 in range(0, h, 4):
             y1 = min(y0 + 4, h)
             for x in range(w):
@@ -188,10 +225,13 @@ def t1_encode_block(coeffs: np.ndarray, band: str, mb: int,
                     if not st.sig[y + 1, x + 1] or st.visited[y, x]:
                         continue
                     bit = int((mags[y, x] >> p) & 1)
-                    emit(cx, st.mr_context(x, y), bit)
+                    if rawmode:
+                        raw.encode_bit(bit)
+                    else:
+                        emit(cx, st.mr_context(x, y), bit)
                     st.refined[y, x] = 1
 
-    def cup(p):
+    def cup(p, rawmode):
         for y0 in range(0, h, 4):
             y1 = min(y0 + 4, h)
             full = (y1 - y0) == 4
@@ -233,24 +273,31 @@ def t1_encode_block(coeffs: np.ndarray, band: str, mb: int,
     schedule = [(cup, msb - 1)]
     for p in range(msb - 2, -1, -1):
         schedule += [(spp, p), (mrp, p), (cup, p)]
-    termall = flags & _CBSTYLE_TERMALL
+    num_passes = 3 * msb - 2
     segments = []
-    seg_lens = [] if termall else None
-    for fn, p in schedule:
-        fn(p)
+    pieces = []
+    pending = 0
+    for idx, (fn, p) in enumerate(schedule):
+        rawmode = _pass_is_raw(idx, flags)
+        if rawmode and raw is None:
+            raw = RawEncoder()
+        fn(p, rawmode)
         if fn is cup and flags & _CBSTYLE_SEGSYM:
             for b in (1, 0, 1, 0):  # segmentation symbol (D.4.2)
                 emit(cx, _CTX_UNIFORM, b)
-        if termall:
-            seg = _enc[0].finish_raw()
+        pending += 1
+        if _terminates_after(idx, flags) or idx == num_passes - 1:
+            seg = raw.finish() if rawmode else mq.finish_raw()
             segments.append(seg)
-            seg_lens.append(len(seg))
-            _enc[0] = MQEncoder()
+            pieces.append((pending, len(seg)))
+            pending = 0
+            if rawmode:
+                raw = None
+            else:
+                mq = MQEncoder()
         if flags & _CBSTYLE_RESET:
             cx[:] = t1_initial_contexts()
-    num_passes = 3 * msb - 2
-    data = b"".join(segments) if termall else _enc[0].finish_raw()
-    return data, zero_bp, num_passes, seg_lens
+    return b"".join(segments), zero_bp, num_passes, pieces
 
 
 # ---------------------------------------------------------------------------
@@ -381,8 +428,10 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     visibly coarser as the mantissa grows.  qcc_mants (comp → mantissa)
     emits per-component QCC overrides; coc_cbs (comp → codeblock exp)
     emits per-component COC codeblock-size overrides; cb_style sets
-    the SPcod codeblock-style bits (RESET 0x02 / TERMALL 0x04 /
-    VSC 0x08 / SEGSYM 0x20).  subsampling
+    the SPcod codeblock-style bits (BYPASS 0x01 / RESET 0x02 /
+    TERMALL 0x04 / VSC 0x08 / PTERM 0x10 / SEGSYM 0x20 — PTERM is
+    accepted but segments use the standard flush, which conformant
+    decoders accept).  subsampling
     (comp → (dx, dy)) decimates components on the reference grid (the
     4:2:0-style chroma layout); requires a single tile and no
     inter-component transform (rct=False)."""
@@ -395,7 +444,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     else:
         raise ValueError("1- or 3-component images only")
     h, w = img.shape[:2]
-    if cb_style & ~0x2E:
+    if cb_style & ~0x3F:
         raise ValueError("unsupported codeblock-style bits")
     if subsampling:
         if tiles != (1, 1):
@@ -570,7 +619,6 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
                       for xx in range(n_x)] for yy in range(n_y)],
                     dtype=np.int32)
                 state[(c, res, name)] = {
-                    "termall": bool(cb_style & _CBSTYLE_TERMALL),
                     "n_x": n_x, "n_y": n_y, "blocks": blocks,
                     "layer_of": layer_of,
                     "incl": TagTreeEncoder(incl_vals),
@@ -624,32 +672,23 @@ def _emit_packet(state: dict, c: int, res: int, layer: int) -> bytes:
                 if blk is None or lo[by, bx] != layer:
                     continue
                 sb["emitted"][by, bx] = True
-                data, zero_bp, n_passes, seg_lens = blk
+                data, zero_bp, n_passes, pieces = blk
                 sb["zbp"].encode_until_known(bx, by,
                                              lambda b: bw_.write(b))
                 _write_passes(bw_, n_passes)
-                if sb["termall"]:
-                    # one terminated segment per pass: each length uses
-                    # Lblock bits (B.10.7.5, log2(1 pass) adds none)
-                    need = max(0, max(ln.bit_length() for ln in seg_lens)
-                               - int(sb["lblock"][by, bx]))
-                    for _ in range(need):
-                        bw_.write(1)
-                    bw_.write(0)
-                    sb["lblock"][by, bx] += need
-                    for ln in seg_lens:
-                        bw_.write_bits(ln, int(sb["lblock"][by, bx]))
-                else:
-                    base = int(sb["lblock"][by, bx]) + \
-                        n_passes.bit_length() - 1
-                    need = max(0, len(data).bit_length() - base)
-                    for _ in range(need):
-                        bw_.write(1)
-                    bw_.write(0)
-                    sb["lblock"][by, bx] += need
-                    nbits = int(sb["lblock"][by, bx]) + \
-                        n_passes.bit_length() - 1
-                    bw_.write_bits(len(data), nbits)
+                # one length per terminated piece, Lblock +
+                # floor(log2(piece passes)) bits each (B.10.7.5)
+                need = max(max(0, ln.bit_length() -
+                               (int(sb["lblock"][by, bx]) +
+                                k.bit_length() - 1))
+                           for k, ln in pieces)
+                for _ in range(need):
+                    bw_.write(1)
+                bw_.write(0)
+                sb["lblock"][by, bx] += need
+                for k, ln in pieces:
+                    bw_.write_bits(ln, int(sb["lblock"][by, bx]) +
+                                   k.bit_length() - 1)
                 bodies.append(data)
     return bw_.finish() + b"".join(bodies)
 

@@ -20,12 +20,14 @@ JBIG2 kernel); tag-tree packet headers, LRCP/RLCP/RPCL progressions
 collapsing to the same packet walk at one layer; 1- and 3-component
 images, reversible color transform.
 
-Codeblock-style bits RESET / TERMALL / VSC / SEGSYM are supported
-(per-pass terminated segments, stripe-causal contexts, segmentation
-symbols).
+All six codeblock-style bits are supported: BYPASS (raw SPP/MRP
+segments from the 5th bitplane, D.6), RESET, TERMALL (per-pass
+terminated segments), VSC (stripe-causal contexts), PTERM
+(decode-side no-op: a predictable-termination convention the encoder
+follows; any conformant stream decodes identically), SEGSYM.
 
 Raises JPXError for: custom precincts, non-chroma subsampling
-layouts, coder bypass and predictable termination, >8-bit samples.
+layouts, >8-bit samples.
 Callers absorb to decoded=False (multimodal stage contract).
 """
 
@@ -179,53 +181,146 @@ class T1Block:
         self.mag[y, x] = 1 << bitplane
 
 
+_CBSTYLE_BYPASS = 0x01
 _CBSTYLE_RESET = 0x02
 _CBSTYLE_TERMALL = 0x04
 _CBSTYLE_VSC = 0x08
+_CBSTYLE_PTERM = 0x10
 _CBSTYLE_SEGSYM = 0x20
 
 
-def t1_decode_block(data: bytes, width: int, height: int, band: str,
+def _pass_kind(i: int) -> int:
+    """Coding-pass kind by absolute pass index: 0 SPP, 1 MRP, 2 CUP
+    (the first pass of a codeblock is a cleanup pass, D.4)."""
+    return 2 if i == 0 else (i - 1) % 3
+
+
+def _pass_is_raw(i: int, flags: int) -> bool:
+    """D.6: with BYPASS, significance-propagation and refinement
+    passes from the 5th bitplane on (absolute pass index >= 10) use
+    raw bits; cleanup passes always stay MQ-coded."""
+    return bool(flags & _CBSTYLE_BYPASS) and i >= 10 and \
+        _pass_kind(i) != 2
+
+
+def _terminates_after(i: int, flags: int) -> bool:
+    """Whether a terminated-segment boundary follows pass i: every
+    pass under TERMALL; under BYPASS, each raw<->MQ mode switch (after
+    the CUP entering bypass and after every subsequent MRP and CUP)."""
+    if flags & _CBSTYLE_TERMALL:
+        return True
+    if flags & _CBSTYLE_BYPASS and i >= 9:
+        return _pass_kind(i) != 0
+    return False
+
+
+def _contribution_pieces(flags: int, first: int, n: int) -> list[int]:
+    """Pass counts of the separately-length-signaled pieces of a
+    packet contribution covering absolute passes [first, first+n)
+    (B.10.7.5: a terminated segment never shares a signaled length
+    with the data that follows it)."""
+    pieces = []
+    k = 0
+    for i in range(first, first + n):
+        k += 1
+        if _terminates_after(i, flags) and i != first + n - 1:
+            pieces.append(k)
+            k = 0
+    pieces.append(k)
+    return pieces
+
+
+class _RawDecoder:
+    """Raw (bypass) bit reader, D.6.2: MSB-first; after an 0xFF byte
+    the next byte carries only 7 bits (its MSB is the stuffed zero);
+    reads past the segment end return 1s like the reference decoder."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.c = 0
+        self.ct = 0
+
+    def read_bit(self, cx=None, ctx=None) -> int:
+        if self.ct == 0:
+            if self.c == 0xFF:
+                if self.pos >= len(self.data):
+                    self.c = 0xFF
+                    self.ct = 8
+                else:
+                    self.c = self.data[self.pos]
+                    self.pos += 1
+                    self.ct = 7
+            else:
+                if self.pos >= len(self.data):
+                    self.c = 0xFF
+                    self.ct = 8
+                else:
+                    self.c = self.data[self.pos]
+                    self.pos += 1
+                    self.ct = 8
+        self.ct -= 1
+        return (self.c >> self.ct) & 1
+
+
+def _merge_segments(chunks: list, flags: int) -> list[bytes]:
+    """Merge packet-contribution pieces [(n_passes, bytes), ...] into
+    terminated segments: pieces accumulate until a pass after which
+    the coder terminated (mode switch / TERMALL / end of data)."""
+    segs = []
+    cur = bytearray()
+    idx = 0
+    for k, data in chunks:
+        cur += data
+        idx += k
+        if _terminates_after(idx - 1, flags):
+            segs.append(bytes(cur))
+            cur = bytearray()
+    if cur or not segs:
+        segs.append(bytes(cur))
+    return segs
+
+
+def t1_decode_block(chunks: list, width: int, height: int, band: str,
                     zero_bitplanes: int, num_passes: int,
-                    mb: int, flags: int = 0,
-                    seg_lens: list | None = None) -> np.ndarray:
+                    mb: int, flags: int = 0) -> np.ndarray:
     """Decode one codeblock's coefficient magnitudes+signs (int array).
-    flags holds the SPcod codeblock-style bits (A.6.1): RESET re-inits
-    contexts after every pass, TERMALL gives each pass its own
-    terminated MQ segment (lengths in seg_lens), VSC masks the row
-    below a stripe, SEGSYM consumes the 4-bit segmentation symbol
-    after each cleanup pass."""
+    chunks is the ordered list of (n_passes, bytes) pieces collected
+    from the packet bodies.  flags holds the SPcod codeblock-style
+    bits (A.6.1): BYPASS switches SPP/MRP passes to raw segments from
+    the 5th bitplane, RESET re-inits contexts after every pass,
+    TERMALL gives each pass its own terminated MQ segment, VSC masks
+    the row below a stripe, PTERM is an encoder-side termination
+    convention (no decode action), SEGSYM consumes the 4-bit
+    segmentation symbol after each cleanup pass."""
     st = T1Block(width, height, band, vsc=bool(flags & _CBSTYLE_VSC))
     cx = t1_initial_contexts()
-    termall = flags & _CBSTYLE_TERMALL
-    if termall:
-        if seg_lens is None or len(seg_lens) < num_passes or \
-                sum(seg_lens[:num_passes]) > len(data):
-            raise JPXError("TERMALL segment lengths are inconsistent")
-        seg_off = 0
-        mq = None
-    else:
-        mq = MQDecoder(data, 0, len(data))
+    segs = _merge_segments(chunks, flags)
+    seg_i = 0
+    dec = None
     bitplane = mb - 1 - zero_bitplanes
-    pass_kind = 2  # cleanup first
     for i in range(num_passes):
         if bitplane < 0:
             raise JPXError("pass count exceeds bitplanes")
-        if termall:
-            mq = MQDecoder(data, seg_off, seg_off + seg_lens[i])
-            seg_off += seg_lens[i]
-        read = mq.read_bit
-        if pass_kind == 0:
-            _spp(st, read, cx, bitplane)
-        elif pass_kind == 1:
-            _mrp(st, read, cx, bitplane)
+        if dec is None or (i > 0 and _terminates_after(i - 1, flags)):
+            if seg_i >= len(segs):
+                raise JPXError("terminated segments are inconsistent")
+            data = segs[seg_i]
+            seg_i += 1
+            dec = _RawDecoder(data) if _pass_is_raw(i, flags) \
+                else MQDecoder(data, 0, len(data))
+        read = dec.read_bit
+        kind = _pass_kind(i)
+        if kind == 0:
+            _spp(st, read, cx, bitplane, raw=_pass_is_raw(i, flags))
+        elif kind == 1:
+            _mrp(st, read, cx, bitplane, raw=_pass_is_raw(i, flags))
         else:
             _cup(st, read, cx, bitplane)
             if flags & _CBSTYLE_SEGSYM:
                 for _ in range(4):  # 0b1010, not enforced (like pdf.js)
                     read(cx, _CTX_UNIFORM)
             bitplane -= 1
-        pass_kind = (pass_kind + 1) % 3
         if flags & _CBSTYLE_RESET:
             cx = t1_initial_contexts()
     out = st.mag * np.where(
@@ -238,7 +333,8 @@ def _stripe_scan(height: int):
         yield y0, min(y0 + 4, height)
 
 
-def _spp(st: T1Block, read, cx: bytearray, p: int) -> None:
+def _spp(st: T1Block, read, cx: bytearray, p: int,
+         raw: bool = False) -> None:
     st.visited[:] = 0
     for y0, y1 in _stripe_scan(st.h):
         for x in range(st.w):
@@ -246,12 +342,16 @@ def _spp(st: T1Block, read, cx: bytearray, p: int) -> None:
                 if st.sig[y + 1, x + 1] or not st.has_sig_neighbor(x, y):
                     continue
                 st.visited[y, x] = 1
-                if read(cx, st.zc_context(x, y)):
+                if raw:  # D.6.1: raw significance then raw sign, no ctx
+                    if read(cx, 0):
+                        st.set_significant(x, y, bool(read(cx, 0)), p)
+                elif read(cx, st.zc_context(x, y)):
                     ctx, xor = st.sc_context(x, y)
                     st.set_significant(x, y, read(cx, ctx) ^ xor, p)
 
 
-def _mrp(st: T1Block, read, cx: bytearray, p: int) -> None:
+def _mrp(st: T1Block, read, cx: bytearray, p: int,
+         raw: bool = False) -> None:
     # refines every coefficient significant before this plane's SPP
     # (i.e. significant and not visited in the current plane)
     for y0, y1 in _stripe_scan(st.h):
@@ -259,7 +359,8 @@ def _mrp(st: T1Block, read, cx: bytearray, p: int) -> None:
             for y in range(y0, y1):
                 if not st.sig[y + 1, x + 1] or st.visited[y, x]:
                     continue
-                bit = read(cx, st.mr_context(x, y))
+                bit = read(cx, 0) if raw \
+                    else read(cx, st.mr_context(x, y))
                 st.refined[y, x] = 1
                 if bit:
                     st.mag[y, x] |= 1 << p
@@ -537,16 +638,15 @@ class _BitReader:
 # ---------------------------------------------------------------------------
 
 class _Codeblock:
-    __slots__ = ("x0", "y0", "w", "h", "zero_bp", "num_passes", "data",
-                 "included", "seg_lens")
+    __slots__ = ("x0", "y0", "w", "h", "zero_bp", "num_passes",
+                 "included", "chunks")
 
     def __init__(self, x0, y0, w, h):
         self.x0, self.y0, self.w, self.h = x0, y0, w, h
         self.zero_bp = 0
         self.num_passes = 0
-        self.data = b""
         self.included = False
-        self.seg_lens = []
+        self.chunks = []  # ordered (n_passes, bytes) pieces
 
 
 def codeblock_grid(origin: int, size: int, cb: int) -> list[tuple[int, int]]:
@@ -724,9 +824,9 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
                 raise JPXError("custom precincts are not supported")
             if not 1 <= layers <= 1024:
                 raise JPXError(f"implausible layer count {layers}")
-            if cb_style & ~0x2E:
-                raise JPXError("coder bypass / predictable termination "
-                               "are not supported")
+            if cb_style & ~0x3F:
+                raise JPXError(f"unknown codeblock-style bits "
+                               f"{cb_style:#x}")
             if transform not in (0, 1):
                 raise JPXError(f"unknown wavelet transform {transform}")
             cod = {"prog": prog, "mct": mct, "levels": levels,
@@ -740,9 +840,9 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
             scoc = data[body + 1]
             if scoc & 1:
                 raise JPXError("custom precincts are not supported")
-            if data[body + 5] & ~0x2E:
-                raise JPXError("coder bypass / predictable termination "
-                               "are not supported")
+            if data[body + 5] & ~0x3F:
+                raise JPXError(f"unknown codeblock-style bits "
+                               f"{data[body + 5]:#x}")
             coc[data[body]] = {
                 "levels": data[body + 2],
                 "cbw": 1 << ((data[body + 3] & 0xF) + 2),
@@ -924,8 +1024,7 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
     pos = 0
     for layer, r, c in order:
         pos = _parse_packet(body, pos, comp_bands[c], r, layer,
-                            termall=bool(cods[c]["cb_style"]
-                                         & _CBSTYLE_TERMALL))
+                            style=cods[c]["cb_style"])
     # T1-decode every codeblock, assemble subbands, inverse DWT
     lossy = cod["transform"] == 0
     comps = []
@@ -954,9 +1053,8 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
                     if not cb.included or cb.num_passes == 0:
                         continue
                     coeffs = t1_decode_block(
-                        cb.data, cb.w, cb.h, name, cb.zero_bp,
-                        cb.num_passes, mb, flags=cods[c]["cb_style"],
-                        seg_lens=cb.seg_lens)
+                        cb.chunks, cb.w, cb.h, name, cb.zero_bp,
+                        cb.num_passes, mb, flags=cods[c]["cb_style"])
                     arr[cb.y0:cb.y0 + cb.h, cb.x0:cb.x0 + cb.w] = coeffs
             if lossy:
                 gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[name]
@@ -976,7 +1074,7 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
 
 
 def _parse_packet(body: bytes, pos: int, bands: dict, r: int,
-                  layer: int, termall: bool = False) -> int:
+                  layer: int, style: int = 0) -> int:
     br = _BitReader(body, pos)
     if not br.read():  # empty packet
         return br.align()
@@ -1002,30 +1100,28 @@ def _parse_packet(body: bytes, pos: int, bands: dict, r: int,
                     while not sb.zbp_tree.decode(bx, by, t, br.read):
                         t += 1
                     cb.zero_bp = sb.zbp_tree.value(bx, by)
+                first_pass = cb.num_passes
                 n_passes = _parse_passes(br)
                 cb.num_passes += n_passes
                 while br.read():
                     sb.lblock[by, bx] += 1
-                if termall:  # one terminated segment per pass
-                    lens = []
-                    for _ in range(n_passes):
-                        length = 0
-                        for _ in range(int(sb.lblock[by, bx])):
-                            length = (length << 1) | br.read()
-                        lens.append(length)
-                    contributions.append((cb, lens))
-                else:
+                # one length per terminated piece, Lblock +
+                # floor(log2(piece passes)) bits each (B.10.7.5);
+                # without termination this is the single whole-
+                # contribution length
+                pieces = []
+                for k in _contribution_pieces(style, first_pass,
+                                              n_passes):
                     nbits = int(sb.lblock[by, bx]) + \
-                        int(n_passes).bit_length() - 1
+                        int(k).bit_length() - 1
                     length = 0
                     for _ in range(nbits):
                         length = (length << 1) | br.read()
-                    contributions.append((cb, [length]))
+                    pieces.append((k, length))
+                contributions.append((cb, pieces))
     pos = br.align()
-    for cb, lens in contributions:
-        for length in lens:
-            cb.data = cb.data + body[pos:pos + length]
+    for cb, pieces in contributions:
+        for k, length in pieces:
+            cb.chunks.append((k, body[pos:pos + length]))
             pos += length
-        if termall:
-            cb.seg_lens.extend(lens)
     return pos

@@ -45,8 +45,8 @@ def test_t1_roundtrip_all_bands():
             if enc is None:
                 continue
             data, zbp, npass, _ = enc
-            out = t1_decode_block(data, shape[1], shape[0], band, zbp,
-                                  npass, 12)
+            out = t1_decode_block([(npass, data)], shape[1], shape[0],
+                                  band, zbp, npass, 12)
             assert np.array_equal(out, c), (band, shape)
 
 
@@ -372,11 +372,12 @@ def test_chroma_subsampling_vs_openjpeg():
 
 
 def test_codeblock_style_bits_vs_openjpeg():
-    """SPcod style bits — RESET (0x02), TERMALL (0x04, one terminated
-    MQ segment per pass with per-pass lengths in the packet header),
-    VSC (0x08, stripe-causal contexts), SEGSYM (0x20) — alone and
-    combined, lossless and lossy: pixel-exact vs the reference's
-    openjpeg wasm and (lossless) vs the original."""
+    """SPcod style bits — BYPASS (0x01, raw SPP/MRP segments from the
+    5th bitplane), RESET (0x02), TERMALL (0x04, one terminated MQ
+    segment per pass with per-pass lengths in the packet header), VSC
+    (0x08, stripe-causal contexts), PTERM (0x10), SEGSYM (0x20) —
+    alone and combined, lossless and lossy: pixel-exact vs the
+    reference's openjpeg wasm and (lossless) vs the original."""
     rng = np.random.default_rng(19)
     img3 = rng.integers(0, 256, (25, 31, 3)).astype(np.uint8)
     img1 = rng.integers(0, 256, (33, 47)).astype(np.uint8)
@@ -389,7 +390,19 @@ def test_codeblock_style_bits_vs_openjpeg():
              (img3, {"cb_style": 0x2E, "rct": True}),
              (img1, {"cb_style": 0x04, "lossy": True}),
              (img3, {"cb_style": 0x2E, "lossy": True, "rct": True}),
-             (img1, {"cb_style": 0x0C, "cb_exp": 4, "layers": 2})]
+             (img1, {"cb_style": 0x0C, "cb_exp": 4, "layers": 2}),
+             # bypass: raw segments kick in (8-bit imagery reaches
+             # ~11 magnitude bitplanes after the DWT)
+             (img1, {"cb_style": 0x01}),
+             (img3, {"cb_style": 0x01, "rct": True}),
+             (img1, {"cb_style": 0x05}),  # bypass + termall
+             (img1, {"cb_style": 0x0B}),  # bypass + reset + vsc
+             (img1, {"cb_style": 0x3F}),  # everything at once
+             (img1, {"cb_style": 0x01, "lossy": True}),
+             (img3, {"cb_style": 0x25, "lossy": True, "rct": True}),
+             (img1, {"cb_style": 0x01, "cb_exp": 4, "layers": 2}),
+             (img1, {"cb_style": 0x10}),  # pterm accepted, no-op
+             (img1, {"cb_style": 0x15})]
     for img, kw in cases:
         cs = encode_jpx(img, **kw)
         mine = decode_jpx(cs)
@@ -402,9 +415,3 @@ def test_codeblock_style_bits_vs_openjpeg():
             ref = np.frombuffer(ref_decode(cs), np.uint8).reshape(h, w, 4)
             ref_px = ref[..., 0] if img.ndim == 2 else ref[..., :3]
             assert np.array_equal(ref_px, mine), kw
-    # coder bypass stays a clean reject
-    cs = bytearray(encode_jpx(img1, levels=1))
-    cod_at = bytes(cs).find(b"\xff\x52")
-    cs[cod_at + 4 + 8] = 0x01  # SPcod style: bypass
-    with pytest.raises(JPXError):
-        decode_jpx(bytes(cs))
