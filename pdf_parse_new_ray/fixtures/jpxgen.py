@@ -417,7 +417,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                qcc_mants: dict[int, int] | None = None,
                coc_cbs: dict[int, int] | None = None,
                subsampling: dict[int, tuple[int, int]] | None = None,
-               cb_style: int = 0) -> bytes:
+               cb_style: int = 0, depth: int = 8) -> bytes:
     """img: (h, w) or (h, w, 3) uint8 → raw JPEG2000 codestream
     (LRCP; lossless 5/3 by default).  layers=2 assigns each codeblock
     wholly to a quality layer (alternating) to exercise multi-layer
@@ -465,27 +465,30 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
         yt = max(h, 1)
     n_tx = (w + xt - 1) // xt
     n_ty = (h + yt - 1) // yt
-    depth = 8
+    if not 1 <= depth <= 16:
+        raise ValueError("depth must be 1..16")
+    half = 1 << (depth - 1)
     # per-tile transforms first so guard bits cover every tile
     tile_planes = []
     for ty in range(n_ty):
         for tx in range(n_tx):
             sub = img[ty * yt:(ty + 1) * yt, tx * xt:(tx + 1) * xt]
             if lossy:
+                fh = np.float32(half)
                 if sub.ndim == 2:
-                    planes = [sub.astype(np.float32) - np.float32(128)]
+                    planes = [sub.astype(np.float32) - fh]
                 else:
-                    r = sub[..., 0].astype(np.float32) - np.float32(128)
-                    g = sub[..., 1].astype(np.float32) - np.float32(128)
-                    b = sub[..., 2].astype(np.float32) - np.float32(128)
+                    r = sub[..., 0].astype(np.float32) - fh
+                    g = sub[..., 1].astype(np.float32) - fh
+                    b = sub[..., 2].astype(np.float32) - fh
                     planes = list(forward_ict(r, g, b)) if rct \
                         else [r, g, b]
             elif sub.ndim == 2:
-                planes = [sub.astype(np.int64) - 128]
+                planes = [sub.astype(np.int64) - half]
             else:
-                r = sub[..., 0].astype(np.int64) - 128
-                g = sub[..., 1].astype(np.int64) - 128
-                b = sub[..., 2].astype(np.int64) - 128
+                r = sub[..., 0].astype(np.int64) - half
+                g = sub[..., 1].astype(np.int64) - half
+                b = sub[..., 2].astype(np.int64) - half
                 planes = list(forward_rct(r, g, b)) if rct else [r, g, b]
             def _quant(a: np.ndarray, mant: int) -> np.ndarray:
                 # deadzone scalar quantizer (E.1): sign·floor(|c|/Δb)

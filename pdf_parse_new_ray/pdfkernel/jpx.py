@@ -26,8 +26,12 @@ terminated segments), VSC (stripe-causal contexts), PTERM
 (decode-side no-op: a predictable-termination convention the encoder
 follows; any conformant stream decodes identically), SEGSYM.
 
+Component depths up to 16 bits decode at native precision; the
+default output matches the reference glue (right-shift to 8 bits),
+with full_precision=True returning uint16 samples.
+
 Raises JPXError for: custom precincts, non-chroma subsampling
-layouts, >8-bit samples.
+layouts, signed or mixed-depth components.
 Callers absorb to decoded=False (multimodal stage contract).
 """
 
@@ -715,11 +719,16 @@ def _parse_passes(br: _BitReader) -> int:
 
 
 def decode_jpx(data: bytes, max_pixels: int | None = _MAX_PIXELS_DEFAULT,
-               ) -> np.ndarray:
-    """Decode a JPX codestream or JP2 file → uint8 array (h, w) for
-    1 component, (h, w, n) otherwise."""
+               full_precision: bool = False) -> np.ndarray:
+    """Decode a JPX codestream or JP2 file → array (h, w) for
+    1 component, (h, w, n) otherwise.  Components deeper than 8 bits
+    are downshifted to 8 (uint8) by default — the reference's openjpeg
+    glue right-shifts by (precision − 8) before its Uint8ClampedArray
+    copy (pdf.worker.js:12569 _copy_pixels_*, verified empirically) —
+    or returned at native precision as uint16 with
+    full_precision=True."""
     cs = _extract_codestream(data)
-    return _decode_codestream(cs, max_pixels)
+    return _decode_codestream(cs, max_pixels, full_precision)
 
 
 def parse_jpx_properties(data: bytes) -> dict:
@@ -776,7 +785,8 @@ def _parse_quant(data: bytes, at: int, nbytes: int) -> dict:
     raise JPXError(f"unknown quantization style {style}")
 
 
-def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
+def _decode_codestream(data: bytes, max_pixels: int | None,
+                       full_precision: bool = False) -> np.ndarray:
     if data[:2] != b"\xff\x4f":
         raise JPXError("missing SOC marker")
     pos = 2
@@ -807,9 +817,13 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
             if xosiz or yosiz or xtosiz or ytosiz:
                 raise JPXError("image/tile offsets are not supported")
             for ssiz, xr, yr in comps:
-                if ssiz != 7:
-                    raise JPXError("only 8-bit unsigned components "
-                                   "are supported")
+                if ssiz & 0x80:
+                    raise JPXError("signed components are not supported")
+                if not 0 <= (ssiz & 0x7F) <= 15:
+                    raise JPXError(f"implausible component depth "
+                                   f"{(ssiz & 0x7F) + 1}")
+            if len({s & 0x7F for s, _, _ in comps}) != 1:
+                raise JPXError("mixed component depths are not supported")
         elif marker == 0xFF52:  # COD
             scod = data[body]
             prog = data[body + 1]
@@ -889,6 +903,7 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
         if cods[c]["transform"] == 0 and qcds[c]["style"] == 0:
             raise JPXError("irreversible 9/7 requires scalar quantization")
     w, h = siz["w"], siz["h"]
+    depth = (siz["comps"][0][0] & 0x7F) + 1
     if max_pixels and w * h * len(siz["comps"]) > max_pixels:
         raise JPXError(f"image {w}x{h} exceeds the decode cap")
     xt, yt = siz["xt"], siz["yt"]
@@ -907,6 +922,8 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
         if n_comp != 3 or sub[0] != (1, 1) or sub[1] != sub[2] or                 sub[1] not in ((2, 2), (2, 1)):
             raise JPXError("only 4:2:0 / 4:2:2 chroma subsampling "
                            "is supported")
+        if depth != 8:
+            raise JPXError("subsampled chroma requires 8-bit samples")
     # tile origins must stay even at every decomposition level so the
     # per-tile DWT's origin-0 lifting parity matches the global sample
     # grid (encoders emit aligned grids; others are rare) — only the
@@ -931,11 +948,10 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
             tile_dims = [comp_dims[c] if subsampled else (th, tw)
                          for c in range(n_comp)]
             comps = _decode_tile(b"".join(parts), tile_dims, n_comp,
-                                 cods, qcds, x0, y0)
+                                 cods, qcds, x0, y0, depth=depth)
             for c in range(n_comp):
                 ch_, cw_ = comps[c].shape
                 full[c][y0:y0 + ch_, x0:x0 + cw_] = comps[c]
-    depth = 8
     half = 1 << (depth - 1)
     if cod["mct"] and n_comp >= 3:
         if lossy:
@@ -961,14 +977,21 @@ def _decode_codestream(data: bytes, max_pixels: int | None) -> np.ndarray:
         full = [np.clip(y + np.trunc(1.402 * cr), 0, upb),
                 np.clip(y - np.trunc(0.344 * cb + 0.714 * cr), 0, upb),
                 np.clip(y + np.trunc(1.772 * cb), 0, upb)]
-    out = [c.astype(np.uint8) for c in full]
+    if depth > 8 and not full_precision:
+        # reference parity: openjpeg glue right-shifts deep samples
+        full = [c >> (depth - 8) for c in full]
+        out = [c.astype(np.uint8) for c in full]
+    else:
+        out = [c.astype(np.uint8 if depth <= 8 else np.uint16)
+               for c in full]
     if len(out) == 1:
         return out[0]
     return np.stack(out, axis=-1)
 
 
 def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
-                 qcds: list, tx0: int = 0, ty0: int = 0) -> list:
+                 qcds: list, tx0: int = 0, ty0: int = 0,
+                 depth: int = 8) -> list:
     cod = cods[0]  # levels/layers/prog/transform are uniform (enforced)
     levels = cod["levels"]
     # per component: build subband structures (band origins in global
@@ -1058,7 +1081,7 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
                     arr[cb.y0:cb.y0 + cb.h, cb.x0:cb.x0 + cb.w] = coeffs
             if lossy:
                 gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[name]
-                step = dequant_stepsize(exp, mant, 8 + gain)
+                step = dequant_stepsize(exp, mant, depth + gain)
                 # midpoint (half-bit) reconstruction — the convention
                 # the reference's openjpeg wasm uses; with it our output
                 # matches that decoder to within ±1 (float op order)

@@ -415,3 +415,45 @@ def test_codeblock_style_bits_vs_openjpeg():
             ref = np.frombuffer(ref_decode(cs), np.uint8).reshape(h, w, 4)
             ref_px = ref[..., 0] if img.ndim == 2 else ref[..., :3]
             assert np.array_equal(ref_px, mine), kw
+
+def test_deep_samples_roundtrip_and_parity():
+    """12- and 16-bit components: full_precision returns the native
+    samples (lossless roundtrip); the default output right-shifts to
+    8 bits exactly as the reference's openjpeg glue does (verified
+    against the wasm when available); signed and mixed-depth SIZ
+    entries reject cleanly."""
+    rng = np.random.default_rng(23)
+    have_ref = _ref_available()
+    if have_ref:
+        from jpx_ref import ref_decode
+    for depth, shape in [(12, (21, 17)), (16, (16, 24)),
+                         (10, (9, 33)), (12, (14, 18, 3))]:
+        img = rng.integers(0, 1 << depth, shape).astype(np.uint16)
+        cs = encode_jpx(img, depth=depth)
+        full = decode_jpx(cs, full_precision=True)
+        assert full.dtype == np.uint16
+        assert np.array_equal(full, img), (depth, shape)
+        dflt = decode_jpx(cs)
+        assert dflt.dtype == np.uint8
+        assert np.array_equal(dflt, (img >> (depth - 8)).astype(np.uint8))
+        if have_ref:
+            h, w = shape[:2]
+            ref = np.frombuffer(ref_decode(cs), np.uint8).reshape(h, w, 4)
+            ref_px = ref[..., 0] if img.ndim == 2 else ref[..., :3]
+            assert np.array_equal(ref_px, dflt), (depth, shape)
+    # 12-bit lossy: reconstruction within the quantizer step
+    img = rng.integers(0, 4096, (20, 26)).astype(np.uint16)
+    cs = encode_jpx(img, depth=12, lossy=True)
+    out = decode_jpx(cs, full_precision=True)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 24
+    if have_ref:
+        from jpx_ref import ref_decode
+        ref = np.frombuffer(ref_decode(cs), np.uint8).reshape(20, 26, 4)
+        assert np.array_equal(ref[..., 0], decode_jpx(cs))
+    # signed component: clean reject
+    cs = bytearray(encode_jpx(rng.integers(0, 256, (8, 8))
+                              .astype(np.uint8)))
+    siz_at = bytes(cs).find(b"\xff\x51")
+    cs[siz_at + 4 + 36] |= 0x80  # Ssiz sign bit
+    with pytest.raises(JPXError):
+        decode_jpx(bytes(cs))
