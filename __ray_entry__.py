@@ -274,6 +274,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_running_balance": relational.q_running_balance,
         "q_rolling_avg": relational.q_rolling_avg,
         "q_event_type_pivot": relational.q_event_type_pivot,
+        "q_event_lag": relational.q_event_lag,
+        "q_user_first_last": relational.q_user_first_last,
+        "q_customers_with_orders": relational.q_customers_with_orders,
+        "q_orders_above_customer_avg": relational.q_orders_above_customer_avg,
+        "q_monthly_revenue": relational.q_monthly_revenue,
+        "q_daily_distinct_users": relational.q_daily_distinct_users,
         # text analysis
         "t_token_stats": text.t_token_stats,
         "t_quality_scores": text.t_quality_scores,
@@ -627,6 +633,58 @@ def oracle_sql() -> dict[str, str]:
                        THEN CAST(round(value * 1000000) AS BIGINT)
                        ELSE 0 END) / 1000000.0 AS purchase_value
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "q_event_lag": """
+            SELECT user_id, event_id, ts,
+                   LAG(event_type) OVER w AS prev_type,
+                   CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                        AS BIGINT) AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, ts, event_id
+        """,
+        "q_user_first_last": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rn_d
+                FROM events)
+            SELECT user_id,
+                   MAX(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+                   MAX(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM ranked GROUP BY user_id ORDER BY user_id
+        """,
+        "q_customers_with_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey
+        """,
+        "q_orders_above_customer_avg": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM (
+                SELECT o_orderkey, o_custkey, o_totalprice,
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                           OVER (PARTITION BY o_custkey) AS seg_cents,
+                       COUNT(*) OVER (PARTITION BY o_custkey) AS seg_n
+                FROM orders)
+            WHERE o_totalprice > seg_cents / (100.0 * seg_n)
+            ORDER BY o_orderkey
+        """,
+        "q_monthly_revenue": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                       AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1 ORDER BY month
+        """,
+        "q_daily_distinct_users": """
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1 ORDER BY day
         """,
         "t_doc_sample": """
             SELECT doc_id, lang, n_chars

@@ -1054,3 +1054,243 @@ def q_event_type_pivot(sf_dir: str) -> pd.DataFrame:
     out["purchase_value"] = out["purchase_micro"] / 1e6
     out = out.drop(columns=["purchase_micro"])
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# lead/lag, first/last, semi join, correlated filter, calendar rollups —
+# the remaining window/join variants (same ONE-bucketed-shuffle shape as
+# q_sessionization / q_running_balance: Python cost scales with buckets,
+# all per-row work is numpy/Arrow kernels)
+# ---------------------------------------------------------------------------
+
+def q_event_lag(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """LAG window: for every event, the previous event's type and the
+    microseconds elapsed since it, per user ordered by (ts, event_id) —
+    NULLs on each user's first event.  ONE shuffle on hash(user_id)
+    buckets, then a vectorized multi-user shift per bucket."""
+    import numpy as np
+
+    from .joins import _bucket_of
+
+    def fold(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = group.take(order)
+        uid = g.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        tsv = g.column("ts").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(uid)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        prev = np.maximum(np.arange(n) - 1, 0)
+        prev_type = pc.if_else(
+            pa.array(new_user),
+            pa.scalar(None, pa.string()),
+            pc.take(g.column("event_type").combine_chunks(), pa.array(prev)))
+        gap = pa.array(tsv - tsv[prev], pa.int64(), mask=new_user)
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "event_id": g.column("event_id"),
+            "ts": g.column("ts"),
+            "prev_type": prev_type,
+            "gap_us": gap,
+        })
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ev = ev.map_batches(
+        lambda t: t.append_column("__bk", _bucket_of(t.column("user_id"), n_buckets)),
+        batch_format="pyarrow")
+    df = pd.DataFrame(
+        ev.groupby("__bk").map_groups(fold, batch_format="pyarrow").take_all())
+    return df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+
+
+def q_user_first_last(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """first_value/last_value window collapse: each user's first and last
+    event type by (ts, event_id) plus their event count.  Same bucketed
+    fold; per bucket the user boundaries come from one sorted mask."""
+    import numpy as np
+
+    from .joins import _bucket_of
+
+    def fold(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = group.take(order)
+        uid = g.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(uid)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(new_user)[0]
+        ends = np.concatenate((starts[1:], [n])) - 1
+        types = g.column("event_type").combine_chunks()
+        return pa.table({
+            "user_id": pc.take(g.column("user_id").combine_chunks(),
+                               pa.array(starts)),
+            "first_type": pc.take(types, pa.array(starts)),
+            "last_type": pc.take(types, pa.array(ends)),
+            "n_events": pa.array(np.diff(np.concatenate((starts, [n]))),
+                                 pa.int64()),
+        })
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ev = ev.map_batches(
+        lambda t: t.append_column("__bk", _bucket_of(t.column("user_id"), n_buckets)),
+        batch_format="pyarrow")
+    df = pd.DataFrame(
+        ev.groupby("__bk").map_groups(fold, batch_format="pyarrow").take_all())
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+def q_customers_with_orders(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """Semi-join: customers that placed at least one order (EXISTS) —
+    the mirror of q_customers_without_orders, same ONE bucketed cogroup
+    on custkey with batch-local key dedupe before the shuffle; the probe
+    keeps hits instead of misses."""
+    from .joins import _bucket_of
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _rp(sf_dir, "orders", ["o_custkey"])
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["c_custkey"],
+            "c_name": t["c_name"],
+            "is_cust": pa.array([True] * t.num_rows, pa.bool_()),
+            "__bk": _bucket_of(t.column("c_custkey"), n_buckets),
+        })
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t.column("o_custkey").combine_chunks())
+        n = len(keys)
+        return pa.table({
+            "key": keys,
+            "c_name": pa.nulls(n, pa.string()),
+            "is_cust": pa.array([False] * n, pa.bool_()),
+            "__bk": _bucket_of(keys, n_buckets),
+        })
+
+    def semi(g: pa.Table) -> pa.Table:
+        is_cust = g.column("is_cust")
+        custs = g.filter(is_cust)
+        order_keys = g.filter(pc.invert(is_cust)).column("key").combine_chunks()
+        if custs.num_rows == 0:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "c_name": pa.array([], pa.string())})
+        hit = pc.coalesce(
+            pc.is_in(custs.column("key"), value_set=order_keys),
+            pa.scalar(False))
+        keep = custs.filter(hit)
+        return pa.table({"c_custkey": keep.column("key"),
+                         "c_name": keep.column("c_name")})
+
+    out = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")) \
+        .groupby("__bk").map_groups(semi, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                             "c_name": pd.Series(dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_orders_above_customer_avg(sf_dir: str,
+                                n_buckets: int = 256) -> pd.DataFrame:
+    """Correlated filter: orders strictly pricier than their customer's
+    average order value.  No separate aggregate table or second pass —
+    ONE shuffle on hash(o_custkey) co-locates each customer's orders, and
+    the per-bucket fold computes segment sums (exact int64 cents) and
+    compares each row against sum/(100·count), the identical float
+    expression the oracle's window AVG evaluates."""
+    import numpy as np
+
+    from .joins import _bucket_of
+
+    def fold(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("o_custkey", "ascending")])
+        g = group.take(order)
+        cust = g.column("o_custkey").combine_chunks().to_numpy(zero_copy_only=False)
+        price = g.column("o_totalprice").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            g.column("o_totalprice"), pa.scalar(100.0))), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(cust)
+        new_cust = np.ones(n, dtype=bool)
+        new_cust[1:] = cust[1:] != cust[:-1]
+        starts = np.nonzero(new_cust)[0]
+        sizes = np.diff(np.concatenate((starts, [n])))
+        cum = np.concatenate(([0], np.cumsum(cents)))
+        seg_sum = np.repeat(cum[np.concatenate((starts[1:], [n]))]
+                            - cum[starts], sizes)
+        seg_cnt = np.repeat(sizes, sizes)
+        keep = price > seg_sum / (100.0 * seg_cnt)
+        kept = g.filter(pa.array(keep))
+        return pa.table({
+            "o_orderkey": kept.column("o_orderkey"),
+            "o_custkey": kept.column("o_custkey"),
+            "o_totalprice": kept.column("o_totalprice"),
+        })
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: t.append_column("__bk", _bucket_of(t.column("o_custkey"), n_buckets)),
+        batch_format="pyarrow")
+    df = pd.DataFrame(
+        orders.groupby("__bk").map_groups(fold, batch_format="pyarrow").take_all())
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_monthly_revenue(sf_dir: str) -> pd.DataFrame:
+    """Calendar rollup: order revenue and count per calendar month
+    (date_trunc).  Map-side the batch collapses to one row per month in
+    exact int64 cents (Arrow floor_temporal + group_by), so the ONLY
+    shuffle is a tiny month-keyed merge of partials."""
+    def partial(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(t.column("o_orderdate"), unit="month")
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), pa.scalar(100.0))), pa.int64())
+        g = pa.table({"month": month, "cents": cents}) \
+            .group_by(["month"]).aggregate([("cents", "sum"),
+                                            ("cents", "count")])
+        from .joins import rename_agg
+
+        return rename_agg(g, {"cents_sum": "cents", "cents_count": "n_orders"},
+                          ["month", "cents", "n_orders"])
+
+    out = _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("month").aggregate(
+            Sum("cents", alias_name="cents"),
+            Sum("n_orders", alias_name="n_orders")).to_pandas()
+    out["revenue"] = out["cents"] / 100.0
+    out = out.drop(columns=["cents"])
+    return out[["month", "revenue", "n_orders"]] \
+        .sort_values("month").reset_index(drop=True)
+
+
+def q_daily_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT user_id) per day.  Batch-local (day, user)
+    dedupe slims the shuffle to distinct pairs; the day-keyed groups then
+    count uniques with one Arrow kernel per group.  Day count is bounded
+    (calendar), so the group fan-out stays small; a hot single day would
+    be salted into (day, hash(user) % k) sub-groups with a second tiny
+    merge — not needed at these cardinalities."""
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        return pa.table({"day": day, "user_id": t.column("user_id")}) \
+            .group_by(["day", "user_id"]).aggregate([])
+
+    def count_unique(g: pa.Table) -> pa.Table:
+        uniq = pc.count_distinct(g.column("user_id").combine_chunks())
+        return pa.table({
+            "day": g.column("day").slice(0, 1),
+            "n_users": pa.array([uniq.as_py()], pa.int64()),
+        })
+
+    df = _rp(sf_dir, "events", ["ts", "user_id"]) \
+        .map_batches(pairs, batch_format="pyarrow") \
+        .groupby("day").map_groups(count_unique, batch_format="pyarrow") \
+        .to_pandas()
+    return df.sort_values("day").reset_index(drop=True)

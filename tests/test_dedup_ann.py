@@ -577,3 +577,36 @@ def test_event_type_pivot_consistent(ray_session):
                       "GROUP BY event_type").fetchdf()
     for ty, n in zip(raw.event_type, raw.n):
         assert int(out[f"n_{ty}"].sum()) == int(n)
+
+def test_window_join_variants_exact(ray_session):
+    """q_event_lag / q_user_first_last / q_customers_with_orders /
+    q_orders_above_customer_avg / q_monthly_revenue /
+    q_daily_distinct_users equal their SQL oracles exactly at sf0.001
+    (LAG nulls on first events, semi-join hits, correlated avg strict
+    inequality, calendar truncation, exact distinct counts)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from pdf_parse_new_ray.functions import relational
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("events", "orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    sqls = entry.oracle_sql()
+    for name in ("q_event_lag", "q_user_first_last",
+                 "q_customers_with_orders", "q_orders_above_customer_avg",
+                 "q_monthly_revenue", "q_daily_distinct_users"):
+        out = getattr(relational, name)(sf)
+        ora = con.execute(sqls[name]).fetchdf()
+        assert len(out) > 0, name
+        pd.testing.assert_frame_equal(
+            out.sort_index(axis=1), ora.sort_index(axis=1),
+            check_dtype=False), name
+    # lag semantics: every user's first event has null prev_type
+    lag = relational.q_event_lag(sf)
+    firsts = lag.sort_values(["user_id", "ts", "event_id"]) \
+        .drop_duplicates("user_id", keep="first")
+    assert firsts["prev_type"].isna().all()
+    assert lag["gap_us"].dropna().ge(0).all()
