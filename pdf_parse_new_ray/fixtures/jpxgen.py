@@ -417,7 +417,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                qcc_mants: dict[int, int] | None = None,
                coc_cbs: dict[int, int] | None = None,
                subsampling: dict[int, tuple[int, int]] | None = None,
-               cb_style: int = 0, depth: int = 8) -> bytes:
+               cb_style: int = 0, depth: int = 8,
+               precincts=None) -> bytes:
     """img: (h, w) or (h, w, 3) uint8 → raw JPEG2000 codestream
     (LRCP; lossless 5/3 by default).  layers=2 assigns each codeblock
     wholly to a quality layer (alternating) to exercise multi-layer
@@ -446,6 +447,17 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     h, w = img.shape[:2]
     if cb_style & ~0x3F:
         raise ValueError("unsupported codeblock-style bits")
+    if precincts is not None:  # normalize to [(ppx, ppy)] per res
+        if isinstance(precincts, int):
+            precincts = [precincts] * (levels + 1)
+        precincts = [(p, p) if isinstance(p, int) else tuple(p)
+                     for p in precincts]
+        if len(precincts) != levels + 1:
+            raise ValueError("need one precinct size per resolution")
+        for r, (px, py) in enumerate(precincts):
+            if not (0 <= px <= 15 and 0 <= py <= 15) or \
+                    (r > 0 and (px == 0 or py == 0)):
+                raise ValueError("invalid precinct exponent")
     if subsampling:
         if tiles != (1, 1):
             raise ValueError("subsampling requires a single tile")
@@ -535,13 +547,16 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                     *(subsampling or {}).get(c, (1, 1)))
         for c in range(n_comp))
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
-    cod = struct.pack(">BBHBBBBBB", 0, 0, layers, mct, levels,
-                      cb_exp - 2, cb_exp - 2, cb_style,
-                      0 if lossy else 1)
+    prec_bytes = b"" if precincts is None else bytes(
+        px | (py << 4) for (px, py) in precincts)
+    cod = struct.pack(">BBHBBBBBB", 1 if precincts else 0, 0, layers,
+                      mct, levels, cb_exp - 2, cb_exp - 2, cb_style,
+                      0 if lossy else 1) + prec_bytes
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
     for ci, ce in sorted((coc_cbs or {}).items()):
-        spcoc = struct.pack(">BBBBBBB", ci, 0, levels, ce - 2, ce - 2,
-                            cb_style, 0 if lossy else 1)
+        spcoc = struct.pack(">BBBBBBB", ci, 1 if precincts else 0,
+                            levels, ce - 2, ce - 2,
+                            cb_style, 0 if lossy else 1) + prec_bytes
         out += b"\xff\x53" + struct.pack(">H", len(spcoc) + 2) + spcoc
     if lossy:  # scalar expounded: 16-bit (εb<<11 | μb) per subband
         qcd = bytes([(guard << 5) | 2]) + b"".join(
@@ -564,7 +579,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                for c in range(n_comp)]
         body = _encode_tile_body(comp_bands, levels, cbs,
                                  depth, guard, layers, tx0, ty0,
-                                 cb_style)
+                                 cb_style, precincts)
         psot = 12 + 2 + len(body)
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, isot, psot, 0, 1)
         out += b"\xff\x93" + body
@@ -575,122 +590,157 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
 def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
                       depth: int, guard: int, layers: int,
                       tx0: int = 0, ty0: int = 0,
-                      cb_style: int = 0) -> bytes:
-    """All packets of one tile in LRCP order.  With layers=2, codeblock
-    (bx+by+res) parity picks the layer; tag-tree state persists across
-    the layer packets exactly as the decoder replays it.  Codeblock
-    grids anchor at GLOBAL subband coordinates (tile origin >> level)."""
+                      cb_style: int = 0,
+                      precincts: list | None = None) -> bytes:
+    """All packets of one tile in LRCP order: one packet per (layer,
+    res, comp, precinct), precincts in raster order over the
+    resolution grid.  With layers=2, codeblock (bx+by+res) parity
+    picks the layer; tag-tree state (PER PRECINCT, B.6) persists
+    across the layer packets exactly as the decoder replays it.
+    Codeblock grids anchor at GLOBAL subband coordinates (tile origin
+    >> level) and clamp to the precinct size per B.7."""
     from ..pdfkernel.jpx import codeblock_grid
 
     n_comp = len(comp_bands)
-    # per (component, res, band): codeblock encodings + persistent state
+    prec = precincts or [(15, 15)] * (levels + 1)
+    # per (component, res, band): per-precinct codeblock encodings +
+    # persistent packet state; per (component, res): precinct grid
     state: dict = {}
+    prec_info: dict = {}
     for c in range(n_comp):
         for res in range(levels + 1):
+            ppx, ppy = prec[res]
+            pw, ph = 1 << ppx, 1 << ppy
             lvl = levels if res == 0 else levels - res + 1
             ox, oy = tx0 >> lvl, ty0 >> lvl
-            for name in (("LL",) if res == 0 else ("HL", "LH", "HH")):
+            names = ("LL",) if res == 0 else ("HL", "LH", "HH")
+            # resolution-grid dims for the precinct count
+            if res == 0:
+                h_r, w_r = comp_bands[c][(0, "LL")].shape
+                pwis, phis = pw, ph
+            else:
+                lo_y, hi_x = comp_bands[c][(res, "HL")].shape
+                hi_y, lo_x = comp_bands[c][(res, "LH")].shape
+                w_r, h_r = lo_x + hi_x, lo_y + hi_y
+                pwis, phis = pw >> 1, ph >> 1
+            s = levels - res
+            o_rx, o_ry = tx0 >> s, ty0 >> s
+            n_px = len(codeblock_grid(o_rx, w_r, pw))
+            n_py = len(codeblock_grid(o_ry, h_r, ph))
+            prec_info[(c, res)] = (n_px, n_py, o_rx // pw, o_ry // ph)
+            cbw = min(cb_sizes[c], pwis)
+            cbh = min(cb_sizes[c], phis)
+            for name in names:
                 arr = comp_bands[c][(res, name)]
                 bh, bw = arr.shape
                 if bw == 0 or bh == 0:
-                    state[(c, res, name)] = None
+                    state[(c, res, name)] = {}
                     continue
-                gx = codeblock_grid(ox, bw, cb_sizes[c])
-                gy = codeblock_grid(oy, bh, cb_sizes[c])
+                gx = codeblock_grid(ox, bw, cbw)
+                gy = codeblock_grid(oy, bh, cbh)
                 n_x, n_y = len(gx), len(gy)
                 mb = depth + _GAIN[name] + guard - 1
-                blocks = []
+                blocks = {}
                 layer_of = np.zeros((n_y, n_x), dtype=np.int32)
                 for by, (y0, bh_) in enumerate(gy):
                     for bx, (x0, bw_) in enumerate(gx):
                         block = arr[y0:y0 + bh_, x0:x0 + bw_]
-                        enc = t1_encode_block(block, name, mb,
-                                              flags=cb_style)
-                        blocks.append(enc)
+                        blocks[(by, bx)] = t1_encode_block(
+                            block, name, mb, flags=cb_style)
                         if layers > 1:
                             layer_of[by, bx] = (bx + by + res) % layers
-                # never-included blocks get inclusion value = layers
-                # (>= every threshold)
-                incl_vals = np.array(
-                    [[layer_of[yy, xx]
-                      if blocks[yy * n_x + xx] is not None else layers
-                      for xx in range(n_x)] for yy in range(n_y)],
-                    dtype=np.int32)
-                zbp_vals = np.array(
-                    [[blocks[yy * n_x + xx][1]
-                      if blocks[yy * n_x + xx] is not None else 0
-                      for xx in range(n_x)] for yy in range(n_y)],
-                    dtype=np.int32)
-                state[(c, res, name)] = {
-                    "n_x": n_x, "n_y": n_y, "blocks": blocks,
-                    "layer_of": layer_of,
-                    "incl": TagTreeEncoder(incl_vals),
-                    "zbp": TagTreeEncoder(zbp_vals),
-                    "lblock": np.full((n_y, n_x), 3, dtype=np.int32),
-                    "emitted": np.zeros((n_y, n_x), dtype=bool),
-                }
+                # partition into precinct cells (global anchoring)
+                cell_x = [(ox + x0) // pwis for (x0, _) in gx]
+                cell_y = [(oy + y0) // phis for (y0, _) in gy]
+                cells = {}
+                for cy in sorted(set(cell_y)):
+                    rows = [j for j, v in enumerate(cell_y) if v == cy]
+                    for cx in sorted(set(cell_x)):
+                        cols = [i for i, v in enumerate(cell_x)
+                                if v == cx]
+                        loc = [[blocks[(j, i)] for i in cols]
+                               for j in rows]
+                        p_y, p_x = len(rows), len(cols)
+                        # never-included blocks get inclusion value =
+                        # layers (>= every threshold)
+                        incl_vals = np.array(
+                            [[layer_of[rows[yy], cols[xx]]
+                              if loc[yy][xx] is not None else layers
+                              for xx in range(p_x)] for yy in range(p_y)],
+                            dtype=np.int32)
+                        zbp_vals = np.array(
+                            [[loc[yy][xx][1]
+                              if loc[yy][xx] is not None else 0
+                              for xx in range(p_x)] for yy in range(p_y)],
+                            dtype=np.int32)
+                        cells[(cy, cx)] = {
+                            "blocks": loc,
+                            "layer_of": layer_of[np.ix_(rows, cols)],
+                            "incl": TagTreeEncoder(incl_vals),
+                            "zbp": TagTreeEncoder(zbp_vals),
+                            "lblock": np.full((p_y, p_x), 3, np.int32),
+                            "emitted": np.zeros((p_y, p_x), bool),
+                        }
+                state[(c, res, name)] = cells
     packets = []
     for layer in range(layers):
         for res in range(levels + 1):
             for c in range(n_comp):
-                packets.append(_emit_packet(state, c, res, layer))
+                n_px, n_py, c0x, c0y = prec_info[(c, res)]
+                for p in range(n_px * n_py):
+                    cell = (c0y + p // n_px, c0x + p % n_px)
+                    packets.append(_emit_packet(state, c, res, layer,
+                                                cell))
     return b"".join(packets)
 
 
-def _emit_packet(state: dict, c: int, res: int, layer: int) -> bytes:
+def _emit_packet(state: dict, c: int, res: int, layer: int,
+                 cell: tuple[int, int] = (0, 0)) -> bytes:
     names = ("LL",) if res == 0 else ("HL", "LH", "HH")
-    any_data = False
-    for name in names:
-        sb = state[(c, res, name)]
-        if sb is None:
-            continue
-        lo = sb["layer_of"]
-        for by in range(sb["n_y"]):
-            for bx in range(sb["n_x"]):
-                blk = sb["blocks"][by * sb["n_x"] + bx]
-                if blk is not None and lo[by, bx] == layer:
-                    any_data = True
+    prs = [state[(c, res, name)].get(cell) for name in names]
+    any_data = any(
+        blk is not None and pr["layer_of"][by, bx] == layer
+        for pr in prs if pr is not None
+        for by, row in enumerate(pr["blocks"])
+        for bx, blk in enumerate(row))
     bw_ = _BitWriter()
     if not any_data:
         bw_.write(0)
         return bw_.finish()
     bw_.write(1)
     bodies = []
-    for name in names:
-        sb = state[(c, res, name)]
-        if sb is None:
+    for pr in prs:
+        if pr is None:
             continue
-        n_x, n_y = sb["n_x"], sb["n_y"]
-        lo = sb["layer_of"]
-        for by in range(n_y):
-            for bx in range(n_x):
-                blk = sb["blocks"][by * n_x + bx]
-                if sb["emitted"][by, bx]:
+        lo = pr["layer_of"]
+        for by, row in enumerate(pr["blocks"]):
+            for bx, blk in enumerate(row):
+                if pr["emitted"][by, bx]:
                     # included in an earlier layer: whole block was
                     # emitted there, so this layer contributes nothing
                     bw_.write(0)
                     continue
-                sb["incl"].encode(bx, by, layer + 1,
+                pr["incl"].encode(bx, by, layer + 1,
                                   lambda b: bw_.write(b))
                 if blk is None or lo[by, bx] != layer:
                     continue
-                sb["emitted"][by, bx] = True
+                pr["emitted"][by, bx] = True
                 data, zero_bp, n_passes, pieces = blk
-                sb["zbp"].encode_until_known(bx, by,
+                pr["zbp"].encode_until_known(bx, by,
                                              lambda b: bw_.write(b))
                 _write_passes(bw_, n_passes)
                 # one length per terminated piece, Lblock +
                 # floor(log2(piece passes)) bits each (B.10.7.5)
                 need = max(max(0, ln.bit_length() -
-                               (int(sb["lblock"][by, bx]) +
+                               (int(pr["lblock"][by, bx]) +
                                 k.bit_length() - 1))
                            for k, ln in pieces)
                 for _ in range(need):
                     bw_.write(1)
                 bw_.write(0)
-                sb["lblock"][by, bx] += need
+                pr["lblock"][by, bx] += need
                 for k, ln in pieces:
-                    bw_.write_bits(ln, int(sb["lblock"][by, bx]) +
+                    bw_.write_bits(ln, int(pr["lblock"][by, bx]) +
                                    k.bit_length() - 1)
                 bodies.append(data)
     return bw_.finish() + b"".join(bodies)

@@ -30,8 +30,13 @@ Component depths up to 16 bits decode at native precision; the
 default output matches the reference glue (right-shift to 8 bits),
 with full_precision=True returning uint16 samples.
 
-Raises JPXError for: custom precincts, non-chroma subsampling
-layouts, signed or mixed-depth components.
+Custom precincts (Scod/Scoc bit 0) are supported: per-resolution
+precinct grids with per-precinct tag trees and packet walks
+(LRCP/RLCP layer-interleaved, RPCL position-major), codeblock sizes
+clamped to the precinct per B.7.
+
+Raises JPXError for: non-chroma subsampling layouts, signed or
+mixed-depth components, PPM/PPT/POC/RGN marker segments.
 Callers absorb to decoded=False (multimodal stage contract).
 """
 
@@ -669,9 +674,27 @@ def codeblock_grid(origin: int, size: int, cb: int) -> list[tuple[int, int]]:
     return out
 
 
+class _Precinct:
+    """Per-precinct packet state: the sub-grid of codeblocks whose
+    subband coordinates fall in this precinct cell, with the cell's own
+    inclusion/zero-bitplane tag trees and Lblock array (B.6: tag trees
+    are per precinct, not per subband)."""
+
+    __slots__ = ("blocks", "incl_tree", "zbp_tree", "lblock")
+
+    def __init__(self, blocks: list):
+        self.blocks = blocks  # 2D [by][bx] of _Codeblock
+        n_y = max(1, len(blocks))
+        n_x = max(1, len(blocks[0]) if blocks else 0)
+        self.incl_tree = TagTree(n_x, n_y)
+        self.zbp_tree = TagTree(n_x, n_y)
+        self.lblock = np.full((n_y, n_x), 3, dtype=np.int32)
+
+
 class _Subband:
     def __init__(self, band: str, w: int, h: int, cb_w: int, cb_h: int,
-                 origin_x: int = 0, origin_y: int = 0):
+                 origin_x: int = 0, origin_y: int = 0,
+                 prec_w: int = 1 << 15, prec_h: int = 1 << 15):
         self.band = band
         self.w, self.h = w, h
         gx = codeblock_grid(origin_x, w, cb_w)
@@ -681,10 +704,19 @@ class _Subband:
         self.blocks = [
             [_Codeblock(x0, y0, bw, bh) for (x0, bw) in gx]
             for (y0, bh) in gy]
-        self.incl_tree = TagTree(max(1, self.n_cb_x), max(1, self.n_cb_y))
-        self.zbp_tree = TagTree(max(1, self.n_cb_x), max(1, self.n_cb_y))
-        self.lblock = np.full((max(1, self.n_cb_y), max(1, self.n_cb_x)), 3,
-                              dtype=np.int32)
+        # partition the codeblock grid into precinct cells (global
+        # anchoring: cell id = global subband coordinate // precinct
+        # size, which equals the resolution-grid cell id because the
+        # codeblock grid never straddles a precinct boundary, B.7)
+        cell_x = [(origin_x + x0) // prec_w for (x0, _) in gx]
+        cell_y = [(origin_y + y0) // prec_h for (y0, _) in gy]
+        self.precincts: dict[tuple[int, int], _Precinct] = {}
+        for cy in sorted(set(cell_y)):
+            rows = [j for j, v in enumerate(cell_y) if v == cy]
+            for cx in sorted(set(cell_x)):
+                cols = [i for i, v in enumerate(cell_x) if v == cx]
+                sub = [[self.blocks[j][i] for i in cols] for j in rows]
+                self.precincts[(cy, cx)] = _Precinct(sub)
 
 
 def _sizes_per_level(n: int, levels: int):
@@ -768,6 +800,21 @@ def _extract_codestream(data: bytes) -> bytes:
     raise JPXError("no contiguous codestream box found")
 
 
+def _parse_precincts(data: bytes, at: int,
+                     levels: int) -> list[tuple[int, int]]:
+    """Custom precinct-size bytes (A.6.1): one per resolution 0..levels,
+    PPx in the low nibble, PPy in the high.  Resolutions above 0 need
+    PP >= 1 (a subband precinct is at least one sample wide)."""
+    out = []
+    for r in range(levels + 1):
+        b = data[at + r]
+        ppx, ppy = b & 0xF, b >> 4
+        if r > 0 and (ppx == 0 or ppy == 0):
+            raise JPXError("precinct size below 2 at resolution > 0")
+        out.append((ppx, ppy))
+    return out
+
+
 def _parse_quant(data: bytes, at: int, nbytes: int) -> dict:
     """Sqcd/Sqcc + SPqcd/SPqcc body shared by QCD and QCC (A.6.4-5)."""
     sq = data[at]
@@ -834,8 +881,8 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
             cbh = 1 << ((data[body + 7] & 0xF) + 2)
             cb_style = data[body + 8]
             transform = data[body + 9]
-            if scod & 1:
-                raise JPXError("custom precincts are not supported")
+            prec = _parse_precincts(data, body + 10, levels) \
+                if scod & 1 else None
             if not 1 <= layers <= 1024:
                 raise JPXError(f"implausible layer count {layers}")
             if cb_style & ~0x3F:
@@ -845,24 +892,27 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
                 raise JPXError(f"unknown wavelet transform {transform}")
             cod = {"prog": prog, "mct": mct, "levels": levels,
                    "cbw": cbw, "cbh": cbh, "layers": layers,
-                   "transform": transform, "cb_style": cb_style}
+                   "transform": transform, "cb_style": cb_style,
+                   "prec": prec}
         elif marker == 0xFF5C:  # QCD
             qcd_exps = _parse_quant(data, body, length - 2)
         elif marker == 0xFF5D:  # QCC: per-component quantization
             qcc[data[body]] = _parse_quant(data, body + 1, length - 3)
         elif marker == 0xFF53:  # COC: per-component coding style
             scoc = data[body + 1]
-            if scoc & 1:
-                raise JPXError("custom precincts are not supported")
             if data[body + 5] & ~0x3F:
                 raise JPXError(f"unknown codeblock-style bits "
                                f"{data[body + 5]:#x}")
-            coc[data[body]] = {
+            entry = {
                 "levels": data[body + 2],
                 "cbw": 1 << ((data[body + 3] & 0xF) + 2),
                 "cbh": 1 << ((data[body + 4] & 0xF) + 2),
                 "cb_style": data[body + 5],
                 "transform": data[body + 6]}
+            if scoc & 1:  # only override COD's precincts when present
+                entry["prec"] = _parse_precincts(data, body + 7,
+                                                 data[body + 2])
+            coc[data[body]] = entry
         elif marker == 0xFF90:  # SOT
             isot = struct.unpack_from(">H", data, body)[0]
             psot = struct.unpack_from(">I", data, body + 2)[0]
@@ -998,56 +1048,106 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
     # subband coordinates anchor the codeblock grids); codeblock sizes
     # may differ per component via COC
     comp_bands = []
+    comp_prec = []  # per comp, per res: (n_px, n_py, cell0x, cell0y)
     for c in range(n_comp):
         ch, cw = tile_dims[c]
         xs = _sizes_per_level(cw, levels)
         ys = _sizes_per_level(ch, levels)
         cbw, cbh = cods[c]["cbw"], cods[c]["cbh"]
+        prec = cods[c].get("prec") or [(15, 15)] * (levels + 1)
+        if len(prec) < levels + 1:
+            raise JPXError("fewer precinct sizes than resolutions")
         bands = {}
-        ll_w = xs[-1][0] if levels else cw
-        ll_h = ys[-1][0] if levels else ch
-        bands[(0, "LL")] = _Subband("LL", ll_w, ll_h, cbw, cbh,
-                                    tx0 >> levels, ty0 >> levels)
-        for r in range(1, levels + 1):
-            lvl = levels - r + 1  # decomposition level of these bands
-            lo_x, hi_x = xs[lvl - 1]
-            lo_y, hi_y = ys[lvl - 1]
-            ox, oy = tx0 >> lvl, ty0 >> lvl
-            bands[(r, "HL")] = _Subband("HL", hi_x, lo_y, cbw, cbh, ox, oy)
-            bands[(r, "LH")] = _Subband("LH", lo_x, hi_y, cbw, cbh, ox, oy)
-            bands[(r, "HH")] = _Subband("HH", hi_x, hi_y, cbw, cbh, ox, oy)
+        pinfo = []
+        for r in range(levels + 1):
+            ppx, ppy = prec[r]
+            s = levels - r
+            # precinct partition lives on the resolution-r grid (B.6)
+            o_rx, o_ry = tx0 >> s, ty0 >> s
+            w_r = cw if s == 0 else xs[s - 1][0]
+            h_r = ch if s == 0 else ys[s - 1][0]
+            pw, ph = 1 << ppx, 1 << ppy
+            n_px = len(codeblock_grid(o_rx, w_r, pw))
+            n_py = len(codeblock_grid(o_ry, h_r, ph))
+            pinfo.append((n_px, n_py, o_rx // pw, o_ry // ph))
+            if r == 0:
+                # subband == resolution grid; codeblocks clamp to the
+                # precinct (B.7: xcb' = min(xcb, PPx))
+                cw_eff, ch_eff = min(cbw, pw), min(cbh, ph)
+                ll_w = xs[-1][0] if levels else cw
+                ll_h = ys[-1][0] if levels else ch
+                bands[(0, "LL")] = _Subband(
+                    "LL", ll_w, ll_h, cw_eff, ch_eff,
+                    tx0 >> levels, ty0 >> levels, pw, ph)
+            else:
+                lvl = levels - r + 1  # decomposition level of these bands
+                # subband coords are half the resolution grid's, so the
+                # precinct is 2^(PP-1) there (B.7: xcb' = min(xcb, PPx-1))
+                pwis, phis = pw >> 1, ph >> 1
+                cw_eff, ch_eff = min(cbw, pwis), min(cbh, phis)
+                lo_x, hi_x = xs[lvl - 1]
+                lo_y, hi_y = ys[lvl - 1]
+                ox, oy = tx0 >> lvl, ty0 >> lvl
+                bands[(r, "HL")] = _Subband("HL", hi_x, lo_y, cw_eff,
+                                            ch_eff, ox, oy, pwis, phis)
+                bands[(r, "LH")] = _Subband("LH", lo_x, hi_y, cw_eff,
+                                            ch_eff, ox, oy, pwis, phis)
+                bands[(r, "HH")] = _Subband("HH", hi_x, hi_y, cw_eff,
+                                            ch_eff, ox, oy, pwis, phis)
         comp_bands.append(bands)
-    # packet walk — default precincts (one per resolution): LRCP nests
-    # layer-outer, RLCP resolution-outer; with a single layer every
-    # supported progression collapses to the same r-major or c-major walk
+        comp_prec.append(pinfo)
+    # packet walk: one packet per (layer, resolution, component,
+    # precinct); precincts iterate in raster order over the resolution
+    # grid.  LRCP nests layer-outer, RLCP resolution-outer, RPCL orders
+    # position above component.
     layers = cod["layers"]
     prog = cod["prog"]
+
+    def nprec(c2, r2):
+        n_px, n_py = comp_prec[c2][r2][0], comp_prec[c2][r2][1]
+        return n_px * n_py
+
+    multi_prec = any(nprec(c2, r2) > 1 for c2 in range(n_comp)
+                     for r2 in range(levels + 1))
     order = []
     if prog == 0:  # LRCP
         for layer in range(layers):
             for r in range(levels + 1):
                 for c in range(n_comp):
-                    order.append((layer, r, c))
-    elif prog in (1, 2):  # RLCP / RPCL (identical with default precincts)
-        if prog == 2 and layers != 1:
-            raise JPXError("RPCL with multiple layers is not supported")
+                    for p in range(nprec(c, r)):
+                        order.append((layer, r, c, p))
+    elif prog == 1:  # RLCP
         for r in range(levels + 1):
             for layer in range(layers):
                 for c in range(n_comp):
-                    order.append((layer, r, c))
-    elif prog in (3, 4):  # PCRL / CPRL
+                    for p in range(nprec(c, r)):
+                        order.append((layer, r, c, p))
+    elif prog == 2:  # RPCL: position above component
         if layers != 1:
-            raise JPXError("PCRL/CPRL with multiple layers "
-                           "is not supported")
+            raise JPXError("RPCL with multiple layers is not supported")
+        for r in range(levels + 1):
+            if any(comp_prec[c2][r] != comp_prec[0][r]
+                   for c2 in range(n_comp)):
+                raise JPXError("RPCL needs matching precinct grids "
+                               "across components")
+            for p in range(nprec(0, r)):
+                for c in range(n_comp):
+                    order.append((0, r, c, p))
+    elif prog in (3, 4):  # PCRL / CPRL
+        if layers != 1 or multi_prec:
+            raise JPXError("PCRL/CPRL with multiple layers or "
+                           "precincts is not supported")
         for c in range(n_comp):
             for r in range(levels + 1):
-                order.append((0, r, c))
+                order.append((0, r, c, 0))
     else:
         raise JPXError(f"unknown progression order {prog}")
     pos = 0
-    for layer, r, c in order:
+    for layer, r, c, p in order:
+        n_px, n_py, c0x, c0y = comp_prec[c][r]
+        cell = (c0y + p // n_px, c0x + p % n_px)
         pos = _parse_packet(body, pos, comp_bands[c], r, layer,
-                            style=cods[c]["cb_style"])
+                            style=cods[c]["cb_style"], cell=cell)
     # T1-decode every codeblock, assemble subbands, inverse DWT
     lossy = cod["transform"] == 0
     comps = []
@@ -1097,17 +1197,19 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
 
 
 def _parse_packet(body: bytes, pos: int, bands: dict, r: int,
-                  layer: int, style: int = 0) -> int:
+                  layer: int, style: int = 0,
+                  cell: tuple[int, int] = (0, 0)) -> int:
     br = _BitReader(body, pos)
     if not br.read():  # empty packet
         return br.align()
     band_names = ("LL",) if r == 0 else ("HL", "LH", "HH")
     contributions = []
     for name in band_names:
-        sb = bands[(r, name)]
-        for by in range(sb.n_cb_y):
-            for bx in range(sb.n_cb_x):
-                cb = sb.blocks[by][bx]
+        pr = bands[(r, name)].precincts.get(cell)
+        if pr is None:  # this band has no samples in the precinct
+            continue
+        for by, row in enumerate(pr.blocks):
+            for bx, cb in enumerate(row):
                 if cb.included:
                     # already included in an earlier layer: 1 bit says
                     # whether this layer contributes
@@ -1115,19 +1217,19 @@ def _parse_packet(body: bytes, pos: int, bands: dict, r: int,
                         continue
                 else:
                     # first-inclusion tag tree at threshold layer+1
-                    if not sb.incl_tree.decode(bx, by, layer + 1, br.read):
+                    if not pr.incl_tree.decode(bx, by, layer + 1, br.read):
                         continue
                     cb.included = True
                     # first inclusion: zero bitplanes via tag tree
                     t = 1
-                    while not sb.zbp_tree.decode(bx, by, t, br.read):
+                    while not pr.zbp_tree.decode(bx, by, t, br.read):
                         t += 1
-                    cb.zero_bp = sb.zbp_tree.value(bx, by)
+                    cb.zero_bp = pr.zbp_tree.value(bx, by)
                 first_pass = cb.num_passes
                 n_passes = _parse_passes(br)
                 cb.num_passes += n_passes
                 while br.read():
-                    sb.lblock[by, bx] += 1
+                    pr.lblock[by, bx] += 1
                 # one length per terminated piece, Lblock +
                 # floor(log2(piece passes)) bits each (B.10.7.5);
                 # without termination this is the single whole-
@@ -1135,7 +1237,7 @@ def _parse_packet(body: bytes, pos: int, bands: dict, r: int,
                 pieces = []
                 for k in _contribution_pieces(style, first_pass,
                                               n_passes):
-                    nbits = int(sb.lblock[by, bx]) + \
+                    nbits = int(pr.lblock[by, bx]) + \
                         int(k).bit_length() - 1
                     length = 0
                     for _ in range(nbits):
