@@ -693,6 +693,84 @@ def oracle_sql() -> dict[str, str]:
                   IN ('0', '1', '2', '3')
             ORDER BY doc_id
         """,
+        "t_langid": """
+            WITH toks AS (
+                SELECT lang,
+                       list_slice(list_transform(
+                           regexp_extract_all(text, '[a-zA-Z]+'),
+                           w -> lower(w)), 1, 200) AS ws
+                FROM documents),
+            scored AS (
+                SELECT lang, len(ws) AS nw,
+                       CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                           len(list_filter(ws, w -> w IN
+                               ('the','a','of','and','to','in','is',
+                                'it','that','for')))::DOUBLE / len(ws)
+                           END AS s_en,
+                       CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                           len(list_filter(ws, w -> w IN
+                               ('le','la','de','et','un','une','est',
+                                'que','pour','dans')))::DOUBLE / len(ws)
+                           END AS s_fr,
+                       CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                           len(list_filter(ws, w -> w IN
+                               ('el','la','de','y','un','una','es',
+                                'que','por','en')))::DOUBLE / len(ws)
+                           END AS s_es,
+                       CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                           len(list_filter(ws, w -> w IN
+                               ('der','die','das','und','ein','eine',
+                                'ist','zu','mit','von')))::DOUBLE / len(ws)
+                           END AS s_de
+                FROM toks),
+            pred AS (
+                SELECT lang,
+                       CASE WHEN nw = 0 OR
+                                 GREATEST(s_en, s_fr, s_es, s_de) <= 0.02
+                            THEN 'unknown'
+                            WHEN s_en = GREATEST(s_en, s_fr, s_es, s_de)
+                            THEN 'en'
+                            WHEN s_fr = GREATEST(s_en, s_fr, s_es, s_de)
+                            THEN 'fr'
+                            WHEN s_es = GREATEST(s_en, s_fr, s_es, s_de)
+                            THEN 'es'
+                            ELSE 'de' END AS pred_lang
+                FROM scored)
+            SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+        """,
+        "d_simhash": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS w
+                FROM documents),
+            hashed AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+                FROM words),
+            bits AS (
+                SELECT doc_id, k.k AS k,
+                       SUM(CASE WHEN (h >> k.k) & 1 = 1
+                                THEN 1 ELSE -1 END) AS acc
+                FROM hashed
+                CROSS JOIN (SELECT unnest(range(64)) AS k) k
+                GROUP BY doc_id, k.k),
+            vals AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN acc > 0 AND k < 32
+                                THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+                       SUM(CASE WHEN acc > 0 AND k >= 32
+                                THEN (1::BIGINT << (k - 32))
+                                ELSE 0 END) AS hi
+                FROM bits GROUP BY doc_id)
+            SELECT d.doc_id,
+                   printf('%08x%08x',
+                          CAST(COALESCE(v.hi, 0) AS BIGINT),
+                          CAST(COALESCE(v.lo, 0) AS BIGINT)) AS simhash
+            FROM documents d LEFT JOIN vals v USING (doc_id)
+            ORDER BY doc_id
+        """,
         "d_exact_dedup": """
             SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id,
                    count(*) AS group_size

@@ -297,17 +297,25 @@ def d_minhash_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 class SimHasher:
+    """64-bit simhash over word tokens.  The token hash is the FIRST 8
+    bytes of md5 (big-endian) so the whole operator is expressible in
+    ANSI SQL — the DuckDB oracle in __ray_entry__.oracle_sql()
+    recomputes it bit-for-bit (md5 → hex-parse → per-bit vote)."""
+
     def __init__(self, bits: int = 64):
         self.bits = bits
+        self._k = np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
-        acc = np.zeros(self.bits, dtype=np.int64)
-        for w in _WORD.findall((text or "").lower()):
-            h = struct.unpack("<Q", hashlib.blake2b(w.encode(), digest_size=8).digest())[0]
-            bits = np.unpackbits(np.frombuffer(struct.pack("<Q", h), dtype=np.uint8))
-            acc += bits.astype(np.int64) * 2 - 1
-        out = np.packbits((acc > 0).astype(np.uint8))
-        return struct.unpack("<Q", out.tobytes())[0]
+        words = _WORD.findall((text or "").lower())
+        if not words:
+            return 0
+        hs = np.array([int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+                       for w in words], dtype=np.uint64)
+        # bit k votes +1 when set, -1 when clear, over every occurrence
+        votes = ((hs[:, None] >> self._k) & np.uint64(1)).astype(np.int64)
+        acc = 2 * votes.sum(axis=0) - len(words)
+        return int(((acc > 0).astype(np.uint64) << self._k).sum())
 
     def __call__(self, t: pa.Table) -> pa.Table:
         hs = [self.simhash(x) for x in t.column("text").to_pylist()]

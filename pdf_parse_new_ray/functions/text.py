@@ -107,7 +107,8 @@ def t_quality_scores(sf_dir: str) -> pd.DataFrame:
 
 
 # language-ID heuristic: stopword hit-rate per language (n-gram-free,
-# deterministic).  Not SQL-expressible → rows-only driver check.
+# deterministic; the DuckDB oracle recomputes it exactly — first-200-
+# token slice, per-language ratio, earlier-language tie-break).
 _STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
     "fr": {"le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"},

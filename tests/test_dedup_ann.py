@@ -610,3 +610,35 @@ def test_window_join_variants_exact(ray_session):
         .drop_duplicates("user_id", keep="first")
     assert firsts["prev_type"].isna().all()
     assert lag["gap_us"].dropna().ge(0).all()
+
+def test_simhash_and_langid_oracled(ray_session):
+    """d_simhash (md5-token 64-bit simhash) and t_langid (stopword-ratio
+    language ID) equal their DuckDB oracles exactly — these two flipped
+    from rows-only to fully SQL-oracled; simhash also keeps its
+    near-dup property (planted paraphrase pairs land within a small
+    hamming distance, unrelated texts far apart)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from pdf_parse_new_ray.functions import dedup
+    from pdf_parse_new_ray.functions import text as tx
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    sqls = entry.oracle_sql()
+    for name, fn in (("d_simhash", dedup.d_simhash),
+                     ("t_langid", tx.t_langid)):
+        out = fn(sf)
+        ora = con.execute(sqls[name]).fetchdf()
+        assert len(out) > 0
+        pd.testing.assert_frame_equal(
+            out.sort_index(axis=1), ora.sort_index(axis=1),
+            check_dtype=False), name
+    h = dedup.SimHasher()
+    a = h.simhash("the quick brown fox jumps over the lazy dog again")
+    b = h.simhash("the quick brown fox leaps over the lazy dog again")
+    c = h.simhash("completely unrelated text about parquet shuffles")
+    assert bin(a ^ b).count("1") < bin(a ^ c).count("1")
+    assert h.simhash("") == 0
