@@ -7,8 +7,10 @@ here (or in the library) calls ``ray.init``/``ray.shutdown``.
 - ``queries()``: one callable per implemented operator (SURVEY.md §2 +
   training-data-pipeline additions); each takes ``sf_dir``.
 - ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query
-  (same column names and rounding); non-SQL ops (extraction, minhash,
-  simhash, lang-id, LSH-ANN) are rows-only checked by design.
+  (same column names and rounding) — including the MinHash/LSH family,
+  simhash and lang-id, whose hashes are md5-derived precisely so DuckDB
+  can recompute them; non-SQL ops (PDF extraction, media decode,
+  seeded-hyperplane ANN) are rows-only checked by design.
 """
 
 from __future__ import annotations
@@ -821,6 +823,61 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt c JOIN dim d ON c.label = d.label
             GROUP BY c.label, c.n_vectors ORDER BY c.label
         """,
-        # t_langid, d_minhash_pairs, d_simhash, d_ngram_jaccard, e_knn_lsh,
-        # x_extract_* are not SQL-expressible → rows-only.
+        # The MinHash family is SQL-expressible because the gram hash is
+        # md5-derived (dedup._gram_hash64) and the permutation constants
+        # are embedded as HUGEINT literals — dedup.oracle_ctes() rebuilds
+        # the signature → band → star-capped-pair chain bit-for-bit.
+        "d_minhash_pairs": f"""
+            WITH {dedup.oracle_ctes(0.5)}
+            SELECT a, b, est_jaccard FROM minhash_pairs ORDER BY a, b
+        """,
+        "d_ngram_jaccard": f"""
+            WITH {dedup.oracle_ctes(0.2)},
+            cdocs AS (
+                SELECT DISTINCT a AS doc_id FROM minhash_pairs
+                UNION SELECT DISTINCT b FROM minhash_pairs),
+            cgrams AS (
+                SELECT DISTINCT w.doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+                FROM words w JOIN cdocs USING (doc_id),
+                     unnest(range(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 3
+                UNION
+                SELECT DISTINCT w.doc_id, array_to_string(ws, ' ')
+                FROM words w JOIN cdocs USING (doc_id)
+                WHERE len(ws) < 3),
+            cghash AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS gh
+                FROM cgrams),
+            sizes AS (SELECT doc_id, count(*) AS n FROM cghash GROUP BY doc_id),
+            inters AS (
+                SELECT p.a, p.b, count(*) AS inter
+                FROM minhash_pairs p
+                JOIN cghash ga ON ga.doc_id = p.a
+                JOIN cghash gb ON gb.doc_id = p.b AND gb.gh = ga.gh
+                GROUP BY p.a, p.b)
+            SELECT i.a, i.b,
+                   i.inter::DOUBLE / greatest(1, na.n + nb.n - i.inter)::DOUBLE
+                       AS jaccard
+            FROM inters i
+            JOIN sizes na ON na.doc_id = i.a
+            JOIN sizes nb ON nb.doc_id = i.b
+            WHERE jaccard >= 0.3 ORDER BY a, b
+        """,
+        "d_dup_clusters": f"""
+            WITH RECURSIVE {dedup.oracle_ctes(0.5)},
+            edges AS MATERIALIZED (
+                SELECT a AS u, b AS v FROM minhash_pairs
+                UNION ALL SELECT b, a FROM minhash_pairs),
+            reach(doc_id, r) AS (
+                SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT e.u, re.r FROM edges e JOIN reach re ON re.doc_id = e.v)
+            SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        # e_knn_lsh/e_knn_ivf (seeded-hyperplane ANN), m_* (media decode)
+        # and x_extract_* (PDF extraction) are not SQL-expressible →
+        # rows-only.
     }

@@ -37,6 +37,93 @@ def _content_hash(text: str) -> str:
     return hashlib.md5((text or "").encode("utf-8")).hexdigest()
 
 
+def _gram_hash64(gram: str) -> int:
+    """64-bit gram hash = first 8 bytes of md5, big-endian — the same
+    value DuckDB computes as ('0x' || substr(md5(g), 1, 16))::UBIGINT,
+    which is what makes the MinHash/Jaccard family SQL-oracle-able."""
+    return int(hashlib.md5(gram.encode()).hexdigest()[:16], 16)
+
+
+def oracle_ctes(threshold: float) -> str:
+    """DuckDB CTE chain recomputing the MinHash+LSH candidate pipeline
+    bit-for-bit: md5-based 64-bit gram hashes, the 64 seeded permutations
+    as HUGEINT literals with numpy's mod-2^64 wraparound spelled out,
+    band grouping by signature-chunk equality (the blake2b bucket key only
+    renames the group), and the BUCKET_PAIR_CAP star fallback.  Ends with
+    ``minhash_pairs(a, b, est_jaccard)`` — est values are exact multiples
+    of 1/64 in both engines, so the driver's value hash matches with no
+    rounding.  The hot CTEs carry MATERIALIZED: the chain is referenced
+    several times downstream and DuckDB would otherwise re-inline (and
+    re-run) the whole signature computation per reference."""
+    mh = _TASK_MINHASHER.get("default")
+    if mh is None:
+        mh = _TASK_MINHASHER["default"] = MinHasher()
+    perms = ",\n                ".join(
+        f"({i}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+        for i, (a, b) in enumerate(zip(mh.a, mh.b)))
+    two64 = 1 << 64
+    return f"""
+        perms(i, a, b) AS (VALUES
+                {perms}),
+        words AS MATERIALIZED (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+            FROM words, unnest(range(1, len(ws) - 1)) AS t(i)
+            WHERE len(ws) >= 3
+            UNION
+            SELECT DISTINCT doc_id, array_to_string(ws, ' ')
+            FROM words WHERE len(ws) BETWEEN 1 AND 2),
+        ghash AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(gram), 1, 16))::UBIGINT::HUGEINT AS gh
+            FROM grams),
+        sigg AS (
+            SELECT doc_id, p.i,
+                   min(((gh * p.a) % {two64}::HUGEINT + p.b)
+                       % {two64}::HUGEINT % {_MERSENNE}) AS s
+            FROM ghash CROSS JOIN perms p GROUP BY doc_id, p.i),
+        sig AS MATERIALIZED (
+            SELECT d.doc_id, p.i,
+                   COALESCE(sg.s, {_MERSENNE}::HUGEINT) AS s
+            FROM (SELECT doc_id FROM documents) d
+            CROSS JOIN perms p
+            LEFT JOIN sigg sg ON sg.doc_id = d.doc_id AND sg.i = p.i),
+        bands AS (
+            SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+                   band::VARCHAR || ':' ||
+                   array_to_string(list(s ORDER BY i), ',') AS bkey
+            FROM sig GROUP BY doc_id, i // {ROWS_PER_BAND}),
+        gstats AS (
+            SELECT bkey, count(*) AS n, min(doc_id) AS mn
+            FROM bands GROUP BY bkey),
+        cpairs AS (
+            SELECT DISTINCT a, b FROM (
+                SELECT c1.doc_id AS a, c2.doc_id AS b
+                FROM bands c1
+                JOIN bands c2 USING (bkey)
+                JOIN gstats g USING (bkey)
+                WHERE g.n <= {BUCKET_PAIR_CAP} AND c1.doc_id < c2.doc_id
+                UNION ALL
+                SELECT g.mn, c.doc_id
+                FROM bands c JOIN gstats g USING (bkey)
+                WHERE g.n > {BUCKET_PAIR_CAP} AND c.doc_id > g.mn)),
+        est AS (
+            SELECT p.a, p.b,
+                   avg(CASE WHEN sa.s = sb.s THEN 1.0 ELSE 0.0 END)
+                       AS est_jaccard
+            FROM cpairs p
+            JOIN sig sa ON sa.doc_id = p.a
+            JOIN sig sb ON sb.doc_id = p.b AND sb.i = sa.i
+            GROUP BY p.a, p.b),
+        minhash_pairs AS MATERIALIZED (
+            SELECT a, b, est_jaccard FROM est
+            WHERE est_jaccard >= {threshold})"""
+
+
 # ---------------------------------------------------------------------------
 # exact dedup: hash → groupby(hash) → keep min(doc_id)
 # ---------------------------------------------------------------------------
@@ -101,8 +188,7 @@ class MinHasher:
             grams = {" ".join(words)} if words else set()
         else:
             grams = {" ".join(words[i:i + self.k]) for i in range(len(words) - self.k + 1)}
-        return {struct.unpack("<Q", hashlib.blake2b(g.encode(), digest_size=8).digest())[0]
-                for g in grams}
+        return {_gram_hash64(g) for g in grams}
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)
@@ -287,8 +373,9 @@ def d_minhash_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         print(f"d_minhash_pairs: {n_capped} pairs came from capped hot buckets "
               f"(star fallback, cap={BUCKET_PAIR_CAP})")
     df = df.drop(columns=["capped"])
+    # est values are exact multiples of 1/N_PERM (dyadic rationals), so
+    # they hash identically to the oracle's AVG without any rounding
     df = df[df["est_jaccard"] >= threshold]
-    df["est_jaccard"] = df["est_jaccard"].round(6)
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -362,8 +449,7 @@ def d_ngram_jaccard(sf_dir: str, threshold: float = 0.3, k: int = 3) -> pd.DataF
             ws = _WORD.findall((text or "").lower())
             gs = ({" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
                   if len(ws) >= k else {" ".join(ws)})
-            hs = {struct.unpack("<Q", hashlib.blake2b(
-                g.encode(), digest_size=8).digest())[0] for g in gs}
+            hs = {_gram_hash64(g) for g in gs}
             out.append(np.sort(np.fromiter(hs, dtype=np.uint64, count=len(hs))))
         return pa.table({
             "doc_id": t.column("doc_id"),
@@ -391,11 +477,14 @@ def d_ngram_jaccard(sf_dir: str, threshold: float = 0.3, k: int = 3) -> pd.DataF
             ga = np.asarray(ga, dtype=np.uint64)
             gb = np.asarray(gb, dtype=np.uint64)
             inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            # one IEEE float64 division — identical to the oracle's
+            # inter::DOUBLE / greatest(1, |A|+|B|-inter), so the value
+            # hashes bit-for-bit with no rounding step
             j = inter / max(1, len(ga) + len(gb) - inter)
             if j >= threshold:
                 a_out.append(a)
                 b_out.append(b)
-                j_out.append(round(j, 6))
+                j_out.append(j)
         return pa.table({"a": pa.array(a_out, pa.int64()),
                          "b": pa.array(b_out, pa.int64()),
                          "jaccard": pa.array(j_out, pa.float64())})
