@@ -877,7 +877,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id
             ORDER BY doc_id
         """,
-        # e_knn_lsh/e_knn_ivf (seeded-hyperplane ANN), m_* (media decode)
-        # and x_extract_* (PDF extraction) are not SQL-expressible →
-        # rows-only.
+        "e_knn_lsh": ann.oracle_sql_knn_lsh(),
+        # e_knn_ivf (trained k-means quantizer — iterative float means no
+        # static SQL reproduces), m_* (media decode) and x_extract_*
+        # (PDF extraction) are not SQL-expressible → rows-only.
     }

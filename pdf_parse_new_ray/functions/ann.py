@@ -221,8 +221,10 @@ def e_knn_lsh(sf_dir: str, n_queries: int = 5, k: int = 5,
     driver merge of k x n_queries rows."""
     q_ids, q = _query_matrix(sf_dir, n_queries)
     signer = LshSigner(dim=q.shape[1], n_planes=n_planes, n_tables=n_tables)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-    q_codes = signer.sign(qn)
+    # sign the RAW query vectors — sign(q·p) is scale-invariant, and using
+    # the same unnormalized input as the data side keeps the bucket codes
+    # reproducible by the SQL oracle's list_inner_product chain
+    q_codes = signer.sign(q)
     ref = ray.put((q_ids, q))
 
     local = _emb(sf_dir).map_batches(
@@ -248,6 +250,52 @@ def e_knn_lsh(sf_dir: str, n_queries: int = 5, k: int = 5,
     out["nn_rank"] = out.groupby("query_id").cumcount() + 1
     out["cosine"] = out["cosine"].round(6)
     return out[["query_id", "nn_rank", "vec_id", "cosine"]]
+
+
+def oracle_sql_knn_lsh(n_queries: int = 5, k: int = 5,
+                       n_planes: int = 3, n_tables: int = 12) -> str:
+    """DuckDB oracle recomputing e_knn_lsh bit-for-bit: the seeded
+    hyperplanes are embedded as DOUBLE[] literals (repr() round-trips
+    exactly), bucket codes are sign bits of list_inner_product against
+    them, the any-table collision mask prunes the cross join, and
+    ranking/rounding mirror the Ray path (order by unrounded cosine,
+    then vec_id; round(6) at output).  e_knn_ivf stays rows-only: its
+    coarse quantizer is TRAINED (iterative float k-means), so no static
+    SQL can reproduce it."""
+    signer = LshSigner(dim=64, n_planes=n_planes, n_tables=n_tables)
+
+    def plane_lit(vec: np.ndarray) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+    code_exprs = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product(e, {plane_lit(signer.planes[t][p])}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes))
+        code_exprs.append(f"({bits}) AS code{t}")
+    codes = ",\n                   ".join(code_exprs)
+    any_collide = " OR ".join(f"v.code{t} = q.code{t}" for t in range(n_tables))
+    return f"""
+        WITH codes AS MATERIALIZED (
+            SELECT vec_id, e,
+                   {codes}
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings)),
+        q AS (SELECT * FROM codes ORDER BY vec_id LIMIT {n_queries}),
+        scored AS (
+            SELECT q.vec_id AS query_id, v.vec_id,
+                   list_cosine_similarity(q.e, v.e) AS cos
+            FROM q JOIN codes v
+              ON v.vec_id <> q.vec_id AND ({any_collide}))
+        SELECT query_id, nn_rank, vec_id, cosine FROM (
+            SELECT query_id, vec_id, round(cos, 6) AS cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS nn_rank
+            FROM scored
+        ) WHERE nn_rank <= {k}
+        ORDER BY query_id, nn_rank
+    """
 
 
 # ---------------------------------------------------------------------------
