@@ -418,7 +418,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                coc_cbs: dict[int, int] | None = None,
                subsampling: dict[int, tuple[int, int]] | None = None,
                cb_style: int = 0, depth: int = 8,
-               precincts=None) -> bytes:
+               precincts=None, prog: int = 0) -> bytes:
     """img: (h, w) or (h, w, 3) uint8 → raw JPEG2000 codestream
     (LRCP; lossless 5/3 by default).  layers=2 assigns each codeblock
     wholly to a quality layer (alternating) to exercise multi-layer
@@ -549,7 +549,9 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
     prec_bytes = b"" if precincts is None else bytes(
         px | (py << 4) for (px, py) in precincts)
-    cod = struct.pack(">BBHBBBBBB", 1 if precincts else 0, 0, layers,
+    if not 0 <= prog <= 4:
+        raise ValueError("progression order must be 0..4")
+    cod = struct.pack(">BBHBBBBBB", 1 if precincts else 0, prog, layers,
                       mct, levels, cb_exp - 2, cb_exp - 2, cb_style,
                       0 if lossy else 1) + prec_bytes
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
@@ -579,7 +581,9 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                for c in range(n_comp)]
         body = _encode_tile_body(comp_bands, levels, cbs,
                                  depth, guard, layers, tx0, ty0,
-                                 cb_style, precincts)
+                                 cb_style, precincts, prog=prog,
+                                 sub=[(subsampling or {}).get(c, (1, 1))
+                                      for c in range(n_comp)])
         psot = 12 + 2 + len(body)
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, isot, psot, 0, 1)
         out += b"\xff\x93" + body
@@ -591,15 +595,17 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
                       depth: int, guard: int, layers: int,
                       tx0: int = 0, ty0: int = 0,
                       cb_style: int = 0,
-                      precincts: list | None = None) -> bytes:
-    """All packets of one tile in LRCP order: one packet per (layer,
-    res, comp, precinct), precincts in raster order over the
-    resolution grid.  With layers=2, codeblock (bx+by+res) parity
-    picks the layer; tag-tree state (PER PRECINCT, B.6) persists
+                      precincts: list | None = None,
+                      prog: int = 0,
+                      sub: list | None = None) -> bytes:
+    """All packets of one tile in the COD progression's order (shared
+    B.12 iterator with the decoder — jpx.packet_order): one packet per
+    (layer, res, comp, precinct).  With layers=2, codeblock (bx+by+res)
+    parity picks the layer; tag-tree state (PER PRECINCT, B.6) persists
     across the layer packets exactly as the decoder replays it.
     Codeblock grids anchor at GLOBAL subband coordinates (tile origin
     >> level) and clamp to the precinct size per B.7."""
-    from ..pdfkernel.jpx import codeblock_grid
+    from ..pdfkernel.jpx import codeblock_grid, packet_order
 
     n_comp = len(comp_bands)
     prec = precincts or [(15, 15)] * (levels + 1)
@@ -627,7 +633,12 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
             o_rx, o_ry = tx0 >> s, ty0 >> s
             n_px = len(codeblock_grid(o_rx, w_r, pw))
             n_py = len(codeblock_grid(o_ry, h_r, ph))
-            prec_info[(c, res)] = (n_px, n_py, o_rx // pw, o_ry // ph)
+            dx, dy = (sub or [(1, 1)] * n_comp)[c]
+            prec_info[(c, res)] = {
+                "n_px": n_px, "n_py": n_py,
+                "c0x": o_rx // pw, "c0y": o_ry // ph,
+                "pw": pw, "ph": ph, "o_rx": o_rx, "o_ry": o_ry,
+                "dx": dx, "dy": dy}
             cbw = min(cb_sizes[c], pwis)
             cbh = min(cb_sizes[c], phis)
             for name in names:
@@ -683,14 +694,12 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
                         }
                 state[(c, res, name)] = cells
     packets = []
-    for layer in range(layers):
-        for res in range(levels + 1):
-            for c in range(n_comp):
-                n_px, n_py, c0x, c0y = prec_info[(c, res)]
-                for p in range(n_px * n_py):
-                    cell = (c0y + p // n_px, c0x + p % n_px)
-                    packets.append(_emit_packet(state, c, res, layer,
-                                                cell))
+    pinfo = [[prec_info[(c, res)] for res in range(levels + 1)]
+             for c in range(n_comp)]
+    for layer, res, c, p in packet_order(prog, layers, levels, pinfo):
+        q = prec_info[(c, res)]
+        cell = (q["c0y"] + p // q["n_px"], q["c0x"] + p % q["n_px"])
+        packets.append(_emit_packet(state, c, res, layer, cell))
     return b"".join(packets)
 
 

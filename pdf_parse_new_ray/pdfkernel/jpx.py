@@ -540,12 +540,19 @@ def idwt97(ll: np.ndarray, bands: list) -> np.ndarray:
 
 
 def inverse_ict(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
-    """Irreversible color transform inverse (T.800 G.3)."""
+    """Irreversible color transform inverse (T.800 G.3).
+
+    Constants and op order follow the reference decoder's
+    opj_mct_decode_real (0.34413f / 0.71414f — openjpeg's historic
+    5-digit truncations, NOT the spec's 0.344136/0.714136): with the
+    6-digit constants, G values landing within ~1e-4 of an exact .5
+    round differently (~1 pixel per 10^3 at coarse quantization;
+    found by the randomized three-way sweep in tests/test_jpx.py)."""
     y = np.asarray(y, np.float32)
     cb = np.asarray(cb, np.float32)
     cr = np.asarray(cr, np.float32)
     r = y + np.float32(1.402) * cr
-    g = y - np.float32(0.344136) * cb - np.float32(0.714136) * cr
+    g = (y - np.float32(0.34413) * cb) - np.float32(0.71414) * cr
     b = y + np.float32(1.772) * cb
     return r, g, b
 
@@ -717,6 +724,52 @@ class _Subband:
                 cols = [i for i, v in enumerate(cell_x) if v == cx]
                 sub = [[self.blocks[j][i] for i in cols] for j in rows]
                 self.precincts[(cy, cx)] = _Precinct(sub)
+
+
+def packet_order(prog: int, layers: int, levels: int,
+                 pinfo: list) -> list:
+    """T.800 B.12 packet sequence for one tile, all five progressions.
+
+    pinfo: per component, per resolution r, a dict with the precinct
+    grid (n_px, n_py), the absolute cell indices of its origin
+    (c0x, c0y), the precinct size on the resolution-r grid (pw, ph),
+    the resolution-grid tile origin (o_rx, o_ry) and the component
+    subsampling (dx, dy).  Returns [(layer, r, c, p)] in codestream
+    order.
+
+    The position-dependent progressions (RPCL/PCRL/CPRL) order packets
+    by the precinct's upper-left sample on the REFERENCE grid —
+    max(cell*pw, o_rx) << (levels-r) scaled by the component sampling —
+    which reproduces the reference decoder's nested position loops
+    (openjpeg pi.c opj_pi_next_rpcl/pcrl/cprl) including edge precincts
+    that start mid-cell, without the trial-division walk."""
+    n_comp = len(pinfo)
+    entries = []
+    for c in range(n_comp):
+        for r in range(levels + 1):
+            q = pinfo[c][r]
+            n_px, n_py = q["n_px"], q["n_py"]
+            s = levels - r
+            for p in range(n_px * n_py):
+                cx = q["c0x"] + p % n_px
+                cy = q["c0y"] + p // n_px
+                x_ref = q["dx"] * (max(cx * q["pw"], q["o_rx"]) << s)
+                y_ref = q["dy"] * (max(cy * q["ph"], q["o_ry"]) << s)
+                for layer in range(layers):
+                    entries.append((layer, r, c, p, x_ref, y_ref))
+    if prog == 0:    # LRCP
+        key = lambda e: (e[0], e[1], e[2], e[3])        # noqa: E731
+    elif prog == 1:  # RLCP
+        key = lambda e: (e[1], e[0], e[2], e[3])        # noqa: E731
+    elif prog == 2:  # RPCL
+        key = lambda e: (e[1], e[5], e[4], e[2], e[0])  # noqa: E731
+    elif prog == 3:  # PCRL
+        key = lambda e: (e[5], e[4], e[2], e[1], e[0])  # noqa: E731
+    elif prog == 4:  # CPRL
+        key = lambda e: (e[2], e[5], e[4], e[1], e[0])  # noqa: E731
+    else:
+        raise JPXError(f"unknown progression order {prog}")
+    return [(e[0], e[1], e[2], e[3]) for e in sorted(entries, key=key)]
 
 
 def _sizes_per_level(n: int, levels: int):
@@ -998,7 +1051,8 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
             tile_dims = [comp_dims[c] if subsampled else (th, tw)
                          for c in range(n_comp)]
             comps = _decode_tile(b"".join(parts), tile_dims, n_comp,
-                                 cods, qcds, x0, y0, depth=depth)
+                                 cods, qcds, x0, y0, depth=depth,
+                                 sub=sub)
             for c in range(n_comp):
                 ch_, cw_ = comps[c].shape
                 full[c][y0:y0 + ch_, x0:x0 + cw_] = comps[c]
@@ -1041,7 +1095,7 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
 
 def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
                  qcds: list, tx0: int = 0, ty0: int = 0,
-                 depth: int = 8) -> list:
+                 depth: int = 8, sub: list | None = None) -> list:
     cod = cods[0]  # levels/layers/prog/transform are uniform (enforced)
     levels = cod["levels"]
     # per component: build subband structures (band origins in global
@@ -1069,7 +1123,11 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
             pw, ph = 1 << ppx, 1 << ppy
             n_px = len(codeblock_grid(o_rx, w_r, pw))
             n_py = len(codeblock_grid(o_ry, h_r, ph))
-            pinfo.append((n_px, n_py, o_rx // pw, o_ry // ph))
+            dx, dy = (sub or [(1, 1)] * n_comp)[c]
+            pinfo.append({"n_px": n_px, "n_py": n_py,
+                          "c0x": o_rx // pw, "c0y": o_ry // ph,
+                          "pw": pw, "ph": ph, "o_rx": o_rx,
+                          "o_ry": o_ry, "dx": dx, "dy": dy})
             if r == 0:
                 # subband == resolution grid; codeblocks clamp to the
                 # precinct (B.7: xcb' = min(xcb, PPx))
@@ -1097,55 +1155,14 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
         comp_bands.append(bands)
         comp_prec.append(pinfo)
     # packet walk: one packet per (layer, resolution, component,
-    # precinct); precincts iterate in raster order over the resolution
-    # grid.  LRCP nests layer-outer, RLCP resolution-outer, RPCL orders
-    # position above component.
+    # precinct) in the COD progression's order (B.12, all five,
+    # position-dependent ones by reference-grid precinct corner)
     layers = cod["layers"]
-    prog = cod["prog"]
-
-    def nprec(c2, r2):
-        n_px, n_py = comp_prec[c2][r2][0], comp_prec[c2][r2][1]
-        return n_px * n_py
-
-    multi_prec = any(nprec(c2, r2) > 1 for c2 in range(n_comp)
-                     for r2 in range(levels + 1))
-    order = []
-    if prog == 0:  # LRCP
-        for layer in range(layers):
-            for r in range(levels + 1):
-                for c in range(n_comp):
-                    for p in range(nprec(c, r)):
-                        order.append((layer, r, c, p))
-    elif prog == 1:  # RLCP
-        for r in range(levels + 1):
-            for layer in range(layers):
-                for c in range(n_comp):
-                    for p in range(nprec(c, r)):
-                        order.append((layer, r, c, p))
-    elif prog == 2:  # RPCL: position above component
-        if layers != 1:
-            raise JPXError("RPCL with multiple layers is not supported")
-        for r in range(levels + 1):
-            if any(comp_prec[c2][r] != comp_prec[0][r]
-                   for c2 in range(n_comp)):
-                raise JPXError("RPCL needs matching precinct grids "
-                               "across components")
-            for p in range(nprec(0, r)):
-                for c in range(n_comp):
-                    order.append((0, r, c, p))
-    elif prog in (3, 4):  # PCRL / CPRL
-        if layers != 1 or multi_prec:
-            raise JPXError("PCRL/CPRL with multiple layers or "
-                           "precincts is not supported")
-        for c in range(n_comp):
-            for r in range(levels + 1):
-                order.append((0, r, c, 0))
-    else:
-        raise JPXError(f"unknown progression order {prog}")
+    order = packet_order(cod["prog"], layers, levels, comp_prec)
     pos = 0
     for layer, r, c, p in order:
-        n_px, n_py, c0x, c0y = comp_prec[c][r]
-        cell = (c0y + p // n_px, c0x + p % n_px)
+        q = comp_prec[c][r]
+        cell = (q["c0y"] + p // q["n_px"], q["c0x"] + p % q["n_px"])
         pos = _parse_packet(body, pos, comp_bands[c], r, layer,
                             style=cods[c]["cb_style"], cell=cell)
     # T1-decode every codeblock, assemble subbands, inverse DWT

@@ -108,6 +108,46 @@ def test_differential_vs_openjpeg():
             assert np.array_equal(mine, img)
 
 
+@pytest.mark.skipif(not _ref_available(), reason="node/reference unavailable")
+def test_all_progression_orders_vs_openjpeg():
+    """All five B.12 progressions (LRCP/RLCP/RPCL/PCRL/CPRL) through the
+    position-based shared iterator (jpx.packet_order): multi-layer +
+    custom precincts, per-component precinct grids under 4:2:0
+    subsampling, multi-tile, and a coarse-quantized lossy case — each
+    decoded identically by our decoder and the reference's openjpeg
+    wasm (the wasm's pi.c position loops are the ground truth for the
+    RPCL/PCRL/CPRL corner ordering)."""
+    from jpx_ref import ref_decode
+
+    rng = np.random.default_rng(7)
+    for prog in range(5):
+        img = rng.integers(0, 256, (37, 45, 3)).astype(np.uint8)
+        img3 = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+        img4 = rng.integers(0, 256, (29, 26, 3)).astype(np.uint8)
+        img5 = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+        cases = [
+            (img, dict(levels=2, layers=2, precincts=[6, 7, 7],
+                       cb_exp=4, prog=prog), True),
+            (img3, dict(levels=2, rct=False,
+                        subsampling={1: (2, 2), 2: (2, 2)},
+                        precincts=[6, 6, 7], cb_exp=4, prog=prog), False),
+            (img4, dict(levels=2, layers=3, lossy=True, quant_mant=256,
+                        precincts=[6, 6, 6], cb_exp=4, prog=prog), False),
+            (img5, dict(levels=2, layers=2, tiles=(2, 2),
+                        precincts=[6, 6, 6], cb_exp=4, prog=prog), True),
+        ]
+        for src, kw, lossless in cases:
+            cs = encode_jpx(src, **kw)
+            h, w = src.shape[:2]
+            ref = np.frombuffer(ref_decode(cs),
+                                dtype=np.uint8).reshape(h, w, 4)
+            mine = decode_jpx(cs)
+            assert np.array_equal(ref[..., :3], mine), \
+                f"prog={prog} kw={kw}"
+            if lossless:
+                assert np.array_equal(mine, src)
+
+
 def test_unsupported_features_reject():
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (9, 9)).astype(np.uint8)
