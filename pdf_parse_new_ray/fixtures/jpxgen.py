@@ -418,7 +418,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                coc_cbs: dict[int, int] | None = None,
                subsampling: dict[int, tuple[int, int]] | None = None,
                cb_style: int = 0, depth: int = 8,
-               precincts=None, prog: int = 0) -> bytes:
+               precincts=None, prog: int = 0,
+               sop: bool = False, eph: bool = False) -> bytes:
     """img: (h, w) or (h, w, 3) uint8 → raw JPEG2000 codestream
     (LRCP; lossless 5/3 by default).  layers=2 assigns each codeblock
     wholly to a quality layer (alternating) to exercise multi-layer
@@ -551,7 +552,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
         px | (py << 4) for (px, py) in precincts)
     if not 0 <= prog <= 4:
         raise ValueError("progression order must be 0..4")
-    cod = struct.pack(">BBHBBBBBB", 1 if precincts else 0, prog, layers,
+    scod = (1 if precincts else 0) | (2 if sop else 0) | (4 if eph else 0)
+    cod = struct.pack(">BBHBBBBBB", scod, prog, layers,
                       mct, levels, cb_exp - 2, cb_exp - 2, cb_style,
                       0 if lossy else 1) + prec_bytes
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
@@ -583,7 +585,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                                  depth, guard, layers, tx0, ty0,
                                  cb_style, precincts, prog=prog,
                                  sub=[(subsampling or {}).get(c, (1, 1))
-                                      for c in range(n_comp)])
+                                      for c in range(n_comp)],
+                                 sop=sop, eph=eph)
         psot = 12 + 2 + len(body)
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, isot, psot, 0, 1)
         out += b"\xff\x93" + body
@@ -597,7 +600,8 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
                       cb_style: int = 0,
                       precincts: list | None = None,
                       prog: int = 0,
-                      sub: list | None = None) -> bytes:
+                      sub: list | None = None,
+                      sop: bool = False, eph: bool = False) -> bytes:
     """All packets of one tile in the COD progression's order (shared
     B.12 iterator with the decoder — jpx.packet_order): one packet per
     (layer, res, comp, precinct).  With layers=2, codeblock (bx+by+res)
@@ -696,17 +700,23 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
     packets = []
     pinfo = [[prec_info[(c, res)] for res in range(levels + 1)]
              for c in range(n_comp)]
-    for layer, res, c, p in packet_order(prog, layers, levels, pinfo):
+    for nsop, (layer, res, c, p) in enumerate(
+            packet_order(prog, layers, levels, pinfo)):
         q = prec_info[(c, res)]
         cell = (q["c0y"] + p // q["n_px"], q["c0x"] + p % q["n_px"])
-        packets.append(_emit_packet(state, c, res, layer, cell))
+        pk = _emit_packet(state, c, res, layer, cell, eph=eph)
+        if sop:  # A.8.1: FF91, Lsop=4, per-tile packet counter mod 2^16
+            pk = b"\xff\x91\x00\x04" + struct.pack(">H", nsop & 0xFFFF) + pk
+        packets.append(pk)
     return b"".join(packets)
 
 
 def _emit_packet(state: dict, c: int, res: int, layer: int,
-                 cell: tuple[int, int] = (0, 0)) -> bytes:
+                 cell: tuple[int, int] = (0, 0),
+                 eph: bool = False) -> bytes:
     names = ("LL",) if res == 0 else ("HL", "LH", "HH")
     prs = [state[(c, res, name)].get(cell) for name in names]
+    eph_m = b"\xff\x92" if eph else b""
     any_data = any(
         blk is not None and pr["layer_of"][by, bx] == layer
         for pr in prs if pr is not None
@@ -715,7 +725,7 @@ def _emit_packet(state: dict, c: int, res: int, layer: int,
     bw_ = _BitWriter()
     if not any_data:
         bw_.write(0)
-        return bw_.finish()
+        return bw_.finish() + eph_m
     bw_.write(1)
     bodies = []
     for pr in prs:
@@ -752,7 +762,7 @@ def _emit_packet(state: dict, c: int, res: int, layer: int,
                     bw_.write_bits(ln, int(pr["lblock"][by, bx]) +
                                    k.bit_length() - 1)
                 bodies.append(data)
-    return bw_.finish() + b"".join(bodies)
+    return bw_.finish() + eph_m + b"".join(bodies)
 
 
 def _qcd_gains(levels: int):

@@ -946,7 +946,10 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
             cod = {"prog": prog, "mct": mct, "levels": levels,
                    "cbw": cbw, "cbh": cbh, "layers": layers,
                    "transform": transform, "cb_style": cb_style,
-                   "prec": prec}
+                   "prec": prec, "sop": bool(scod & 2),
+                   "eph": bool(scod & 4)}
+            if scod & ~0x07:
+                raise JPXError(f"unknown Scod bits {scod:#x}")
         elif marker == 0xFF5C:  # QCD
             qcd_exps = _parse_quant(data, body, length - 2)
         elif marker == 0xFF5D:  # QCC: per-component quantization
@@ -1164,7 +1167,8 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
         q = comp_prec[c][r]
         cell = (q["c0y"] + p // q["n_px"], q["c0x"] + p % q["n_px"])
         pos = _parse_packet(body, pos, comp_bands[c], r, layer,
-                            style=cods[c]["cb_style"], cell=cell)
+                            style=cods[c]["cb_style"], cell=cell,
+                            sop=cod["sop"], eph=cod["eph"])
     # T1-decode every codeblock, assemble subbands, inverse DWT
     lossy = cod["transform"] == 0
     comps = []
@@ -1215,10 +1219,23 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
 
 def _parse_packet(body: bytes, pos: int, bands: dict, r: int,
                   layer: int, style: int = 0,
-                  cell: tuple[int, int] = (0, 0)) -> int:
+                  cell: tuple[int, int] = (0, 0),
+                  sop: bool = False, eph: bool = False) -> int:
+    if sop and body[pos:pos + 2] == b"\xff\x91":
+        # SOP segment (A.8.1): marker, Lsop=4, Nsop — informative; the
+        # marker is optional per packet even when Scod declares it
+        pos += 6
+
+    def _eph(p: int) -> int:
+        if not eph:
+            return p
+        if body[p:p + 2] != b"\xff\x92":
+            raise JPXError("expected EPH marker after packet header")
+        return p + 2
+
     br = _BitReader(body, pos)
     if not br.read():  # empty packet
-        return br.align()
+        return _eph(br.align())
     band_names = ("LL",) if r == 0 else ("HL", "LH", "HH")
     contributions = []
     for name in band_names:
@@ -1261,7 +1278,7 @@ def _parse_packet(body: bytes, pos: int, bands: dict, r: int,
                         length = (length << 1) | br.read()
                     pieces.append((k, length))
                 contributions.append((cb, pieces))
-    pos = br.align()
+    pos = _eph(br.align())
     for cb, pieces in contributions:
         for k, length in pieces:
             cb.chunks.append((k, body[pos:pos + length]))

@@ -148,6 +148,33 @@ def test_all_progression_orders_vs_openjpeg():
                 assert np.array_equal(mine, src)
 
 
+@pytest.mark.skipif(not _ref_available(), reason="node/reference unavailable")
+def test_sop_eph_markers_vs_openjpeg():
+    """Scod SOP/EPH marker segments (A.8.1/A.8.2): in-bitstream resync
+    markers real encoders (Kakadu, openjpeg) commonly emit.  The
+    decoder skips SOP segments and validates EPH placement after every
+    packet header, including empty packets; three-way exact vs the
+    reference wasm."""
+    from jpx_ref import ref_decode
+
+    rng = np.random.default_rng(11)
+    for sop, eph in [(True, False), (False, True), (True, True)]:
+        img = rng.integers(0, 256, (30, 41, 3)).astype(np.uint8)
+        cs = encode_jpx(img, levels=2, layers=2, precincts=[6, 7, 7],
+                        cb_exp=4, sop=sop, eph=eph)
+        ref = np.frombuffer(ref_decode(cs),
+                            dtype=np.uint8).reshape(30, 41, 4)
+        mine = decode_jpx(cs)
+        assert np.array_equal(ref[..., :3], mine)
+        assert np.array_equal(mine, img)
+    # a stream claiming EPH but missing the marker must reject cleanly
+    cs = bytearray(encode_jpx(img, levels=1))
+    cod_at = bytes(cs).find(b"\xff\x52")
+    cs[cod_at + 4] |= 4  # flip Scod EPH bit without adding markers
+    with pytest.raises(JPXError):
+        decode_jpx(bytes(cs))
+
+
 def test_unsupported_features_reject():
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (9, 9)).astype(np.uint8)
