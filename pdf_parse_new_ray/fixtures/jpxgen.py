@@ -419,7 +419,9 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                subsampling: dict[int, tuple[int, int]] | None = None,
                cb_style: int = 0, depth: int = 8,
                precincts=None, prog: int = 0,
-               sop: bool = False, eph: bool = False) -> bytes:
+               sop: bool = False, eph: bool = False,
+               roi_rect: tuple[int, int, int, int] | None = None,
+               roi_shift: int | None = None) -> bytes:
     """img: (h, w) or (h, w, 3) uint8 → raw JPEG2000 codestream
     (LRCP; lossless 5/3 by default).  layers=2 assigns each codeblock
     wholly to a quality layer (alternating) to exercise multi-layer
@@ -540,6 +542,51 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 msb = int(np.abs(arr).max()).bit_length()
                 guard = max(guard, msb - (depth + _GAIN[name]) + 1)
     guard = min(guard, 7)
+    # maxshift ROI (T.800 Annex H / E.1.2): scale the quantized ROI
+    # coefficients up by 2^SPrgn, with SPrgn at least the background's
+    # magnitude bitplane count so the decoder can separate the two by
+    # threshold alone.  The per-band mask is the image rect scaled to
+    # subband coordinates.  Mb gains SPrgn (H.2: Mb = G + eps_b - 1 +
+    # SPrgn) — carried into the T1 encode via roi_shifts, NOT the QCD
+    # exponents.
+    roi_shifts = [0] * n_comp
+    if roi_rect is not None:
+        rx0, ry0, rx1, ry1 = roi_rect
+        # +1: the reference decoder thresholds its t1-scale values
+        # (2·mag+1), so the background separates only when
+        # 2·max_bg+1 < 2^s — one bit more than coefficient-scale
+        # maxshift would need
+        s_auto = 2
+        for comp_bands in tile_planes:
+            for bands in comp_bands:
+                for (res, name), arr in bands.items():
+                    if arr.size:
+                        s_auto = max(
+                            s_auto,
+                            int(np.abs(arr).max()).bit_length() + 1)
+        s = s_auto if roi_shift is None else roi_shift
+        if s < s_auto:
+            raise ValueError(f"roi_shift {s} below background "
+                             f"bitplanes {s_auto}")
+        roi_shifts = [s] * n_comp
+        for ti, comp_bands in enumerate(tile_planes):
+            tx0 = (ti % n_tx) * xt
+            ty0 = (ti // n_tx) * yt
+            for ci, bands in enumerate(comp_bands):
+                dx_, dy_ = (subsampling or {}).get(ci, (1, 1))
+                for (res, name), arr in bands.items():
+                    if arr.size == 0:
+                        continue
+                    lvl = levels if res == 0 else levels - res + 1
+                    # band-local rect: image coords → component coords
+                    # → subband coords at this level, tile-relative
+                    bx0 = max(0, (rx0 // dx_ >> lvl) - (tx0 // dx_ >> lvl))
+                    by0 = max(0, (ry0 // dy_ >> lvl) - (ty0 // dy_ >> lvl))
+                    bx1 = max(0, (-(-rx1 // dx_) + (1 << lvl) - 1 >> lvl)
+                              - (tx0 // dx_ >> lvl))
+                    by1 = max(0, (-(-ry1 // dy_) + (1 << lvl) - 1 >> lvl)
+                              - (ty0 // dy_ >> lvl))
+                    arr[by0:by1, bx0:bx1] <<= s
     # markers
     out = bytearray(b"\xff\x4f")  # SOC
     siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, n_comp)
@@ -576,6 +623,9 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 struct.pack(">H", ((depth + g) << 11) | m)
                 for g in _qcd_gains(levels))
             out += b"\xff\x5d" + struct.pack(">H", len(qb) + 2) + qb
+    for ci, s in enumerate(roi_shifts):
+        if s:  # RGN (A.6.3): Crgn, Srgn=0 (implicit/maxshift), SPrgn
+            out += b"\xff\x5e" + struct.pack(">HBBB", 5, ci, 0, s)
     for isot, comp_bands in enumerate(tile_planes):
         tx0 = (isot % n_tx) * xt
         ty0 = (isot // n_tx) * yt
@@ -586,7 +636,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                                  cb_style, precincts, prog=prog,
                                  sub=[(subsampling or {}).get(c, (1, 1))
                                       for c in range(n_comp)],
-                                 sop=sop, eph=eph)
+                                 sop=sop, eph=eph, roi_shifts=roi_shifts)
         psot = 12 + 2 + len(body)
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, isot, psot, 0, 1)
         out += b"\xff\x93" + body
@@ -601,7 +651,8 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
                       precincts: list | None = None,
                       prog: int = 0,
                       sub: list | None = None,
-                      sop: bool = False, eph: bool = False) -> bytes:
+                      sop: bool = False, eph: bool = False,
+                      roi_shifts: list | None = None) -> bytes:
     """All packets of one tile in the COD progression's order (shared
     B.12 iterator with the decoder — jpx.packet_order): one packet per
     (layer, res, comp, precinct).  With layers=2, codeblock (bx+by+res)
@@ -654,7 +705,8 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
                 gx = codeblock_grid(ox, bw, cbw)
                 gy = codeblock_grid(oy, bh, cbh)
                 n_x, n_y = len(gx), len(gy)
-                mb = depth + _GAIN[name] + guard - 1
+                mb = depth + _GAIN[name] + guard - 1 + \
+                    (roi_shifts or [0] * n_comp)[c]
                 blocks = {}
                 layer_of = np.zeros((n_y, n_x), dtype=np.int32)
                 for by, (y0, bh_) in enumerate(gy):

@@ -895,6 +895,7 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
     qcd_exps = None
     coc: dict[int, dict] = {}
     qcc: dict[int, dict] = {}
+    roi: dict[int, int] = {}
     tile_data: dict[int, list] = {}
     n = len(data)
     while pos + 4 <= n:
@@ -980,11 +981,15 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
             tile_data.setdefault(isot, []).append(data[sod + 2:tile_end])
             pos = tile_end
             continue
+        elif marker == 0xFF5E:  # RGN: maxshift ROI (A.6.3 / Annex H)
+            if data[body + 1] != 0:
+                raise JPXError("only Srgn=0 (implicit ROI) is supported")
+            roi[data[body]] = data[body + 2]
         elif marker in (0xFF64, 0xFF55, 0xFF57, 0xFF58, 0xFF63):
             pass  # COM / TLM / PLM / PLT / CRG: informative only
-        elif marker in (0xFF5E, 0xFF5F, 0xFF60, 0xFF61):
+        elif marker in (0xFF5F, 0xFF60, 0xFF61):
             raise JPXError(
-                "RGN/POC/PPM/PPT marker segments are not supported")
+                "POC/PPM/PPT marker segments are not supported")
         else:
             raise JPXError(f"unsupported marker {marker:#x}")
         pos = body + length - 2
@@ -1055,7 +1060,7 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
                          for c in range(n_comp)]
             comps = _decode_tile(b"".join(parts), tile_dims, n_comp,
                                  cods, qcds, x0, y0, depth=depth,
-                                 sub=sub)
+                                 sub=sub, roi=roi)
             for c in range(n_comp):
                 ch_, cw_ = comps[c].shape
                 full[c][y0:y0 + ch_, x0:x0 + cw_] = comps[c]
@@ -1098,7 +1103,8 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
 
 def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
                  qcds: list, tx0: int = 0, ty0: int = 0,
-                 depth: int = 8, sub: list | None = None) -> list:
+                 depth: int = 8, sub: list | None = None,
+                 roi: dict | None = None) -> list:
     cod = cods[0]  # levels/layers/prog/transform are uniform (enforced)
     levels = cod["levels"]
     # per component: build subband structures (band origins in global
@@ -1190,7 +1196,18 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
                 exp = exps[band_index] if band_index < len(exps) \
                     else exps[-1]
                 mant = mants[band_index] if style == 2 else 0
-            mb = exp + guard_bits - 1
+            # maxshift ROI raises Mb by SPrgn (Annex H).  The reference
+            # decoder applies the 2^SPrgn threshold to its INTERNAL T1
+            # representation — 2·mag+1, one fractional bit with the
+            # trailing half set for every nonzero sample — then halves
+            # with C truncation (reversible) or multiplies by
+            # stepsize/2 (irreversible).  Replicated exactly on the
+            # t1-scale values so arbitrary streams (including ones
+            # whose background crosses the t1-scale threshold) decode
+            # identically to that engine; verified three-way in
+            # tests/test_jpx.py.
+            r_s = (roi or {}).get(c, 0)
+            mb = exp + guard_bits - 1 + r_s
             arr = np.zeros((sb.h, sb.w), dtype=np.int64)
             for row in sb.blocks:
                 for cb in row:
@@ -1200,6 +1217,21 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
                         cb.chunks, cb.w, cb.h, name, cb.zero_bp,
                         cb.num_passes, mb, flags=cods[c]["cb_style"])
                     arr[cb.y0:cb.y0 + cb.h, cb.x0:cb.x0 + cb.w] = coeffs
+            if r_s:
+                mag = np.abs(arr)
+                t = 2 * mag + (mag > 0)          # t1 scale, half set
+                t = np.where(t >= (1 << r_s), t >> r_s, t)
+                sign = np.sign(arr).astype(np.int64)
+                if lossy:
+                    gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[name]
+                    step = dequant_stepsize(exp, mant, depth + gain)
+                    arrays[(r, name)] = (
+                        sign.astype(np.float32)
+                        * (t.astype(np.float32) * np.float32(0.5))
+                        * np.float32(step)).astype(np.float32)
+                else:
+                    arrays[(r, name)] = sign * (t >> 1)
+                continue
             if lossy:
                 gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[name]
                 step = dequant_stepsize(exp, mant, depth + gain)

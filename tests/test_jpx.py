@@ -175,6 +175,45 @@ def test_sop_eph_markers_vs_openjpeg():
         decode_jpx(bytes(cs))
 
 
+@pytest.mark.skipif(not _ref_available(), reason="node/reference unavailable")
+def test_rgn_maxshift_roi_vs_openjpeg():
+    """RGN maxshift ROI (A.6.3 / Annex H): the encoder scales ROI
+    coefficients by 2^SPrgn and the decoder separates them back by
+    threshold — applied to the reference decoder's t1-scale values
+    (2·mag+1, trailing half bit), which is one bit stricter than the
+    coefficient-scale spec reading and was pinned empirically against
+    the wasm.  Lossless partial/whole-image ROI, multi-tile, and a
+    lossy case: three-way exact."""
+    from jpx_ref import ref_decode
+
+    rng = np.random.default_rng(13)
+    cases = [
+        ((33, 40, 3), dict(levels=2, cb_exp=4, roi_rect=(8, 8, 24, 20))),
+        ((32, 32), dict(levels=1, cb_exp=4, roi_rect=(8, 8, 24, 24))),
+        ((40, 56, 3), dict(levels=2, tiles=(2, 2), cb_exp=4,
+                           roi_rect=(10, 6, 30, 30))),
+        ((30, 41, 3), dict(levels=2, lossy=True, quant_mant=200,
+                           cb_exp=4, roi_rect=(5, 5, 20, 25))),
+    ]
+    for shape, kw in cases:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        cs = encode_jpx(img, **kw)
+        h, w = shape[:2]
+        ref = np.frombuffer(ref_decode(cs), dtype=np.uint8).reshape(h, w, 4)
+        refc = ref[..., 0] if img.ndim == 2 else ref[..., :3]
+        mine = decode_jpx(cs)
+        assert np.array_equal(refc, mine), kw
+        if not kw.get("lossy"):
+            assert np.array_equal(mine, img), kw
+    # Srgn != 0 (explicit ROI) must reject cleanly
+    cs = bytearray(encode_jpx(img[..., 0], levels=1,
+                              roi_rect=(0, 0, 10, 10)))
+    at = bytes(cs).find(b"\xff\x5e")
+    cs[at + 5] = 1
+    with pytest.raises(JPXError):
+        decode_jpx(bytes(cs))
+
+
 def test_unsupported_features_reject():
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (9, 9)).astype(np.uint8)
