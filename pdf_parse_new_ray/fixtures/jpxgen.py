@@ -421,7 +421,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                precincts=None, prog: int = 0,
                sop: bool = False, eph: bool = False,
                roi_rect: tuple[int, int, int, int] | None = None,
-               roi_shift: int | None = None) -> bytes:
+               roi_shift: int | None = None,
+               poc: list | None = None) -> bytes:
     """img: (h, w) or (h, w, 3) uint8 → raw JPEG2000 codestream
     (LRCP; lossless 5/3 by default).  layers=2 assigns each codeblock
     wholly to a quality layer (alternating) to exercise multi-layer
@@ -604,6 +605,10 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                       mct, levels, cb_exp - 2, cb_exp - 2, cb_style,
                       0 if lossy else 1) + prec_bytes
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
+    if poc:  # A.6.6: (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc) each
+        pb = b"".join(struct.pack(">BBHBBB", rs, cs_, lye, re_, ce, pp)
+                      for rs, cs_, lye, re_, ce, pp in poc)
+        out += b"\xff\x5f" + struct.pack(">H", len(pb) + 2) + pb
     for ci, ce in sorted((coc_cbs or {}).items()):
         spcoc = struct.pack(">BBBBBBB", ci, 1 if precincts else 0,
                             levels, ce - 2, ce - 2,
@@ -636,7 +641,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                                  cb_style, precincts, prog=prog,
                                  sub=[(subsampling or {}).get(c, (1, 1))
                                       for c in range(n_comp)],
-                                 sop=sop, eph=eph, roi_shifts=roi_shifts)
+                                 sop=sop, eph=eph, roi_shifts=roi_shifts,
+                                 poc=poc)
         psot = 12 + 2 + len(body)
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, isot, psot, 0, 1)
         out += b"\xff\x93" + body
@@ -652,7 +658,8 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
                       prog: int = 0,
                       sub: list | None = None,
                       sop: bool = False, eph: bool = False,
-                      roi_shifts: list | None = None) -> bytes:
+                      roi_shifts: list | None = None,
+                      poc: list | None = None) -> bytes:
     """All packets of one tile in the COD progression's order (shared
     B.12 iterator with the decoder — jpx.packet_order): one packet per
     (layer, res, comp, precinct).  With layers=2, codeblock (bx+by+res)
@@ -752,8 +759,15 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
     packets = []
     pinfo = [[prec_info[(c, res)] for res in range(levels + 1)]
              for c in range(n_comp)]
-    for nsop, (layer, res, c, p) in enumerate(
-            packet_order(prog, layers, levels, pinfo)):
+    order = packet_order(prog, layers, levels, pinfo, poc=poc)
+    if poc:
+        # fixture validity: the POC segments must cover every packet —
+        # the decode iterators read exactly what they produce
+        total = layers * sum(q["n_px"] * q["n_py"]
+                             for cp in pinfo for q in cp)
+        if len(order) != total:
+            raise ValueError(f"POC covers {len(order)} of {total} packets")
+    for nsop, (layer, res, c, p) in enumerate(order):
         q = prec_info[(c, res)]
         cell = (q["c0y"] + p // q["n_px"], q["c0x"] + p % q["n_px"])
         pk = _emit_packet(state, c, res, layer, cell, eph=eph)

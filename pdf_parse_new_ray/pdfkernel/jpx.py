@@ -726,9 +726,26 @@ class _Subband:
                 self.precincts[(cy, cx)] = _Precinct(sub)
 
 
+def _prog_key(prog: int):
+    """Sort key over (layer, r, c, p, x_ref, y_ref) entries for one
+    B.12 progression."""
+    if prog == 0:    # LRCP
+        return lambda e: (e[0], e[1], e[2], e[3])
+    if prog == 1:    # RLCP
+        return lambda e: (e[1], e[0], e[2], e[3])
+    if prog == 2:    # RPCL
+        return lambda e: (e[1], e[5], e[4], e[2], e[0])
+    if prog == 3:    # PCRL
+        return lambda e: (e[5], e[4], e[2], e[1], e[0])
+    if prog == 4:    # CPRL
+        return lambda e: (e[2], e[5], e[4], e[1], e[0])
+    raise JPXError(f"unknown progression order {prog}")
+
+
 def packet_order(prog: int, layers: int, levels: int,
-                 pinfo: list) -> list:
-    """T.800 B.12 packet sequence for one tile, all five progressions.
+                 pinfo: list, poc: list | None = None) -> list:
+    """T.800 B.12 packet sequence for one tile, all five progressions,
+    with optional POC progression-order changes.
 
     pinfo: per component, per resolution r, a dict with the precinct
     grid (n_px, n_py), the absolute cell indices of its origin
@@ -742,7 +759,13 @@ def packet_order(prog: int, layers: int, levels: int,
     max(cell*pw, o_rx) << (levels-r) scaled by the component sampling —
     which reproduces the reference decoder's nested position loops
     (openjpeg pi.c opj_pi_next_rpcl/pcrl/cprl) including edge precincts
-    that start mid-cell, without the trial-division walk."""
+    that start mid-cell, without the trial-division walk.
+
+    poc: [(RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc)] from an A.6.6
+    POC marker.  Each segment iterates its own progression over
+    resolutions [RSpoc, REpoc) x components [CSpoc, CEpoc) x layers
+    [0, LYEpoc); packets emitted by an earlier segment are skipped
+    (the reference decoder's shared include bitmap, pi.c)."""
     n_comp = len(pinfo)
     entries = []
     for c in range(n_comp):
@@ -757,19 +780,20 @@ def packet_order(prog: int, layers: int, levels: int,
                 y_ref = q["dy"] * (max(cy * q["ph"], q["o_ry"]) << s)
                 for layer in range(layers):
                     entries.append((layer, r, c, p, x_ref, y_ref))
-    if prog == 0:    # LRCP
-        key = lambda e: (e[0], e[1], e[2], e[3])        # noqa: E731
-    elif prog == 1:  # RLCP
-        key = lambda e: (e[1], e[0], e[2], e[3])        # noqa: E731
-    elif prog == 2:  # RPCL
-        key = lambda e: (e[1], e[5], e[4], e[2], e[0])  # noqa: E731
-    elif prog == 3:  # PCRL
-        key = lambda e: (e[5], e[4], e[2], e[1], e[0])  # noqa: E731
-    elif prog == 4:  # CPRL
-        key = lambda e: (e[2], e[5], e[4], e[1], e[0])  # noqa: E731
-    else:
-        raise JPXError(f"unknown progression order {prog}")
-    return [(e[0], e[1], e[2], e[3]) for e in sorted(entries, key=key)]
+    if not poc:
+        return [(e[0], e[1], e[2], e[3])
+                for e in sorted(entries, key=_prog_key(prog))]
+    include: set = set()
+    out = []
+    for rs, cs_, lye, re_, ce, pp in poc:
+        seg = [e for e in entries
+               if rs <= e[1] < re_ and cs_ <= e[2] < ce and e[0] < lye]
+        for e in sorted(seg, key=_prog_key(pp)):
+            ident = e[:4]
+            if ident not in include:
+                include.add(ident)
+                out.append(ident)
+    return out
 
 
 def _sizes_per_level(n: int, levels: int):
@@ -896,6 +920,7 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
     coc: dict[int, dict] = {}
     qcc: dict[int, dict] = {}
     roi: dict[int, int] = {}
+    poc_segs: list | None = None
     tile_data: dict[int, list] = {}
     n = len(data)
     while pos + 4 <= n:
@@ -985,11 +1010,33 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
             if data[body + 1] != 0:
                 raise JPXError("only Srgn=0 (implicit ROI) is supported")
             roi[data[body]] = data[body + 2]
+        elif marker == 0xFF5F:  # POC: progression order changes (A.6.6)
+            if siz is None:
+                raise JPXError("POC before SIZ")
+            cw = 1 if len(siz["comps"]) < 257 else 2
+            seg_sz = 1 + cw + 2 + 1 + cw + 1
+            p2 = body
+            poc_segs = []
+            for _ in range((length - 2) // seg_sz):
+                rs = data[p2]
+                cs_ = data[p2 + 1] if cw == 1 else \
+                    struct.unpack_from(">H", data, p2 + 1)[0]
+                lye = struct.unpack_from(">H", data, p2 + 1 + cw)[0]
+                re_ = data[p2 + 3 + cw]
+                ce = data[p2 + 4 + cw] if cw == 1 else \
+                    struct.unpack_from(">H", data, p2 + 4 + cw)[0]
+                pp = data[p2 + 4 + 2 * cw]
+                if pp > 4 or rs >= re_ or cs_ >= ce or lye == 0:
+                    raise JPXError("invalid POC segment")
+                poc_segs.append((rs, cs_, lye, re_, ce, pp))
+                p2 += seg_sz
+            if not poc_segs:
+                raise JPXError("empty POC marker")
         elif marker in (0xFF64, 0xFF55, 0xFF57, 0xFF58, 0xFF63):
             pass  # COM / TLM / PLM / PLT / CRG: informative only
-        elif marker in (0xFF5F, 0xFF60, 0xFF61):
+        elif marker in (0xFF60, 0xFF61):
             raise JPXError(
-                "POC/PPM/PPT marker segments are not supported")
+                "PPM/PPT marker segments are not supported")
         else:
             raise JPXError(f"unsupported marker {marker:#x}")
         pos = body + length - 2
@@ -1060,7 +1107,7 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
                          for c in range(n_comp)]
             comps = _decode_tile(b"".join(parts), tile_dims, n_comp,
                                  cods, qcds, x0, y0, depth=depth,
-                                 sub=sub, roi=roi)
+                                 sub=sub, roi=roi, poc=poc_segs)
             for c in range(n_comp):
                 ch_, cw_ = comps[c].shape
                 full[c][y0:y0 + ch_, x0:x0 + cw_] = comps[c]
@@ -1104,7 +1151,7 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
 def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
                  qcds: list, tx0: int = 0, ty0: int = 0,
                  depth: int = 8, sub: list | None = None,
-                 roi: dict | None = None) -> list:
+                 roi: dict | None = None, poc: list | None = None) -> list:
     cod = cods[0]  # levels/layers/prog/transform are uniform (enforced)
     levels = cod["levels"]
     # per component: build subband structures (band origins in global
@@ -1167,7 +1214,7 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
     # precinct) in the COD progression's order (B.12, all five,
     # position-dependent ones by reference-grid precinct corner)
     layers = cod["layers"]
-    order = packet_order(cod["prog"], layers, levels, comp_prec)
+    order = packet_order(cod["prog"], layers, levels, comp_prec, poc=poc)
     pos = 0
     for layer, r, c, p in order:
         q = comp_prec[c][r]

@@ -214,6 +214,44 @@ def test_rgn_maxshift_roi_vs_openjpeg():
         decode_jpx(bytes(cs))
 
 
+@pytest.mark.skipif(not _ref_available(), reason="node/reference unavailable")
+def test_poc_progression_changes_vs_openjpeg():
+    """POC marker (A.6.6): the packet walk follows the POC segments —
+    each with its own progression and resolution/component/layer
+    bounds, packets already emitted by earlier segments skipped (the
+    reference decoder's shared include bitmap).  Resolution-split,
+    component-split, layer-split and overlapping-segment cases,
+    three-way exact vs the wasm."""
+    from jpx_ref import ref_decode
+
+    rng = np.random.default_rng(17)
+    cases = [
+        ((40, 33, 3), dict(levels=2, layers=2, cb_exp=4),
+         [(0, 0, 2, 1, 3, 0), (1, 0, 2, 3, 3, 1)]),
+        ((33, 40, 3), dict(levels=2, layers=2, cb_exp=4,
+                           precincts=[6, 7, 7]),
+         [(0, 0, 2, 3, 1, 0), (0, 1, 2, 3, 3, 4)]),
+        ((30, 45, 3), dict(levels=2, layers=3, cb_exp=4,
+                           precincts=[6, 6, 6]),
+         [(0, 0, 1, 3, 3, 2), (0, 0, 3, 3, 3, 0)]),
+        ((25, 25), dict(levels=1, layers=2, cb_exp=4),
+         [(0, 0, 1, 2, 1, 1), (0, 0, 2, 2, 1, 0)]),
+    ]
+    for shape, kw, poc in cases:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        cs = encode_jpx(img, poc=poc, **kw)
+        h, w = shape[:2]
+        ref = np.frombuffer(ref_decode(cs), dtype=np.uint8).reshape(h, w, 4)
+        refc = ref[..., 0] if img.ndim == 2 else ref[..., :3]
+        mine = decode_jpx(cs)
+        assert np.array_equal(refc, mine), poc
+        assert np.array_equal(mine, img), poc
+    # a POC that covers only part of the packets is an encoder error
+    with pytest.raises(ValueError):
+        encode_jpx(img, levels=1, layers=2, cb_exp=4,
+                   poc=[(0, 0, 1, 2, 1, 0)])
+
+
 def test_unsupported_features_reject():
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (9, 9)).astype(np.uint8)
