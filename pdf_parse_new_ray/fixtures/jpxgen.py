@@ -422,7 +422,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                sop: bool = False, eph: bool = False,
                roi_rect: tuple[int, int, int, int] | None = None,
                roi_shift: int | None = None,
-               poc: list | None = None) -> bytes:
+               poc: list | None = None,
+               ppm: bool = False, ppt: bool = False) -> bytes:
     """img: (h, w) or (h, w, 3) uint8 → raw JPEG2000 codestream
     (LRCP; lossless 5/3 by default).  layers=2 assigns each codeblock
     wholly to a quality layer (alternating) to exercise multi-layer
@@ -631,21 +632,38 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     for ci, s in enumerate(roi_shifts):
         if s:  # RGN (A.6.3): Crgn, Srgn=0 (implicit/maxshift), SPrgn
             out += b"\xff\x5e" + struct.pack(">HBBB", 5, ci, 0, s)
+    if ppm and ppt:
+        raise ValueError("PPM and PPT are mutually exclusive")
+    tiles_out = []
     for isot, comp_bands in enumerate(tile_planes):
         tx0 = (isot % n_tx) * xt
         ty0 = (isot // n_tx) * yt
         cbs = [1 << (coc_cbs or {}).get(c, cb_exp)
                for c in range(n_comp)]
-        body = _encode_tile_body(comp_bands, levels, cbs,
+        res_ = _encode_tile_body(comp_bands, levels, cbs,
                                  depth, guard, layers, tx0, ty0,
                                  cb_style, precincts, prog=prog,
                                  sub=[(subsampling or {}).get(c, (1, 1))
                                       for c in range(n_comp)],
                                  sop=sop, eph=eph, roi_shifts=roi_shifts,
-                                 poc=poc)
-        psot = 12 + 2 + len(body)
+                                 poc=poc, packed_headers=ppm or ppt)
+        tiles_out.append(res_ if (ppm or ppt) else (res_, None))
+    if ppm:  # A.7.4: Zppm, then per tile-part Nppm(4) + packed headers
+        pb = b"".join(struct.pack(">I", len(h)) + h for _, h in tiles_out)
+        if len(pb) + 3 > 0xFFFF:
+            raise ValueError("PPM payload exceeds one marker segment")
+        out += b"\xff\x60" + struct.pack(">HB", len(pb) + 3, 0) + pb
+    for isot, item in enumerate(tiles_out):
+        body, hdrs = item
+        ppt_seg = b""
+        if ppt:  # A.7.5: Zppt + this tile-part's packed headers
+            if len(hdrs) + 3 > 0xFFFF:
+                raise ValueError("PPT payload exceeds one marker segment")
+            ppt_seg = b"\xff\x61" + struct.pack(">HB", len(hdrs) + 3, 0) \
+                + hdrs
+        psot = 12 + len(ppt_seg) + 2 + len(body)
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, isot, psot, 0, 1)
-        out += b"\xff\x93" + body
+        out += ppt_seg + b"\xff\x93" + body
     out += b"\xff\xd9"  # EOC
     return bytes(out)
 
@@ -659,7 +677,8 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
                       sub: list | None = None,
                       sop: bool = False, eph: bool = False,
                       roi_shifts: list | None = None,
-                      poc: list | None = None) -> bytes:
+                      poc: list | None = None,
+                      packed_headers: bool = False):
     """All packets of one tile in the COD progression's order (shared
     B.12 iterator with the decoder — jpx.packet_order): one packet per
     (layer, res, comp, precinct).  With layers=2, codeblock (bx+by+res)
@@ -767,19 +786,29 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
                              for cp in pinfo for q in cp)
         if len(order) != total:
             raise ValueError(f"POC covers {len(order)} of {total} packets")
+    headers = []
     for nsop, (layer, res, c, p) in enumerate(order):
         q = prec_info[(c, res)]
         cell = (q["c0y"] + p // q["n_px"], q["c0x"] + p % q["n_px"])
-        pk = _emit_packet(state, c, res, layer, cell, eph=eph)
+        hdr, body_ = _emit_packet(state, c, res, layer, cell, eph=eph)
+        sop_m = b""
         if sop:  # A.8.1: FF91, Lsop=4, per-tile packet counter mod 2^16
-            pk = b"\xff\x91\x00\x04" + struct.pack(">H", nsop & 0xFFFF) + pk
-        packets.append(pk)
+            sop_m = b"\xff\x91\x00\x04" + struct.pack(">H", nsop & 0xFFFF)
+        if packed_headers:  # headers to PPM/PPT, SOP+bodies in-stream
+            headers.append(hdr)
+            packets.append(sop_m + body_)
+        else:
+            packets.append(sop_m + hdr + body_)
+    if packed_headers:
+        return b"".join(packets), b"".join(headers)
     return b"".join(packets)
 
 
 def _emit_packet(state: dict, c: int, res: int, layer: int,
                  cell: tuple[int, int] = (0, 0),
-                 eph: bool = False) -> bytes:
+                 eph: bool = False) -> tuple[bytes, bytes]:
+    """One packet → (header incl. optional EPH, body bytes); the caller
+    interleaves or packs them (PPM/PPT) as the stream layout needs."""
     names = ("LL",) if res == 0 else ("HL", "LH", "HH")
     prs = [state[(c, res, name)].get(cell) for name in names]
     eph_m = b"\xff\x92" if eph else b""
@@ -791,7 +820,7 @@ def _emit_packet(state: dict, c: int, res: int, layer: int,
     bw_ = _BitWriter()
     if not any_data:
         bw_.write(0)
-        return bw_.finish() + eph_m
+        return bw_.finish() + eph_m, b""
     bw_.write(1)
     bodies = []
     for pr in prs:
@@ -828,7 +857,7 @@ def _emit_packet(state: dict, c: int, res: int, layer: int,
                     bw_.write_bits(ln, int(pr["lblock"][by, bx]) +
                                    k.bit_length() - 1)
                 bodies.append(data)
-    return bw_.finish() + eph_m + b"".join(bodies)
+    return bw_.finish() + eph_m, b"".join(bodies)
 
 
 def _qcd_gains(levels: int):

@@ -922,6 +922,9 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
     roi: dict[int, int] = {}
     poc_segs: list | None = None
     tile_data: dict[int, list] = {}
+    ppt_parts: dict[int, list] = {}   # tile → [(Zppt, bytes)]
+    ppm_parts: list = []              # [(Zppm, bytes)]
+    tile_part_seq: list = []          # tile-part order of appearance
     n = len(data)
     while pos + 4 <= n:
         marker = struct.unpack_from(">H", data, pos)[0]
@@ -999,13 +1002,28 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
             isot = struct.unpack_from(">H", data, body)[0]
             psot = struct.unpack_from(">I", data, body + 2)[0]
             tile_end = pos + psot if psot else n
-            # find SOD
-            sod = data.find(b"\xff\x93", body)
-            if sod < 0:
-                raise JPXError("missing SOD marker")
-            tile_data.setdefault(isot, []).append(data[sod + 2:tile_end])
+            # walk the tile-part header markers up to SOD
+            p2 = body + 8
+            while data[p2:p2 + 2] != b"\xff\x93":
+                if p2 + 4 > tile_end:
+                    raise JPXError("missing SOD marker")
+                m2 = struct.unpack_from(">H", data, p2)[0]
+                l2 = struct.unpack_from(">H", data, p2 + 2)[0]
+                if m2 == 0xFF61:  # PPT: packed packet headers (A.7.5)
+                    ppt_parts.setdefault(isot, []).append(
+                        (data[p2 + 4], data[p2 + 5:p2 + 2 + l2]))
+                elif m2 in (0xFF58, 0xFF64):
+                    pass  # PLT / COM: informative only
+                else:
+                    raise JPXError(f"unsupported tile-part marker "
+                                   f"{m2:#x}")
+                p2 += 2 + l2
+            tile_data.setdefault(isot, []).append(data[p2 + 2:tile_end])
+            tile_part_seq.append(isot)
             pos = tile_end
             continue
+        elif marker == 0xFF60:  # PPM: packed packet headers, main (A.7.4)
+            ppm_parts.append((data[body], data[body + 1:body + length - 2]))
         elif marker == 0xFF5E:  # RGN: maxshift ROI (A.6.3 / Annex H)
             if data[body + 1] != 0:
                 raise JPXError("only Srgn=0 (implicit ROI) is supported")
@@ -1034,9 +1052,6 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
                 raise JPXError("empty POC marker")
         elif marker in (0xFF64, 0xFF55, 0xFF57, 0xFF58, 0xFF63):
             pass  # COM / TLM / PLM / PLT / CRG: informative only
-        elif marker in (0xFF60, 0xFF61):
-            raise JPXError(
-                "PPM/PPT marker segments are not supported")
         else:
             raise JPXError(f"unsupported marker {marker:#x}")
         pos = body + length - 2
@@ -1094,6 +1109,32 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
     comp_dims = [(-(-h // yr), -(-w // xr)) for (xr, yr) in sub]
     full = [np.zeros(comp_dims[c], dtype=np.float32 if lossy else np.int64)
             for c in range(n_comp)]
+    # packed packet headers: PPT per tile (Zppt order), or PPM in the
+    # main header — one Nppm-delimited group per tile-part, assigned in
+    # tile-part order of appearance (B.9)
+    if ppm_parts and ppt_parts:
+        raise JPXError("PPM and PPT cannot both be present")
+    hdr_bufs: dict[int, bytes] = {}
+    if ppt_parts:
+        for t_i, parts_ in ppt_parts.items():
+            hdr_bufs[t_i] = b"".join(
+                b for _, b in sorted(parts_, key=lambda z: z[0]))
+    elif ppm_parts:
+        buf = b"".join(b for _, b in sorted(ppm_parts, key=lambda z: z[0]))
+        groups = []
+        bp = 0
+        while bp < len(buf):
+            if bp + 4 > len(buf):
+                raise JPXError("truncated PPM group length")
+            nppm = struct.unpack_from(">I", buf, bp)[0]
+            groups.append(buf[bp + 4:bp + 4 + nppm])
+            bp += 4 + nppm
+        if len(groups) != len(tile_part_seq):
+            raise JPXError("PPM tile-part count mismatch")
+        acc: dict[int, list] = {}
+        for t_i, chunk in zip(tile_part_seq, groups):
+            acc.setdefault(t_i, []).append(chunk)
+        hdr_bufs = {t_i: b"".join(ch) for t_i, ch in acc.items()}
     for ty in range(n_ty):
         for tx in range(n_tx):
             isot = ty * n_tx + tx
@@ -1107,7 +1148,8 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
                          for c in range(n_comp)]
             comps = _decode_tile(b"".join(parts), tile_dims, n_comp,
                                  cods, qcds, x0, y0, depth=depth,
-                                 sub=sub, roi=roi, poc=poc_segs)
+                                 sub=sub, roi=roi, poc=poc_segs,
+                                 hdr_buf=hdr_bufs.get(isot))
             for c in range(n_comp):
                 ch_, cw_ = comps[c].shape
                 full[c][y0:y0 + ch_, x0:x0 + cw_] = comps[c]
@@ -1151,7 +1193,8 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
 def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
                  qcds: list, tx0: int = 0, ty0: int = 0,
                  depth: int = 8, sub: list | None = None,
-                 roi: dict | None = None, poc: list | None = None) -> list:
+                 roi: dict | None = None, poc: list | None = None,
+                 hdr_buf: bytes | None = None) -> list:
     cod = cods[0]  # levels/layers/prog/transform are uniform (enforced)
     levels = cod["levels"]
     # per component: build subband structures (band origins in global
@@ -1216,12 +1259,13 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
     layers = cod["layers"]
     order = packet_order(cod["prog"], layers, levels, comp_prec, poc=poc)
     pos = 0
+    hbr = _BitReader(hdr_buf, 0) if hdr_buf is not None else None
     for layer, r, c, p in order:
         q = comp_prec[c][r]
         cell = (q["c0y"] + p // q["n_px"], q["c0x"] + p % q["n_px"])
         pos = _parse_packet(body, pos, comp_bands[c], r, layer,
                             style=cods[c]["cb_style"], cell=cell,
-                            sop=cod["sop"], eph=cod["eph"])
+                            sop=cod["sop"], eph=cod["eph"], hdr=hbr)
     # T1-decode every codeblock, assemble subbands, inverse DWT
     lossy = cod["transform"] == 0
     comps = []
@@ -1299,22 +1343,31 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
 def _parse_packet(body: bytes, pos: int, bands: dict, r: int,
                   layer: int, style: int = 0,
                   cell: tuple[int, int] = (0, 0),
-                  sop: bool = False, eph: bool = False) -> int:
+                  sop: bool = False, eph: bool = False,
+                  hdr: "_BitReader | None" = None) -> int:
+    """Parse one packet.  With PPM/PPT (B.9), `hdr` is a persistent
+    reader over the packed-header stream: header bits (and EPH markers)
+    come from it while SOP segments and the packet bodies stay in
+    `body`.  Without it, header and bodies are contiguous in `body`."""
     if sop and body[pos:pos + 2] == b"\xff\x91":
         # SOP segment (A.8.1): marker, Lsop=4, Nsop — informative; the
         # marker is optional per packet even when Scod declares it
         pos += 6
+    br = _BitReader(body, pos) if hdr is None else hdr
+    hsrc = br.data
 
-    def _eph(p: int) -> int:
-        if not eph:
-            return p
-        if body[p:p + 2] != b"\xff\x92":
-            raise JPXError("expected EPH marker after packet header")
-        return p + 2
+    def _hdr_end() -> int:
+        p = br.align()
+        if eph:
+            if hsrc[p:p + 2] != b"\xff\x92":
+                raise JPXError("expected EPH marker after packet header")
+            p += 2
+            br.pos = p
+        return p
 
-    br = _BitReader(body, pos)
     if not br.read():  # empty packet
-        return _eph(br.align())
+        p = _hdr_end()
+        return p if hdr is None else pos
     band_names = ("LL",) if r == 0 else ("HL", "LH", "HH")
     contributions = []
     for name in band_names:
@@ -1357,7 +1410,9 @@ def _parse_packet(body: bytes, pos: int, bands: dict, r: int,
                         length = (length << 1) | br.read()
                     pieces.append((k, length))
                 contributions.append((cb, pieces))
-    pos = _eph(br.align())
+    p = _hdr_end()
+    if hdr is None:
+        pos = p
     for cb, pieces in contributions:
         for k, length in pieces:
             cb.chunks.append((k, body[pos:pos + length]))

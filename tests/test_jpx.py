@@ -252,6 +252,29 @@ def test_poc_progression_changes_vs_openjpeg():
                    poc=[(0, 0, 1, 2, 1, 0)])
 
 
+@pytest.mark.skipif(not _ref_available(), reason="node/reference unavailable")
+def test_ppm_ppt_packed_headers_vs_openjpeg():
+    """PPM/PPT packed packet headers (A.7.4/A.7.5): headers live in the
+    main header (PPM, Nppm-delimited per tile-part) or tile-part header
+    (PPT) while SOP segments and packet bodies stay in the bitstream.
+    Multi-tile PPM, lossy RPCL, and SOP+EPH combined with packing —
+    three-way exact vs the reference decoder."""
+    from jpx_ref import ref_decode
+
+    rng = np.random.default_rng(19)
+    for mode in [dict(ppm=True), dict(ppt=True)]:
+        for kw in [dict(levels=2, layers=2, cb_exp=4, precincts=[6, 7, 7]),
+                   dict(levels=2, tiles=(2, 2), cb_exp=4),
+                   dict(levels=1, layers=2, cb_exp=4, eph=True, sop=True)]:
+            img = rng.integers(0, 256, (34, 47, 3)).astype(np.uint8)
+            cs = encode_jpx(img, **kw, **mode)
+            ref = np.frombuffer(ref_decode(cs),
+                                dtype=np.uint8).reshape(34, 47, 4)
+            mine = decode_jpx(cs)
+            assert np.array_equal(ref[..., :3], mine), (mode, kw)
+            assert np.array_equal(mine, img), (mode, kw)
+
+
 def test_unsupported_features_reject():
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (9, 9)).astype(np.uint8)
