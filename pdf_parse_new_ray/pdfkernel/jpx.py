@@ -16,9 +16,14 @@ color transform; COC/QCC per-component codeblock-size and
 quantization overrides (uniform levels/transform enforced); 4:2:0 /
 4:2:2 chroma subsampling with the reference glue's sYCC→RGB
 conversion; EBCOT T1 arithmetic decoding (MQ coder shared with the
-JBIG2 kernel); tag-tree packet headers, LRCP/RLCP/RPCL progressions
-collapsing to the same packet walk at one layer; 1- and 3-component
-images, reversible color transform.
+JBIG2 kernel); tag-tree packet headers; all five B.12 progression
+orders (LRCP/RLCP/RPCL/PCRL/CPRL) through one position-based iterator
+(packet_order) shared with the fixture encoder; POC progression-order
+changes with the reference decoder's include-dedup semantics; SOP/EPH
+resync markers; PPM/PPT packed packet headers (headers in the main or
+tile-part header, bodies in the bitstream); RGN maxshift ROI with the
+threshold applied to the reference decoder's t1-scale values; 1- and
+3-component images, reversible color transform.
 
 All six codeblock-style bits are supported: BYPASS (raw SPP/MRP
 segments from the 5th bitplane, D.6), RESET, TERMALL (per-pass
@@ -31,12 +36,12 @@ default output matches the reference glue (right-shift to 8 bits),
 with full_precision=True returning uint16 samples.
 
 Custom precincts (Scod/Scoc bit 0) are supported: per-resolution
-precinct grids with per-precinct tag trees and packet walks
-(LRCP/RLCP layer-interleaved, RPCL position-major), codeblock sizes
-clamped to the precinct per B.7.
+precinct grids with per-precinct tag trees, codeblock sizes clamped
+to the precinct per B.7.
 
 Raises JPXError for: non-chroma subsampling layouts, signed or
-mixed-depth components, PPM/PPT/POC/RGN marker segments.
+mixed-depth components, image/tile offsets, explicit (Srgn != 0) ROI,
+tile-part coding-parameter overrides.
 Callers absorb to decoded=False (multimodal stage contract).
 """
 
