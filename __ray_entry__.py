@@ -282,7 +282,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_above_customer_avg": relational.q_orders_above_customer_avg,
         "q_monthly_revenue": relational.q_monthly_revenue,
         "q_daily_distinct_users": relational.q_daily_distinct_users,
+        "q_funnel": relational.q_funnel,
+        "q_train_test_split": relational.q_train_test_split,
         # text analysis
+        "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
         "t_quality_scores": text.t_quality_scores,
         "t_repetition_signals": text.t_repetition_signals,
@@ -295,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_doc_sample": text.t_doc_sample,
         # dedup
         "d_exact_dedup": dedup.d_exact_dedup,
+        "d_dedup_keep_longest": dedup.d_dedup_keep_longest,
         "d_dup_groups": dedup.d_dup_groups,
         "d_paragraph_dedup": dedup.d_paragraph_dedup,
         "d_dup_clusters": dedup.d_dup_clusters,
@@ -772,6 +776,65 @@ def oracle_sql() -> dict[str, str]:
                           CAST(COALESCE(v.lo, 0) AS BIGINT)) AS simhash
             FROM documents d LEFT JOIN vals v USING (doc_id)
             ORDER BY doc_id
+        """,
+        "q_funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            c AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN v ON v.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t
+                GROUP BY e.user_id),
+            p AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN c ON c.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t
+                GROUP BY e.user_id)
+            SELECT * FROM (
+                SELECT 1 AS step, 'view' AS stage,
+                       CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+                UNION ALL
+                SELECT 2, 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+                UNION ALL
+                SELECT 3, 'purchase',
+                       CAST((SELECT count(*) FROM p) AS BIGINT)
+            ) ORDER BY step
+        """,
+        "q_train_test_split": f"""
+            WITH s AS (
+                SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                 1, 2))::INT
+                                 < {relational.SPLIT_TRAIN_MAX}
+                            THEN 'train' ELSE 'test' END AS split,
+                       n_chars
+                FROM documents)
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM s GROUP BY split ORDER BY split
+        """,
+        "t_stratified_sample": """
+            WITH s AS (
+                SELECT lang, n_chars FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0', '1', '2', '3'))
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+                   CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*)
+                       AS avg_chars
+            FROM s GROUP BY lang ORDER BY lang
+        """,
+        "d_dedup_keep_longest": """
+            SELECT fingerprint, keep_doc_id, keep_n_chars, group_size
+            FROM (
+                SELECT md5(text) AS fingerprint, doc_id AS keep_doc_id,
+                       n_chars AS keep_n_chars,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY n_chars DESC, doc_id)
+                           AS rn,
+                       CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                           AS group_size
+                FROM documents)
+            WHERE rn = 1 ORDER BY fingerprint
         """,
         "d_exact_dedup": """
             SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id,

@@ -809,3 +809,47 @@ def d_dup_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     (the canonical keep candidate)."""
     pairs = d_minhash_pairs(sf_dir, threshold=threshold)
     return cluster_edges(pairs[["a", "b"]])
+
+
+def d_dedup_keep_longest(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Exact dedup with a content-quality keep policy: per fingerprint
+    keep the LONGEST document (ties → smallest doc_id) — the policy a
+    curation pipeline actually wants when near-identical crawls differ
+    by truncation.  Same scale shape as d_exact_dedup: ONE bucketed
+    shuffle, per-bucket Arrow sort + hash 'first' (argmax without any
+    per-group Python)."""
+    import pyarrow.compute as pc
+
+    from ..state import checkpoint as ckpt
+
+    def fp(t: pa.Table) -> pa.Table:
+        fps = pa.array([_content_hash(x) for x in t.column("text").to_pylist()],
+                       pa.string())
+        return pa.table({
+            "fingerprint": fps,
+            "doc_id": t.column("doc_id"),
+            "n_chars": t.column("n_chars"),
+            "__bk": ckpt.partition_column(fps, n_buckets),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        from .joins import rename_agg
+
+        order = pc.sort_indices(g, sort_keys=[
+            ("fingerprint", "ascending"), ("n_chars", "descending"),
+            ("doc_id", "ascending")])
+        g = g.take(order)
+        out = g.group_by("fingerprint").aggregate(
+            [("doc_id", "first"), ("n_chars", "first"), ("doc_id", "count")])
+        return rename_agg(out, {"doc_id_first": "keep_doc_id",
+                                "n_chars_first": "keep_n_chars",
+                                "doc_id_count": "group_size"},
+                          ["fingerprint", "keep_doc_id", "keep_n_chars",
+                           "group_size"])
+
+    out = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text", "n_chars"]) \
+        .map_batches(fp, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow") \
+        .to_pandas()
+    return out.sort_values("fingerprint").reset_index(drop=True)

@@ -1294,3 +1294,91 @@ def q_daily_distinct_users(sf_dir: str) -> pd.DataFrame:
         .groupby("day").map_groups(count_unique, batch_format="pyarrow") \
         .to_pandas()
     return df.sort_values("day").reset_index(drop=True)
+
+
+def q_funnel(sf_dir: str, n_buckets: int = 256,
+             stages: tuple = ("view", "click", "purchase")) -> pd.DataFrame:
+    """Ordered conversion funnel over the events stream: a user reaches
+    stage k when they have a stage-k event STRICTLY after their first
+    stage-(k-1) completion time (min-ts chaining).  ONE shuffle on
+    hash(user_id) buckets — each user's whole history lands in one
+    bucket, where the per-stage completion times resolve with three
+    Arrow group_by/min passes and a vectorized index_in probe; only ONE
+    partial-count row per bucket reaches the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .joins import _bucket_of
+
+    def funnel(group: pa.Table) -> pa.Table:
+        etype = group.column("event_type")
+        # stage 0: first 'view' per user
+        cur = group.filter(pc.equal(etype, stages[0])) \
+            .group_by("user_id").aggregate([("ts", "min")])
+        counts = [cur.num_rows]
+        for stage in stages[1:]:
+            if cur.num_rows == 0:
+                counts.append(0)
+                continue
+            ev = group.filter(pc.equal(etype, stage))
+            idx = pc.index_in(ev.column("user_id"),
+                              value_set=cur.column("user_id").combine_chunks())
+            prev_t = pc.take(cur.column("ts_min").combine_chunks(), idx)
+            keep = pc.and_kleene(pc.is_valid(idx),
+                                 pc.greater(ev.column("ts"), prev_t))
+            ev = ev.filter(pc.fill_null(keep, False))
+            cur = ev.group_by("user_id").aggregate([("ts", "min")])
+            counts.append(cur.num_rows)
+        return pa.table({
+            "step": pa.array(np.arange(1, len(stages) + 1), pa.int64()),
+            "stage": pa.array(list(stages), pa.string()),
+            "n_users": pa.array(counts, pa.int64()),
+        })
+
+    ev = _rp(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+    ev = ev.map_batches(
+        lambda t: t.append_column("__bk", _bucket_of(t.column("user_id"),
+                                                     n_buckets)),
+        batch_format="pyarrow")
+    parts = ev.groupby("__bk").map_groups(funnel, batch_format="pyarrow") \
+        .to_pandas()
+    out = parts.groupby(["step", "stage"], as_index=False)["n_users"].sum()
+    return out.sort_values("step").reset_index(drop=True)[
+        ["step", "stage", "n_users"]]
+
+
+# md5(doc_id) byte threshold for the deterministic ~80/20 split:
+# first two hex digits < 0xCD (205/256 = 80.1%)
+SPLIT_TRAIN_MAX = 205
+
+
+def q_train_test_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash split of the corpus (train/test by the first
+    md5(doc_id) byte — stable under re-runs, insertion order and
+    cluster size, the property a 100 TB curation pipeline needs from
+    its split).  Map-only: per-batch partial (count, char-sum) pairs;
+    only two tiny rows per batch reach the reduce."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        byte0 = np.array([int(hashlib.md5(str(d).encode()).hexdigest()[:2], 16)
+                          for d in ids])
+        chars = t.column("n_chars").to_numpy(zero_copy_only=False)
+        train = byte0 < SPLIT_TRAIN_MAX
+        return pa.table({
+            "split": pa.array(["test", "train"], pa.string()),
+            "n_docs": pa.array([int((~train).sum()), int(train.sum())],
+                               pa.int64()),
+            "total_chars": pa.array([int(chars[~train].sum()),
+                                     int(chars[train].sum())], pa.int64()),
+        })
+
+    parts = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("split", as_index=False).sum()
+    return out.sort_values("split").reset_index(drop=True)

@@ -418,3 +418,32 @@ def t_doc_sample(sf_dir: str) -> pd.DataFrame:
     out = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
         keep, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def t_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Per-language stratified deterministic sample (first md5(doc_id)
+    hex digit in 0-3 — the same stable ~25% predicate as t_doc_sample)
+    with per-stratum count and mean length.  Map-only partials: each
+    batch emits one row per language; integer char sums ride to the
+    driver and the mean is ONE division (rounding discipline — a
+    per-batch float mean would not hash-match the oracle)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        keep = np.array([hashlib.md5(str(d).encode()).hexdigest()[0]
+                         in "0123" for d in ids])
+        sub = t.filter(pa.array(keep))
+        return sub.select(["lang", "n_chars"]).group_by("lang").aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")])
+
+    parts = _docs(sf_dir, ["doc_id", "lang", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("lang", as_index=False).sum()
+    g["n_sampled"] = g["n_chars_count"].astype("int64")
+    g["avg_chars"] = g["n_chars_sum"].astype("int64") / g["n_sampled"]
+    out = g[["lang", "n_sampled", "avg_chars"]]
+    return out.sort_values("lang").reset_index(drop=True)

@@ -642,3 +642,58 @@ def test_simhash_and_langid_oracled(ray_session):
     c = h.simhash("completely unrelated text about parquet shuffles")
     assert bin(a ^ b).count("1") < bin(a ^ c).count("1")
     assert h.simhash("") == 0
+
+
+def test_funnel_strict_ordering(ray_session, tmp_path):
+    """A click BEFORE the user's first view must not count toward the
+    funnel; a later click does; purchase requires a prior qualified
+    click."""
+    import pandas as pd
+
+    from pdf_parse_new_ray.functions import relational
+
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ev(uid, typ, minutes):
+        rows.append({"event_id": len(rows), "ts": t0 + pd.Timedelta(minutes=minutes),
+                     "user_id": uid, "event_type": typ, "value": 1.0,
+                     "props": "{}"})
+
+    # user 1: full ordered funnel
+    ev(1, "view", 0); ev(1, "click", 5); ev(1, "purchase", 10)
+    # user 2: click precedes the only view → stops at view
+    ev(2, "click", 0); ev(2, "view", 5)
+    # user 3: view + click, purchase BEFORE the click → stops at click
+    ev(3, "purchase", 0); ev(3, "view", 1); ev(3, "click", 2)
+    # user 4: never views
+    ev(4, "click", 0); ev(4, "purchase", 1)
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "events.parquet"))
+    out = relational.q_funnel(str(tmp_path))
+    got = dict(zip(out["stage"], out["n_users"]))
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_dedup_keep_longest_policy(ray_session, tmp_path):
+    """Per fingerprint the longest doc survives; ties break to the
+    smallest doc_id.  (n_chars here is a stored column, so planted
+    values need not match len(text).)"""
+    from pdf_parse_new_ray.functions import dedup
+
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["same body", "same body", "same body", "other", "other"],
+        "lang": ["en"] * 5,
+        "source": ["t"] * 5,
+        "n_chars": [10, 30, 30, 7, 7],
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = dedup.d_dedup_keep_longest(str(tmp_path))
+    by = {r.fingerprint: r for r in out.itertuples()}
+    import hashlib
+
+    same = hashlib.md5(b"same body").hexdigest()
+    other = hashlib.md5(b"other").hexdigest()
+    assert by[same].keep_doc_id == 2 and by[same].keep_n_chars == 30
+    assert by[same].group_size == 3
+    assert by[other].keep_doc_id == 4 and by[other].group_size == 2
