@@ -40,8 +40,10 @@ def _content_hash(text: str) -> str:
 def _gram_hash64(gram: str) -> int:
     """64-bit gram hash = first 8 bytes of md5, big-endian — the same
     value DuckDB computes as ('0x' || substr(md5(g), 1, 16))::UBIGINT,
-    which is what makes the MinHash/Jaccard family SQL-oracle-able."""
-    return int(hashlib.md5(gram.encode()).hexdigest()[:16], 16)
+    which is what makes the MinHash/Jaccard family SQL-oracle-able.
+    (int.from_bytes on the raw digest == parsing the first 16 hex
+    chars, minus the hex round-trip cost.)"""
+    return int.from_bytes(hashlib.md5(gram.encode()).digest()[:8], "big")
 
 
 def oracle_ctes(threshold: float) -> str:
@@ -397,7 +399,8 @@ class SimHasher:
         words = _WORD.findall((text or "").lower())
         if not words:
             return 0
-        hs = np.array([int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+        hs = np.array([int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
+                                      "big")
                        for w in words], dtype=np.uint64)
         # bit k votes +1 when set, -1 when clear, over every occurrence
         votes = ((hs[:, None] >> self._k) & np.uint64(1)).astype(np.int64)
