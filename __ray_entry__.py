@@ -692,11 +692,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1 ORDER BY day
         """,
-        "t_doc_sample": """
+        "t_doc_sample": f"""
             SELECT doc_id, lang, n_chars
             FROM documents
-            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                  IN ('0', '1', '2', '3')
+            WHERE {text.sample_hash_sql('doc_id')} < {text.SAMPLE_KEEP_25}
             ORDER BY doc_id
         """,
         "t_langid": """
@@ -803,8 +802,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_train_test_split": f"""
             WITH s AS (
-                SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                                 1, 2))::INT
+                SELECT CASE WHEN {text.sample_hash_sql('doc_id')}
                                  < {relational.SPLIT_TRAIN_MAX}
                             THEN 'train' ELSE 'test' END AS split,
                        n_chars
@@ -813,11 +811,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM s GROUP BY split ORDER BY split
         """,
-        "t_stratified_sample": """
+        "t_stratified_sample": f"""
             WITH s AS (
                 SELECT lang, n_chars FROM documents
-                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                      IN ('0', '1', '2', '3'))
+                WHERE {text.sample_hash_sql('doc_id')}
+                      < {text.SAMPLE_KEEP_25})
             SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
                    CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*)
                        AS avg_chars

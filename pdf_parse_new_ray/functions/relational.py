@@ -1348,28 +1348,25 @@ def q_funnel(sf_dir: str, n_buckets: int = 256,
         ["step", "stage", "n_users"]]
 
 
-# md5(doc_id) byte threshold for the deterministic ~80/20 split:
-# first two hex digits < 0xCD (205/256 = 80.1%)
-SPLIT_TRAIN_MAX = 205
+# sample_hash threshold for the deterministic ~80/20 split
+SPLIT_TRAIN_MAX = (((1 << 61) - 1) * 4) // 5
 
 
 def q_train_test_split(sf_dir: str) -> pd.DataFrame:
-    """Deterministic hash split of the corpus (train/test by the first
-    md5(doc_id) byte — stable under re-runs, insertion order and
-    cluster size, the property a 100 TB curation pipeline needs from
-    its split).  Map-only: per-batch partial (count, char-sum) pairs;
-    only two tiny rows per batch reach the reduce."""
-    import hashlib
-
+    """Deterministic hash split of the corpus (train/test by the
+    vectorized sample_hash of doc_id — stable under re-runs, insertion
+    order and cluster size, the property a 100 TB curation pipeline
+    needs from its split).  Map-only: per-batch partial (count,
+    char-sum) pairs; only two tiny rows per batch reach the reduce."""
     import numpy as np
     import pyarrow as pa
 
+    from .text import sample_hash
+
     def partial(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        byte0 = np.array([int(hashlib.md5(str(d).encode()).hexdigest()[:2], 16)
-                          for d in ids])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         chars = t.column("n_chars").to_numpy(zero_copy_only=False)
-        train = byte0 < SPLIT_TRAIN_MAX
+        train = sample_hash(ids) < np.uint64(SPLIT_TRAIN_MAX)
         return pa.table({
             "split": pa.array(["test", "train"], pa.string()),
             "n_docs": pa.array([int((~train).sum()), int(train.sum())],

@@ -10,6 +10,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -400,20 +401,50 @@ def t_above_median_by_lang(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)[["lang", "n_docs"]]
 
 
+# vectorized deterministic sampling hash: (id*A + B) mod 2^64 mod M61
+# (the proven minhash-permutation shape — A < 2^61 keeps the DuckDB
+# HUGEINT mirror's products inside int128, unlike a 64-bit splitmix
+# whose multiplies overflow it).  numpy's uint64 arithmetic wraps at
+# 2^64 exactly like the SQL's explicit % 2^64 steps, so the predicate
+# is bit-identical in both engines with NO per-row Python.
+_SAMPLE_A = np.uint64(1181783497276652981)
+_SAMPLE_B = np.uint64(1721059793829289713)
+_M61 = np.uint64((1 << 61) - 1)
+
+
+def sample_hash(ids) -> np.ndarray:
+    """int64 doc ids → uniform uint64 values in [0, 2^61-1)."""
+    x = np.asarray(ids).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        return (x * _SAMPLE_A + _SAMPLE_B) % _M61
+
+
+def sample_hash_sql(col: str) -> str:
+    """The DuckDB expression computing sample_hash(col) bit-for-bit."""
+    two64 = 1 << 64
+    return (f"((({col}::HUGEINT * {int(_SAMPLE_A)}) % {two64} "
+            f"+ {int(_SAMPLE_B)}) % {two64} % {int(_M61)})")
+
+
+# keep-fraction thresholds on the M61 hash range
+SAMPLE_KEEP_25 = int((1 << 61) - 1) // 4
+
+
 def t_doc_sample(sf_dir: str) -> pd.DataFrame:
-    """Deterministic 25% corpus sample: keep docs whose md5(doc_id) first
-    hex nibble is 0-3 — the reproducible-subset primitive (eval splits,
-    audits, contamination spot-checks).  Content-independent and
-    stateless, so the same doc is in the sample on every run and every
-    cluster size; a map-only distributed filter (never a driver-side
-    random.sample).  Being hash-based it is self-stratifying: every
-    language/source stratum is sampled at ~25% without a per-stratum
-    shuffle."""
+    """Deterministic ~25% corpus sample: keep docs whose sample_hash
+    lands in the bottom quarter of the hash range — the
+    reproducible-subset primitive (eval splits, audits, contamination
+    spot-checks).  Content-independent and stateless, so the same doc
+    is in the sample on every run and every cluster size; a map-only
+    VECTORIZED distributed filter (never a driver-side random.sample,
+    never a per-row Python hash).  Being hash-based it is
+    self-stratifying: every language/source stratum is sampled at ~25%
+    without a per-stratum shuffle."""
 
     def keep(t: pa.Table) -> pa.Table:
-        mask = [hashlib.md5(str(d).encode()).hexdigest()[0] in "0123"
-                for d in t.column("doc_id").to_pylist()]
-        return t.filter(pa.array(mask, pa.bool_()))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = sample_hash(ids) < np.uint64(SAMPLE_KEEP_25)
+        return t.filter(pa.array(mask))
 
     out = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
         keep, batch_format="pyarrow").to_pandas()
@@ -421,21 +452,16 @@ def t_doc_sample(sf_dir: str) -> pd.DataFrame:
 
 
 def t_stratified_sample(sf_dir: str) -> pd.DataFrame:
-    """Per-language stratified deterministic sample (first md5(doc_id)
-    hex digit in 0-3 — the same stable ~25% predicate as t_doc_sample)
-    with per-stratum count and mean length.  Map-only partials: each
-    batch emits one row per language; integer char sums ride to the
-    driver and the mean is ONE division (rounding discipline — a
-    per-batch float mean would not hash-match the oracle)."""
-    import hashlib
-
-    import numpy as np
-    import pyarrow as pa
+    """Per-language stratified deterministic sample (the same stable
+    ~25% sample_hash predicate as t_doc_sample) with per-stratum count
+    and mean length.  Map-only partials: each batch emits one row per
+    language; integer char sums ride to the driver and the mean is ONE
+    division (rounding discipline — a per-batch float mean would not
+    hash-match the oracle)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        keep = np.array([hashlib.md5(str(d).encode()).hexdigest()[0]
-                         in "0123" for d in ids])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = sample_hash(ids) < np.uint64(SAMPLE_KEEP_25)
         sub = t.filter(pa.array(keep))
         return sub.select(["lang", "n_chars"]).group_by("lang").aggregate(
             [("n_chars", "count"), ("n_chars", "sum")])
