@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_monthly_revenue": relational.q_monthly_revenue,
         "q_daily_distinct_users": relational.q_daily_distinct_users,
         "q_funnel": relational.q_funnel,
+        "q_cohort_retention": relational.q_cohort_retention,
         "q_train_test_split": relational.q_train_test_split,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
@@ -799,6 +800,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 3, 'purchase',
                        CAST((SELECT count(*) FROM p) AS BIGINT)
             ) ORDER BY step
+        """,
+        "q_cohort_retention": """
+            WITH f AS (
+                SELECT user_id, date_trunc('week', min(ts)) AS cw
+                FROM events GROUP BY user_id),
+            a AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+                FROM events)
+            SELECT f.cw AS cohort_week,
+                   CAST(date_diff('week', f.cw, a.w) AS BIGINT)
+                       AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q_train_test_split": f"""
             WITH s AS (

@@ -1379,3 +1379,50 @@ def q_train_test_split(sf_dir: str) -> pd.DataFrame:
         .map_batches(partial, batch_format="pyarrow").to_pandas()
     out = parts.groupby("split", as_index=False).sum()
     return out.sort_values("split").reset_index(drop=True)
+
+
+def q_cohort_retention(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Weekly cohort retention: users are cohorted by the ISO week of
+    their FIRST event; each (cohort_week, week_offset) cell counts
+    distinct users active that many weeks later.  ONE shuffle on
+    hash(user_id) — a user's whole history lands in one bucket, so the
+    cohort assignment, the distinct (user, week) activity pairs and the
+    cell counts are all bucket-local Arrow kernels; buckets partition
+    users, so per-bucket counts sum exactly (no distinct-merge)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .joins import _bucket_of
+
+    week_us = 7 * 86400 * 1_000_000
+
+    def cells(group: pa.Table) -> pa.Table:
+        wk = pc.floor_temporal(group.column("ts"), unit="week")
+        g = pa.table({"user_id": group.column("user_id"), "week": wk})
+        first = g.group_by("user_id").aggregate([("week", "min")])
+        active = g.group_by(["user_id", "week"]).aggregate([])
+        idx = pc.index_in(active.column("user_id"),
+                          value_set=first.column("user_id").combine_chunks())
+        cohort = pc.take(first.column("week_min").combine_chunks(), idx)
+        off = pc.divide(
+            pc.cast(pc.subtract(pc.cast(active.column("week"), pa.int64()),
+                                pc.cast(cohort, pa.int64())), pa.int64()),
+            pa.scalar(week_us, pa.int64()))
+        out = pa.table({"cohort_week": cohort, "week_offset": off}) \
+            .group_by(["cohort_week", "week_offset"]).aggregate(
+                [([], "count_all")])
+        return out.rename_columns(["cohort_week", "week_offset", "n_users"])
+
+    ev = _rp(sf_dir, "events", columns=["ts", "user_id"])
+    ev = ev.map_batches(
+        lambda t: t.append_column("__bk", _bucket_of(t.column("user_id"),
+                                                     n_buckets)),
+        batch_format="pyarrow")
+    parts = ev.groupby("__bk").map_groups(cells, batch_format="pyarrow") \
+        .to_pandas()
+    out = parts.groupby(["cohort_week", "week_offset"],
+                        as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_week", "week_offset"]) \
+        .reset_index(drop=True)

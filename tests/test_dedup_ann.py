@@ -697,3 +697,29 @@ def test_dedup_keep_longest_policy(ray_session, tmp_path):
     assert by[same].keep_doc_id == 2 and by[same].keep_n_chars == 30
     assert by[same].group_size == 3
     assert by[other].keep_doc_id == 4 and by[other].group_size == 2
+
+
+def test_cohort_retention_weeks(ray_session, tmp_path):
+    """Cohort = ISO week (Monday) of a user's first event; offsets count
+    whole weeks; a user active twice in one week counts once."""
+    import pandas as pd
+
+    from pdf_parse_new_ray.functions import relational
+
+    rows = []
+
+    def ev(uid, day_str):
+        rows.append({"event_id": len(rows), "ts": pd.Timestamp(day_str),
+                     "user_id": uid, "event_type": "view", "value": 1.0,
+                     "props": "{}"})
+
+    # 2024-01-01 is a Monday
+    ev(1, "2024-01-02"); ev(1, "2024-01-03")      # week 0 twice → once
+    ev(1, "2024-01-09")                            # week 1
+    ev(2, "2024-01-10"); ev(2, "2024-01-22")       # cohort wk of Jan 8; +2
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "events.parquet"))
+    out = relational.q_cohort_retention(str(tmp_path))
+    cells = {(str(r.cohort_week.date()), int(r.week_offset)): int(r.n_users)
+             for r in out.itertuples()}
+    assert cells == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
+                     ("2024-01-08", 0): 1, ("2024-01-08", 2): 1}
