@@ -423,7 +423,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                roi_rect: tuple[int, int, int, int] | None = None,
                roi_shift: int | None = None,
                poc: list | None = None,
-               ppm: bool = False, ppt: bool = False) -> bytes:
+               ppm: bool = False, ppt: bool = False,
+               tile_parts: int = 1) -> bytes:
     """img: (h, w) or (h, w, 3) uint8 → raw JPEG2000 codestream
     (LRCP; lossless 5/3 by default).  layers=2 assigns each codeblock
     wholly to a quality layer (alternating) to exercise multi-layer
@@ -634,35 +635,48 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
             out += b"\xff\x5e" + struct.pack(">HBBB", 5, ci, 0, s)
     if ppm and ppt:
         raise ValueError("PPM and PPT are mutually exclusive")
-    tiles_out = []
+    if tile_parts < 1:
+        raise ValueError("tile_parts must be >= 1")
+    # per tile: packet pieces split into `tile_parts` runs at packet
+    # boundaries (B.8) — the layout rate-allocated encoders emit (one
+    # tile-part per layer); each run becomes its own SOT..SOD segment
+    # with TPsot/TNsot set
+    parts_out = []  # [(isot, tpsot, tnsot, body, hdrs_or_None)]
     for isot, comp_bands in enumerate(tile_planes):
         tx0 = (isot % n_tx) * xt
         ty0 = (isot // n_tx) * yt
         cbs = [1 << (coc_cbs or {}).get(c, cb_exp)
                for c in range(n_comp)]
-        res_ = _encode_tile_body(comp_bands, levels, cbs,
-                                 depth, guard, layers, tx0, ty0,
-                                 cb_style, precincts, prog=prog,
-                                 sub=[(subsampling or {}).get(c, (1, 1))
-                                      for c in range(n_comp)],
-                                 sop=sop, eph=eph, roi_shifts=roi_shifts,
-                                 poc=poc, packed_headers=ppm or ppt)
-        tiles_out.append(res_ if (ppm or ppt) else (res_, None))
+        pkts, hdrs = _encode_tile_body(
+            comp_bands, levels, cbs, depth, guard, layers, tx0, ty0,
+            cb_style, precincts, prog=prog,
+            sub=[(subsampling or {}).get(c, (1, 1))
+                 for c in range(n_comp)],
+            sop=sop, eph=eph, roi_shifts=roi_shifts,
+            poc=poc, packed_headers=ppm or ppt)
+        n_tp = min(tile_parts, max(1, len(pkts)))
+        bounds = [len(pkts) * k // n_tp for k in range(n_tp + 1)]
+        for k in range(n_tp):
+            lo, hi = bounds[k], bounds[k + 1]
+            parts_out.append((
+                isot, k, n_tp, b"".join(pkts[lo:hi]),
+                b"".join(hdrs[lo:hi]) if hdrs is not None else None))
     if ppm:  # A.7.4: Zppm, then per tile-part Nppm(4) + packed headers
-        pb = b"".join(struct.pack(">I", len(h)) + h for _, h in tiles_out)
+        pb = b"".join(struct.pack(">I", len(h)) + h
+                      for (_, _, _, _, h) in parts_out)
         if len(pb) + 3 > 0xFFFF:
             raise ValueError("PPM payload exceeds one marker segment")
         out += b"\xff\x60" + struct.pack(">HB", len(pb) + 3, 0) + pb
-    for isot, item in enumerate(tiles_out):
-        body, hdrs = item
+    for isot, tpsot, tnsot, body, hdrs in parts_out:
         ppt_seg = b""
         if ppt:  # A.7.5: Zppt + this tile-part's packed headers
             if len(hdrs) + 3 > 0xFFFF:
                 raise ValueError("PPT payload exceeds one marker segment")
-            ppt_seg = b"\xff\x61" + struct.pack(">HB", len(hdrs) + 3, 0) \
-                + hdrs
+            ppt_seg = b"\xff\x61" \
+                + struct.pack(">HB", len(hdrs) + 3, tpsot) + hdrs
         psot = 12 + len(ppt_seg) + 2 + len(body)
-        out += b"\xff\x90" + struct.pack(">HHIBB", 10, isot, psot, 0, 1)
+        out += b"\xff\x90" + struct.pack(">HHIBB", 10, isot, psot,
+                                         tpsot, tnsot)
         out += ppt_seg + b"\xff\x93" + body
     out += b"\xff\xd9"  # EOC
     return bytes(out)
@@ -799,9 +813,9 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
             packets.append(sop_m + body_)
         else:
             packets.append(sop_m + hdr + body_)
-    if packed_headers:
-        return b"".join(packets), b"".join(headers)
-    return b"".join(packets)
+    # per-packet lists: the caller may split them into tile-parts at
+    # packet boundaries (B.8 — TPsot/TNsot)
+    return packets, (headers if packed_headers else None)
 
 
 def _emit_packet(state: dict, c: int, res: int, layer: int,

@@ -275,6 +275,33 @@ def test_ppm_ppt_packed_headers_vs_openjpeg():
             assert np.array_equal(mine, img), (mode, kw)
 
 
+def test_tile_parts_vs_openjpeg():
+    """Multiple tile-parts per tile (A.4.2 SOT TPsot/TNsot, B.8): the
+    packet stream of one tile split across several SOT..SOD segments —
+    the layout rate-allocating encoders emit (one tile-part per
+    layer).  Covers single- and multi-tile grids, PPM (one Nppm group
+    per tile-part) and PPT (Zppt-ordered reassembly within a tile).
+    Three-way exact: fixture encoder → reference decoder == ours ==
+    original pixels."""
+    from jpx_ref import ref_decode
+
+    rng = np.random.default_rng(23)
+    for kw in [dict(levels=2, layers=2, cb_exp=4, tile_parts=3),
+               dict(levels=1, tiles=(2, 2), cb_exp=4, tile_parts=2),
+               dict(levels=2, layers=2, cb_exp=4, tile_parts=3, ppm=True),
+               dict(levels=1, tiles=(2, 2), cb_exp=4, tile_parts=2,
+                    ppt=True),
+               dict(levels=1, layers=3, cb_exp=4, tile_parts=4, sop=True,
+                    eph=True)]:
+        img = rng.integers(0, 256, (34, 47, 3)).astype(np.uint8)
+        cs = encode_jpx(img, **kw)
+        ref = np.frombuffer(ref_decode(cs),
+                            dtype=np.uint8).reshape(34, 47, 4)
+        mine = decode_jpx(cs)
+        assert np.array_equal(ref[..., :3], mine), kw
+        assert np.array_equal(mine, img), kw
+
+
 def test_unsupported_features_reject():
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (9, 9)).astype(np.uint8)
