@@ -285,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_funnel": relational.q_funnel,
         "q_cohort_retention": relational.q_cohort_retention,
         "q_train_test_split": relational.q_train_test_split,
+        "q_pareto_customers": relational.q_pareto_customers,
+        "q_bloom_semi_join": relational.q_bloom_semi_join,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
@@ -297,6 +299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_top_bigrams": text.t_top_bigrams,
         "t_above_median_by_lang": text.t_above_median_by_lang,
         "t_doc_sample": text.t_doc_sample,
+        "t_decontamination": text.t_decontamination,
+        "t_c4_quality_filter": text.t_c4_quality_filter,
+        "t_lang_mix_sample": text.t_lang_mix_sample,
         # dedup
         "d_exact_dedup": dedup.d_exact_dedup,
         "d_dedup_keep_longest": dedup.d_dedup_keep_longest,
@@ -311,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_knn_bruteforce": ann.e_knn_bruteforce,
         "e_knn_lsh": ann.e_knn_lsh,
         "e_knn_ivf": ann.e_knn_ivf,
+        "e_knn_filtered": ann.e_knn_filtered,
         "e_label_centroids": ann.e_label_centroids,
         # extraction (flagship; north-rule pipeline)
         "x_extract_corpus": _extract_corpus,
@@ -954,6 +960,120 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "e_knn_lsh": ann.oracle_sql_knn_lsh(),
+        "t_decontamination": f"""
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(ws, i,
+                           i + {text.DECON_GRAM_N - 1}), ' ') AS gram
+                FROM words,
+                     unnest(range(1, len(ws) - {text.DECON_GRAM_N - 2}))
+                         AS t(i)
+                WHERE len(ws) >= {text.DECON_GRAM_N}
+            ), eval_g AS (
+                SELECT DISTINCT gram FROM grams
+                WHERE doc_id % {text.DECON_EVAL_MOD} = 0
+            ), train AS (
+                SELECT doc_id, gram FROM grams
+                WHERE doc_id % {text.DECON_EVAL_MOD} <> 0
+            ), ov AS (
+                SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+                FROM train t JOIN eval_g e USING (gram)
+                GROUP BY t.doc_id
+            ), sz AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM train GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.n_grams, o.n_overlap
+            FROM sz s JOIN ov o USING (doc_id)
+            ORDER BY s.doc_id
+        """,
+        "t_c4_quality_filter": f"""
+            WITH flags AS (
+                SELECT source,
+                       CASE WHEN len(regexp_extract_all(text,
+                                '{text.C4_SENTENCE_PATTERN}'))
+                                >= {text.C4_MIN_SENTENCES}
+                             AND len(regexp_extract_all(text, '{word}'))
+                                >= {text.C4_MIN_WORDS}
+                             AND NOT contains(text, '{{')
+                             AND NOT contains(lower(text), 'lorem ipsum')
+                            THEN 1 ELSE 0 END AS kept
+                FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(kept) AS BIGINT) AS n_kept,
+                   round(sum(kept)::DOUBLE / count(*), 4) AS keep_rate
+            FROM flags GROUP BY source ORDER BY source
+        """,
+        "t_lang_mix_sample": f"""
+            WITH cnt AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY lang
+            ), m AS (SELECT min(n) AS mn FROM cnt),
+            kept AS (
+                SELECT d.lang
+                FROM documents d JOIN cnt c USING (lang) CROSS JOIN m
+                WHERE {text.sample_hash_sql('doc_id')}
+                      < ({(1 << 61) - 1}::HUGEINT * m.mn) // c.n
+            ), ks AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+                FROM kept GROUP BY lang
+            )
+            SELECT c.lang, c.n AS n_total,
+                   coalesce(k.n_sampled, 0) AS n_sampled
+            FROM cnt c LEFT JOIN ks k USING (lang)
+            ORDER BY c.lang
+        """,
+        "q_pareto_customers": """
+            WITH cust AS (
+                SELECT o_custkey,
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY o_custkey
+            ), t AS (SELECT SUM(cents) AS total FROM cust),
+            w AS (
+                SELECT o_custkey, cents,
+                       SUM(cents) OVER (ORDER BY cents DESC, o_custkey)
+                           AS cum
+                FROM cust)
+            SELECT o_custkey, cents / 100.0 AS revenue,
+                   round(cum::DOUBLE / total, 6) AS cum_share
+            FROM w CROSS JOIN t
+            WHERE (cum - cents) * 2 < total
+            ORDER BY revenue DESC, o_custkey
+        """,
+        "q_bloom_semi_join": f"""
+            SELECT l.l_orderkey AS o_orderkey,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   ((SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                     + 50) // 100) / 100.0 AS revenue
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_totalprice > {relational.BLOOM_PRICE_MIN}
+            GROUP BY 1 ORDER BY 1
+        """,
+        "e_knn_filtered": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+                       FROM embeddings ORDER BY vec_id LIMIT 5),
+            scored AS (
+                SELECT q.qid AS query_id, e.vec_id,
+                       list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS cos
+                FROM q JOIN embeddings e ON e.label = q.ql
+                WHERE e.vec_id <> q.qid
+            )
+            SELECT query_id, nn_rank, vec_id, cosine FROM (
+                SELECT query_id, vec_id, round(cos, 6) AS cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id)
+                           AS nn_rank
+                FROM scored
+            ) WHERE nn_rank <= 5
+            ORDER BY query_id, nn_rank
+        """,
         # e_knn_ivf (trained k-means quantizer — iterative float means no
         # static SQL reproduces), m_* (media decode) and x_extract_*
         # (PDF extraction) are not SQL-expressible → rows-only.

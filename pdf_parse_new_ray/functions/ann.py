@@ -18,8 +18,8 @@ import ray
 import ray.data as rd
 
 
-def _emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+def _emb(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
 
 
 def emb_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -395,6 +395,84 @@ def e_knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5,
                              "nn_rank": pd.Series(dtype="int64"),
                              "vec_id": pd.Series(dtype="int64"),
                              "cosine": pd.Series(dtype="float64")})
+    local["rank_key"] = -local["cosine"]
+    out = (local.sort_values(["query_id", "rank_key", "vec_id"])
+           .groupby("query_id", as_index=False).head(k))
+    out = out.drop(columns=["rank_key"]).reset_index(drop=True)
+    out["nn_rank"] = out.groupby("query_id").cumcount() + 1
+    out["cosine"] = out["cosine"].round(6)
+    return out[["query_id", "nn_rank", "vec_id", "cosine"]]
+
+
+# ---------------------------------------------------------------------------
+# predicate-filtered kNN (metadata-constrained similarity search)
+# ---------------------------------------------------------------------------
+
+def _query_matrix_with_labels(sf_dir: str, n_queries: int):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+    t = t.take(pc.sort_indices(t.column("vec_id"))).slice(0, n_queries)
+    return (ids_array(t, "vec_id"), emb_matrix(t),
+            ids_array(t, "label").astype(np.int64))
+
+
+class FilteredTopK:
+    """BruteForceTopK with a per-query candidate predicate (label
+    equality): candidates failing the filter are masked to -inf BEFORE
+    the local top-k, so the k survivors per (query, batch) are already
+    filter-true — the standard filtered-ANN shape (filter pushed into
+    the scan, not applied after retrieval where it would starve k)."""
+
+    def __init__(self, queries_ref, k: int):
+        obj = ray.get(queries_ref) \
+            if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.q_ids, q, self.q_labels = obj
+        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        vec_ids = ids_array(t, "vec_id")
+        labels = ids_array(t, "label").astype(np.int64)
+        m = emb_matrix(t)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        scores = self.qn @ m.T                       # (Q, B)
+        mask = self.q_labels[:, None] != labels[None, :]
+        scores[mask] = -np.inf
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k + 1, scores.shape[1])
+        for qi, q_id in enumerate(self.q_ids):
+            idx = np.argpartition(-scores[qi], k - 1)[:k]
+            for j in idx:
+                if scores[qi, j] == -np.inf:
+                    continue
+                out_q.append(int(q_id))
+                out_v.append(int(vec_ids[j]))
+                out_s.append(float(scores[qi, j]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+
+def e_knn_filtered(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
+    """Exact top-k cosine neighbors among candidates sharing the query's
+    label (excluding self)."""
+    q_ids, q, q_labels = _query_matrix_with_labels(sf_dir, n_queries)
+    ref = ray.put((q_ids, q, q_labels))
+    local = _emb(sf_dir, columns=["vec_id", "embedding", "label"]).map_batches(
+        FilteredTopK, fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+    ).to_pandas()
+    local = local[local["query_id"] != local["vec_id"]]
     local["rank_key"] = -local["cosine"]
     out = (local.sort_values(["query_id", "rank_key", "vec_id"])
            .groupby("query_id", as_index=False).head(k))

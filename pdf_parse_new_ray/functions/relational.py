@@ -10,6 +10,7 @@ SQL in __ray_entry__.oracle_sql().
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1426,3 +1427,200 @@ def q_cohort_retention(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values(["cohort_week", "week_offset"]) \
         .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# pareto analysis: customers covering the top half of revenue
+# (distributed prefix sum: range-partition + bucket-local cumsum + offsets)
+# ---------------------------------------------------------------------------
+
+def q_pareto_customers(sf_dir: str, n_buckets: int = 256,
+                       n_range_buckets: int = 64) -> pd.DataFrame:
+    """Customers that make up the first HALF of total revenue,
+    with each one's cumulative revenue share — a global running sum
+    over a DESCENDING sort, done scale-safe: (1) per-customer cents via
+    ONE hash-bucket shuffle + in-bucket Arrow group_by; (2) range-
+    partition customers by revenue value (sampled boundaries — only
+    placement depends on the sample, never values); (3) per-range-bucket
+    totals (tiny) give exclusive prefix offsets on the driver; (4) each
+    range bucket sorts locally and adds its offset — the classic
+    distributed prefix-sum, no global sort materialization.  Ordering and
+    cents arithmetic are integer-exact vs the oracle's window SQL."""
+    from .joins import _bucket_of, rename_agg
+
+    def per_bucket_cents(g: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            g.column("o_totalprice"), pa.scalar(100.0))), pa.int64())
+        t = pa.table({"o_custkey": g.column("o_custkey"), "cents": cents}) \
+            .group_by("o_custkey").aggregate([("cents", "sum")])
+        return rename_agg(t, {"cents_sum": "cents"}, ["o_custkey", "cents"])
+
+    cust = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(lambda t: t.append_column(
+            "__bk", _bucket_of(t.column("o_custkey"), n_buckets)),
+            batch_format="pyarrow") \
+        .groupby("__bk").map_groups(per_bucket_cents, batch_format="pyarrow")
+
+    # sampled range boundaries (ascending cents). Sample size is bounded
+    # (~64 per block); boundary quality affects only balance, not values.
+    def sample_cents(t: pa.Table) -> pa.Table:
+        c = t.column("cents").combine_chunks().to_numpy(zero_copy_only=False)
+        step = max(1, len(c) // 64)
+        return pa.table({"cents": pa.array(np.sort(c)[::step], pa.int64())})
+
+    cust_m = cust.materialize()  # consumed three times below
+    samp = np.sort(cust_m.map_batches(
+        sample_cents, batch_format="pyarrow").to_pandas()["cents"].to_numpy())
+    step = max(1, len(samp) // n_range_buckets)
+    bounds = np.unique(samp[step::step]).astype(np.int64)
+
+    def tag_range(t: pa.Table) -> pa.Table:
+        c = t.column("cents").combine_chunks().to_numpy(zero_copy_only=False)
+        rb = np.searchsorted(bounds, c, side="left").astype(np.int32)
+        return t.append_column("__rb", pa.array(rb, pa.int32()))
+
+    tagged = cust_m.map_batches(tag_range, batch_format="pyarrow")
+
+    def bucket_totals(t: pa.Table) -> pa.Table:
+        g = t.select(["__rb", "cents"]).group_by("__rb") \
+            .aggregate([("cents", "sum")])
+        return rename_agg(g, {"cents_sum": "total"}, ["__rb", "total"])
+
+    bt = tagged.map_batches(bucket_totals, batch_format="pyarrow") \
+        .groupby("__rb").aggregate(Sum("total", alias_name="total")) \
+        .to_pandas().sort_values("__rb")
+    total_all = int(bt["total"].sum())
+    # exclusive prefix in DESCENDING revenue order = suffix of ascending
+    rb_ids = bt["__rb"].to_numpy()
+    totals = bt["total"].to_numpy().astype(np.int64)
+    suffix = np.concatenate((np.cumsum(totals[::-1])[::-1][1:], [0]))
+    offset = {int(r): int(s) for r, s in zip(rb_ids, suffix)}
+
+    def per_range(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[
+            ("cents", "descending"), ("o_custkey", "ascending")])
+        s = g.take(order)
+        cents = s.column("cents").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cum = np.cumsum(cents) + offset[int(s.column("__rb")[0].as_py())]
+        # integer-exact: exclusive prefix < half of total (cents sums
+        # can pass 2^53 at corpus scale, so never compare via floats)
+        keep = (cum - cents) * 2 < total_all
+        return pa.table({
+            "o_custkey": s.column("o_custkey").filter(pa.array(keep)),
+            "revenue": pa.array(cents[keep] / 100.0, pa.float64()),
+            "cum_share": pa.array(
+                np.round(cum[keep] / total_all, 6), pa.float64()),
+        })
+
+    out = tagged.groupby("__rb").map_groups(
+        per_range, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["revenue", "o_custkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter-pruned semi-join (shuffle-reduction pattern)
+# ---------------------------------------------------------------------------
+
+BLOOM_PRICE_MIN = 480000.0   # ~4% of orders qualify
+_BLOOM_BITS = 1 << 20
+_BLOOM_K = 4
+_B_A1, _B_B1 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0x2545F4914F6CDD1D)
+_B_A2, _B_B2 = np.uint64(0xC2B2AE3D27D4EB4F), np.uint64(0x165667B19E3779F9)
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(n, K) bit positions by double hashing (h1 + i*h2) % m."""
+    x = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = x * _B_A1 + _B_B1
+        h2 = (x * _B_A2 + _B_B2) | np.uint64(1)
+        i = np.arange(_BLOOM_K, dtype=np.uint64)
+        return ((h1[:, None] + i[None, :] * h2[:, None])
+                % np.uint64(_BLOOM_BITS)).astype(np.int64)
+
+
+def q_bloom_semi_join(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """Lineitems of high-value orders via a BLOOM-PRUNED join: the
+    filtered orders keys build a bloom filter (map-only partial bitmaps
+    OR-merged on the driver — 128 KiB each), the broadcast bloom prunes
+    the fact table BEFORE any shuffle (at 100 TB this cuts the exchange
+    by ~96%), and the surviving candidates go through the exact bucketed
+    cogroup (functions/joins.attach_value) which drops bloom false
+    positives — results are exactly the plain join's.  Per-order
+    aggregation happens inside the cogroup's ``post`` hook (map-side
+    combine), so only final groups reach the driver."""
+    from .joins import attach_value, rename_agg
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(lambda t: t.filter(pc.greater(
+            t.column("o_totalprice"), BLOOM_PRICE_MIN)),
+            batch_format="pyarrow")
+    orders_m = orders.materialize()  # reused: bloom build + exact verify
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(_BLOOM_BITS // 8, np.uint8)
+        if t.num_rows:
+            keys = t.column("o_orderkey").combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            pos = _bloom_positions(keys).ravel()
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = orders_m.map_batches(
+        bloom_partial, batch_format="pyarrow").to_pandas()["bloom"]
+    bloom = np.zeros(_BLOOM_BITS // 8, np.uint8)
+    for b in parts:
+        bloom |= np.frombuffer(b, np.uint8)
+
+    import ray
+    bloom_ref = ray.put(bloom)
+
+    class BloomPrune:
+        def __init__(self):
+            self.bits = ray.get(bloom_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("l_orderkey").combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            pos = _bloom_positions(keys)
+            hit = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            cand = t.filter(pa.array(hit.all(axis=1)))
+            # integer revenue units (10^-4 dollars): cents x (100 - disc%)
+            # — exact sums in any order, no float-tie rounding hazards
+            cents = pc.cast(pc.round(pc.multiply(
+                cand.column("l_extendedprice"), pa.scalar(100.0))),
+                pa.int64())
+            disc = pc.cast(pc.round(pc.multiply(
+                cand.column("l_discount"), pa.scalar(100.0))), pa.int64())
+            rev = pc.multiply(cents, pc.subtract(pa.scalar(100), disc))
+            return pa.table({"l_orderkey": cand.column("l_orderkey"),
+                             "rev": rev})
+
+    cand = _rp(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(BloomPrune, batch_format="pyarrow", concurrency=(1, 8))
+
+    def post(t: pa.Table) -> pa.Table:  # map-side combine inside cogroup
+        g = t.group_by("l_orderkey").aggregate(
+            [("rev", "sum"), ("rev", "count")])
+        return rename_agg(g, {"l_orderkey": "o_orderkey",
+                              "rev_sum": "rev", "rev_count": "n_items"},
+                          ["o_orderkey", "n_items", "rev"])
+
+    vals = orders_m.map_batches(
+        lambda t: pa.table({"doc_id": t.column("o_orderkey"),
+                            "value": t.column("o_totalprice")}),
+        batch_format="pyarrow")
+    out = attach_value(cand, vals, key_col="l_orderkey", out_name="__v",
+                       vtype=pa.float64(),
+                       pair_cols=[("l_orderkey", pa.int64()),
+                                  ("rev", pa.int64())],
+                       n_buckets=n_buckets, post=post).to_pandas()
+    # half-up to cents in integers, then an exact 2-decimal float
+    out["revenue"] = ((out["rev"].astype("int64") + 50) // 100) / 100.0
+    out["n_items"] = out["n_items"].astype("int64")
+    out = out[["o_orderkey", "n_items", "revenue"]]
+    return out.sort_values("o_orderkey").reset_index(drop=True)

@@ -473,3 +473,181 @@ def t_stratified_sample(sf_dir: str) -> pd.DataFrame:
     g["avg_chars"] = g["n_chars_sum"].astype("int64") / g["n_sampled"]
     out = g[["lang", "n_sampled", "avg_chars"]]
     return out.sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (13-gram overlap vs a held-out eval slice)
+# ---------------------------------------------------------------------------
+
+# the standard exact-substring contamination unit (13 consecutive words,
+# the GPT-3/The-Pile convention); words = [a-z0-9]+ on lowercased text
+DECON_GRAM_N = 13
+DECON_EVAL_MOD = 37  # doc_id % 37 == 0 stands in for the benchmark set
+
+
+def t_decontamination(sf_dir: str) -> pd.DataFrame:
+    """Training-set decontamination: flag every training document that
+    shares at least one 13-word shingle with the (deterministic) eval
+    slice.  Scale plan: real benchmark suites are tiny next to a 100 TB
+    corpus, so the eval gram set is the BROADCAST side (one ray.put of a
+    sorted uint64 hash array, np.searchsorted membership probe per
+    batch); the training pass is map-only — no shuffle at all.  Gram
+    hashes are md5-derived (dedup._gram_hash64) so the DuckDB oracle can
+    recompute the identical 64-bit values."""
+    from .dedup import _gram_hash64
+
+    word = re.compile(r"[a-z0-9]+")
+    n = DECON_GRAM_N
+
+    def doc_grams(text: str) -> set:
+        ws = word.findall((text or "").lower())
+        if len(ws) < n:
+            return set()
+        return {_gram_hash64(" ".join(ws[i:i + n]))
+                for i in range(len(ws) - n + 1)}
+
+    def eval_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % DECON_EVAL_MOD == 0))
+        hs: set = set()
+        for text in sub.column("text").to_pylist():
+            hs |= doc_grams(text)
+        return pa.table({"h": pa.array(
+            np.fromiter(hs, np.uint64, len(hs)), pa.uint64())})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    eval_hashes = docs.map_batches(
+        eval_partial, batch_format="pyarrow").to_pandas()["h"].to_numpy()
+    eval_sorted = np.unique(eval_hashes)
+
+    import ray
+    ref = ray.put(eval_sorted)
+
+    class Overlap:
+        def __init__(self):
+            self.ev = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            train = t.filter(pa.array(ids % DECON_EVAL_MOD != 0))
+            out_id, out_n, out_o = [], [], []
+            for did, text in zip(train.column("doc_id").to_pylist(),
+                                 train.column("text").to_pylist()):
+                hs = doc_grams(text)
+                if not hs:
+                    continue
+                arr = np.fromiter(hs, np.uint64, len(hs))
+                pos = np.searchsorted(self.ev, arr)
+                pos[pos >= len(self.ev)] = 0
+                n_ov = int(np.count_nonzero(self.ev[pos] == arr)) \
+                    if len(self.ev) else 0
+                if n_ov:
+                    out_id.append(did)
+                    out_n.append(len(hs))
+                    out_o.append(n_ov)
+            return pa.table({
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_grams": pa.array(out_n, pa.int64()),
+                "n_overlap": pa.array(out_o, pa.int64()),
+            })
+
+    out = docs.map_batches(Overlap, batch_format="pyarrow",
+                           concurrency=(1, 8)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# C4-style heuristic quality filter (per-source keep rates)
+# ---------------------------------------------------------------------------
+
+# C4's page-level heuristics adapted to this corpus: >= 3 terminal-
+# punctuation sentences, >= 50 words, no '{' (code), no 'lorem ipsum'
+C4_SENTENCE_PATTERN = r"[^.!?]+[.!?]"
+C4_MIN_SENTENCES = 3
+C4_MIN_WORDS = 50
+
+
+def t_c4_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """C4-style document filter, reported as per-source keep rates.
+    Fully Arrow-vectorized (count_substring_regex / match_substring on
+    whole columns — no per-row Python), partial per-batch aggregation so
+    the only shuffle is a ~20-group groupby."""
+    from .joins import rename_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        text_col = t.column("text").combine_chunks()
+        n_sent = pc.count_substring_regex(text_col, C4_SENTENCE_PATTERN)
+        n_words = pc.count_substring_regex(text_col, WORD_PATTERN)
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(n_sent, C4_MIN_SENTENCES),
+                    pc.greater_equal(n_words, C4_MIN_WORDS)),
+            pc.and_(pc.invert(pc.match_substring(text_col, "{")),
+                    pc.invert(pc.match_substring(
+                        pc.utf8_lower(text_col), "lorem ipsum"))))
+        g = pa.table({
+            "source": t.column("source"),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "kept": keep.cast(pa.int64()),
+        }).group_by("source").aggregate([("n", "sum"), ("kept", "sum")])
+        return rename_agg(g, {"n_sum": "n_docs", "kept_sum": "n_kept"},
+                          ["source", "n_docs", "n_kept"])
+
+    parts = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("source", as_index=False).sum()
+    g["keep_rate"] = (g["n_kept"] / g["n_docs"]).round(4)
+    return g.sort_values("source").reset_index(drop=True)[
+        ["source", "n_docs", "n_kept", "keep_rate"]]
+
+
+# ---------------------------------------------------------------------------
+# language-mix rebalancing sample (per-stratum target rates)
+# ---------------------------------------------------------------------------
+
+def t_lang_mix_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic language-rebalancing sample: down-sample every
+    language to (approximately) the size of the smallest one — the
+    data-mixing primitive of multilingual training sets.  Phase 1 is a
+    tiny aggregate (per-language counts); the per-language keep
+    thresholds (M61 * min_count // count_l, exact integer math mirrored
+    by the DuckDB oracle's HUGEINT division) then ride into phase 2's
+    map-only vectorized filter as a closure — no second shuffle, no
+    per-stratum pass."""
+    from .joins import rename_agg
+
+    def counts(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "lang": t.column("lang"),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by("lang").aggregate([("n", "sum")])
+        return rename_agg(g, {"n_sum": "n"}, ["lang", "n"])
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    cnt = docs.map_batches(counts, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n", alias_name="n")).to_pandas()
+    langs = cnt["lang"].tolist()
+    totals = {l: int(v) for l, v in zip(cnt["lang"], cnt["n"])}
+    mn = min(totals.values())
+    m61 = int(_M61)
+    thr = np.array([(m61 * mn) // totals[l] for l in langs], np.uint64)
+    lang_arr = pa.array(langs, pa.string())
+
+    def keep_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        li = pc.index_in(t.column("lang"), value_set=lang_arr) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        mask = sample_hash(ids) < thr[li]
+        sub = t.filter(pa.array(mask))
+        return counts(sub) if sub.num_rows else pa.table(
+            {"lang": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())})
+
+    sampled = docs.map_batches(keep_partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n", alias_name="n")).to_pandas()
+    picked = {l: int(v) for l, v in zip(sampled["lang"], sampled["n"])}
+    out = pd.DataFrame({
+        "lang": sorted(langs),
+        "n_total": [totals[l] for l in sorted(langs)],
+        "n_sampled": [picked.get(l, 0) for l in sorted(langs)],
+    })
+    return out.reset_index(drop=True)

@@ -723,3 +723,147 @@ def test_cohort_retention_weeks(ray_session, tmp_path):
              for r in out.itertuples()}
     assert cells == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
                      ("2024-01-08", 0): 1, ("2024-01-08", 2): 1}
+
+
+def test_decontamination_planted(ray_session, tmp_path):
+    """Plant a training doc that copies a 13-word span from an eval doc
+    (doc_id % 37 == 0); the overlap count must be exact (number of
+    distinct shared 13-gram shingles)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import text as tx
+
+    eval_words = " ".join(f"w{i}" for i in range(15))   # 15 words
+    clean = " ".join(f"z{i}" for i in range(20))
+    contaminated = "intro " + eval_words + " outro"     # 17 words
+    pq.write_table(pa.table({
+        "doc_id": [37, 1, 2],
+        "text": [eval_words, contaminated, clean],
+    }), str(tmp_path / "documents.parquet"))
+    out = tx.t_decontamination(str(tmp_path))
+    assert list(out["doc_id"]) == [1]
+    # eval doc has 3 distinct 13-grams; contaminated doc contains all 3
+    # of them among its 5 (17-13+1) shingles
+    assert list(out["n_grams"]) == [5]
+    assert list(out["n_overlap"]) == [3]
+
+
+def test_c4_filter_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import text as tx
+
+    good = ("All the kings rode out. " * 20).strip()     # 100 words, 20 sents
+    short = "Tiny. Text. Here."                           # < 50 words
+    brace = good + " {code}"
+    lorem = good + " lorem ipsum dolor"
+    pq.write_table(pa.table({
+        "source": ["a", "a", "b", "b"],
+        "text": [good, short, brace, lorem],
+    }), str(tmp_path / "documents.parquet"))
+    out = tx.t_c4_quality_filter(str(tmp_path))
+    assert list(out["source"]) == ["a", "b"]
+    assert list(out["n_docs"]) == [2, 2]
+    assert list(out["n_kept"]) == [1, 0]
+    assert list(out["keep_rate"]) == [0.5, 0.0]
+
+
+def test_lang_mix_sample_balances(ray_session):
+    """Every language down-samples toward the smallest stratum's size;
+    thresholds are exact integers so the result is reproducible."""
+    from pdf_parse_new_ray.functions import text as tx
+
+    out = tx.t_lang_mix_sample("/root/testdata/sf0.01")
+    assert (out["n_sampled"] <= out["n_total"]).all()
+    mn = int(out["n_total"].min())
+    # sampled counts concentrate near min-count (hash noise is ~sqrt(n))
+    assert (abs(out["n_sampled"] - mn) <= 4 * (mn ** 0.5) + 2).all()
+    again = tx.t_lang_mix_sample("/root/testdata/sf0.01")
+    import pandas as pd
+    pd.testing.assert_frame_equal(out, again)
+
+
+def test_pareto_customers_halves_revenue(ray_session):
+    from pdf_parse_new_ray.functions import relational
+
+    out = relational.q_pareto_customers("/root/testdata/sf0.01")
+    assert len(out) > 0
+    # kept customers are exactly those whose exclusive prefix < 50%:
+    # the last kept row crosses the half mark, all others are below it
+    assert (out["cum_share"].iloc[:-1] < 0.5 + 1e-9).all() or \
+        out["cum_share"].iloc[-1] >= 0.5
+    # descending revenue with monotone cumulative share
+    assert (out["revenue"].diff().dropna() <= 1e-9).all()
+    assert (out["cum_share"].diff().dropna() > 0).all()
+
+
+def test_bloom_semi_join_matches_exact(ray_session, tmp_path):
+    """The bloom prune never changes results (false positives are removed
+    by the exact cogroup): compare against a no-bloom pandas join on a
+    planted table that *forces* bloom false positives by key collision
+    density (tiny bloom would be needed; here we just assert equality)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import relational
+
+    rng = np.random.default_rng(7)
+    n_orders = 500
+    keys = np.arange(1, n_orders + 1)
+    price = rng.uniform(1000, 500000, n_orders).round(2)
+    pq.write_table(pa.table({
+        "o_orderkey": keys, "o_totalprice": price,
+    }), str(tmp_path / "orders.parquet"))
+    li_key = rng.choice(keys, 3000)
+    ep = rng.uniform(10, 90000, 3000).round(2)
+    disc = rng.choice(np.arange(0, 11) / 100.0, 3000)
+    pq.write_table(pa.table({
+        "l_orderkey": li_key, "l_extendedprice": ep, "l_discount": disc,
+    }), str(tmp_path / "lineitem.parquet"))
+
+    out = relational.q_bloom_semi_join(str(tmp_path))
+    df = pd.DataFrame({"k": li_key, "ep": ep, "d": disc})
+    hot = set(keys[price > relational.BLOOM_PRICE_MIN])
+    df = df[df["k"].isin(hot)]
+    units = (np.round(df["ep"] * 100).astype("int64")
+             * (100 - np.round(df["d"] * 100).astype("int64")))
+    exp = df.assign(u=units).groupby("k").agg(
+        n_items=("u", "size"), u=("u", "sum")).reset_index()
+    exp["revenue"] = ((exp["u"] + 50) // 100) / 100.0
+    exp = exp.rename(columns={"k": "o_orderkey"}) \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out, exp[["o_orderkey", "n_items", "revenue"]],
+        check_dtype=False)
+
+
+def test_knn_filtered_respects_predicate(ray_session):
+    """Every returned neighbor shares the query's label, and within the
+    label stratum the ranking equals exact brute force."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import ann
+
+    sf = "/root/testdata/sf0.01"
+    out = ann.e_knn_filtered(sf)
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    lbl = dict(zip(t["vec_id"], t["label"]))
+    for _, r in out.iterrows():
+        assert lbl[r["query_id"]] == lbl[r["vec_id"]]
+    # exact check for one query via numpy
+    q_ids, q, q_labels = ann._query_matrix_with_labels(sf, 1)
+    emb = np.stack(t["embedding"].to_numpy())
+    norms = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qv = (q / np.linalg.norm(q, axis=1, keepdims=True))[0]
+    cos = norms @ qv
+    cand = t[(t["label"].to_numpy() == q_labels[0])
+             & (t["vec_id"].to_numpy() != q_ids[0])]
+    top = cand.assign(c=cos[cand.index]).sort_values(
+        ["c", "vec_id"], ascending=[False, True]).head(5)
+    got = out[out["query_id"] == q_ids[0]]
+    assert list(got["vec_id"]) == list(top["vec_id"])
