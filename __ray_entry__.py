@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_train_test_split": relational.q_train_test_split,
         "q_pareto_customers": relational.q_pareto_customers,
         "q_bloom_semi_join": relational.q_bloom_semi_join,
+        "q_event_transitions": relational.q_event_transitions,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
@@ -317,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_knn_lsh": ann.e_knn_lsh,
         "e_knn_ivf": ann.e_knn_ivf,
         "e_knn_filtered": ann.e_knn_filtered,
+        "e_centroid_assign": ann.e_centroid_assign,
         "e_label_centroids": ann.e_label_centroids,
         # extraction (flagship; north-rule pipeline)
         "x_extract_corpus": _extract_corpus,
@@ -1054,6 +1056,43 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
             WHERE o.o_totalprice > {relational.BLOOM_PRICE_MIN}
             GROUP BY 1 ORDER BY 1
+        """,
+        "q_event_transitions": """
+            WITH w AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events)
+            SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM w WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "e_centroid_assign": """
+            WITH expl AS (
+                SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ), cent AS (
+                SELECT label, i, avg(v) AS m FROM expl GROUP BY label, i
+            ), cl AS (
+                SELECT label AS clab, list(m ORDER BY i) AS cv
+                FROM cent GROUP BY label
+            ), d AS (
+                SELECT e.vec_id, e.label, c.clab,
+                       list_distance(CAST(e.embedding AS DOUBLE[]),
+                                     CAST(c.cv AS DOUBLE[])) AS dist
+                FROM embeddings e CROSS JOIN cl c
+            ), a AS (
+                SELECT vec_id, label, clab,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, clab) AS rk
+                FROM d)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(clab AS BIGINT) AS assigned,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM a WHERE rk = 1
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "e_knn_filtered": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql

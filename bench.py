@@ -135,6 +135,9 @@ def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
         "q_running_balance": relational.q_running_balance,
         "q_rolling_avg": relational.q_rolling_avg,
         "t_top_bigrams": tfn.t_top_bigrams,
+        "q_pareto_customers": relational.q_pareto_customers,
+        "q_bloom_semi_join": relational.q_bloom_semi_join,
+        "t_c4_quality_filter": tfn.t_c4_quality_filter,
     }
     for name, fn in bench_queries.items():
         t0 = time.time()
@@ -211,7 +214,9 @@ def run_scaling() -> dict:
     # shared-host VM with noisy neighbors; best-of approximates the
     # steady-state throughput the north metric defines
     results: dict = {}
+    loadavgs: list = []
     for cpus in (lo, hi, hi, lo):
+        loadavgs.append(round(os.getloadavg()[0], 2))
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = scaling_dir
@@ -238,6 +243,10 @@ def run_scaling() -> dict:
         "normalized_efficiency": round(eff / calib["ceiling_efficiency"], 3)
         if calib["ceiling_efficiency"] else None,
         "calibration": calib,
+        # co-tenant load on this shared box at each leg's launch
+        # (order lo,hi,hi,lo) — the single biggest source of trial
+        # variance; see BASELINE.md scaling-trial history
+        "loadavg_at_legs": loadavgs,
         "sf": r8["sf"],
         f"docs_per_sec_{lo}": r8["docs_per_sec"],
         f"docs_per_sec_{hi}": r32["docs_per_sec"],

@@ -424,7 +424,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                roi_shift: int | None = None,
                poc: list | None = None,
                ppm: bool = False, ppt: bool = False,
-               tile_parts: int = 1) -> bytes:
+               tile_parts: int = 1, signed: bool = False) -> bytes:
     """img: (h, w) or (h, w, 3) uint8 → raw JPEG2000 codestream
     (LRCP; lossless 5/3 by default).  layers=2 assigns each codeblock
     wholly to a quality layer (alternating) to exercise multi-layer
@@ -485,7 +485,14 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     n_ty = (h + yt - 1) // yt
     if not 1 <= depth <= 16:
         raise ValueError("depth must be 1..16")
-    half = 1 << (depth - 1)
+    if signed:
+        # signed components (SIZ Ssiz bit 7): samples are already
+        # centered — NO DC level shift (B.1.4 applies only to unsigned)
+        if lossy:
+            raise ValueError("signed lossy encode not supported")
+        if img.dtype.kind != "i":
+            raise ValueError("signed=True needs a signed integer image")
+    half = 0 if signed else 1 << (depth - 1)
     # per-tile transforms first so guard bits cover every tile
     tile_planes = []
     for ty in range(n_ty):
@@ -594,7 +601,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     out = bytearray(b"\xff\x4f")  # SOC
     siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, n_comp)
     siz += b"".join(
-        struct.pack(">BBB", depth - 1,
+        struct.pack(">BBB", (depth - 1) | (0x80 if signed else 0),
                     *(subsampling or {}).get(c, (1, 1)))
         for c in range(n_comp))
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz

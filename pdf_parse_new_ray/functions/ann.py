@@ -480,3 +480,69 @@ def e_knn_filtered(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
     out["nn_rank"] = out.groupby("query_id").cumcount() + 1
     out["cosine"] = out["cosine"].round(6)
     return out[["query_id", "nn_rank", "vec_id", "cosine"]]
+
+
+# ---------------------------------------------------------------------------
+# nearest-centroid classification (confusion matrix)
+# ---------------------------------------------------------------------------
+
+def e_centroid_assign(sf_dir: str) -> pd.DataFrame:
+    """Assign every vector to its nearest label centroid (euclidean) and
+    report the label x assigned confusion counts — the cluster-purity /
+    nearest-class-mean primitive.  Phase 1 = exact centroids via partial
+    vector sums (map-only, tiny driver merge); phase 2 broadcasts the
+    (L, d) centroid matrix in the actor constructor and does a per-batch
+    argmin — distances via the |c|^2 - 2xc trick (one matmul per batch);
+    per-batch partial counts make the final shuffle L^2-bounded."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = ids_array(t, "label")
+        m = emb_matrix(t)
+        rows = []
+        for lab in np.unique(labels):
+            sel = m[labels == lab]
+            rows.append({"label": int(lab), "n": int(sel.shape[0]),
+                         "vec_sum": sel.sum(axis=0).tolist()})
+        return pa.Table.from_pylist(rows)
+
+    parts = _emb(sf_dir, columns=["label", "embedding"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+    labs, cents = [], []
+    for lab, g in sorted(parts.groupby("label"), key=lambda kv: kv[0]):
+        s = np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0)
+        labs.append(int(lab))
+        cents.append(s / int(g["n"].sum()))
+    labs_arr = np.array(labs, np.int64)
+    ref = ray.put((labs_arr, np.stack(cents)))
+
+    class Assign:
+        def __init__(self):
+            self.labs, self.c = ray.get(ref)
+            self.c_sq = (self.c ** 2).sum(axis=1)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"label": pa.array([], pa.int64()),
+                                 "assigned": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            m = emb_matrix(t)
+            d = self.c_sq[None, :] - 2.0 * (m @ self.c.T)  # + |x|^2 const
+            best = self.labs[np.argmin(d, axis=1)]
+            tt = pa.table({
+                "label": pa.array(ids_array(t, "label").astype(np.int64)),
+                "assigned": pa.array(best),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }).group_by(["label", "assigned"]).aggregate([("n", "sum")])
+            return tt.rename_columns(
+                ["n" if c == "n_sum" else c for c in tt.column_names])
+
+    from ray.data.aggregate import Sum
+
+    out = _emb(sf_dir, columns=["label", "embedding"]).map_batches(
+        Assign, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4),
+    ).groupby(["label", "assigned"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["label", "assigned"]).reset_index(drop=True)

@@ -1624,3 +1624,49 @@ def q_bloom_semi_join(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
     out["n_items"] = out["n_items"].astype("int64")
     out = out[["o_orderkey", "n_items", "revenue"]]
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# event-type transition counts (per-user Markov matrix)
+# ---------------------------------------------------------------------------
+
+def q_event_transitions(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Counts of consecutive event-type transitions (prev_type →
+    event_type) across all users, ordered per user by (ts, event_id) —
+    the session-flow / Markov-chain primitive.  ONE shuffle on
+    hash(user_id) buckets; inside each bucket a vectorized multi-user
+    shift (no per-user Python) collapses straight to partial transition
+    counts, so the final groupby is |types|^2-bounded."""
+    from .joins import _bucket_of, rename_agg
+
+    def fold(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = group.take(order)
+        uid = g.column("user_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        n = len(uid)
+        same_user = np.zeros(n, dtype=bool)
+        same_user[1:] = uid[1:] == uid[:-1]
+        et = g.column("event_type").combine_chunks()
+        idx = np.nonzero(same_user)[0]
+        t = pa.table({
+            "prev_type": pc.take(et, pa.array(idx - 1)),
+            "event_type": pc.take(et, pa.array(idx)),
+            "n": pa.array(np.ones(len(idx), np.int64)),
+        }).group_by(["prev_type", "event_type"]).aggregate([("n", "sum")])
+        return rename_agg(t, {"n_sum": "n"},
+                          ["prev_type", "event_type", "n"])
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ev = ev.map_batches(
+        lambda t: t.append_column(
+            "__bk", _bucket_of(t.column("user_id"), n_buckets)),
+        batch_format="pyarrow")
+    out = ev.groupby("__bk").map_groups(fold, batch_format="pyarrow") \
+        .groupby(["prev_type", "event_type"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_type", "event_type"]) \
+        .reset_index(drop=True)

@@ -951,13 +951,14 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
             if xosiz or yosiz or xtosiz or ytosiz:
                 raise JPXError("image/tile offsets are not supported")
             for ssiz, xr, yr in comps:
-                if ssiz & 0x80:
-                    raise JPXError("signed components are not supported")
                 if not 0 <= (ssiz & 0x7F) <= 15:
                     raise JPXError(f"implausible component depth "
                                    f"{(ssiz & 0x7F) + 1}")
             if len({s & 0x7F for s, _, _ in comps}) != 1:
                 raise JPXError("mixed component depths are not supported")
+            if len({s >> 7 for s, _, _ in comps}) != 1:
+                raise JPXError("mixed signed/unsigned components are "
+                               "not supported")
         elif marker == 0xFF52:  # COD
             scod = data[body]
             prog = data[body + 1]
@@ -1158,7 +1159,15 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
             for c in range(n_comp):
                 ch_, cw_ = comps[c].shape
                 full[c][y0:y0 + ch_, x0:x0 + cw_] = comps[c]
-    half = 1 << (depth - 1)
+    # DC level shift (B.1.4) applies to UNSIGNED components only; for
+    # SIGNED components (Ssiz bit 7) the reference's openjpeg glue does
+    # NOT re-center — it writes the centered value straight into the
+    # unsigned display buffer, clamping negatives to 0 (verified
+    # empirically vs the wasm: test_signed_components_vs_openjpeg)
+    is_signed = bool(siz["comps"][0][0] & 0x80)
+    if is_signed and subsampled:
+        raise JPXError("signed subsampled components are not supported")
+    half = 0 if is_signed else 1 << (depth - 1)
     if cod["mct"] and n_comp >= 3:
         if lossy:
             r, g, b = inverse_ict(full[0], full[1], full[2])

@@ -867,3 +867,55 @@ def test_knn_filtered_respects_predicate(ray_session):
         ["c", "vec_id"], ascending=[False, True]).head(5)
     got = out[out["query_id"] == q_ids[0]]
     assert list(got["vec_id"]) == list(top["vec_id"])
+
+
+def test_centroid_assign_planted(ray_session, tmp_path):
+    """Two well-separated planted clusters with one mislabeled point:
+    the confusion matrix catches exactly that point."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import ann
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(0, 0.05, (20, 8)) + np.r_[np.ones(4), np.zeros(4)]
+    b = rng.normal(0, 0.05, (20, 8)) - np.r_[np.zeros(4), np.ones(4)]
+    emb = np.vstack([a, b]).astype(np.float32)
+    labels = np.array([0] * 20 + [1] * 20, np.int32)
+    labels[5] = 1  # a point in cluster A carrying label B
+    pq.write_table(pa.table({
+        "vec_id": np.arange(40, dtype=np.int64),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = ann.e_centroid_assign(str(tmp_path))
+    conf = {(r.label, r.assigned): r.n for r in out.itertuples()}
+    # the mislabeled point sits at cluster A, so it is assigned to
+    # whichever centroid is nearer — centroid 0 (19 A pts) pulls it in
+    assert conf[(0, 0)] == 19
+    assert conf[(1, 0)] == 1
+    assert conf[(1, 1)] == 20
+
+
+def test_event_transitions_planted(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import relational
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00", "2024-01-01 10:01", "2024-01-01 10:02",
+        "2024-01-01 09:00", "2024-01-01 09:30",
+    ])
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 8, 8], pa.int64()),
+        "event_type": ["view", "click", "view", "view", "purchase"],
+    }), str(tmp_path / "events.parquet"))
+    out = relational.q_event_transitions(str(tmp_path))
+    got = {(r.prev_type, r.event_type): r.n for r in out.itertuples()}
+    assert got == {("view", "click"): 1, ("click", "view"): 1,
+                   ("view", "purchase"): 1}

@@ -302,6 +302,32 @@ def test_tile_parts_vs_openjpeg():
         assert np.array_equal(mine, img), kw
 
 
+def test_signed_components_vs_openjpeg():
+    """Signed components (SIZ Ssiz bit 7): samples carry no DC level
+    shift in the codestream (B.1.4 is unsigned-only), and the
+    reference's openjpeg glue does NOT re-center on output — it writes
+    the centered sample into the unsigned display buffer, so negatives
+    clamp to 0 (empirical wasm behavior; our decoder matches it
+    exactly).  Gray and RGB(RCT), single- and multi-tile."""
+    from jpx_ref import ref_decode
+
+    rng = np.random.default_rng(29)
+    for kw in [dict(levels=2, cb_exp=4),
+               dict(levels=1, tiles=(2, 1), cb_exp=4),
+               dict(levels=2, layers=2, cb_exp=4)]:
+        for shape in [(21, 17), (21, 17, 3)]:
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            s = (img.astype(np.int64) - 128).astype(np.int16)
+            cs = encode_jpx(s, **kw, signed=True)
+            mine = decode_jpx(cs)
+            ref = np.frombuffer(ref_decode(cs), dtype=np.uint8) \
+                .reshape(21, 17, 4)
+            want = ref[..., :3] if len(shape) == 3 else ref[..., 0]
+            assert np.array_equal(mine, want), (kw, shape)
+            expect = np.clip(s, 0, 255).astype(np.uint8)
+            assert np.array_equal(mine, expect), (kw, shape)
+
+
 def test_unsupported_features_reject():
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (9, 9)).astype(np.uint8)
@@ -614,8 +640,8 @@ def test_deep_samples_roundtrip_and_parity():
     """12- and 16-bit components: full_precision returns the native
     samples (lossless roundtrip); the default output right-shifts to
     8 bits exactly as the reference's openjpeg glue does (verified
-    against the wasm when available); signed and mixed-depth SIZ
-    entries reject cleanly."""
+    against the wasm when available); mixed-signedness SIZ entries
+    reject cleanly."""
     rng = np.random.default_rng(23)
     have_ref = _ref_available()
     if have_ref:
@@ -644,11 +670,12 @@ def test_deep_samples_roundtrip_and_parity():
         from jpx_ref import ref_decode
         ref = np.frombuffer(ref_decode(cs), np.uint8).reshape(20, 26, 4)
         assert np.array_equal(ref[..., 0], decode_jpx(cs))
-    # signed component: clean reject
-    cs = bytearray(encode_jpx(rng.integers(0, 256, (8, 8))
-                              .astype(np.uint8)))
+    # mixed signed/unsigned components: clean reject (uniform
+    # signedness is supported — see test_signed_components_vs_openjpeg)
+    cs = bytearray(encode_jpx(rng.integers(0, 256, (8, 8, 3))
+                              .astype(np.uint8), rct=False))
     siz_at = bytes(cs).find(b"\xff\x51")
-    cs[siz_at + 4 + 36] |= 0x80  # Ssiz sign bit
+    cs[siz_at + 4 + 36] |= 0x80  # Ssiz sign bit, first component only
     with pytest.raises(JPXError):
         decode_jpx(bytes(cs))
 
