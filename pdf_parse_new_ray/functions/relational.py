@@ -1410,10 +1410,13 @@ def q_cohort_retention(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
             pc.cast(pc.subtract(pc.cast(active.column("week"), pa.int64()),
                                 pc.cast(cohort, pa.int64())), pa.int64()),
             pa.scalar(week_us, pa.int64()))
+        from .joins import rename_agg
+
         out = pa.table({"cohort_week": cohort, "week_offset": off}) \
             .group_by(["cohort_week", "week_offset"]).aggregate(
                 [([], "count_all")])
-        return out.rename_columns(["cohort_week", "week_offset", "n_users"])
+        return rename_agg(out, {"count_all": "n_users"},
+                          ["cohort_week", "week_offset", "n_users"])
 
     ev = _rp(sf_dir, "events", columns=["ts", "user_id"])
     ev = ev.map_batches(
@@ -1435,7 +1438,8 @@ def q_cohort_retention(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_pareto_customers(sf_dir: str, n_buckets: int = 256,
-                       n_range_buckets: int = 64) -> pd.DataFrame:
+                       n_range_buckets: int = 64,
+                       write_dir: str | None = None) -> pd.DataFrame:
     """Customers that make up the first HALF of total revenue,
     with each one's cumulative revenue share — a global running sum
     over a DESCENDING sort, done scale-safe: (1) per-customer cents via
@@ -1513,8 +1517,13 @@ def q_pareto_customers(sf_dir: str, n_buckets: int = 256,
                 np.round(cum[keep] / total_all, 6), pa.float64()),
         })
 
-    out = tagged.groupby("__rb").map_groups(
-        per_range, batch_format="pyarrow").to_pandas()
+    kept = tagged.groupby("__rb").map_groups(
+        per_range, batch_format="pyarrow")
+    if write_dir is not None:
+        # half-of-revenue can still be millions of customers at corpus
+        # scale: stream per-bucket output to parquet, return metrics
+        return _write_windowed(kept, write_dir)
+    out = kept.to_pandas()
     return out.sort_values(["revenue", "o_custkey"],
                            ascending=[False, True]).reset_index(drop=True)
 

@@ -797,6 +797,12 @@ def test_pareto_customers_halves_revenue(ray_session):
     # descending revenue with monotone cumulative share
     assert (out["revenue"].diff().dropna() <= 1e-9).all()
     assert (out["cum_share"].diff().dropna() > 0).all()
+    # write_dir scale hatch: streams to parquet, returns metrics only
+    import shutil
+    shutil.rmtree("/tmp/test_pareto_out", ignore_errors=True)
+    m = relational.q_pareto_customers(
+        "/root/testdata/sf0.01", write_dir="/tmp/test_pareto_out")
+    assert int(m["n_rows"][0]) == len(out)
 
 
 def test_bloom_semi_join_matches_exact(ray_session, tmp_path):
