@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pareto_customers": relational.q_pareto_customers,
         "q_bloom_semi_join": relational.q_bloom_semi_join,
         "q_event_transitions": relational.q_event_transitions,
+        "q_late_data_drop": relational.q_late_data_drop,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
@@ -313,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_simhash": dedup.d_simhash,
         "d_ngram_jaccard": dedup.d_ngram_jaccard,
         "d_embedding_neardup": dedup.d_embedding_neardup,
+        "d_incremental_dedup": dedup.d_incremental_dedup,
         # similarity search
         "e_knn_bruteforce": ann.e_knn_bruteforce,
         "e_knn_lsh": ann.e_knn_lsh,
@@ -1056,6 +1058,43 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
             WHERE o.o_totalprice > {relational.BLOOM_PRICE_MIN}
             GROUP BY 1 ORDER BY 1
+        """,
+        "d_incremental_dedup": """
+            WITH f AS (
+                SELECT doc_id % 2 AS batch, md5(text) AS fp
+                FROM documents
+            ), firstb AS (
+                SELECT fp, min(batch) AS fb FROM f GROUP BY fp
+            ), per AS (
+                SELECT batch, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
+                FROM f GROUP BY batch
+            ), acc AS (
+                SELECT fb AS batch, CAST(count(*) AS BIGINT) AS n_accepted
+                FROM firstb GROUP BY fb
+            )
+            SELECT CAST(p.batch AS BIGINT) AS batch, p.n_docs, p.n_unique,
+                   coalesce(a.n_accepted, 0) AS n_accepted
+            FROM per p LEFT JOIN acc a USING (batch)
+            ORDER BY batch
+        """,
+        "q_late_data_drop": """
+            WITH w AS (
+                SELECT ts, user_id,
+                       max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS hwm
+                FROM events
+            ), flag AS (
+                SELECT date_trunc('hour', ts) AS window_start,
+                       CASE WHEN hwm IS NOT NULL
+                                 AND ts < hwm - INTERVAL 10 MINUTE
+                            THEN 1 ELSE 0 END AS late
+                FROM w)
+            SELECT window_start,
+                   CAST(sum(1 - late) AS BIGINT) AS n_on_time,
+                   CAST(sum(late) AS BIGINT) AS n_late_dropped
+            FROM flag GROUP BY 1 ORDER BY window_start
         """,
         "q_event_transitions": """
             WITH w AS (

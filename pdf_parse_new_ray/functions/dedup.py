@@ -856,3 +856,74 @@ def d_dedup_keep_longest(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
         .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow") \
         .to_pandas()
     return out.sort_values("fingerprint").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup across ingestion batches (sharded index actors)
+# ---------------------------------------------------------------------------
+
+def d_incremental_dedup(sf_dir: str, n_batches: int = 2,
+                        n_shards: int = 16,
+                        n_buckets: int = 64) -> pd.DataFrame:
+    """Rolling-ingestion dedup: the corpus arrives as ``n_batches``
+    ordered batches (batch = doc_id % n_batches here); a document is
+    ACCEPTED iff its fingerprint was never accepted in ANY earlier
+    batch.  This needs state that outlives one Dataset run — the
+    sharded-actor index (state/dedup_index.py), the brief's
+    "shared mutable index" case, probed once per DISTINCT fingerprint:
+    each batch first collapses to (fingerprint, min doc_id)
+    representatives via the same ONE-bucket-shuffle Arrow combine as
+    d_exact_dedup (so acceptance is deterministic — no first-wins race
+    between parallel workers), then a map-only probe pass batches its
+    fingerprints per shard (one RPC per shard per map batch).
+
+    Returns per-batch totals (docs, distinct fingerprints, accepted) —
+    the monitoring surface of a streaming dedup stage."""
+    import ray
+
+    from ..state.checkpoint import partition_column
+    from ..state.dedup_index import ShardedDedupIndex
+    from .joins import rename_agg
+
+    idx = ShardedDedupIndex(n_shards=n_shards)
+    rows = []
+    for b in range(n_batches):
+        def pick(t: pa.Table, b=b) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            sub = t.filter(pa.array(ids % n_batches == b))
+            fps = pa.array([_content_hash(x) for x in
+                            sub.column("text").to_pylist()], pa.string())
+            return pa.table({
+                "doc_id": sub.column("doc_id"), "fingerprint": fps,
+                "__bk": partition_column(fps, n_buckets),
+            })
+
+        def reps(g: pa.Table) -> pa.Table:
+            out = g.group_by("fingerprint").aggregate(
+                [("doc_id", "min"), ("doc_id", "count")])
+            return rename_agg(out, {"doc_id_min": "keep_doc_id",
+                                    "doc_id_count": "n_docs"},
+                              ["fingerprint", "keep_doc_id", "n_docs"])
+
+        batch_reps = _docs(sf_dir).map_batches(
+            pick, batch_format="pyarrow") \
+            .groupby("__bk").map_groups(reps, batch_format="pyarrow")
+
+        def probe(t: pa.Table) -> pa.Table:
+            fps = t.column("fingerprint").to_pylist()
+            new = idx.filter_new(fps)
+            nd = t.column("n_docs").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n_docs": pa.array([int(nd.sum())], pa.int64()),
+                "n_unique": pa.array([t.num_rows], pa.int64()),
+                "n_accepted": pa.array([sum(new)], pa.int64()),
+            })
+
+        part = batch_reps.map_batches(
+            probe, batch_format="pyarrow").to_pandas()
+        rows.append({"batch": b,
+                     "n_docs": int(part["n_docs"].sum()),
+                     "n_unique": int(part["n_unique"].sum()),
+                     "n_accepted": int(part["n_accepted"].sum())})
+    assert sum(idx.sizes()) == sum(r["n_accepted"] for r in rows)
+    return pd.DataFrame(rows)

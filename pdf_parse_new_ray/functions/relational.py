@@ -1679,3 +1679,85 @@ def q_event_transitions(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["prev_type", "event_type"]) \
         .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# streaming watermark: late-data drop + tumbling window counts
+# ---------------------------------------------------------------------------
+
+LATE_ALLOWED_US = 10 * 60 * 1_000_000   # allowed lateness: 10 minutes
+
+
+def q_late_data_drop(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Streaming-window semantics over a batch table: events arrive per
+    user in event_id order; a per-user WATERMARK trails the running max
+    event time by the allowed lateness, and an event older than the
+    watermark at its arrival is dropped (the Beam/Flink allowed-lateness
+    rule, keyed per user so it partitions).  Surviving and dropped
+    events roll into tumbling 1-hour windows.
+
+    ONE shuffle on hash(user_id) buckets; the per-user running max is a
+    vectorized grouped cummax (the K-offset trick: cummax(ts + K*seg) -
+    K*seg equals the per-segment cummax when K exceeds any in-bucket
+    time span — exact in int64, with a guard that widens to a
+    per-segment fallback if a bucket ever got big enough to overflow)."""
+    from .joins import _bucket_of, rename_agg
+
+    def fold(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("event_id", "ascending")])
+        g = group.take(order)
+        uid = g.column("user_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        tsv = g.column("ts").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(uid)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(new_user) - 1           # 0-based segment ids
+        t0 = tsv.min()
+        rel = tsv - t0
+        span = int(rel.max()) + 1 if n else 1
+        n_seg = int(seg[-1]) + 1 if n else 0
+        if n_seg * span < (1 << 62):            # K-offset stays in int64
+            shifted = rel + seg * span
+            hwm = np.maximum.accumulate(shifted) - seg * span + t0
+        else:                                   # absurd-bucket fallback
+            hwm = np.empty(n, np.int64)
+            starts = np.nonzero(new_user)[0]
+            for k, s_ in enumerate(starts):
+                e_ = starts[k + 1] if k + 1 < len(starts) else n
+                hwm[s_:e_] = np.maximum.accumulate(tsv[s_:e_])
+        # watermark uses STRICTLY PRIOR events: shift within segment
+        prior = np.empty(n, np.int64)
+        prior[1:] = hwm[:-1]
+        late = np.zeros(n, dtype=bool)
+        late[~new_user] = tsv[~new_user] < (prior[~new_user]
+                                            - LATE_ALLOWED_US)
+        hour_us = 3_600_000_000
+        win = (tsv // hour_us) * hour_us
+        t = pa.table({
+            "window_start": pa.array(win, pa.timestamp("us")),
+            "ok": pa.array((~late).astype(np.int64)),
+            "late": pa.array(late.astype(np.int64)),
+        }).group_by("window_start").aggregate(
+            [("ok", "sum"), ("late", "sum")])
+        return rename_agg(t, {"ok_sum": "n_on_time",
+                              "late_sum": "n_late_dropped"},
+                          ["window_start", "n_on_time", "n_late_dropped"])
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+    ev = ev.map_batches(
+        lambda t: t.append_column(
+            "__bk", _bucket_of(t.column("user_id"), n_buckets)),
+        batch_format="pyarrow")
+    out = ev.groupby("__bk").map_groups(fold, batch_format="pyarrow") \
+        .groupby("window_start").aggregate(
+            Sum("n_on_time", alias_name="n_on_time"),
+            Sum("n_late_dropped", alias_name="n_late_dropped")) \
+        .to_pandas()
+    out["n_on_time"] = out["n_on_time"].astype("int64")
+    out["n_late_dropped"] = out["n_late_dropped"].astype("int64")
+    # Ray's groupby narrows timestamp[us] to [s]; restore the source unit
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return out.sort_values("window_start").reset_index(drop=True)

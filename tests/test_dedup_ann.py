@@ -925,3 +925,52 @@ def test_event_transitions_planted(ray_session, tmp_path):
     got = {(r.prev_type, r.event_type): r.n for r in out.itertuples()}
     assert got == {("view", "click"): 1, ("click", "view"): 1,
                    ("view", "purchase"): 1}
+
+
+def test_incremental_dedup_index(ray_session, tmp_path):
+    """The sharded index carries state BETWEEN batches: a fingerprint
+    accepted in batch 0 (even doc_ids) suppresses its batch-1 twin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import dedup
+
+    pq.write_table(pa.table({
+        "doc_id": [0, 2, 4, 1, 3, 5],
+        "text": ["A", "B", "A",     # batch 0: A dup inside the batch
+                 "A", "B", "C"],    # batch 1: A,B seen before; C new
+    }), str(tmp_path / "documents.parquet"))
+    out = dedup.d_incremental_dedup(str(tmp_path))
+    rows = {int(r.batch): r for r in out.itertuples()}
+    assert rows[0].n_docs == 3 and rows[0].n_unique == 2 \
+        and rows[0].n_accepted == 2
+    assert rows[1].n_docs == 3 and rows[1].n_unique == 3 \
+        and rows[1].n_accepted == 1
+
+
+def test_late_data_drop_watermark(ray_session, tmp_path):
+    """Per-user watermark: an event more than 10 minutes older than the
+    user's running max is dropped; a mildly-late one survives."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import relational
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00",   # u7 e1
+        "2024-01-01 10:30",   # u7 e2 (max now 10:30)
+        "2024-01-01 10:25",   # u7 e3: 5 min late -> within allowance
+        "2024-01-01 10:05",   # u7 e4: 25 min late -> DROPPED
+        "2024-01-01 10:01",   # u8 e5: other user unaffected
+    ])
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 7, 8], pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+    out = relational.q_late_data_drop(str(tmp_path))
+    got = {r.window_start: (r.n_on_time, r.n_late_dropped)
+           for r in out.itertuples()}
+    win = pd.Timestamp("2024-01-01 10:00")
+    assert got == {win: (4, 1)}
