@@ -424,7 +424,9 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
                roi_shift: int | None = None,
                poc: list | None = None,
                ppm: bool = False, ppt: bool = False,
-               tile_parts: int = 1, signed: bool = False) -> bytes:
+               tile_parts: int = 1, signed: bool = False,
+               comp_depths: dict[int, int] | None = None,
+               comp_signed: dict[int, bool] | None = None) -> bytes:
     """img: (h, w) or (h, w, 3) uint8 → raw JPEG2000 codestream
     (LRCP; lossless 5/3 by default).  layers=2 assigns each codeblock
     wholly to a quality layer (alternating) to exercise multi-layer
@@ -483,38 +485,41 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
         yt = max(h, 1)
     n_tx = (w + xt - 1) // xt
     n_ty = (h + yt - 1) // yt
-    if not 1 <= depth <= 16:
-        raise ValueError("depth must be 1..16")
-    if signed:
+    # per-component depth/signedness (SIZ Ssiz varies per component);
+    # comp_depths / comp_signed override the uniform depth / signed
+    depths = [(comp_depths or {}).get(c, depth) for c in range(n_comp)]
+    signs = [bool((comp_signed or {}).get(c, signed))
+             for c in range(n_comp)]
+    for d_c in depths:
+        if not 1 <= d_c <= 16:
+            raise ValueError("depth must be 1..16")
+    if any(signs):
         # signed components (SIZ Ssiz bit 7): samples are already
         # centered — NO DC level shift (B.1.4 applies only to unsigned)
         if lossy:
             raise ValueError("signed lossy encode not supported")
         if img.dtype.kind != "i":
-            raise ValueError("signed=True needs a signed integer image")
-    half = 0 if signed else 1 << (depth - 1)
+            raise ValueError("signed components need a signed "
+                             "integer image")
+    halfs = [0 if sg else 1 << (d_c - 1)
+             for d_c, sg in zip(depths, signs)]
     # per-tile transforms first so guard bits cover every tile
     tile_planes = []
     for ty in range(n_ty):
         for tx in range(n_tx):
             sub = img[ty * yt:(ty + 1) * yt, tx * xt:(tx + 1) * xt]
+            chans = [sub] if sub.ndim == 2 \
+                else [sub[..., i] for i in range(3)]
             if lossy:
-                fh = np.float32(half)
-                if sub.ndim == 2:
-                    planes = [sub.astype(np.float32) - fh]
-                else:
-                    r = sub[..., 0].astype(np.float32) - fh
-                    g = sub[..., 1].astype(np.float32) - fh
-                    b = sub[..., 2].astype(np.float32) - fh
-                    planes = list(forward_ict(r, g, b)) if rct \
-                        else [r, g, b]
-            elif sub.ndim == 2:
-                planes = [sub.astype(np.int64) - half]
+                planes = [ch.astype(np.float32) - np.float32(halfs[i])
+                          for i, ch in enumerate(chans)]
+                if len(planes) == 3 and rct:
+                    planes = list(forward_ict(*planes))
             else:
-                r = sub[..., 0].astype(np.int64) - half
-                g = sub[..., 1].astype(np.int64) - half
-                b = sub[..., 2].astype(np.int64) - half
-                planes = list(forward_rct(r, g, b)) if rct else [r, g, b]
+                planes = [ch.astype(np.int64) - halfs[i]
+                          for i, ch in enumerate(chans)]
+                if len(planes) == 3 and rct:
+                    planes = list(forward_rct(*planes))
             def _quant(a: np.ndarray, mant: int) -> np.ndarray:
                 # deadzone scalar quantizer (E.1): sign·floor(|c|/Δb)
                 d = np.float32(1.0 + mant / 2048.0)
@@ -545,13 +550,16 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
             tile_planes.append(comp_bands)
     guard = 2
     for comp_bands in tile_planes:
-        for bands in comp_bands:
+        for ci, bands in enumerate(comp_bands):
             for (res, name), arr in bands.items():
                 if arr.size == 0:
                     continue
                 msb = int(np.abs(arr).max()).bit_length()
-                guard = max(guard, msb - (depth + _GAIN[name]) + 1)
-    guard = min(guard, 7)
+                guard = max(guard, msb - (depths[ci] + _GAIN[name]) + 1)
+    if guard > 7:
+        # G is a 3-bit field; silently clamping would corrupt Mb
+        # (possible only with extreme mixed-depth MCT combinations)
+        raise ValueError(f"required guard bits {guard} exceed 7")
     # maxshift ROI (T.800 Annex H / E.1.2): scale the quantized ROI
     # coefficients up by 2^SPrgn, with SPrgn at least the background's
     # magnitude bitplane count so the decoder can separate the two by
@@ -601,7 +609,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
     out = bytearray(b"\xff\x4f")  # SOC
     siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, n_comp)
     siz += b"".join(
-        struct.pack(">BBB", (depth - 1) | (0x80 if signed else 0),
+        struct.pack(">BBB", (depths[c] - 1) | (0x80 if signs[c] else 0),
                     *(subsampling or {}).get(c, (1, 1)))
         for c in range(n_comp))
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
@@ -625,18 +633,28 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
         out += b"\xff\x53" + struct.pack(">H", len(spcoc) + 2) + spcoc
     if lossy:  # scalar expounded: 16-bit (εb<<11 | μb) per subband
         qcd = bytes([(guard << 5) | 2]) + b"".join(
-            struct.pack(">H", ((depth + g) << 11) | quant_mant)
+            struct.pack(">H", ((depths[0] + g) << 11) | quant_mant)
             for g in _qcd_gains(levels))
     else:
         qcd = bytes([guard << 5]) + bytes(
-            ((depth + g) << 3) for g in _qcd_gains(levels))
+            ((depths[0] + g) << 3) for g in _qcd_gains(levels))
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
-    if lossy and qcc_mants:  # per-component quantization overrides
-        for ci, m in sorted(qcc_mants.items()):
+    # per-component quantization overrides: explicit mantissas (lossy)
+    # and/or exponents for components whose depth differs from comp 0
+    # (εb tracks the component's own Rb = depth + gain)
+    qcc_set = {c for c in range(n_comp) if depths[c] != depths[0]}
+    if lossy:
+        qcc_set |= set(qcc_mants or {})
+    for ci in sorted(qcc_set):
+        if lossy:
+            m = (qcc_mants or {}).get(ci, quant_mant)
             qb = bytes([ci, (guard << 5) | 2]) + b"".join(
-                struct.pack(">H", ((depth + g) << 11) | m)
+                struct.pack(">H", ((depths[ci] + g) << 11) | m)
                 for g in _qcd_gains(levels))
-            out += b"\xff\x5d" + struct.pack(">H", len(qb) + 2) + qb
+        else:
+            qb = bytes([ci, guard << 5]) + bytes(
+                ((depths[ci] + g) << 3) for g in _qcd_gains(levels))
+        out += b"\xff\x5d" + struct.pack(">H", len(qb) + 2) + qb
     for ci, s in enumerate(roi_shifts):
         if s:  # RGN (A.6.3): Crgn, Srgn=0 (implicit/maxshift), SPrgn
             out += b"\xff\x5e" + struct.pack(">HBBB", 5, ci, 0, s)
@@ -655,7 +673,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
         cbs = [1 << (coc_cbs or {}).get(c, cb_exp)
                for c in range(n_comp)]
         pkts, hdrs = _encode_tile_body(
-            comp_bands, levels, cbs, depth, guard, layers, tx0, ty0,
+            comp_bands, levels, cbs, depths, guard, layers, tx0, ty0,
             cb_style, precincts, prog=prog,
             sub=[(subsampling or {}).get(c, (1, 1))
                  for c in range(n_comp)],
@@ -690,7 +708,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 6,
 
 
 def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
-                      depth: int, guard: int, layers: int,
+                      depths: list, guard: int, layers: int,
                       tx0: int = 0, ty0: int = 0,
                       cb_style: int = 0,
                       precincts: list | None = None,
@@ -752,7 +770,7 @@ def _encode_tile_body(comp_bands: list, levels: int, cb_sizes: list,
                 gx = codeblock_grid(ox, bw, cbw)
                 gy = codeblock_grid(oy, bh, cbh)
                 n_x, n_y = len(gx), len(gy)
-                mb = depth + _GAIN[name] + guard - 1 + \
+                mb = depths[c] + _GAIN[name] + guard - 1 + \
                     (roi_shifts or [0] * n_comp)[c]
                 blocks = {}
                 layer_of = np.zeros((n_y, n_x), dtype=np.int32)

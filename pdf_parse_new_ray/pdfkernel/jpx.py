@@ -31,17 +31,20 @@ terminated segments), VSC (stripe-causal contexts), PTERM
 (decode-side no-op: a predictable-termination convention the encoder
 follows; any conformant stream decodes identically), SEGSYM.
 
-Component depths up to 16 bits decode at native precision; the
-default output matches the reference glue (right-shift to 8 bits),
-with full_precision=True returning uint16 samples.
+Component depths up to 16 bits decode at native precision; depths
+and signedness may DIFFER PER COMPONENT (Ssiz varies; εb in QCC
+tracks each component's own Rb).  The default output matches the
+reference glue per component (signed: no re-center, negatives clamp
+to 0; deep: right-shift by that component's depth − 8), with
+full_precision=True returning uint16 samples.
 
 Custom precincts (Scod/Scoc bit 0) are supported: per-resolution
 precinct grids with per-precinct tag trees, codeblock sizes clamped
 to the precinct per B.7.
 
 Raises JPXError for: non-chroma subsampling layouts, signed or
-mixed-depth components, image/tile offsets, explicit (Srgn != 0) ROI,
-tile-part coding-parameter overrides.
+non-8-bit subsampled components, image/tile offsets, explicit
+(Srgn != 0) ROI, tile-part coding-parameter overrides.
 Callers absorb to decoded=False (multimodal stage contract).
 """
 
@@ -954,11 +957,6 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
                 if not 0 <= (ssiz & 0x7F) <= 15:
                     raise JPXError(f"implausible component depth "
                                    f"{(ssiz & 0x7F) + 1}")
-            if len({s & 0x7F for s, _, _ in comps}) != 1:
-                raise JPXError("mixed component depths are not supported")
-            if len({s >> 7 for s, _, _ in comps}) != 1:
-                raise JPXError("mixed signed/unsigned components are "
-                               "not supported")
         elif marker == 0xFF52:  # COD
             scod = data[body]
             prog = data[body + 1]
@@ -1082,7 +1080,10 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
         if cods[c]["transform"] == 0 and qcds[c]["style"] == 0:
             raise JPXError("irreversible 9/7 requires scalar quantization")
     w, h = siz["w"], siz["h"]
-    depth = (siz["comps"][0][0] & 0x7F) + 1
+    # per-component depth / signedness (Ssiz may differ per component;
+    # εb in QCC tracks each component's own Rb)
+    depths = [(s_ & 0x7F) + 1 for s_, _, _ in siz["comps"]]
+    signs = [bool(s_ & 0x80) for s_, _, _ in siz["comps"]]
     if max_pixels and w * h * len(siz["comps"]) > max_pixels:
         raise JPXError(f"image {w}x{h} exceeds the decode cap")
     xt, yt = siz["xt"], siz["yt"]
@@ -1101,7 +1102,7 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
         if n_comp != 3 or sub[0] != (1, 1) or sub[1] != sub[2] or                 sub[1] not in ((2, 2), (2, 1)):
             raise JPXError("only 4:2:0 / 4:2:2 chroma subsampling "
                            "is supported")
-        if depth != 8:
+        if any(d != 8 for d in depths):
             raise JPXError("subsampled chroma requires 8-bit samples")
     # tile origins must stay even at every decomposition level so the
     # per-tile DWT's origin-0 lifting parity matches the global sample
@@ -1153,7 +1154,7 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
             tile_dims = [comp_dims[c] if subsampled else (th, tw)
                          for c in range(n_comp)]
             comps = _decode_tile(b"".join(parts), tile_dims, n_comp,
-                                 cods, qcds, x0, y0, depth=depth,
+                                 cods, qcds, x0, y0, depths=depths,
                                  sub=sub, roi=roi, poc=poc_segs,
                                  hdr_buf=hdr_bufs.get(isot))
             for c in range(n_comp):
@@ -1164,10 +1165,9 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
     # NOT re-center — it writes the centered value straight into the
     # unsigned display buffer, clamping negatives to 0 (verified
     # empirically vs the wasm: test_signed_components_vs_openjpeg)
-    is_signed = bool(siz["comps"][0][0] & 0x80)
-    if is_signed and subsampled:
+    if any(signs) and subsampled:
         raise JPXError("signed subsampled components are not supported")
-    half = 0 if is_signed else 1 << (depth - 1)
+    halfs = [0 if sg else 1 << (d - 1) for d, sg in zip(depths, signs)]
     if cod["mct"] and n_comp >= 3:
         if lossy:
             r, g, b = inverse_ict(full[0], full[1], full[2])
@@ -1176,7 +1176,8 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
         full[0:3] = [r, g, b]
     if lossy:  # round-half-to-even like the reference's lrintf path
         full = [np.round(c).astype(np.int64) for c in full]
-    full = [np.clip(c + half, 0, (1 << depth) - 1) for c in full]
+    full = [np.clip(c + halfs[i], 0, (1 << depths[i]) - 1)
+            for i, c in enumerate(full)]
     if subsampled:
         # replicate chroma to the reference grid, then the sYCC→RGB
         # conversion the reference's openjpeg glue performs
@@ -1186,19 +1187,21 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
         up = [np.repeat(np.repeat(a, yr, axis=0), xr, axis=1)[:h, :w]
               for a, (xr, yr) in zip(full, sub)]
         y = up[0].astype(np.float64)
-        cb = up[1].astype(np.float64) - float(half)
-        cr = up[2].astype(np.float64) - float(half)
-        upb = (1 << depth) - 1
+        cb = up[1].astype(np.float64) - 128.0   # all-8-bit enforced
+        cr = up[2].astype(np.float64) - 128.0
+        upb = 255
         full = [np.clip(y + np.trunc(1.402 * cr), 0, upb),
                 np.clip(y - np.trunc(0.344 * cb + 0.714 * cr), 0, upb),
                 np.clip(y + np.trunc(1.772 * cb), 0, upb)]
-    if depth > 8 and not full_precision:
+    if not full_precision:
         # reference parity: openjpeg glue right-shifts deep samples
-        full = [c >> (depth - 8) for c in full]
+        # to 8 bits PER COMPONENT (each by its own depth - 8)
+        full = [c >> (d - 8) if d > 8 else c
+                for c, d in zip(full, depths)]
         out = [c.astype(np.uint8) for c in full]
     else:
-        out = [c.astype(np.uint8 if depth <= 8 else np.uint16)
-               for c in full]
+        out_dtype = np.uint8 if max(depths) <= 8 else np.uint16
+        out = [c.astype(out_dtype) for c in full]
     if len(out) == 1:
         return out[0]
     return np.stack(out, axis=-1)
@@ -1206,10 +1209,11 @@ def _decode_codestream(data: bytes, max_pixels: int | None,
 
 def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
                  qcds: list, tx0: int = 0, ty0: int = 0,
-                 depth: int = 8, sub: list | None = None,
+                 depths: list | None = None, sub: list | None = None,
                  roi: dict | None = None, poc: list | None = None,
                  hdr_buf: bytes | None = None) -> list:
     cod = cods[0]  # levels/layers/prog/transform are uniform (enforced)
+    depths = depths or [8] * n_comp
     levels = cod["levels"]
     # per component: build subband structures (band origins in global
     # subband coordinates anchor the codeblock grids); codeblock sizes
@@ -1329,7 +1333,7 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
                 sign = np.sign(arr).astype(np.int64)
                 if lossy:
                     gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[name]
-                    step = dequant_stepsize(exp, mant, depth + gain)
+                    step = dequant_stepsize(exp, mant, depths[c] + gain)
                     arrays[(r, name)] = (
                         sign.astype(np.float32)
                         * (t.astype(np.float32) * np.float32(0.5))
@@ -1339,7 +1343,7 @@ def _decode_tile(body: bytes, tile_dims: list, n_comp: int, cods: list,
                 continue
             if lossy:
                 gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[name]
-                step = dequant_stepsize(exp, mant, depth + gain)
+                step = dequant_stepsize(exp, mant, depths[c] + gain)
                 # midpoint (half-bit) reconstruction — the convention
                 # the reference's openjpeg wasm uses; with it our output
                 # matches that decoder to within ±1 (float op order)

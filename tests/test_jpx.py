@@ -670,14 +670,85 @@ def test_deep_samples_roundtrip_and_parity():
         from jpx_ref import ref_decode
         ref = np.frombuffer(ref_decode(cs), np.uint8).reshape(20, 26, 4)
         assert np.array_equal(ref[..., 0], decode_jpx(cs))
-    # mixed signed/unsigned components: clean reject (uniform
-    # signedness is supported — see test_signed_components_vs_openjpeg)
-    cs = bytearray(encode_jpx(rng.integers(0, 256, (8, 8, 3))
-                              .astype(np.uint8), rct=False))
+    # flipping a single component's Ssiz sign bit reinterprets that
+    # component as signed (no DC shift on decode): unsigned samples
+    # encoded with the −128 shift come back as clip(v − 128, 0, 255)
+    img8 = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    cs = bytearray(encode_jpx(img8, rct=False))
     siz_at = bytes(cs).find(b"\xff\x51")
     cs[siz_at + 4 + 36] |= 0x80  # Ssiz sign bit, first component only
-    with pytest.raises(JPXError):
-        decode_jpx(bytes(cs))
+    got = decode_jpx(bytes(cs))
+    exp0 = np.clip(img8[..., 0].astype(int) - 128, 0, 255)
+    assert np.array_equal(got[..., 0], exp0.astype(np.uint8))
+    assert np.array_equal(got[..., 1:], img8[..., 1:])
+    if have_ref:
+        ref = np.frombuffer(ref_decode(bytes(cs)), np.uint8) \
+            .reshape(8, 8, 4)
+        assert np.array_equal(ref[..., :3], got)
+
+
+def test_mixed_depth_and_sign_components():
+    """Per-component Ssiz: depths and signedness differing across
+    components of one image, lossless and lossy, with and without the
+    MCT — three-way exact vs the reference's openjpeg wasm (each
+    component DC-shifts, clips and downshifts by its OWN depth/sign)."""
+    rng = np.random.default_rng(47)
+    have_ref = _ref_available()
+    if have_ref:
+        from jpx_ref import ref_decode
+
+    def check(img, cs, exp8):
+        mine = decode_jpx(cs)
+        assert np.array_equal(mine, exp8)
+        if have_ref:
+            h, w = img.shape[:2]
+            ref = np.frombuffer(ref_decode(cs), np.uint8) \
+                .reshape(h, w, 4)
+            assert np.array_equal(ref[..., :3], mine)
+
+    # lossless, mixed depths 8/12/10, no MCT and with RCT
+    img = np.zeros((13, 19, 3), np.uint16)
+    for c, d in enumerate([8, 12, 10]):
+        img[..., c] = rng.integers(0, 1 << d, (13, 19))
+    exp8 = np.stack([img[..., 0], img[..., 1] >> 4, img[..., 2] >> 2],
+                    -1).astype(np.uint8)
+    for rct in (False, True):
+        cs = encode_jpx(img, rct=rct, comp_depths={1: 12, 2: 10})
+        assert np.array_equal(decode_jpx(cs, full_precision=True), img)
+        check(img, cs, exp8)
+    # mixed signedness: middle component signed (clamps at 0)
+    simg = np.zeros((11, 15, 3), np.int16)
+    simg[..., 0] = rng.integers(0, 256, (11, 15))
+    simg[..., 1] = rng.integers(-128, 128, (11, 15))
+    simg[..., 2] = rng.integers(0, 256, (11, 15))
+    cs = encode_jpx(simg, rct=False, comp_signed={1: True})
+    exp8 = np.stack([simg[..., 0], np.clip(simg[..., 1], 0, 255),
+                     simg[..., 2]], -1).astype(np.uint8)
+    check(simg, cs, exp8)
+    # signed AND deep in one component (clip then per-depth downshift)
+    dimg = np.zeros((10, 10, 3), np.int16)
+    dimg[..., 0] = rng.integers(0, 256, (10, 10))
+    dimg[..., 1] = rng.integers(-(1 << 11), 1 << 11, (10, 10))
+    dimg[..., 2] = rng.integers(0, 1024, (10, 10))
+    cs = encode_jpx(dimg, rct=False, comp_depths={1: 12, 2: 10},
+                    comp_signed={1: True})
+    exp8 = np.stack([dimg[..., 0],
+                     np.clip(dimg[..., 1], 0, 4095) >> 4,
+                     dimg[..., 2] >> 2], -1).astype(np.uint8)
+    check(dimg, cs, exp8)
+    # lossy 9/7, mixed depths via per-component QCC exponents
+    limg = np.zeros((14, 14, 3), np.uint16)
+    for c, d in enumerate([8, 12, 10]):
+        limg[..., c] = rng.integers(0, 1 << d, (14, 14))
+    cs = encode_jpx(limg, rct=False, lossy=True,
+                    comp_depths={1: 12, 2: 10})
+    mine = decode_jpx(cs)
+    if have_ref:
+        ref = np.frombuffer(ref_decode(cs), np.uint8).reshape(14, 14, 4)
+        assert np.array_equal(ref[..., :3], mine)
+    full = decode_jpx(cs, full_precision=True).astype(int)
+    for c in range(3):
+        assert np.abs(full[..., c] - limg[..., c].astype(int)).max() <= 4
 
 def test_custom_precincts_vs_openjpeg():
     """Custom precincts (Scod bit 0): per-resolution precinct grids,
