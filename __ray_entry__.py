@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_semi_join": relational.q_bloom_semi_join,
         "q_event_transitions": relational.q_event_transitions,
         "q_late_data_drop": relational.q_late_data_drop,
+        "q_props_value_stats": relational.q_props_value_stats,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
@@ -302,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_above_median_by_lang": text.t_above_median_by_lang,
         "t_doc_sample": text.t_doc_sample,
         "t_decontamination": text.t_decontamination,
+        "t_bigram_lm_score": text.t_bigram_lm_score,
         "t_c4_quality_filter": text.t_c4_quality_filter,
         "t_lang_mix_sample": text.t_lang_mix_sample,
         # dedup
@@ -315,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_ngram_jaccard": dedup.d_ngram_jaccard,
         "d_embedding_neardup": dedup.d_embedding_neardup,
         "d_incremental_dedup": dedup.d_incremental_dedup,
+        "d_substring_dedup": dedup.d_substring_dedup,
         # similarity search
         "e_knn_bruteforce": ann.e_knn_bruteforce,
         "e_knn_lsh": ann.e_knn_lsh,
@@ -1077,6 +1080,63 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_accepted, 0) AS n_accepted
             FROM per p LEFT JOIN acc a USING (batch)
             ORDER BY batch
+        """,
+        "d_substring_dedup": f"""
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents
+            ), g AS MATERIALIZED (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(array_to_string(
+                            list_slice(ws, i, i + {dedup.SUBSTR_GRAM_N - 1}),
+                            ' ')), 1, 16))::UBIGINT AS h
+                FROM words,
+                     unnest(range(1, len(ws) - {dedup.SUBSTR_GRAM_N - 2}))
+                         AS t(i)
+                WHERE len(ws) >= {dedup.SUBSTR_GRAM_N}
+            ), df AS (
+                SELECT h, count(*) AS df FROM g GROUP BY h
+            )
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup
+            FROM g JOIN df USING (h)
+            GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        "t_bigram_lm_score": """
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents
+            ), bg AS MATERIALIZED (
+                SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+                FROM words, unnest(range(1, len(ws))) AS t(i)
+                WHERE len(ws) >= 2
+            ), cnt AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS c
+                FROM bg GROUP BY g
+            )
+            SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(c.c) AS BIGINT) AS total_freq,
+                   round(CAST(sum(c.c) AS DOUBLE) / count(*), 4)
+                       AS avg_freq
+            FROM bg b JOIN cnt c USING (g)
+            GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
+        "q_props_value_stats": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(count(json_extract_string(props, '$.k'))
+                        AS BIGINT) AS n_k,
+                   round(CAST(sum(CAST(json_extract_string(props, '$.k')
+                                       AS BIGINT)) AS DOUBLE)
+                         / count(json_extract_string(props, '$.k')), 4)
+                       AS avg_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q_late_data_drop": """
             WITH w AS (

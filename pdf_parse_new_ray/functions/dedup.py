@@ -927,3 +927,91 @@ def d_incremental_dedup(sf_dir: str, n_batches: int = 2,
                      "n_accepted": int(part["n_accepted"].sum())})
     assert sum(idx.sizes()) == sum(r["n_accepted"] for r in rows)
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication census (suffix-array dedup, shuffle-style)
+# ---------------------------------------------------------------------------
+
+SUBSTR_GRAM_N = 15
+
+
+def d_substring_dedup(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Exact-substring duplication census — the suffix-array dedup of
+    Lee et al. 2022 / RefinedWeb re-expressed as ONE gram shuffle:
+    every 15-word shingle (stride 1) of every document is hashed to 64
+    bits; a shingle is DUPLICATED if it occurs in >= 2 distinct
+    documents.  Returns per-document totals (distinct shingles,
+    duplicated shingles) — the signal used to cut repeated boilerplate
+    spans from a training corpus.
+
+    Scale plan: 16-byte (hash, doc_id) rows with per-doc set-dedupe at
+    the map side; hash-bucket shuffle co-locates equal shingles, and
+    each bucket computes BOTH the df>=2 hash set and the per-doc
+    partial counts in a single Arrow group_by pass (vectorized is_in
+    semi-join, no second scan of the gram stream); the final per-doc
+    merge is a tiny int64 groupby.  Gram hashes are md5-derived
+    (_gram_hash64) so the DuckDB oracle recomputes identical values.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .joins import rename_agg
+
+    n = SUBSTR_GRAM_N
+
+    def grams(t: pa.Table) -> pa.Table:
+        hs_all, ids_all = [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            ws = _WORD.findall((text or "").lower())
+            if len(ws) < n:
+                continue
+            hs = {_gram_hash64(" ".join(ws[i:i + n]))
+                  for i in range(len(ws) - n + 1)}
+            hs_all.append(np.fromiter(hs, np.uint64, len(hs)))
+            ids_all.append(np.full(len(hs), did, np.int64))
+        h = np.concatenate(hs_all) if hs_all else np.empty(0, np.uint64)
+        d = np.concatenate(ids_all) if ids_all else np.empty(0, np.int64)
+        return pa.table({
+            "h": pa.array(h, pa.uint64()),
+            "doc_id": pa.array(d, pa.int64()),
+            "__bk": pa.array((h & np.uint64(n_buckets - 1))
+                             .astype(np.int32)),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_dup": pa.array([], pa.int64())})
+        g = g.drop_columns(["__bk"])
+        # each (h, doc_id) row is one distinct doc for that h, so the
+        # row count per h IS its document frequency
+        df = rename_agg(g.group_by("h").aggregate([("doc_id", "count")]),
+                        {"doc_id_count": "df"})
+        shared = df.filter(
+            pc.greater_equal(df.column("df"), 2)).column("h")
+        tot = rename_agg(
+            g.group_by("doc_id").aggregate([("h", "count")]),
+            {"h_count": "n_grams"}, ["doc_id", "n_grams"])
+        dup = rename_agg(
+            g.filter(pc.is_in(g.column("h"), value_set=shared))
+            .group_by("doc_id").aggregate([("h", "count")]),
+            {"h_count": "n_dup"}, ["doc_id", "n_dup"])
+        j = tot.join(dup, keys="doc_id", join_type="left outer")
+        nd = pc.fill_null(j.column("n_dup"), 0)
+        return pa.table({"doc_id": j.column("doc_id"),
+                         "n_grams": pc.cast(j.column("n_grams"),
+                                            pa.int64()),
+                         "n_dup": pc.cast(nd, pa.int64())})
+
+    out = _docs(sf_dir).map_batches(grams, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("n_grams", alias_name="n_grams"),
+                                     Sum("n_dup", alias_name="n_dup")) \
+        .to_pandas()
+    out["n_grams"] = out["n_grams"].astype("int64")
+    out["n_dup"] = out["n_dup"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

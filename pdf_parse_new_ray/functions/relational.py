@@ -1761,3 +1761,36 @@ def q_late_data_drop(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     # Ray's groupby narrows timestamp[us] to [s]; restore the source unit
     out["window_start"] = out["window_start"].astype("datetime64[us]")
     return out.sort_values("window_start").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# semi-structured props column: vectorized JSON field extraction
+# ---------------------------------------------------------------------------
+
+def q_props_value_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured column handling: events.props holds a JSON
+    object; pull the integer field ``k`` out with a VECTORIZED Arrow
+    regex kernel (pc.extract_regex — no per-row json.loads, no Python
+    loop) and aggregate per event_type.  Rows whose props lack the
+    field stay null and drop out of the counts, matching SQL
+    json_extract semantics.  Map-only until a |event_types|-sized
+    groupby."""
+    ev = _rp(sf_dir, "events", ["event_type", "props"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"),
+                             r'"k"\s*:\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        ones = pc.cast(pc.is_valid(k), pa.int64())
+        return pa.table({"event_type": t.column("event_type"),
+                         "k": pc.fill_null(k, 0), "n_k": ones})
+
+    out = ev.map_batches(ext, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("k", alias_name="sum_k"),
+            Sum("n_k", alias_name="n_k")) \
+        .to_pandas()
+    out["sum_k"] = out["sum_k"].astype("int64")
+    out["n_k"] = out["n_k"].astype("int64")
+    out["avg_k"] = (out["sum_k"] / out["n_k"]).round(4)
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -651,3 +651,85 @@ def t_lang_mix_sample(sf_dir: str) -> pd.DataFrame:
         "n_sampled": [picked.get(l, 0) for l in sorted(langs)],
     })
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# corpus bigram-LM document scoring (CCNet-style fluency proxy)
+# ---------------------------------------------------------------------------
+
+def t_bigram_lm_score(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Corpus-LM document scoring (the CCNet idea with an integer-exact
+    statistic): build the corpus-wide bigram frequency table, then
+    score every document by the total and mean corpus frequency of its
+    bigrams — fluent, typical text scores high; gibberish and
+    boilerplate-free outliers score low.
+
+    ONE shuffle does both passes: every occurrence row (bigram hash,
+    doc_id, occ) lands in its hash bucket, so the bucket-local Arrow
+    group_by IS the global frequency table for those bigrams, and the
+    per-row occ x corpus_count products fold per-doc in the same pass
+    (all counting in int64 — no float drift); the final per-doc merge
+    is a tiny groupby."""
+    from .dedup import _gram_hash64
+
+    word = re.compile(r"[a-z0-9]+")
+
+    def grams(t: pa.Table) -> pa.Table:
+        hs_all, ids_all, occ_all = [], [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            ws = word.findall((text or "").lower())
+            if len(ws) < 2:
+                continue
+            hs = np.fromiter(
+                (_gram_hash64(f"{a} {b}") for a, b in zip(ws, ws[1:])),
+                np.uint64, len(ws) - 1)
+            uh, cnt = np.unique(hs, return_counts=True)
+            hs_all.append(uh)
+            ids_all.append(np.full(len(uh), did, np.int64))
+            occ_all.append(cnt.astype(np.int64))
+        h = np.concatenate(hs_all) if hs_all else np.empty(0, np.uint64)
+        d = np.concatenate(ids_all) if ids_all else np.empty(0, np.int64)
+        o = np.concatenate(occ_all) if occ_all else np.empty(0, np.int64)
+        return pa.table({
+            "h": pa.array(h, pa.uint64()),
+            "doc_id": pa.array(d, pa.int64()),
+            "occ": pa.array(o, pa.int64()),
+            "__bk": pa.array((h & np.uint64(n_buckets - 1))
+                             .astype(np.int32)),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        from .joins import rename_agg
+
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "total_freq": pa.array([], pa.int64())})
+        cnt = rename_agg(g.group_by("h").aggregate([("occ", "sum")]),
+                         {"occ_sum": "c"})
+        # vectorized corpus-count attach: position of each row's h in
+        # the bucket-local (== global for these hashes) count table
+        idx = pc.index_in(g.column("h"), value_set=cnt.column("h"))
+        c_row = pc.take(cnt.column("c"), idx)
+        score = pc.multiply_checked(pc.cast(g.column("occ"), pa.int64()),
+                                    pc.cast(c_row, pa.int64()))
+        per = pa.table({"doc_id": g.column("doc_id"),
+                        "occ": g.column("occ"), "part": score}) \
+            .group_by("doc_id").aggregate([("occ", "sum"),
+                                           ("part", "sum")])
+        return rename_agg(per, {"occ_sum": "n_bigrams",
+                                "part_sum": "total_freq"},
+                          ["doc_id", "n_bigrams", "total_freq"])
+
+    out = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(grams, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(
+            Sum("n_bigrams", alias_name="n_bigrams"),
+            Sum("total_freq", alias_name="total_freq")) \
+        .to_pandas()
+    out["n_bigrams"] = out["n_bigrams"].astype("int64")
+    out["total_freq"] = out["total_freq"].astype("int64")
+    out["avg_freq"] = (out["total_freq"] / out["n_bigrams"]).round(4)
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -974,3 +974,80 @@ def test_late_data_drop_watermark(ray_session, tmp_path):
            for r in out.itertuples()}
     win = pd.Timestamp("2024-01-01 10:00")
     assert got == {win: (4, 1)}
+
+
+def test_substring_dedup_planted(ray_session, tmp_path):
+    """Two docs share one 15-word span (every shingle inside it goes
+    df>=2); a third doc is unique; a 5-word doc is below the shingle
+    width and drops out entirely."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import dedup
+
+    span = " ".join(f"w{i}" for i in range(15))          # 15 words
+    pq.write_table(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [span + " alpha beta gamma",             # 4 shingles
+                 "intro words here " + span,             # 4 shingles
+                 "totally different text " + " ".join(
+                     f"u{i}" for i in range(20)),        # unique
+                 "too short for any"],                   # < 15 words
+    }), str(tmp_path / "documents.parquet"))
+    out = dedup.d_substring_dedup(str(tmp_path))
+    rows = {int(r.doc_id): r for r in out.itertuples()}
+    assert set(rows) == {1, 2, 3}
+    # only the exact 15-word span shingle is common to docs 1 and 2
+    assert rows[1].n_grams == 4 and rows[1].n_dup == 1
+    assert rows[2].n_grams == 4 and rows[2].n_dup == 1
+    assert rows[3].n_dup == 0 and rows[3].n_grams > 0
+
+
+def test_bigram_lm_score_planted(ray_session, tmp_path):
+    """Exact integer bigram-frequency scoring: 'a b' occurs 3x in the
+    corpus (2x in doc 1, 1x in doc 2), so each of its positions scores
+    3; singleton bigrams score 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import text
+
+    pq.write_table(pa.table({
+        "doc_id": [1, 2, 3],
+        # doc 1 bigrams: (a b), (b a), (a b)  /  doc 2: (a b), (b c)
+        "text": ["a b a b", "a b c", "solo"],
+    }), str(tmp_path / "documents.parquet"))
+    out = text.t_bigram_lm_score(str(tmp_path))
+    rows = {int(r.doc_id): r for r in out.itertuples()}
+    assert set(rows) == {1, 2}                 # doc 3 has no bigram
+    # doc 1: positions (a b)=3, (b a)=1, (a b)=3 -> total 7 of 3
+    assert rows[1].n_bigrams == 3 and rows[1].total_freq == 7
+    # doc 2: (a b)=3, (b c)=1 -> total 4 of 2
+    assert rows[2].n_bigrams == 2 and rows[2].total_freq == 4
+    assert rows[2].avg_freq == 2.0
+
+
+def test_props_value_stats_vectorized(ray_session, tmp_path):
+    """JSON field extraction is null-safe: rows without the key drop
+    out of the count, negatives parse, per-type sums are exact."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import relational
+
+    ts = pd.to_datetime(["2024-01-01"] * 5)
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "event_type": ["view", "view", "click", "view", "click"],
+        "value": pa.array([0.0] * 5, pa.float64()),
+        "props": ['{"k": 10}', '{"k": -4}', '{"other": 1}',
+                  '{"k":7}', '{"k": 0}'],
+    }), str(tmp_path / "events.parquet"))
+    out = relational.q_props_value_stats(str(tmp_path))
+    rows = {r.event_type: r for r in out.itertuples()}
+    assert rows["view"].sum_k == 13 and rows["view"].n_k == 3
+    assert rows["click"].sum_k == 0 and rows["click"].n_k == 1
+    assert rows["view"].avg_k == round(13 / 3, 4)
