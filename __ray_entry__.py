@@ -1120,9 +1120,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.doc_id,
                    CAST(count(*) AS BIGINT) AS n_bigrams,
-                   CAST(sum(c.c) AS BIGINT) AS total_freq,
-                   round(CAST(sum(c.c) AS DOUBLE) / count(*), 4)
-                       AS avg_freq
+                   CAST(sum(c.c) AS BIGINT) AS total_freq
             FROM bg b JOIN cnt c USING (g)
             GROUP BY b.doc_id ORDER BY b.doc_id
         """,
@@ -1131,11 +1129,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k')
                                  AS BIGINT)) AS BIGINT) AS sum_k,
                    CAST(count(json_extract_string(props, '$.k'))
-                        AS BIGINT) AS n_k,
-                   round(CAST(sum(CAST(json_extract_string(props, '$.k')
-                                       AS BIGINT)) AS DOUBLE)
-                         / count(json_extract_string(props, '$.k')), 4)
-                       AS avg_k
+                        AS BIGINT) AS n_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q_late_data_drop": """

@@ -1792,5 +1792,6 @@ def q_props_value_stats(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     out["sum_k"] = out["sum_k"].astype("int64")
     out["n_k"] = out["n_k"].astype("int64")
-    out["avg_k"] = (out["sum_k"] / out["n_k"]).round(4)
+    # integers only — a rounded sum/count column risks float ties vs
+    # the oracle when the corpus regenerates (see t_bigram_lm_score)
     return out.sort_values("event_type").reset_index(drop=True)

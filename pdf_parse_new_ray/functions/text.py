@@ -731,5 +731,7 @@ def t_bigram_lm_score(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
         .to_pandas()
     out["n_bigrams"] = out["n_bigrams"].astype("int64")
     out["total_freq"] = out["total_freq"].astype("int64")
-    out["avg_freq"] = (out["total_freq"] / out["n_bigrams"]).round(4)
+    # no rounded-division column: total_freq / n_bigrams is derivable,
+    # and a float tie at the 4th decimal would break bit-exactness vs
+    # the oracle (observed at sf0.001) — integers only
     return out.sort_values("doc_id").reset_index(drop=True)

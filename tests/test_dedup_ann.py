@@ -1024,7 +1024,6 @@ def test_bigram_lm_score_planted(ray_session, tmp_path):
     assert rows[1].n_bigrams == 3 and rows[1].total_freq == 7
     # doc 2: (a b)=3, (b c)=1 -> total 4 of 2
     assert rows[2].n_bigrams == 2 and rows[2].total_freq == 4
-    assert rows[2].avg_freq == 2.0
 
 
 def test_props_value_stats_vectorized(ray_session, tmp_path):
@@ -1050,4 +1049,3 @@ def test_props_value_stats_vectorized(ray_session, tmp_path):
     rows = {r.event_type: r for r in out.itertuples()}
     assert rows["view"].sum_k == 13 and rows["view"].n_k == 3
     assert rows["click"].sum_k == 0 and rows["click"].n_k == 1
-    assert rows["view"].avg_k == round(13 / 3, 4)
