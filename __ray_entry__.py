@@ -248,6 +248,86 @@ def _extract_then_dedup(sf_dir: str, n_buckets: int = 256):
     return df.sort_values("fingerprint").reset_index(drop=True)
 
 
+def _curation_funnel(sf_dir: str, n_buckets: int = 256):
+    """The complete curation story in ONE streaming lineage: extract
+    the interleaved corpus → assemble per-doc text → C4-style quality
+    gate → exact dedup among survivors → deterministic 50% subsample —
+    returning the per-stage funnel counts a curation run reports.  No
+    intermediate materialization; the ONLY shuffle is the fingerprint
+    bucket exchange the dedup stage needs (same plan as
+    functions/dedup.d_exact_dedup); every other stage is map-only with
+    batch-local partials, so the funnel costs one pass over the corpus
+    regardless of how many gates it reports."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+    from pdf_parse_new_ray.state import checkpoint as ckpt
+
+    base = _corpus_for(sf_dir)
+    docs = extract_documents(f"{base}/documents_interleaved",
+                             f"{base}/media")
+    word = _re.compile(r"[A-Za-z0-9]+")
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids, fps, ok = [], [], []
+        for did, s in zip(t.column("doc_id").to_pylist(),
+                          t.column("spans").to_pylist()):
+            s = sorted(s, key=lambda x: x["offset"])
+            text = "\x00".join(x["text"] or "" for x in s)
+            plain = text.replace("\x00", " ")
+            words = word.findall(plain)
+            n_words = len(words)
+            # length + repetitiveness gates sized to this corpus (the
+            # synthetic pages carry no sentence punctuation, so a C4
+            # terminal-punctuation rule would reject everything)
+            distinct_ratio = len(set(words)) / n_words if n_words else 0.0
+            ids.append(did)
+            fps.append(hashlib.md5(text.encode("utf-8")).hexdigest())
+            ok.append(n_words >= 30 and distinct_ratio >= 0.05
+                      and "{" not in plain)
+        fpa = pa.array(fps, pa.string())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "fingerprint": fpa,
+            "q_pass": pa.array(ok, pa.bool_()),
+            "__bk": ckpt.partition_column(fpa, n_buckets),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd_
+        import pyarrow.compute as pc
+
+        n_docs = g.num_rows
+        q = g.filter(g.column("q_pass"))
+        uniq = q.group_by("fingerprint").aggregate([("doc_id", "min")])
+        # deterministic 50% subsample of the survivors (stable
+        # cross-process siphash, same keying as the dedup partitioner)
+        fp = uniq.column("fingerprint").to_numpy(zero_copy_only=False)
+        samp = int((pd_.util.hash_array(fp, categorize=False)
+                    % np.uint64(2) == 0).sum()) if len(fp) else 0
+        return pa.table({
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_q_pass": pa.array([q.num_rows], pa.int64()),
+            "n_unique": pa.array([uniq.num_rows], pa.int64()),
+            "n_sampled": pa.array([samp], pa.int64()),
+        })
+
+    part = docs.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow") \
+        .to_pandas()
+    return pd.DataFrame({
+        "stage": ["extracted", "quality_pass", "after_dedup", "sampled"],
+        "n_docs": [int(part["n_docs"].sum()), int(part["n_q_pass"].sum()),
+                   int(part["n_unique"].sum()),
+                   int(part["n_sampled"].sum())],
+    })
+
+
 def entry() -> Any:
     return _extract_corpus("/root/testdata/sf0.001")
 
@@ -290,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_transitions": relational.q_event_transitions,
         "q_late_data_drop": relational.q_late_data_drop,
         "q_props_value_stats": relational.q_props_value_stats,
+        "q_heavy_hitters": relational.q_heavy_hitters,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
@@ -304,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_doc_sample": text.t_doc_sample,
         "t_decontamination": text.t_decontamination,
         "t_bigram_lm_score": text.t_bigram_lm_score,
+        "t_winnowing_fingerprints": text.t_winnowing_fingerprints,
         "t_c4_quality_filter": text.t_c4_quality_filter,
         "t_lang_mix_sample": text.t_lang_mix_sample,
         # dedup
@@ -338,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_pdf_images": _pdf_images,
         # composition: extract -> dedup in one streaming lineage
         "x_extract_then_dedup": _extract_then_dedup,
+        "x_curation_funnel": _curation_funnel,
     }
 
 
@@ -1131,6 +1214,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(json_extract_string(props, '$.k'))
                         AS BIGINT) AS n_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_heavy_hitters": f"""
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id
+            LIMIT {relational.HEAVY_HITTER_K}
+        """,
+        "t_winnowing_fingerprints": f"""
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id, i,
+                       ('0x' || substr(md5(array_to_string(
+                            list_slice(ws, i, i + {text.WINNOW_GRAM_N - 1}),
+                            ' ')), 1, 16))::UBIGINT AS h,
+                       len(ws) - {text.WINNOW_GRAM_N - 1} AS n_grams
+                FROM words,
+                     unnest(range(1, len(ws) - {text.WINNOW_GRAM_N - 2}))
+                         AS t(i)
+                WHERE len(ws) >= {text.WINNOW_GRAM_N + text.WINNOW_WINDOW - 1}
+            ), win AS (
+                SELECT doc_id, i, n_grams,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN CURRENT ROW AND
+                                    {text.WINNOW_WINDOW - 1} FOLLOWING) AS m
+                FROM g
+            )
+            SELECT doc_id,
+                   CAST(min(n_grams) AS BIGINT) AS n_grams,
+                   CAST(count(DISTINCT m) AS BIGINT) AS n_selected
+            FROM win
+            WHERE i <= n_grams - {text.WINNOW_WINDOW - 1}
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "q_late_data_drop": """
             WITH w AS (

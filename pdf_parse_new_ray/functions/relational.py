@@ -1795,3 +1795,36 @@ def q_props_value_stats(sf_dir: str) -> pd.DataFrame:
     # integers only — a rounded sum/count column risks float ties vs
     # the oracle when the corpus regenerates (see t_bigram_lm_score)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# skew-safe heavy hitters (combiner before the exchange)
+# ---------------------------------------------------------------------------
+
+HEAVY_HITTER_K = 100
+
+
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Top-K users by event count, skew-safe.  The classic hot-key
+    failure is shuffling one row per EVENT and letting a power-law
+    user melt a single reducer; the fix is the combiner — every batch
+    collapses to batch-local (user, count) partials via Arrow group_by
+    BEFORE the exchange, so the shuffle moves at most |users| x
+    n_blocks rows and a hot key's traffic is bounded by the block
+    count, never by its event count.  The final top-K is a
+    |users|-sized groupby and a tiny driver sort."""
+    from .joins import rename_agg
+
+    ev = _rp(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("user_id", "count")])
+        return rename_agg(g, {"user_id_count": "n"}, ["user_id", "n"])
+
+    out = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "user_id"], ascending=[False, True]) \
+        .head(HEAVY_HITTER_K)
+    return out.reset_index(drop=True)

@@ -735,3 +735,53 @@ def t_bigram_lm_score(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     # and a float tie at the 4th decimal would break bit-exactness vs
     # the oracle (observed at sf0.001) — integers only
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm)
+# ---------------------------------------------------------------------------
+
+WINNOW_GRAM_N = 5     # word k-grams
+WINNOW_WINDOW = 4     # select the min hash in every window of 4 grams
+
+
+def t_winnowing_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    5-word k-gram, slide a window of 4 consecutive gram hashes, and
+    select each window's MINIMUM — the classic guarantee that any
+    shared run of >= k + w - 1 words produces at least one shared
+    selected fingerprint, at ~2/(w+1) the density of the full gram set.
+    Returns per-document gram and selected-fingerprint counts.
+
+    Map-only (no shuffle): the window minimum is a vectorized numpy
+    sliding_window_view reduction per document, the selected set a
+    np.unique; gram hashes are md5-derived so the DuckDB oracle (a
+    ROWS-window min + count DISTINCT) recomputes identical values."""
+    from .dedup import _gram_hash64
+
+    word = re.compile(r"[a-z0-9]+")
+    n, w = WINNOW_GRAM_N, WINNOW_WINDOW
+
+    def winnow(t: pa.Table) -> pa.Table:
+        ids, n_g, n_s = [], [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            ws = word.findall((text or "").lower())
+            if len(ws) < n + w - 1:
+                continue
+            hs = np.fromiter(
+                (_gram_hash64(" ".join(ws[i:i + n]))
+                 for i in range(len(ws) - n + 1)),
+                np.uint64, len(ws) - n + 1)
+            mins = np.lib.stride_tricks.sliding_window_view(hs, w) \
+                .min(axis=1)
+            ids.append(did)
+            n_g.append(len(hs))
+            n_s.append(len(np.unique(mins)))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_grams": pa.array(n_g, pa.int64()),
+                         "n_selected": pa.array(n_s, pa.int64())})
+
+    out = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(winnow, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

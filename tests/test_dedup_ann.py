@@ -1049,3 +1049,68 @@ def test_props_value_stats_vectorized(ray_session, tmp_path):
     rows = {r.event_type: r for r in out.itertuples()}
     assert rows["view"].sum_k == 13 and rows["view"].n_k == 3
     assert rows["click"].sum_k == 0 and rows["click"].n_k == 1
+
+
+def test_heavy_hitters_combiner(ray_session, tmp_path):
+    """Batch-local combiner: a hot user with many events collapses to
+    one partial row per block; ties order by user_id."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import relational
+
+    n_hot, n_cold = 50, 3
+    uid = [7] * n_hot + [1, 2, 3] * n_cold
+    k = len(uid)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(k), pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2024-01-01"] * k),
+                       pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": ["view"] * k,
+        "value": pa.array([0.0] * k, pa.float64()),
+        "props": ["{}"] * k,
+    }), str(tmp_path / "events.parquet"))
+    out = relational.q_heavy_hitters(str(tmp_path))
+    assert list(out["user_id"]) == [7, 1, 2, 3]
+    assert list(out["n"]) == [n_hot, n_cold, n_cold, n_cold]
+
+
+def test_winnowing_planted(ray_session, tmp_path):
+    """Winnowing guarantee: two docs sharing a run of >= k + w - 1
+    words share at least one selected fingerprint; n_selected <=
+    n_windows; short docs drop out."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import text
+    from pdf_parse_new_ray.functions.dedup import _gram_hash64
+
+    shared = " ".join(f"s{i}" for i in range(
+        text.WINNOW_GRAM_N + text.WINNOW_WINDOW - 1))  # 8 words
+    pq.write_table(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [shared + " tail one two three four",
+                 "lead in words here " + shared,
+                 "short doc"],
+    }), str(tmp_path / "documents.parquet"))
+    out = text.t_winnowing_fingerprints(str(tmp_path))
+    assert list(out["doc_id"]) == [1, 2]
+    for r in out.itertuples():
+        assert 0 < r.n_selected <= r.n_grams - text.WINNOW_WINDOW + 1
+
+    # recompute both docs' selected sets directly: they must intersect
+    def sel(t):
+        ws = t.lower().split()
+        hs = np.fromiter(
+            (_gram_hash64(" ".join(ws[i:i + text.WINNOW_GRAM_N]))
+             for i in range(len(ws) - text.WINNOW_GRAM_N + 1)),
+            np.uint64)
+        return set(np.lib.stride_tricks.sliding_window_view(
+            hs, text.WINNOW_WINDOW).min(axis=1).tolist())
+
+    a = sel(shared + " tail one two three four")
+    b = sel("lead in words here " + shared)
+    assert a & b

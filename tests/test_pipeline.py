@@ -341,3 +341,22 @@ def test_windowed_write_dir_escape_hatch(ray_session, tmp_path):
     written2 = pq.read_table(out2).to_pandas() \
         .sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(written2.astype(df2.dtypes.to_dict()), df2)
+
+
+def test_curation_funnel_composition(ray_session):
+    """x_curation_funnel: extract → quality gate → dedup → sample in
+    one streaming lineage; counts are a monotone funnel and
+    deterministic across runs (stable hashes end to end)."""
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["x_curation_funnel"]("/root/testdata/sf0.001")
+    counts = dict(zip(out["stage"], out["n_docs"]))
+    assert list(out["stage"]) == ["extracted", "quality_pass",
+                                  "after_dedup", "sampled"]
+    assert counts["extracted"] > 0
+    assert counts["extracted"] >= counts["quality_pass"] \
+        >= counts["after_dedup"] >= counts["sampled"]
+    assert counts["sampled"] > 0
+    again = entrymod.queries()["x_curation_funnel"](
+        "/root/testdata/sf0.001")
+    assert list(again["n_docs"]) == list(out["n_docs"])
