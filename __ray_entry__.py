@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "e_knn_bruteforce": ann.e_knn_bruteforce,
         "e_knn_lsh": ann.e_knn_lsh,
+        "e_knn_pq": ann.e_knn_pq,
         "e_knn_ivf": ann.e_knn_ivf,
         "e_knn_filtered": ann.e_knn_filtered,
         "e_centroid_assign": ann.e_centroid_assign,

@@ -1114,3 +1114,54 @@ def test_winnowing_planted(ray_session, tmp_path):
     a = sel(shared + " tail one two three four")
     b = sel("lead in words here " + shared)
     assert a & b
+
+
+def test_knn_pq_recall_and_exact_rerank(ray_session):
+    """PQ ADC shortlist + exact rerank: recall@5 >= 0.9 vs brute force
+    on sf0.01, and every reported cosine equals the exact one (only
+    candidate GENERATION is approximate)."""
+    from pdf_parse_new_ray.functions import ann
+
+    sf = "/root/testdata/sf0.01"
+    exact = ann.e_knn_bruteforce(sf)
+    pq_out = ann.e_knn_pq(sf)
+    hits = tot = 0
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g["vec_id"])
+        got = set(pq_out[pq_out["query_id"] == qid]["vec_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    assert tot > 0 and hits / tot >= 0.9, f"recall {hits / tot:.2f}"
+    ex = {(q, v): c for q, v, c in zip(
+        exact["query_id"], exact["vec_id"], exact["cosine"])}
+    overlap = 0
+    for q, v, c in zip(pq_out["query_id"], pq_out["vec_id"],
+                       pq_out["cosine"]):
+        if (q, v) in ex:
+            assert abs(ex[(q, v)] - c) < 1e-9
+            overlap += 1
+    assert overlap > 0
+
+
+def test_pq_codes_compress_and_roundtrip(ray_session):
+    """pq_encode emits one uint8 per subspace (8 bytes per 64-float
+    vector) and reconstruction error is bounded well below the unit
+    norm; encoding is deterministic."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import ann
+
+    sf = "/root/testdata/sf0.01"
+    books = ann._train_pq(sf)
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    m = ann.emb_matrix(t)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    codes = ann.pq_encode(m, books)
+    assert codes.dtype == np.uint8 and codes.shape == (len(m), 8)
+    m_sub, n_codes, dsub = books.shape
+    recon = np.concatenate(
+        [books[s][codes[:, s]] for s in range(m_sub)], axis=1)
+    err = np.linalg.norm(m - recon, axis=1)
+    assert err.mean() < 0.75           # unit vectors: error well below 1
+    assert np.array_equal(codes, ann.pq_encode(m, books))
