@@ -138,6 +138,10 @@ def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
         "q_pareto_customers": relational.q_pareto_customers,
         "q_bloom_semi_join": relational.q_bloom_semi_join,
         "t_c4_quality_filter": tfn.t_c4_quality_filter,
+        "d_substring_dedup": dedup.d_substring_dedup,
+        "t_bigram_lm_score": tfn.t_bigram_lm_score,
+        "e_knn_pq": ann.e_knn_pq,
+        "q_heavy_hitters": relational.q_heavy_hitters,
     }
     for name, fn in bench_queries.items():
         t0 = time.time()
