@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_late_data_drop": relational.q_late_data_drop,
         "q_props_value_stats": relational.q_props_value_stats,
         "q_heavy_hitters": relational.q_heavy_hitters,
+        "q_session_overlap_counts": relational.q_session_overlap_counts,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
@@ -1215,6 +1216,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(json_extract_string(props, '$.k'))
                         AS BIGINT) AS n_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_session_overlap_counts": """
+            WITH lagged AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ), numbered AS (
+                SELECT user_id, ts,
+                       CAST(sum(CASE WHEN prev_ts IS NULL
+                                     OR ts - prev_ts > INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_id
+                FROM lagged
+            ), s AS MATERIALIZED (
+                SELECT user_id, session_id,
+                       min(ts) AS session_start, max(ts) AS session_end
+                FROM numbered GROUP BY user_id, session_id
+            )
+            SELECT s.user_id, s.session_id, s.session_start,
+                   s.session_end, CAST(count(e.ts) AS BIGINT) AS n_overlap
+            FROM s LEFT JOIN events e
+              ON e.ts BETWEEN s.session_start AND s.session_end
+            GROUP BY 1, 2, 3, 4
+            ORDER BY s.user_id, s.session_id
         """,
         "q_heavy_hitters": f"""
             SELECT user_id, CAST(count(*) AS BIGINT) AS n

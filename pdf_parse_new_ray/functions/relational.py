@@ -1828,3 +1828,143 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     out = out.sort_values(["n", "user_id"], ascending=[False, True]) \
         .head(HEAVY_HITTER_K)
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join: session windows x event points, time-partitioned
+# ---------------------------------------------------------------------------
+
+def q_session_overlap_counts(sf_dir: str, gap_minutes: int = 30,
+                             n_buckets: int = 256) -> pd.DataFrame:
+    """Interval join: for every gap-based session window, count ALL
+    events (any user) whose timestamp falls inside [start, end] — the
+    cross-key overlap query no per-user partitioning can serve.  The
+    partitioning key is TIME: events hash to their hour bucket
+    (disjoint), session intervals REPLICATE to every hour they span,
+    and each bucket resolves its point-in-interval counts with two
+    vectorized searchsorted probes against the bucket's sorted event
+    times; summing the per-bucket partials per session is exact
+    because the event buckets are disjoint.  Two shuffles total (user
+    buckets to build sessions, time buckets to join); replication is
+    bounded by interval length / bucket width, the interval-join knob
+    to document at scale."""
+    from .joins import _bucket_of
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    hour_us = 3_600_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = group.take(order)
+        uid = g.column("user_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        ts = g.column("ts").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(ts)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_sess = new_user.copy()
+        if n > 1:
+            new_sess[1:] |= np.diff(ts) > gap_us
+        sid = np.cumsum(new_sess.astype(np.int64))
+        user_starts = np.nonzero(new_user)[0]
+        base = np.repeat(sid[user_starts] - 1,
+                         np.diff(np.concatenate((user_starts, [n]))))
+        sid = sid - base
+        starts = np.nonzero(new_sess)[0]
+        ends = np.concatenate((starts[1:], [n])) - 1
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "session_id": pa.array(sid[starts], pa.int64()),
+            "s": pa.array(ts[starts], pa.int64()),
+            "e": pa.array(ts[ends], pa.int64()),
+        })
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+    sess = ev.map_batches(
+        lambda t: t.append_column(
+            "__bk", _bucket_of(t.column("user_id"), n_buckets)),
+        batch_format="pyarrow") \
+        .groupby("__bk").map_groups(sessions, batch_format="pyarrow")
+
+    # replicate each interval to every hour bucket it spans; events
+    # land in exactly one bucket.  kind 0 = event point, 1 = interval.
+    def rep_sessions(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        sid = t.column("session_id").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        lo, hi = s // hour_us, e // hour_us
+        reps = (hi - lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), reps)
+        tb = lo.repeat(reps) + _ranges(reps)
+        return pa.table({
+            "__tb": pa.array(tb, pa.int64()),
+            "kind": pa.array(np.ones(len(idx), np.int8)),
+            "ts": pa.array(np.zeros(len(idx), np.int64)),
+            "user_id": pa.array(uid[idx], pa.int64()),
+            "session_id": pa.array(sid[idx], pa.int64()),
+            "s": pa.array(s[idx], pa.int64()),
+            "e": pa.array(e[idx], pa.int64()),
+        })
+
+    def rep_events(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64())
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table({
+            "__tb": pc.divide(ts, pa.scalar(hour_us, pa.int64())),
+            "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+            "ts": ts,
+            "user_id": pa.array(z), "session_id": pa.array(z),
+            "s": pa.array(z), "e": pa.array(z),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        ev_ts = np.sort(
+            g.column("ts").to_numpy(zero_copy_only=False)[kind == 0])
+        iv = g.filter(pa.array(kind == 1))
+        if iv.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "session_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "e": pa.array([], pa.int64()),
+                             "n_overlap": pa.array([], pa.int64())})
+        s = iv.column("s").to_numpy(zero_copy_only=False)
+        e = iv.column("e").to_numpy(zero_copy_only=False)
+        cnt = (np.searchsorted(ev_ts, e, side="right")
+               - np.searchsorted(ev_ts, s, side="left")).astype(np.int64)
+        return pa.table({"user_id": iv.column("user_id"),
+                         "session_id": iv.column("session_id"),
+                         "s": iv.column("s"), "e": iv.column("e"),
+                         "n_overlap": pa.array(cnt)})
+
+    joined = sess.map_batches(rep_sessions, batch_format="pyarrow") \
+        .union(ev.map_batches(rep_events, batch_format="pyarrow")) \
+        .groupby("__tb").map_groups(per_bucket, batch_format="pyarrow") \
+        .groupby(["user_id", "session_id", "s", "e"]).aggregate(
+            Sum("n_overlap", alias_name="n_overlap")) \
+        .to_pandas()
+    joined["n_overlap"] = joined["n_overlap"].astype("int64")
+    joined["session_start"] = joined["s"].astype("datetime64[us]")
+    joined["session_end"] = joined["e"].astype("datetime64[us]")
+    joined = joined.drop(columns=["s", "e"])
+    return joined.sort_values(["user_id", "session_id"]) \
+        .reset_index(drop=True)[
+        ["user_id", "session_id", "session_start", "session_end",
+         "n_overlap"]]
+
+
+def _ranges(reps: np.ndarray) -> np.ndarray:
+    """Concatenated arange(r) for each r in reps — vectorized (the
+    per-interval bucket offsets for interval replication)."""
+    total = int(reps.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    out = np.ones(total, np.int64)
+    starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    out[starts] = 0
+    out[starts[1:]] -= reps[:-1] - 1
+    return np.cumsum(out)

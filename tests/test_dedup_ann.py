@@ -1165,3 +1165,36 @@ def test_pq_codes_compress_and_roundtrip(ray_session):
     err = np.linalg.norm(m - recon, axis=1)
     assert err.mean() < 0.75           # unit vectors: error well below 1
     assert np.array_equal(codes, ann.pq_encode(m, books))
+
+
+def test_session_overlap_counts_cross_user(ray_session, tmp_path):
+    """Interval join is CROSS-user (time-partitioned, not key-
+    partitioned): user 2's event inside user 1's session window counts,
+    and a session spanning an hour boundary still counts exactly once
+    per event (disjoint event buckets)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import relational
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:50",   # u1 s1 start (session spans 10:50-11:10,
+        "2024-01-01 11:10",   # crossing the 11:00 hour boundary)
+        "2024-01-01 10:55",   # u2 single event INSIDE u1's window
+        "2024-01-01 14:00",   # u1 s2: isolated
+    ])
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2, 1], pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+    out = relational.q_session_overlap_counts(str(tmp_path))
+    rows = {(r.user_id, r.session_id): r.n_overlap
+            for r in out.itertuples()}
+    # u1 s1 window [10:50, 11:10] holds events 1,2 (own) + 3 (u2) = 3
+    assert rows[(1, 1)] == 3
+    # u1 s2 [14:00, 14:00] holds only itself
+    assert rows[(1, 2)] == 1
+    # u2 s1 [10:55, 10:55] holds only itself
+    assert rows[(2, 1)] == 1
