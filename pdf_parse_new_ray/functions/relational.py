@@ -1960,6 +1960,7 @@ def q_session_overlap_counts(sf_dir: str, gap_minutes: int = 30,
 def _ranges(reps: np.ndarray) -> np.ndarray:
     """Concatenated arange(r) for each r in reps — vectorized (the
     per-interval bucket offsets for interval replication)."""
+    reps = reps[reps > 0]   # zero-length runs contribute no elements
     total = int(reps.sum())
     if total == 0:
         return np.empty(0, np.int64)

@@ -77,3 +77,55 @@ def test_jpx_codestream_roundtrip(w, h, levels, seed):
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (h, w)).astype(np.uint8)
     assert np.array_equal(decode_jpx(encode_jpx(img, levels=levels)), img)
+
+
+@given(reps=st.lists(st.integers(0, 7), min_size=0, max_size=60))
+@_settings
+def test_ranges_concatenated_aranges(reps):
+    from pdf_parse_new_ray.functions.relational import _ranges
+
+    r = np.asarray(reps, np.int64)
+    want = np.concatenate([np.arange(x) for x in reps]) if reps \
+        else np.empty(0, np.int64)
+    assert np.array_equal(_ranges(r), want)
+
+
+@given(n_users=st.integers(1, 5), n_ev=st.integers(1, 60),
+       seed=st.integers(0, 2**31))
+@_settings
+def test_grouped_cummax_k_offset_matches_naive(n_users, n_ev, seed):
+    """The K-offset grouped running-max in q_late_data_drop equals the
+    per-segment naive loop on arbitrary (user, ts) data."""
+    rng = np.random.default_rng(seed)
+    uid = np.sort(rng.integers(0, n_users, n_ev).astype(np.int64))
+    ts = rng.integers(0, 10_000, n_ev).astype(np.int64)
+    new_user = np.ones(n_ev, dtype=bool)
+    new_user[1:] = uid[1:] != uid[:-1]
+    seg = np.cumsum(new_user) - 1
+    t0 = ts.min()
+    rel = ts - t0
+    span = int(rel.max()) + 1
+    shifted = rel + seg * span
+    got = np.maximum.accumulate(shifted) - seg * span + t0
+    want = np.empty(n_ev, np.int64)
+    starts = np.nonzero(new_user)[0]
+    for k, s_ in enumerate(starts):
+        e_ = starts[k + 1] if k + 1 < len(starts) else n_ev
+        want[s_:e_] = np.maximum.accumulate(ts[s_:e_])
+    assert np.array_equal(got, want)
+
+
+@given(n=st.integers(4, 80), seed=st.integers(0, 2**31))
+@_settings
+def test_winnowing_window_min_matches_naive(n, seed):
+    """sliding_window_view window-min equals the naive per-window scan
+    on arbitrary uint64 hash streams (winnowing selection kernel)."""
+    rng = np.random.default_rng(seed)
+    hs = rng.integers(0, 1 << 63, n).astype(np.uint64)
+    w = 4
+    if n < w:
+        return
+    got = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+    want = np.array([hs[i:i + w].min() for i in range(n - w + 1)],
+                    np.uint64)
+    assert np.array_equal(got, want)
