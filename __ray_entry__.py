@@ -372,6 +372,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_props_value_stats": relational.q_props_value_stats,
         "q_heavy_hitters": relational.q_heavy_hitters,
         "q_session_overlap_counts": relational.q_session_overlap_counts,
+        "q13_order_count_distribution":
+            relational.q13_order_count_distribution,
+        "q18_large_volume_customers":
+            relational.q18_large_volume_customers,
+        "q_kmv_distinct": relational.q_kmv_distinct,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
@@ -401,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_embedding_neardup": dedup.d_embedding_neardup,
         "d_incremental_dedup": dedup.d_incremental_dedup,
         "d_substring_dedup": dedup.d_substring_dedup,
+        "d_levenshtein_pairs": dedup.d_levenshtein_pairs,
         # similarity search
         "e_knn_bruteforce": ann.e_knn_bruteforce,
         "e_knn_lsh": ann.e_knn_lsh,
@@ -1243,6 +1249,75 @@ def oracle_sql() -> dict[str, str]:
               ON e.ts BETWEEN s.session_start AND s.session_end
             GROUP BY 1, 2, 3, 4
             ORDER BY s.user_id, s.session_id
+        """,
+        "q13_order_count_distribution": """
+            WITH c AS (
+                SELECT c.c_custkey,
+                       CAST(count(o.o_custkey) AS BIGINT) AS n_orders
+                FROM customer c
+                LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_custkey)
+            SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+            FROM c GROUP BY n_orders
+            ORDER BY n_customers DESC, n_orders DESC
+        """,
+        "q18_large_volume_customers": f"""
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > {relational.Q18_MIN_QTY})
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                   round(o.o_totalprice, 2) AS o_totalprice, b.sum_qty
+            FROM big b
+            JOIN orders o ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+            LIMIT 100
+        """,
+        "q_kmv_distinct": f"""
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                       1, 16))::UBIGINT AS h
+                FROM events),
+            r AS (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS rk,
+                       count(*) OVER (PARTITION BY event_type) AS nd
+                FROM h),
+            kth AS (SELECT event_type, h AS hk FROM r
+                    WHERE rk = {relational.KMV_K}),
+            cnt AS (SELECT event_type, max(nd) AS nd FROM r GROUP BY 1)
+            SELECT c.event_type,
+                   CAST(least(c.nd, {relational.KMV_K}) AS BIGINT)
+                       AS n_sketch,
+                   round(CASE WHEN c.nd < {relational.KMV_K}
+                              THEN c.nd::DOUBLE
+                              ELSE {relational.KMV_K - 1}.0
+                                   * 18446744073709551616.0 / k.hk::DOUBLE
+                         END, 4) AS est_distinct
+            FROM cnt c LEFT JOIN kth k USING (event_type)
+            ORDER BY c.event_type
+        """,
+        "d_levenshtein_pairs": f"""
+            WITH blocked AS (
+                SELECT doc_id, substr(text, 1, {dedup.LEV_PREFIX_CHARS})
+                           AS prefix,
+                       lang, n_chars // {dedup.LEV_BLOCK_CHARS} AS lb,
+                       row_number() OVER (
+                           PARTITION BY lang,
+                                        n_chars // {dedup.LEV_BLOCK_CHARS}
+                           ORDER BY doc_id) AS rk
+                FROM documents),
+            capped AS (SELECT * FROM blocked
+                       WHERE rk <= {dedup.LEV_BLOCK_CAP})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+            FROM capped a JOIN capped b
+              ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+            ORDER BY id_a, id_b
         """,
         "q_heavy_hitters": f"""
             SELECT user_id, CAST(count(*) AS BIGINT) AS n

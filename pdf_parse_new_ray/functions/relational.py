@@ -1969,3 +1969,198 @@ def _ranges(reps: np.ndarray) -> np.ndarray:
     out[starts] = 0
     out[starts[1:]] -= reps[:-1] - 1
     return np.cumsum(out)
+
+
+# ---------------------------------------------------------------------------
+# Q13-shape: customer order-count distribution (left join + double aggregate)
+# ---------------------------------------------------------------------------
+
+def q13_order_count_distribution(sf_dir: str,
+                                 n_buckets: int = 64) -> pd.DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many orders they
+    placed, INCLUDING zero-order customers (the left-join subtlety).  ONE
+    bucketed shuffle on hash(custkey): orders pre-aggregate to per-batch
+    (custkey, partial count) rows before the exchange, so the shuffle
+    carries at most one row per distinct custkey per batch, never the fact
+    table; each bucket folds its partial counts with an Arrow group_by,
+    probes customers with index_in (absent -> 0), and emits a PARTIAL
+    distribution (n_orders, n_customers) — the driver merges ~22 distinct
+    count values x n_buckets tiny rows.  The second aggregate (the
+    distribution) therefore never shuffles at all."""
+    from .joins import _bucket_of, rename_agg
+
+    cust = _rp(sf_dir, "customer", ["c_custkey"])
+    orders = _rp(sf_dir, "orders", ["o_custkey"])
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["c_custkey"],
+            "cnt": pa.nulls(t.num_rows, pa.int64()),
+            "__bk": _bucket_of(t.column("c_custkey"), n_buckets),
+        })
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        part = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        part = rename_agg(part, {"o_custkey_count": "cnt"},
+                          ["o_custkey", "cnt"])
+        return pa.table({
+            "key": part["o_custkey"],
+            "cnt": pc.cast(part["cnt"], pa.int64()),
+            "__bk": _bucket_of(part.column("o_custkey"), n_buckets),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        is_cust = pc.is_null(g.column("cnt"))
+        cust_keys = pc.unique(g.filter(is_cust).column("key").combine_chunks())
+        if len(cust_keys) == 0:
+            return pa.table({"n_orders": pa.array([], pa.int64()),
+                             "n_customers": pa.array([], pa.int64())})
+        ords = g.filter(pc.invert(is_cust))
+        agg = ords.group_by("key").aggregate([("cnt", "sum")])
+        idx = pc.index_in(cust_keys, value_set=agg["key"].combine_chunks())
+        taken = pc.fill_null(
+            pc.take(agg["cnt_sum"].combine_chunks(), idx), 0)
+        counts = pc.cast(taken, pa.int64()).to_numpy(zero_copy_only=False)
+        uniq, n = np.unique(counts, return_counts=True)
+        return pa.table({"n_orders": pa.array(uniq, pa.int64()),
+                         "n_customers": pa.array(n, pa.int64())})
+
+    part = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")) \
+        .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow") \
+        .to_pandas()
+    if part.empty:
+        return pd.DataFrame({"n_orders": pd.Series(dtype="int64"),
+                             "n_customers": pd.Series(dtype="int64")})
+    out = part.groupby("n_orders", as_index=False)["n_customers"].sum()
+    return out.sort_values(["n_customers", "n_orders"],
+                           ascending=[False, False]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q18-shape: large-volume customers (HAVING tail + broadcast back-joins)
+# ---------------------------------------------------------------------------
+
+Q18_MIN_QTY = 300.0
+
+
+def q18_large_volume_customers(sf_dir: str,
+                               n_buckets: int = 256) -> pd.DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    Q18_MIN_QTY, joined back to orders + customer, top-100 by price.
+    The only shuffle is the per-orderkey quantity fold (per-batch Arrow
+    partial sums first, so the exchange carries one row per orderkey per
+    batch); the HAVING tail that survives is rare by construction, so the
+    back-joins are broadcast is_in filters over orders and customer —
+    map-only, no second shuffle.  Quantities are integer-valued doubles,
+    so partial-sum order cannot change the float result."""
+    from .joins import _bucket_of, rename_agg
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        part = t.group_by("l_orderkey").aggregate([("l_quantity", "sum")])
+        part = rename_agg(part, {"l_quantity_sum": "q"}, ["l_orderkey", "q"])
+        return part.append_column(
+            "__bk", _bucket_of(part.column("l_orderkey"), n_buckets))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        agg = g.group_by("l_orderkey").aggregate([("q", "sum")])
+        agg = rename_agg(agg, {"q_sum": "q"}, ["l_orderkey", "q"])
+        return agg.filter(pc.greater(agg["q"], pa.scalar(Q18_MIN_QTY)))
+
+    big = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow") \
+        .to_pandas()
+    if big.empty:
+        cols = ["c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty"]
+        return pd.DataFrame({c: pd.Series(dtype="float64") for c in cols})
+
+    keys_ref = ray.put(pa.array(big["l_orderkey"].to_numpy(), pa.int64()))
+
+    def keep_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        return t.filter(pc.coalesce(
+            pc.is_in(t.column("o_orderkey"), value_set=keys),
+            pa.scalar(False)))
+
+    ords = _rp(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(keep_orders, batch_format="pyarrow").to_pandas()
+    cust_ref = ray.put(pa.array(ords["o_custkey"].unique(), pa.int64()))
+
+    def keep_cust(t: pa.Table) -> pa.Table:
+        keys = ray.get(cust_ref)
+        return t.filter(pc.coalesce(
+            pc.is_in(t.column("c_custkey"), value_set=keys),
+            pa.scalar(False)))
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"]) \
+        .map_batches(keep_cust, batch_format="pyarrow").to_pandas()
+
+    out = ords.merge(big.rename(columns={"l_orderkey": "o_orderkey"}),
+                     on="o_orderkey") \
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["sum_qty"] = out["q"].astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    out = out.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True]).head(100)
+    return out[["c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch (approximate COUNT DISTINCT, deterministically exact
+# vs the SQL oracle because the hash is md5-derived)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def q_kmv_distinct(sf_dir: str, k: int = KMV_K) -> pd.DataFrame:
+    """K-minimum-values distinct-count sketch per event_type: the classic
+    big-data cardinality estimator (Bar-Yossef et al. 2002), chosen over
+    HyperLogLog because its estimate is a DETERMINISTIC function of the
+    md5 key hashes — so the DuckDB oracle reproduces it bit-for-bit.
+    Distributed plan: each batch dedupes locally and emits at most k
+    smallest hashes per event_type (a superset-safe partial sketch), the
+    merge is a tiny groupby over k x n_types x n_batches rows.  Estimate:
+    exact count when the merged sketch holds < k values, else
+    (k-1) * 2^64 / h_k.  At 100 TB the shuffle carries only sketch rows —
+    never a distinct-key exchange like exact COUNT DISTINCT needs."""
+    import hashlib
+
+    ev = _rp(sf_dir, "events", ["event_type", "user_id"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        out_t, out_h = [], []
+        for ty in np.unique(et):
+            uids = np.unique(uid[et == ty])
+            hs = np.sort(np.array(
+                [int.from_bytes(
+                    hashlib.md5(str(int(u)).encode()).digest()[:8], "big")
+                 for u in uids], dtype=np.uint64))[:k]
+            out_t.extend([str(ty)] * len(hs))
+            out_h.extend(hs.tolist())
+        return pa.table({"event_type": pa.array(out_t, pa.string()),
+                         "h": pa.array(out_h, pa.uint64())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        ty = g.column("event_type")[0].as_py()
+        hs = np.unique(g.column("h").to_numpy(zero_copy_only=False))[:k]
+        n = len(hs)
+        est = float(n) if n < k else (k - 1) * 18446744073709551616.0 \
+            / float(hs[-1])
+        return pa.table({
+            "event_type": pa.array([ty], pa.string()),
+            "n_sketch": pa.array([n], pa.int64()),
+            "est_distinct": pa.array([round(est, 4)], pa.float64()),
+        })
+
+    df = ev.map_batches(sketch, batch_format="pyarrow") \
+        .groupby("event_type").map_groups(merge, batch_format="pyarrow") \
+        .to_pandas()
+    return df.sort_values("event_type").reset_index(drop=True)

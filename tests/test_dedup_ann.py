@@ -1198,3 +1198,144 @@ def test_session_overlap_counts_cross_user(ray_session, tmp_path):
     assert rows[(1, 2)] == 1
     # u2 s1 [10:55, 10:55] holds only itself
     assert rows[(2, 1)] == 1
+
+
+def test_q13_includes_zero_order_customers(ray_session, tmp_path):
+    """The left-join subtlety: customers with no orders land in the
+    n_orders=0 bucket (sf tables give everyone orders, so plant one)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import relational
+
+    pq.write_table(pa.table({
+        "c_custkey": [1, 2, 3, 4, 5],
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": [10, 11, 12, 13, 14],
+        "o_custkey": [1, 1, 3, 3, 3],
+    }), str(tmp_path / "orders.parquet"))
+    out = relational.q13_order_count_distribution(str(tmp_path))
+    got = dict(zip(out["n_orders"], out["n_customers"]))
+    assert got == {0: 3, 2: 1, 3: 1}  # custs 2,4,5 -> 0; 1 -> 2; 3 -> 3
+    # ordered by n_customers DESC then n_orders DESC
+    assert list(out["n_orders"]) == [0, 3, 2]
+
+
+def test_q18_planted_threshold(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import relational
+
+    # order 10: qty 200+150 = 350 > 300 (passes); order 11: 100 (fails)
+    pq.write_table(pa.table({
+        "l_orderkey": [10, 10, 11],
+        "l_quantity": [200.0, 150.0, 100.0],
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": [10, 11],
+        "o_custkey": [7, 8],
+        "o_orderdate": pa.array(pd.to_datetime(["1995-01-01",
+                                                "1995-02-02"])),
+        "o_totalprice": [1000.0, 500.0],
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": [7, 8],
+        "c_name": ["Customer#7", "Customer#8"],
+    }), str(tmp_path / "customer.parquet"))
+    out = relational.q18_large_volume_customers(str(tmp_path))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["o_orderkey"] == 10 and row["c_custkey"] == 7
+    assert row["sum_qty"] == 350 and row["c_name"] == "Customer#7"
+
+
+def test_kmv_exact_below_k_and_estimate_above(ray_session, tmp_path):
+    """Below K distinct the sketch IS the exact count; above K the
+    (k-1)/h_k estimator must land within the theoretical error band."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import relational
+
+    rng = np.random.default_rng(7)
+    n_small, n_big = 20, 800
+    uid_small = rng.integers(0, n_small, 3000) + 1_000_000
+    uid_big = rng.integers(0, n_big, 3000) * 17 + 5_000_000
+    pq.write_table(pa.table({
+        "event_type": ["small"] * 3000 + ["big"] * 3000,
+        "user_id": pa.array(np.concatenate([uid_small, uid_big]),
+                            pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+    out = relational.q_kmv_distinct(str(tmp_path))
+    small = out[out["event_type"] == "small"].iloc[0]
+    big = out[out["event_type"] == "big"].iloc[0]
+    exact_small = len(np.unique(uid_small))
+    exact_big = len(np.unique(uid_big))
+    assert small["n_sketch"] == exact_small
+    assert small["est_distinct"] == float(exact_small)
+    assert big["n_sketch"] == relational.KMV_K
+    # KMV relative error ~ 1/sqrt(K-2): allow 4 sigma
+    assert abs(big["est_distinct"] - exact_big) / exact_big < 0.55
+
+
+def test_levenshtein_many_vs_duckdb(ray_session):
+    """The vectorized multi-pair DP must agree with DuckDB's byte-level
+    levenshtein on random strings (incl. multi-byte UTF-8 and empties)."""
+    import duckdb
+    import numpy as np
+
+    from pdf_parse_new_ray.functions.dedup import _levenshtein_many
+
+    rng = np.random.default_rng(3)
+    alphabet = list("abcdef Xé")
+    strs = ["".join(rng.choice(alphabet, rng.integers(0, 40)))
+            for _ in range(40)] + ["", "a"]
+    pairs = [(strs[i], strs[j]) for i in range(0, 40, 3)
+             for j in range(1, 42, 5)]
+    a = [np.frombuffer(x.encode("utf-8"), np.uint8) for x, _ in pairs]
+    b = [np.frombuffer(y.encode("utf-8"), np.uint8) for _, y in pairs]
+    got = _levenshtein_many(a, b)
+    con = duckdb.connect()
+    want = [con.sql("SELECT levenshtein(?, ?)", params=[x, y]).fetchone()[0]
+            for x, y in pairs]
+    assert got.tolist() == want
+
+
+def test_levenshtein_pairs_blocking_and_cap(ray_session, tmp_path):
+    """Planted near-dups in one block get verified with the right
+    distances; a hot block is capped to its LEV_BLOCK_CAP smallest
+    doc_ids (deterministic), never all-pairs over the whole block."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 2
+    rows = {"doc_id": [], "text": [], "lang": [], "n_chars": []}
+    # two near-identical docs in the same (lang, length) block
+    for did, txt in [(1, base), (2, base[:-1] + "x")]:
+        rows["doc_id"].append(did)
+        rows["text"].append(txt)
+        rows["lang"].append("en")
+        rows["n_chars"].append(len(txt))
+    # a hot block: cap + 10 same-length docs
+    hot = dedup.LEV_BLOCK_CAP + 10
+    for i in range(hot):
+        txt = f"zz{i:04d}" + "y" * 100
+        rows["doc_id"].append(100 + i)
+        rows["text"].append(txt)
+        rows["lang"].append("fr")
+        rows["n_chars"].append(len(txt))
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = dedup.d_levenshtein_pairs(str(tmp_path))
+    near = out[(out["id_a"] == 1) & (out["id_b"] == 2)]
+    assert len(near) == 1 and near.iloc[0]["dist"] == 1
+    hot_pairs = out[out["id_a"] >= 100]
+    cap = dedup.LEV_BLOCK_CAP
+    assert len(hot_pairs) == cap * (cap - 1) // 2
+    # capped set = smallest doc_ids
+    assert hot_pairs["id_b"].max() == 100 + cap - 1
