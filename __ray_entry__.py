@@ -377,6 +377,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_customers":
             relational.q18_large_volume_customers,
         "q_kmv_distinct": relational.q_kmv_distinct,
+        "q7_nation_pair_revenue": relational.q7_nation_pair_revenue,
+        "q_histogram_quantiles": relational.q_histogram_quantiles,
+        "q_copurchase_pairs": relational.q_copurchase_pairs,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
@@ -1249,6 +1252,51 @@ def oracle_sql() -> dict[str, str]:
               ON e.ts BETWEEN s.session_start AND s.session_end
             GROUP BY 1, 2, 3, 4
             ORDER BY s.user_id, s.session_id
+        """,
+        "q7_nation_pair_revenue": f"""
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   ((SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                     + 50) // 100) / 100.0 AS revenue
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            WHERE l.l_shipdate
+                  BETWEEN TIMESTAMP '{relational.Q7_YEARS[0]}-01-01'
+                      AND TIMESTAMP '{relational.Q7_YEARS[-1]}-12-31'
+              AND ns.n_name <> nc.n_name
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q_histogram_quantiles": f"""
+            WITH b AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                           // {relational.HIST_BIN_CENTS} AS bin,
+                       count(*) AS c
+                FROM orders GROUP BY 1),
+            t AS (SELECT sum(c) AS n FROM b),
+            cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cc FROM b),
+            qs(q) AS (VALUES {", ".join(f"({q})"
+                                        for q in relational.HIST_QUANTILES)})
+            SELECT q AS quantile, CAST(min(bin) AS BIGINT) AS bin,
+                   min(bin) * 100.0 AS est_price
+            FROM qs, cum, t
+            WHERE cum.cc >= ceil(q * t.n)
+            GROUP BY q ORDER BY q
+        """,
+        "q_copurchase_pairs": f"""
+            WITH pr AS (
+                SELECT a.l_partkey AS p_a, b.l_partkey AS p_b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey)
+            SELECT p_a, p_b, CAST(count(*) AS BIGINT) AS support
+            FROM pr GROUP BY 1, 2
+            ORDER BY support DESC, p_a, p_b
+            LIMIT {relational.COPURCHASE_TOP_K}
         """,
         "q13_order_count_distribution": """
             WITH c AS (

@@ -142,6 +142,10 @@ def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
         "t_bigram_lm_score": tfn.t_bigram_lm_score,
         "e_knn_pq": ann.e_knn_pq,
         "q_heavy_hitters": relational.q_heavy_hitters,
+        "q7_nation_pair_revenue": relational.q7_nation_pair_revenue,
+        "q_copurchase_pairs": relational.q_copurchase_pairs,
+        "d_levenshtein_pairs": dedup.d_levenshtein_pairs,
+        "q_kmv_distinct": relational.q_kmv_distinct,
     }
     for name, fn in bench_queries.items():
         t0 = time.time()

@@ -2164,3 +2164,271 @@ def q_kmv_distinct(sf_dir: str, k: int = KMV_K) -> pd.DataFrame:
         .groupby("event_type").map_groups(merge, batch_format="pyarrow") \
         .to_pandas()
     return df.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q7-shape: nation-pair revenue by ship year (two-fact chain + 2 dims)
+# ---------------------------------------------------------------------------
+
+Q7_YEARS = (1995, 1996)
+
+
+def q7_nation_pair_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape generalized to all nation pairs: revenue shipped
+    between (supplier nation, customer nation) per ship year, supplier
+    nation != customer nation.  Same shrinking-aggregate chain as q5 —
+    lineitem pre-aggregates per batch keyed by (orderkey, supp_nation,
+    year) BEFORE any exchange, the orders and customer attaches are the
+    shared bucketed cogroup with an in-bucket combine, and the driver
+    merges <= 25 x 25 x 2 x n_buckets partials.  The supplier nation map
+    is the only broadcast (size-gated like q5's customer path)."""
+    import pyarrow.parquet as pq_
+
+    from .joins import attach_value, rename_agg
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+              "l_shipdate"])
+
+    sup = pq_.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sup_ref = ray.put((sup.column("s_suppkey").combine_chunks(),
+                       sup.column("s_nationkey").cast(pa.int64())
+                          .combine_chunks()))
+
+    lo = pa.scalar(pd.Timestamp(f"{Q7_YEARS[0]}-01-01"))
+    hi = pa.scalar(pd.Timestamp(f"{Q7_YEARS[-1]}-12-31"))
+
+    class RevPartial:
+        def __init__(self, ref):
+            self.keys, self.nations = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                           pc.less_equal(t["l_shipdate"], hi))
+            t = t.filter(keep)
+            # exact integer sub-cents (price_cents x discount_percent) so
+            # partial-sum order can never flip the rounded result — the
+            # same money convention as q_bloom_semi_join
+            cents = pc.cast(pc.round(pc.multiply(
+                t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+            disc = pc.cast(pc.round(pc.multiply(
+                t["l_discount"], pa.scalar(100.0))), pa.int64())
+            rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                                 disc))
+            snk = pc.take(self.nations,
+                          pc.index_in(t["l_suppkey"], value_set=self.keys))
+            g = pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "supp_nk": snk,
+                "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "rev": rev,
+            }).group_by(["l_orderkey", "supp_nk", "l_year"]) \
+              .aggregate([("rev", "sum")])
+            return rename_agg(g, {"rev_sum": "rev"},
+                              ["l_orderkey", "supp_nk", "l_year", "rev"])
+
+    partials = li.map_batches(
+        RevPartial, fn_constructor_kwargs={"ref": sup_ref},
+        batch_format="pyarrow", batch_size=65536, concurrency=(1, 8))
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table({"doc_id": t["o_orderkey"],
+                            "value": t["o_custkey"]}),
+        batch_format="pyarrow")
+
+    def combine_cust(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey", "supp_nk", "l_year"]) \
+            .aggregate([("rev", "sum")])
+        return rename_agg(g, {"rev_sum": "rev"},
+                          ["o_custkey", "supp_nk", "l_year", "rev"])
+
+    by_cust = attach_value(
+        partials, orders, "l_orderkey", "o_custkey", pa.int64(),
+        [("l_orderkey", pa.int64()), ("supp_nk", pa.int64()),
+         ("l_year", pa.int64()), ("rev", pa.int64())],
+        post=combine_cust)
+
+    def combine_pair(t: pa.Table) -> pa.Table:
+        g = t.group_by(["supp_nk", "cust_nk", "l_year"]) \
+            .aggregate([("rev", "sum")])
+        return rename_agg(g, {"rev_sum": "rev"},
+                          ["supp_nk", "cust_nk", "l_year", "rev"])
+
+    cust_src = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    if cust_src.count() <= BROADCAST_DIM_ROWS:
+        ct = pq_.read_table(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"])
+        lookup_ref = ray.put((ct.column("c_custkey").combine_chunks(),
+                              ct.column("c_nationkey").cast(pa.int64())
+                                .combine_chunks()))
+
+        class PairCombine:
+            def __init__(self, ref):
+                self.keys, self.nations = (
+                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                cnk = pc.take(self.nations,
+                              pc.index_in(t["o_custkey"],
+                                          value_set=self.keys))
+                return combine_pair(pa.table({
+                    "supp_nk": t["supp_nk"], "cust_nk": cnk,
+                    "l_year": t["l_year"], "rev": t["rev"]}))
+
+        part = by_cust.map_batches(
+            PairCombine, fn_constructor_kwargs={"ref": lookup_ref},
+            batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    else:
+        cust = cust_src.map_batches(
+            lambda t: pa.table({"doc_id": t["c_custkey"],
+                                "value": t["c_nationkey"].cast(pa.int64())}),
+            batch_format="pyarrow")
+        part = attach_value(
+            by_cust.materialize(), cust, "o_custkey", "cust_nk", pa.int64(),
+            [("o_custkey", pa.int64()), ("supp_nk", pa.int64()),
+             ("l_year", pa.int64()), ("rev", pa.int64())],
+            post=combine_pair).to_pandas()
+
+    res = part.groupby(["supp_nk", "cust_nk", "l_year"], as_index=False) \
+        .agg(rev=("rev", "sum"))
+    res = res[res["supp_nk"] != res["cust_nk"]]
+    # exact half-up cent rounding of the integer sub-cent total
+    res["revenue"] = (res["rev"].astype("int64") + 50) // 100 / 100.0
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _rp(sf_dir, "nation").take_all()}
+    res["supp_nation"] = res["supp_nk"].map(nation)
+    res["cust_nation"] = res["cust_nk"].map(nation)
+    return res[["supp_nation", "cust_nation", "l_year", "revenue"]] \
+        .sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (fixed integer bins — mergeable, no shuffle)
+# ---------------------------------------------------------------------------
+
+HIST_BIN_CENTS = 10_000  # $100-wide bins over o_totalprice
+HIST_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_histogram_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Approximate quantiles via a fixed-bin integer histogram — the
+    mergeable-sketch answer to quantiles at 100 TB: each batch emits its
+    (bin -> count) partial (bins are bounded by the value range, a few
+    thousand rows), the merge is a driver-side sum with NO shuffle, and
+    the quantile is the first bin whose cumulative count reaches
+    ceil(q * N).  Deterministic (integer bins from integer cents), so
+    the SQL oracle reproduces it bit-for-bit — unlike t-digest/GK
+    sketches whose estimates depend on merge order."""
+    orders = _rp(sf_dir, "orders", ["o_totalprice"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        bins = pc.divide(cents, pa.scalar(HIST_BIN_CENTS, pa.int64()))
+        g = pa.table({"bin": bins}).group_by("bin") \
+            .aggregate([("bin", "count")])
+        from .joins import rename_agg
+        return rename_agg(g, {"bin_count": "c"}, ["bin", "c"])
+
+    part = orders.map_batches(hist, batch_format="pyarrow").to_pandas()
+    merged = part.groupby("bin", as_index=False)["c"].sum() \
+        .sort_values("bin").reset_index(drop=True)
+    n = int(merged["c"].sum())
+    cum = merged["c"].cumsum().to_numpy()
+    bins = merged["bin"].to_numpy()
+    rows = []
+    for q in HIST_QUANTILES:
+        rank = np.ceil(q * n)
+        i = int(np.searchsorted(cum, rank, side="left"))
+        rows.append({"quantile": q, "bin": int(bins[i]),
+                     "est_price": bins[i] * 100.0})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase pair mining (self-join within order, exact global support)
+# ---------------------------------------------------------------------------
+
+COPURCHASE_TOP_K = 20
+
+
+def q_copurchase_pairs(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Market-basket co-occurrence: the top-K part pairs appearing in the
+    same order (the lineitem self-join shape).  Two bucketed shuffles,
+    both slim: (1) hash(orderkey) co-locates each order's items; pairs
+    are generated WITHOUT a join — after an in-bucket sort, shift-k
+    alignment (orders hold <= ~7 items, so <= max_items passes of pure
+    numpy comparisons) emits each unordered pair exactly as often as the
+    SQL self-join does, then an in-bucket Arrow group_by collapses them
+    to partial supports; (2) hash(pair) re-buckets the partials for the
+    exact global count, each bucket forwarding only its local top-K.
+    The driver merges K x n_buckets candidate rows."""
+    from .joins import _bucket_of, rename_agg
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    li = li.map_batches(
+        lambda t: t.append_column(
+            "__bk", _bucket_of(t.column("l_orderkey"), n_buckets)),
+        batch_format="pyarrow")
+
+    def pairs(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("l_orderkey", "ascending"),
+                                              ("l_partkey", "ascending")])
+        g = g.take(order)
+        ok = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        n = len(ok)
+        pa_l, pb_l = [], []
+        k = 1
+        while True:
+            same = ok[:-k] == ok[k:] if k < n else np.zeros(0, bool)
+            if not same.any():
+                break
+            a, b = pk[:-k][same], pk[k:][same]
+            neq = a != b  # strict a < b (sorted) minus same-part repeats
+            pa_l.append(a[neq])
+            pb_l.append(b[neq])
+            k += 1
+        if not pa_l:
+            return pa.table({"p_a": pa.array([], pa.int64()),
+                             "p_b": pa.array([], pa.int64()),
+                             "support": pa.array([], pa.int64()),
+                             "__pk": pa.array([], pa.int32())})
+        p_a = np.concatenate(pa_l)
+        p_b = np.concatenate(pb_l)
+        g2 = pa.table({"p_a": pa.array(p_a, pa.int64()),
+                       "p_b": pa.array(p_b, pa.int64())}) \
+            .group_by(["p_a", "p_b"]).aggregate([("p_a", "count")])
+        g2 = rename_agg(g2, {"p_a_count": "support"},
+                        ["p_a", "p_b", "support"])
+        g2 = g2.set_column(2, "support", pc.cast(g2["support"], pa.int64()))
+        pair_key = pc.add(pc.multiply(g2["p_a"],
+                                      pa.scalar(1_000_003, pa.int64())),
+                          g2["p_b"])
+        return g2.append_column("__pk", _bucket_of(pair_key, n_buckets))
+
+    def topk(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["p_a", "p_b"]).aggregate([("support", "sum")])
+        from .joins import rename_agg as ra
+        agg = ra(agg, {"support_sum": "support"}, ["p_a", "p_b", "support"])
+        order = pc.sort_indices(agg, sort_keys=[
+            ("support", "descending"), ("p_a", "ascending"),
+            ("p_b", "ascending")])
+        return agg.take(order).slice(0, COPURCHASE_TOP_K)
+
+    # materialize boundary between the two keyed shuffles (the executor-
+    # deadlock avoidance documented at dedup._candidate_pairs; the stage-1
+    # output is pair partials, far smaller than the fact table)
+    partials = li.groupby("__bk").map_groups(
+        pairs, batch_format="pyarrow").materialize()
+    df = partials.groupby("__pk").map_groups(topk, batch_format="pyarrow") \
+        .to_pandas()
+    df = df.drop(columns=[c for c in ("__pk",) if c in df.columns])
+    df = df.sort_values(["support", "p_a", "p_b"],
+                        ascending=[False, True, True]) \
+        .head(COPURCHASE_TOP_K).reset_index(drop=True)
+    df["support"] = df["support"].astype("int64")
+    return df

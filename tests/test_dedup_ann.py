@@ -1339,3 +1339,56 @@ def test_levenshtein_pairs_blocking_and_cap(ray_session, tmp_path):
     assert len(hot_pairs) == cap * (cap - 1) // 2
     # capped set = smallest doc_ids
     assert hot_pairs["id_b"].max() == 100 + cap - 1
+
+
+def test_q7_cogroup_path_matches_broadcast(ray_session, monkeypatch):
+    """Forcing the customer attach onto the distributed cogroup path must
+    reproduce the broadcast-path result exactly (same gate-duality check
+    as q5), and revenue is the exact integer-cents convention."""
+    from pdf_parse_new_ray.functions import relational
+
+    base = relational.q7_nation_pair_revenue("/root/testdata/sf0.001")
+    monkeypatch.setattr(relational, "BROADCAST_DIM_ROWS", 0)
+    forced = relational.q7_nation_pair_revenue("/root/testdata/sf0.001")
+    assert base.equals(forced)
+    assert len(base) > 0
+    assert (base["supp_nation"] != base["cust_nation"]).all()
+
+
+def test_histogram_quantiles_within_bin(ray_session):
+    """Each histogram quantile must bracket the exact quantile within one
+    bin width (the sketch's accuracy contract)."""
+    import duckdb
+
+    from pdf_parse_new_ray.functions import relational
+
+    out = relational.q_histogram_quantiles("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for _, row in out.iterrows():
+        exact = con.sql(
+            "SELECT quantile_disc(o_totalprice, ?) FROM "
+            "'/root/testdata/sf0.001/orders.parquet'",
+            params=[row["quantile"]]).fetchone()[0]
+        width = relational.HIST_BIN_CENTS / 100.0
+        assert row["est_price"] <= exact < row["est_price"] + width
+
+
+def test_copurchase_pairs_planted(ray_session, tmp_path):
+    """Known baskets: the pair in 3 orders must outrank the pair in 2;
+    same-part repeats inside one order never pair with themselves."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import relational
+
+    rows = {"l_orderkey": [], "l_partkey": []}
+    for ok, parts in [(1, [7, 9]), (2, [7, 9, 11]), (3, [9, 7]),
+                      (4, [11, 9]), (5, [11, 9]), (6, [5, 5])]:
+        rows["l_orderkey"].extend([ok] * len(parts))
+        rows["l_partkey"].extend(parts)
+    pq.write_table(pa.table(rows), str(tmp_path / "lineitem.parquet"))
+    out = relational.q_copurchase_pairs(str(tmp_path))
+    got = {(a, b): s for a, b, s in
+           zip(out["p_a"], out["p_b"], out["support"])}
+    assert got == {(7, 9): 3, (9, 11): 3, (7, 11): 1}
+    assert (5, 5) not in got
