@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_winnowing_fingerprints": text.t_winnowing_fingerprints,
         "t_c4_quality_filter": text.t_c4_quality_filter,
         "t_lang_mix_sample": text.t_lang_mix_sample,
+        "t_sequence_pack": text.t_sequence_pack,
         # dedup
         "d_exact_dedup": dedup.d_exact_dedup,
         "d_dedup_keep_longest": dedup.d_dedup_keep_longest,
@@ -1372,6 +1373,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
             ORDER BY n DESC, user_id
             LIMIT {relational.HEAVY_HITTER_K}
+        """,
+        "t_sequence_pack": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       CAST(length(regexp_extract_all(text, '{tok}'))
+                            AS BIGINT) AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                           AS cum_prev
+                FROM tok)
+            SELECT doc_id, n_tokens,
+                   cum_prev // {text.SEQ_LEN} AS seq_id,
+                   cum_prev % {text.SEQ_LEN} AS seq_offset
+            FROM c ORDER BY doc_id
         """,
         "t_winnowing_fingerprints": f"""
             WITH words AS (

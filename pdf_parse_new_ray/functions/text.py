@@ -785,3 +785,87 @@ def t_winnowing_fingerprints(sf_dir: str) -> pd.DataFrame:
     out = _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(winnow, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk pretraining layout)
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 2048
+
+
+def t_sequence_pack(sf_dir: str, seq_len: int = SEQ_LEN,
+                    n_range_buckets: int = 64) -> pd.DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-pretraining layout:
+    documents are tokenized, concatenated in doc_id order into one global
+    token stream, and chunked into fixed seq_len sequences; each doc
+    reports which sequence it starts in and at what offset.  The global
+    position of a doc is an exclusive prefix sum of token counts in
+    doc_id order, computed scale-safe with the same distributed
+    prefix-sum plan as q_pareto_customers: range-partition by doc_id
+    (sampled boundaries affect placement only, never values),
+    per-range totals give driver-side exclusive offsets, each range
+    cumsums locally.  No global sort, no driver-side token walk."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    class CountTokens:
+        def __init__(self):
+            self.tok = re.compile(TOKEN_PATTERN)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = [len(self.tok.findall(x or ""))
+                 for x in t.column("text").to_pylist()]
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "n_tokens": pa.array(n, pa.int64())})
+
+    counts = docs.map_batches(CountTokens, concurrency=(1, 8),
+                              batch_format="pyarrow").materialize()
+
+    def sample_ids(t: pa.Table) -> pa.Table:
+        ids = np.sort(t.column("doc_id").to_numpy(zero_copy_only=False))
+        step = max(1, len(ids) // 64)
+        return pa.table({"doc_id": pa.array(ids[::step], pa.int64())})
+
+    samp = np.sort(counts.map_batches(
+        sample_ids, batch_format="pyarrow").to_pandas()["doc_id"].to_numpy())
+    step = max(1, len(samp) // n_range_buckets)
+    bounds = np.unique(samp[step::step]).astype(np.int64)
+
+    def tag_range(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        rb = np.searchsorted(bounds, ids, side="left").astype(np.int32)
+        return t.append_column("__rb", pa.array(rb, pa.int32()))
+
+    tagged = counts.map_batches(tag_range, batch_format="pyarrow")
+
+    def range_totals(t: pa.Table) -> pa.Table:
+        from .joins import rename_agg
+
+        g = t.select(["__rb", "n_tokens"]).group_by("__rb") \
+            .aggregate([("n_tokens", "sum")])
+        return rename_agg(g, {"n_tokens_sum": "total"}, ["__rb", "total"])
+
+    bt = tagged.map_batches(range_totals, batch_format="pyarrow") \
+        .groupby("__rb").aggregate(Sum("total", alias_name="total")) \
+        .to_pandas().sort_values("__rb")
+    rb_ids = bt["__rb"].to_numpy()
+    totals = bt["total"].to_numpy().astype(np.int64)
+    prefix = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    offset = {int(r): int(p) for r, p in zip(rb_ids, prefix)}
+
+    def per_range(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        s = g.take(order)
+        n = s.column("n_tokens").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cum_prev = np.cumsum(n) - n + offset[int(s.column("__rb")[0].as_py())]
+        return pa.table({
+            "doc_id": s.column("doc_id"),
+            "n_tokens": s.column("n_tokens"),
+            "seq_id": pa.array(cum_prev // seq_len, pa.int64()),
+            "seq_offset": pa.array(cum_prev % seq_len, pa.int64()),
+        })
+
+    out = tagged.groupby("__rb").map_groups(
+        per_range, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

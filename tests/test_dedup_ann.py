@@ -1392,3 +1392,26 @@ def test_copurchase_pairs_planted(ray_session, tmp_path):
            zip(out["p_a"], out["p_b"], out["support"])}
     assert got == {(7, 9): 3, (9, 11): 3, (7, 11): 1}
     assert (5, 5) not in got
+
+
+def test_sequence_pack_matches_naive(ray_session):
+    """The distributed prefix-sum packing must equal a naive driver-side
+    concat-and-chunk over the same token counts."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import text as tfn
+
+    out = tfn.t_sequence_pack("/root/testdata/sf0.001")
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    tok = re.compile(tfn.TOKEN_PATTERN)
+    n = docs["text"].map(lambda x: len(tok.findall(x or ""))).to_numpy()
+    cum_prev = np.cumsum(n) - n
+    assert (out["doc_id"].to_numpy() == docs["doc_id"].to_numpy()).all()
+    assert (out["n_tokens"].to_numpy() == n).all()
+    assert (out["seq_id"].to_numpy() == cum_prev // tfn.SEQ_LEN).all()
+    assert (out["seq_offset"].to_numpy() == cum_prev % tfn.SEQ_LEN).all()
+    assert out.iloc[0]["seq_id"] == 0 and out.iloc[0]["seq_offset"] == 0
