@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_pair_revenue": relational.q7_nation_pair_revenue,
         "q_histogram_quantiles": relational.q_histogram_quantiles,
         "q_copurchase_pairs": relational.q_copurchase_pairs,
+        "q_decile_stats": relational.q_decile_stats,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
@@ -1287,6 +1288,20 @@ def oracle_sql() -> dict[str, str]:
             FROM qs, cum, t
             WHERE cum.cc >= ceil(q * t.n)
             GROUP BY q ORDER BY q
+        """,
+        "q_decile_stats": f"""
+            WITH r AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       (row_number() OVER (
+                            ORDER BY o_totalprice, o_orderkey) - 1)
+                           * {relational.NTILE_K}
+                           // (SELECT count(*) FROM orders) AS decile
+                FROM orders)
+            SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
+                   SUM(cents) / 100.0 AS total_price,
+                   min(cents) / 100.0 AS min_price,
+                   max(cents) / 100.0 AS max_price
+            FROM r GROUP BY decile ORDER BY decile
         """,
         "q_copurchase_pairs": f"""
             WITH pr AS (

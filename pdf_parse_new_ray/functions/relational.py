@@ -2432,3 +2432,105 @@ def q_copurchase_pairs(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
         .head(COPURCHASE_TOP_K).reset_index(drop=True)
     df["support"] = df["support"].astype("int64")
     return df
+
+
+# ---------------------------------------------------------------------------
+# Exact global ranking → decile stats (distributed rank via range buckets)
+# ---------------------------------------------------------------------------
+
+NTILE_K = 10
+
+
+def q_decile_stats(sf_dir: str, k: int = NTILE_K,
+                   n_range_buckets: int = 64) -> pd.DataFrame:
+    """Per-decile order-price statistics over an EXACT global ranking —
+    the capability q_pareto's prefix-sum doesn't cover (rank by position,
+    not by cumulative value).  Plan: range-partition by (price, orderkey)
+    with sampled boundaries, per-bucket row COUNTS (tiny) give exclusive
+    rank offsets on the driver, each bucket sorts locally and assigns
+    decile = global_rank * k // N; per-bucket partial (decile, n, cents,
+    min, max) aggregates merge on the driver.  No global sort
+    materialization; ties are broken by orderkey so the rank — and the
+    decile cut — is deterministic and matches the oracle's row_number."""
+    from .joins import rename_agg
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"], "cents": cents})
+
+    cents_ds = orders.map_batches(to_cents, batch_format="pyarrow") \
+        .materialize()
+
+    def sample_keys(t: pa.Table) -> pa.Table:
+        c = np.sort(t.column("cents").to_numpy(zero_copy_only=False))
+        step = max(1, len(c) // 64)
+        return pa.table({"cents": pa.array(c[::step], pa.int64())})
+
+    samp = np.sort(cents_ds.map_batches(
+        sample_keys, batch_format="pyarrow").to_pandas()["cents"].to_numpy())
+    step = max(1, len(samp) // n_range_buckets)
+    bounds = np.unique(samp[step::step]).astype(np.int64)
+
+    def tag_range(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        rb = np.searchsorted(bounds, c, side="left").astype(np.int32)
+        return t.append_column("__rb", pa.array(rb, pa.int32()))
+
+    tagged = cents_ds.map_batches(tag_range, batch_format="pyarrow")
+
+    def range_counts(t: pa.Table) -> pa.Table:
+        g = t.select(["__rb"]).group_by("__rb") \
+            .aggregate([("__rb", "count")])
+        return rename_agg(g, {"__rb_count": "n"}, ["__rb", "n"])
+
+    bt = tagged.map_batches(range_counts, batch_format="pyarrow") \
+        .groupby("__rb").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas().sort_values("__rb")
+    n_total = int(bt["n"].sum())
+    rb_ids = bt["__rb"].to_numpy()
+    counts = bt["n"].to_numpy().astype(np.int64)
+    prefix = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    offset = {int(r): int(p) for r, p in zip(rb_ids, prefix)}
+
+    def per_range(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[
+            ("cents", "ascending"), ("o_orderkey", "ascending")])
+        s = g.take(order)
+        cents = s.column("cents").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        rank = np.arange(len(cents), dtype=np.int64) \
+            + offset[int(s.column("__rb")[0].as_py())]
+        dec = rank * k // n_total
+        # partial per-decile aggregates (a range bucket spans <= 2
+        # deciles in the balanced case — the partial is tiny either way)
+        uniq, inv = np.unique(dec, return_inverse=True)
+        n_ = np.bincount(inv)
+        sum_ = np.zeros(len(uniq), np.int64)
+        np.add.at(sum_, inv, cents)  # int64-exact (float bincount would
+        # lose grains past 2^53 at corpus-scale bucket sums)
+        min_ = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(min_, inv, cents)
+        max_ = np.full(len(uniq), np.iinfo(np.int64).min)
+        np.maximum.at(max_, inv, cents)
+        return pa.table({
+            "decile": pa.array(uniq, pa.int64()),
+            "n_orders": pa.array(n_, pa.int64()),
+            "cents": pa.array(sum_, pa.int64()),
+            "min_c": pa.array(min_, pa.int64()),
+            "max_c": pa.array(max_, pa.int64()),
+        })
+
+    part = tagged.groupby("__rb").map_groups(
+        per_range, batch_format="pyarrow").to_pandas()
+    out = part.groupby("decile", as_index=False).agg(
+        n_orders=("n_orders", "sum"), cents=("cents", "sum"),
+        min_c=("min_c", "min"), max_c=("max_c", "max"))
+    out["total_price"] = out["cents"].astype("int64") / 100.0
+    out["min_price"] = out["min_c"].astype("int64") / 100.0
+    out["max_price"] = out["max_c"].astype("int64") / 100.0
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["decile", "n_orders", "total_price", "min_price",
+                "max_price"]].sort_values("decile").reset_index(drop=True)

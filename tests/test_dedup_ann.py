@@ -1415,3 +1415,21 @@ def test_sequence_pack_matches_naive(ray_session):
     assert (out["seq_id"].to_numpy() == cum_prev // tfn.SEQ_LEN).all()
     assert (out["seq_offset"].to_numpy() == cum_prev % tfn.SEQ_LEN).all()
     assert out.iloc[0]["seq_id"] == 0 and out.iloc[0]["seq_offset"] == 0
+
+
+def test_decile_stats_invariants(ray_session):
+    """Exact global-rank deciles: counts differ by at most 1 across
+    deciles, partition covers all orders, min/max are monotone."""
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import relational
+
+    out = relational.q_decile_stats("/root/testdata/sf0.001")
+    n = pq.read_metadata("/root/testdata/sf0.001/orders.parquet").num_rows
+    assert list(out["decile"]) == list(range(relational.NTILE_K))
+    assert int(out["n_orders"].sum()) == n
+    assert out["n_orders"].max() - out["n_orders"].min() <= 1
+    assert (out["min_price"] <= out["max_price"]).all()
+    # deciles are rank-ordered: each decile's max <= next decile's min
+    assert (out["max_price"].to_numpy()[:-1]
+            <= out["min_price"].to_numpy()[1:]).all()
