@@ -248,6 +248,77 @@ def _extract_then_dedup(sf_dir: str, n_buckets: int = 256):
     return df.sort_values("fingerprint").reset_index(drop=True)
 
 
+def _image_phash(sf_dir: str):
+    """Perceptual 64-bit aHash fingerprints over the mixed media table
+    through the REAL decoders (stages/multimodal.ImagePHasher) — the
+    content-feature step an image near-dup pipeline runs after decode."""
+    import re as _re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_parse_new_ray.fixtures.media_mixed import mixed_media_dir_for
+    from pdf_parse_new_ray.stages.multimodal import ImagePHasher
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
+    rows = rd.read_parquet(base, columns=["media_ref", "bytes"]).map_batches(
+        ImagePHasher, concurrency=(1, 4), batch_size=16,
+        batch_format="pyarrow",
+    ).take_all()
+    return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
+
+
+def _phash_dup_groups(sf_dir: str, n_buckets: int = 64):
+    """Image near-dup groups: identical perceptual fingerprints across
+    different blobs (byte-level dups are caught upstream by sha256 —
+    this catches re-encodes).  Same ONE-bucketed-shuffle exact-dedup
+    plan as d_exact_dedup, keyed on the phash."""
+    import re as _re
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_parse_new_ray.fixtures.media_mixed import mixed_media_dir_for
+    from pdf_parse_new_ray.functions.joins import rename_agg
+    from pdf_parse_new_ray.stages.multimodal import ImagePHasher
+    from pdf_parse_new_ray.state import checkpoint as ckpt
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
+    hashes = rd.read_parquet(base, columns=["media_ref", "bytes"]) \
+        .map_batches(ImagePHasher, concurrency=(1, 4), batch_size=16,
+                     batch_format="pyarrow")
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("decoded"))
+        return pa.table({
+            "media_ref": t.column("media_ref"),
+            "phash": t.column("phash"),
+            "__bk": ckpt.partition_column(t.column("phash"), n_buckets),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        out = g.group_by("phash").aggregate(
+            [("media_ref", "min"), ("media_ref", "count")])
+        out = rename_agg(out, {"media_ref_min": "keep_ref",
+                               "media_ref_count": "group_size"},
+                         ["phash", "keep_ref", "group_size"])
+        import pyarrow.compute as pc
+        return out.filter(pc.greater(out["group_size"], pa.scalar(1)))
+
+    df = hashes.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow") \
+        .to_pandas()
+    if df.empty:
+        return pd.DataFrame({"phash": pd.Series(dtype="object"),
+                             "keep_ref": pd.Series(dtype="object"),
+                             "group_size": pd.Series(dtype="int64")})
+    df["group_size"] = df["group_size"].astype("int64")
+    return df.sort_values("phash").reset_index(drop=True)
+
+
 def _curation_funnel(sf_dir: str, n_buckets: int = 256):
     """The complete curation story in ONE streaming lineage: extract
     the interleaved corpus → assemble per-doc text → C4-style quality
@@ -381,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_histogram_quantiles": relational.q_histogram_quantiles,
         "q_copurchase_pairs": relational.q_copurchase_pairs,
         "q_decile_stats": relational.q_decile_stats,
+        "q_event_age": relational.q_event_age,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
@@ -431,6 +503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_media_features": _media_features,
         "m_media_features_mixed": _media_features_mixed,
         "m_pdf_images": _pdf_images,
+        "m_image_phash": _image_phash,
+        "m_phash_dup_groups": _phash_dup_groups,
         # composition: extract -> dedup in one streaming lineage
         "x_extract_then_dedup": _extract_then_dedup,
         "x_curation_funnel": _curation_funnel,
@@ -1288,6 +1362,12 @@ def oracle_sql() -> dict[str, str]:
             FROM qs, cum, t
             WHERE cum.cc >= ceil(q * t.n)
             GROUP BY q ORDER BY q
+        """,
+        "q_event_age": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) - min(epoch_us(ts))
+                            OVER (PARTITION BY user_id) AS BIGINT) AS age_us
+            FROM events ORDER BY event_id
         """,
         "q_decile_stats": f"""
             WITH r AS (

@@ -96,3 +96,69 @@ def attach_value(pairs: rd.Dataset, values: rd.Dataset, key_col: str,
     tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
         values.map_batches(tag_values, batch_format="pyarrow"))
     return tagged.groupby("__jkey").map_groups(merge, batch_format="pyarrow")
+
+
+def attach_value_salted(pairs: rd.Dataset, values: rd.Dataset, key_col: str,
+                        out_name: str, vtype: pa.DataType,
+                        pair_cols: list[tuple[str, pa.DataType]],
+                        n_buckets: int = 64, n_salts: int = 8,
+                        post=None) -> rd.Dataset:
+    """``attach_value`` with HOT-KEY SALTING: the fact side spreads each
+    key's rows over ``n_salts`` sub-buckets (salt = row position mod
+    n_salts, so a hot key's traffic divides by n_salts instead of
+    swamping one cogroup task), and the value side replicates each row
+    to all n_salts sub-buckets (dim replication is n_salts x dim size —
+    cheap, the dim is the small side by construction).  Results are
+    IDENTICAL to attach_value; only the exchange layout changes.  Use
+    when a fact key can be pathologically hot (power-law user_ids,
+    viral content ids)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+    names = [n for n, _ in pair_cols] + [out_name, "__key", "__jkey"]
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        bk = pc.cast(_bucket_of(t.column(key_col), n_buckets), pa.int64())
+        salt = pa.array(np.arange(t.num_rows, dtype=np.int64) % n_salts)
+        cols = {n: t.column(n) for n, _ in pair_cols}
+        cols[out_name] = pa.nulls(t.num_rows, vtype)
+        cols["__key"] = t.column(key_col)
+        cols["__jkey"] = pc.add(pc.multiply(bk, pa.scalar(n_salts, pa.int64())),
+                                salt)
+        return pa.table({n: cols[n] for n in names})
+
+    def tag_values(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_salts))
+        rep = t.take(idx)
+        bk = pc.cast(_bucket_of(rep.column("doc_id"), n_buckets), pa.int64())
+        salt = pa.array(np.tile(np.arange(n_salts, dtype=np.int64), n))
+        cols = {nm: pa.nulls(n * n_salts, ty) for nm, ty in pair_cols}
+        cols[out_name] = rep.column("value")
+        cols["__key"] = rep.column("doc_id")
+        cols["__jkey"] = pc.add(pc.multiply(bk, pa.scalar(n_salts, pa.int64())),
+                                salt)
+        return pa.table({nm: cols[nm] for nm in names})
+
+    out_names = [n for n, _ in pair_cols] + [out_name]
+
+    def merge(g: pa.Table) -> pa.Table:
+        is_val = pc.is_valid(g.column(out_name))
+        vals = g.filter(is_val)
+        prs = g.filter(pc.invert(is_val))
+        if prs.num_rows == 0 or vals.num_rows == 0:
+            out = g.slice(0, 0).select(out_names)
+            return post(out) if post is not None else out
+        idx = pc.index_in(prs.column("__key"),
+                          value_set=vals.column("__key").combine_chunks())
+        hit = pc.is_valid(idx)
+        picked = pc.take(vals.column(out_name).combine_chunks(),
+                         idx.filter(hit))
+        out = prs.filter(hit).drop_columns([out_name, "__key", "__jkey"])
+        out = out.append_column(out_name, picked)
+        return post(out) if post is not None else out
+
+    tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        values.map_batches(tag_values, batch_format="pyarrow"))
+    return tagged.groupby("__jkey").map_groups(merge, batch_format="pyarrow")

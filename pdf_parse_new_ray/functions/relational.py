@@ -2534,3 +2534,60 @@ def q_decile_stats(sf_dir: str, k: int = NTILE_K,
     out["n_orders"] = out["n_orders"].astype("int64")
     return out[["decile", "n_orders", "total_price", "min_price",
                 "max_price"]].sort_values("decile").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Row-level dim attach under skew: event age since user's first event
+# ---------------------------------------------------------------------------
+
+def q_event_age(sf_dir: str, n_buckets: int = 64,
+                n_salts: int = 8) -> pd.DataFrame:
+    """Per-event age (microseconds since that user's FIRST event) — a
+    row-level fact-side attach where a power-law-hot user would swamp a
+    single cogroup bucket, so the attach runs SALTED
+    (joins.attach_value_salted): the fact side spreads each key over
+    n_salts sub-buckets, the tiny per-user dim replicates to all of
+    them; identical results, 1/n_salts the per-task hot-key load.  The
+    dim itself (per-user min ts) is per-batch partial mins merged by a
+    small groupby — never a raw-event exchange."""
+    from .joins import attach_value_salted, rename_agg
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "user_id": t["user_id"],
+            "us": pc.cast(t["ts"], pa.int64()),
+        }).group_by("user_id").aggregate([("us", "min")])
+        return rename_agg(g, {"us_min": "us"}, ["user_id", "us"])
+
+    dim = ev.map_batches(min_partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("us", alias_name="first_us")) \
+        .map_batches(lambda t: pa.table({
+            "doc_id": t["user_id"],
+            "value": pc.cast(t["first_us"], pa.int64())}),
+            batch_format="pyarrow")
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    joined = attach_value_salted(
+        ev.map_batches(to_us, batch_format="pyarrow"), dim,
+        "user_id", "first_us", pa.int64(),
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("us", pa.int64())],
+        n_buckets=n_buckets, n_salts=n_salts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "age_us": pc.subtract(t["us"], t["first_us"]),
+        })
+
+    df = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)

@@ -321,3 +321,114 @@ class PdfImageExtractor:
             "pixel_sha256": pa.array(rows["pixel_sha256"], pa.string()),
             "error": pa.array(rows["error"], pa.string()),
         })
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (content features over the real decoders)
+# ---------------------------------------------------------------------------
+
+PHASH_GRID = 8  # aHash grid -> 64-bit fingerprint
+
+
+def _to_gray(px) -> "object":
+    """uint8 pixel array (h,w) / (h,w,c) → deterministic integer luma."""
+    import numpy as np
+
+    if px.ndim == 2:
+        return px.astype(np.int64)
+    if px.shape[2] == 1:
+        return px[..., 0].astype(np.int64)
+    r = px[..., 0].astype(np.int64)
+    g = px[..., 1].astype(np.int64)
+    b = px[..., 2].astype(np.int64)
+    return (299 * r + 587 * g + 114 * b) // 1000  # integer Rec.601 luma
+
+
+def ahash64(px) -> int:
+    """64-bit average hash: integer area-mean downsample to an 8x8 grid,
+    bit i set iff cell mean > global grid mean.  All-integer arithmetic,
+    so the fingerprint is bit-identical across platforms."""
+    import numpy as np
+
+    gray = _to_gray(px)
+    h, w = gray.shape
+    if h < PHASH_GRID or w < PHASH_GRID:  # upscale-free tiny-image path
+        gray = np.repeat(np.repeat(gray, PHASH_GRID, 0), PHASH_GRID, 1)
+        h, w = gray.shape
+    ys = (np.arange(PHASH_GRID + 1) * h) // PHASH_GRID
+    xs = (np.arange(PHASH_GRID + 1) * w) // PHASH_GRID
+    # integer area sums via 2-D cumulative sums (exact, no float means)
+    cs = np.zeros((h + 1, w + 1), np.int64)
+    cs[1:, 1:] = gray.cumsum(0).cumsum(1)
+    sums = (cs[ys[1:, None], xs[None, 1:]] - cs[ys[:-1, None], xs[None, 1:]]
+            - cs[ys[1:, None], xs[None, :-1]]
+            + cs[ys[:-1, None], xs[None, :-1]])
+    areas = ((ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :])
+    # compare cell mean to grid mean without division: cross-multiply
+    total, cells = int(sums.sum()), int(areas.sum())
+    bits = (sums * cells) > (total * areas)
+    return int(np.packbits(bits.ravel()).view(">u8")[0])
+
+
+class ImagePHasher:
+    """Actor-pool stage: image blobs → 64-bit perceptual fingerprints
+    through the REAL kernel decoders (JPEG incl. progressive, PNG, GIF,
+    TIFF, JPEG2000, JBIG2).  Non-image and undecodable blobs absorb to
+    decoded=False rows — the stage never fails a task.  Small batch
+    sizes at scale (payload-heavy column), state-free apart from the
+    resolved decoder table built once per actor."""
+
+    def __init__(self):
+        from ..pdfkernel.jbig2 import decode_jbig2_file
+        from ..pdfkernel.jpeg import decode_jpeg
+        from ..pdfkernel.jpx import decode_jpx
+        from .codecs import decode_gif, decode_png, decode_tiff
+
+        def img4(fn):
+            return lambda b: fn(b)[3]
+
+        def jb2(b):
+            import numpy as np
+
+            packed, w, h = decode_jbig2_file(b, max_pixels=1 << 22)
+            bits = np.unpackbits(
+                np.frombuffer(packed, np.uint8).reshape(h, -1),
+                axis=1)[:, :w]
+            return (1 - bits).astype(np.uint8) * 255  # 1 = black in T.88
+
+        self._decode = {
+            "jpeg": img4(decode_jpeg), "png": img4(decode_png),
+            "gif": img4(decode_gif), "tiff": img4(decode_tiff),
+            "jp2": decode_jpx, "jbig2": jb2,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        mt, ph, dec, err = [], [], [], []
+        for blob in blobs:
+            blob = blob or b""
+            kind = sniff_media_type(blob)
+            mt.append(kind)
+            fn = self._decode.get(kind)
+            if fn is None:
+                ph.append(None)
+                dec.append(False)
+                err.append(None)
+                continue
+            try:
+                px = fn(blob)
+                ph.append(f"{ahash64(px):016x}")
+                dec.append(True)
+                err.append(None)
+            except Exception as e:  # noqa: BLE001 — absorb-to-error
+                ph.append(None)
+                dec.append(False)
+                err.append(f"{type(e).__name__}: {e}")
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "media_type": pa.array(mt, pa.string()),
+            "phash": pa.array(ph, pa.string()),
+            "decoded": pa.array(dec, pa.bool_()),
+            "error": pa.array(err, pa.string()),
+        })

@@ -1433,3 +1433,37 @@ def test_decile_stats_invariants(ray_session):
     # deciles are rank-ordered: each decile's max <= next decile's min
     assert (out["max_price"].to_numpy()[:-1]
             <= out["min_price"].to_numpy()[1:]).all()
+
+
+def test_salted_attach_matches_unsalted_on_hot_key(ray_session, tmp_path):
+    """A pathologically hot key (90% of fact rows) through the salted
+    attach must produce EXACTLY the rows the unsalted attach produces —
+    salting changes only the exchange layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf_parse_new_ray.functions.joins import (attach_value,
+                                                   attach_value_salted)
+
+    hot = [7] * 900 + list(range(100))
+    pq.write_table(pa.table({
+        "k": pa.array(hot, pa.int64()),
+        "row": pa.array(range(1000), pa.int64()),
+    }), str(tmp_path / "pairs.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([7] + list(range(100)), pa.int64()),
+        "value": pa.array([70] + [i * 2 for i in range(100)], pa.int64()),
+    }), str(tmp_path / "vals.parquet"))
+    pairs = rd.read_parquet(str(tmp_path / "pairs.parquet"))
+    vals = rd.read_parquet(str(tmp_path / "vals.parquet"))
+    cols = [("k", pa.int64()), ("row", pa.int64())]
+    a = attach_value(pairs, vals, "k", "v", pa.int64(), cols) \
+        .to_pandas().sort_values("row").reset_index(drop=True)
+    b = attach_value_salted(
+        rd.read_parquet(str(tmp_path / "pairs.parquet")),
+        rd.read_parquet(str(tmp_path / "vals.parquet")),
+        "k", "v", pa.int64(), cols, n_salts=8) \
+        .to_pandas().sort_values("row").reset_index(drop=True)
+    assert a.equals(b)
+    assert (b[b["k"] == 7]["v"] == 70).all() and len(b) == 1000

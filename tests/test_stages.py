@@ -169,3 +169,57 @@ def test_progress_actor_reports_inflight(ray_session, small_corpus):
     assert snap["total_units_hint"] == n_media
     assert snap["units_per_s"] > 0
     prog.close()
+
+
+def test_ahash_properties():
+    """aHash invariants: deterministic, re-encode-stable (same pixels →
+    same 64-bit hash), small perturbation → small hamming distance,
+    different image → large distance."""
+    import numpy as np
+
+    from pdf_parse_new_ray.stages.multimodal import ahash64
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (64, 48, 3)).astype(np.uint8)
+    h1 = ahash64(img)
+    assert h1 == ahash64(img.copy())
+    # mild noise: most grid-cell means unchanged
+    noisy = np.clip(img.astype(np.int16)
+                    + rng.integers(-4, 5, img.shape), 0, 255).astype(np.uint8)
+    d_noise = bin(h1 ^ ahash64(noisy)).count("1")
+    other = rng.integers(0, 256, (64, 48, 3)).astype(np.uint8)
+    d_other = bin(h1 ^ ahash64(other)).count("1")
+    assert d_noise <= 8 < d_other
+    # grayscale 2-D input accepted
+    assert isinstance(ahash64(img[..., 0]), int)
+
+
+def test_phash_catches_reencodes(ray_session, tmp_path):
+    """The near-dup contract: the SAME pixel content encoded as PNG and
+    as GIF must produce IDENTICAL perceptual hashes (a byte-level sha256
+    dedup can never catch this), and m_phash_dup_groups must group them."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf_parse_new_ray.fixtures.media_mixed import _make_gif, _make_png
+    from pdf_parse_new_ray.stages.multimodal import ImagePHasher
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.integers(0, 256, (32, 40)).astype(np.uint8)
+    rgb = pal[idx]  # identical pixels, two containers
+    png = _make_png(rgb)
+    gif = _make_gif(idx, pal)
+    pq.write_table(pa.table({
+        "media_ref": ["a-png", "b-gif", "c-other"],
+        "bytes": [png, gif, _make_png(rng.integers(0, 256, (32, 40, 3))
+                                      .astype(np.uint8))],
+    }), str(tmp_path / "media.parquet"))
+    out = rd.read_parquet(str(tmp_path)).map_batches(
+        ImagePHasher, concurrency=(1, 2), batch_format="pyarrow") \
+        .to_pandas().set_index("media_ref")
+    assert out.loc["a-png", "decoded"] and out.loc["b-gif", "decoded"]
+    assert out.loc["a-png", "phash"] == out.loc["b-gif", "phash"]
+    assert out.loc["c-other", "phash"] != out.loc["a-png", "phash"]
