@@ -19,7 +19,7 @@ import re
 from collections.abc import Callable
 from typing import Any
 
-from pdf_parse_new_ray.functions import ann, dedup, relational, text
+from pdf_parse_new_ray.functions import ann, dedup, graph, relational, text
 from pdf_parse_new_ray.functions.text import TOKEN_PATTERN, WORD_PATTERN
 
 
@@ -453,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_copurchase_pairs": relational.q_copurchase_pairs,
         "q_decile_stats": relational.q_decile_stats,
         "q_event_age": relational.q_event_age,
+        "q_trailing_hour_sum": relational.q_trailing_hour_sum,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
@@ -492,6 +493,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_knn_filtered": ann.e_knn_filtered,
         "e_centroid_assign": ann.e_centroid_assign,
         "e_label_centroids": ann.e_label_centroids,
+        # iterative graph compute (rows-only: float iteration order;
+        # locked against the naive reference in pytest)
+        "g_pagerank_copurchase": graph.g_pagerank_copurchase,
         # extraction (flagship; north-rule pipeline)
         "x_extract_corpus": _extract_corpus,
         "x_extract_media": _extract_media,
@@ -1362,6 +1366,16 @@ def oracle_sql() -> dict[str, str]:
             FROM qs, cum, t
             WHERE cum.cc >= ceil(q * t.n)
             GROUP BY q ORDER BY q
+        """,
+        "q_trailing_hour_sum": """
+            SELECT user_id, event_id, ts,
+                   SUM(CAST(round(value * 1000000) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                       AND CURRENT ROW) / 1000000.0
+                       AS trailing_sum
+            FROM events
+            ORDER BY user_id, ts, event_id
         """,
         "q_event_age": """
             SELECT event_id, user_id,

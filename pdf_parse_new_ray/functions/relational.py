@@ -2557,7 +2557,7 @@ def q_event_age(sf_dir: str, n_buckets: int = 64,
     def min_partial(t: pa.Table) -> pa.Table:
         g = pa.table({
             "user_id": t["user_id"],
-            "us": pc.cast(t["ts"], pa.int64()),
+            "us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
         }).group_by("user_id").aggregate([("us", "min")])
         return rename_agg(g, {"us_min": "us"}, ["user_id", "us"])
 
@@ -2572,7 +2572,7 @@ def q_event_age(sf_dir: str, n_buckets: int = 64,
         return pa.table({
             "event_id": t["event_id"],
             "user_id": t["user_id"],
-            "us": pc.cast(t["ts"], pa.int64()),
+            "us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
         })
 
     joined = attach_value_salted(
@@ -2591,3 +2591,77 @@ def q_event_age(sf_dir: str, n_buckets: int = 64,
 
     df = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
     return df.sort_values("event_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE trailing window (value sum over the last hour, peers included)
+# ---------------------------------------------------------------------------
+
+TRAIL_WINDOW_US = 3_600_000_000  # 1 hour
+_TRAIL_BAND_MAX = 1 << 62        # int64 headroom guard (tests force 0)
+
+
+def q_trailing_hour_sum(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Per-event trailing 1-hour value sum for the same user — a RANGE
+    frame (all rows with ts in [ts_i - 1h, ts_i], INCLUDING ts peers),
+    the semantics a ROWS frame like q_rolling_avg cannot express.  ONE
+    bucketed shuffle on hash(user); inside each bucket every user's
+    window bounds come from two GLOBAL searchsorted probes over a
+    disjoint-offset key (user_rank * OFFSET + ts_rel, the K-offset trick
+    test_property.py locks) — no per-user Python loop; a guarded exact
+    fallback handles the (corpus-scale) case where rank*OFFSET would
+    overflow int64.  Sums are micro-unit int64, so partial order can
+    never change the rounded result."""
+    from .joins import _bucket_of
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ev = ev.map_batches(
+        lambda t: t.append_column(
+            "__bk", _bucket_of(t.column("user_id"), n_buckets)),
+        batch_format="pyarrow")
+
+    def fold(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        s = g.take(order)
+        uid = s.column("user_id").to_numpy(zero_copy_only=False)
+        us = pc.cast(pc.cast(s.column("ts"), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        micro = pc.cast(pc.round(pc.multiply(
+            s.column("value"), pa.scalar(1e6))), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(uid)
+        new = np.ones(n, dtype=bool)
+        new[1:] = uid[1:] != uid[:-1]
+        rank = np.cumsum(new) - 1
+        ts_rel = us - us.min()
+        offset = int(ts_rel.max()) + TRAIL_WINDOW_US + 2
+        n_users = int(rank[-1]) + 1
+        if n_users * offset < _TRAIL_BAND_MAX:  # disjoint bands fit int64
+            key = rank * offset + ts_rel
+            lo = np.searchsorted(key, key - TRAIL_WINDOW_US, side="left")
+            hi = np.searchsorted(key, key, side="right")
+        else:  # exact fallback: per-user segments (corpus-scale spans)
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            starts = np.nonzero(new)[0]
+            ends = np.concatenate((starts[1:], [n]))
+            for a, b in zip(starts, ends):
+                seg = us[a:b]
+                lo[a:b] = a + np.searchsorted(
+                    seg, seg - TRAIL_WINDOW_US, side="left")
+                hi[a:b] = a + np.searchsorted(seg, seg, side="right")
+        cum = np.concatenate(([0], np.cumsum(micro)))
+        return pa.table({
+            "user_id": s.column("user_id"),
+            "event_id": s.column("event_id"),
+            "ts": s.column("ts"),
+            "trailing_sum": pa.array((cum[hi] - cum[lo]) / 1e6,
+                                     pa.float64()),
+        })
+
+    df = ev.groupby("__bk").map_groups(fold, batch_format="pyarrow") \
+        .to_pandas()
+    return df.sort_values(["user_id", "ts", "event_id"]) \
+        .reset_index(drop=True)

@@ -1467,3 +1467,85 @@ def test_salted_attach_matches_unsalted_on_hot_key(ray_session, tmp_path):
         .to_pandas().sort_values("row").reset_index(drop=True)
     assert a.equals(b)
     assert (b[b["k"] == 7]["v"] == 70).all() and len(b) == 1000
+
+
+def test_trailing_hour_sum_peers_and_fallback(ray_session, tmp_path,
+                                              monkeypatch):
+    """RANGE semantics: ts peers are included in each other's window,
+    the 1h lower bound is inclusive; the int64-overflow fallback path
+    (per-user segments) must equal the K-offset fast path exactly."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import relational
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00:00", "2024-01-01 10:00:00",  # peers
+        "2024-01-01 10:30:00", "2024-01-01 11:30:00",  # 11:30 drops 10:00s
+        "2024-01-01 09:00:00",                          # other user
+    ])
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array(ts),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0], pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+    out = relational.q_trailing_hour_sum(str(tmp_path))
+    got = dict(zip(out["event_id"], out["trailing_sum"]))
+    # peers at 10:00 see each other (1+2); 10:30 sees 1+2+4;
+    # 11:30's inclusive 1h bound keeps 10:30: 4+8
+    assert got == {1: 3.0, 2: 3.0, 3: 7.0, 4: 12.0, 5: 16.0}
+    fast = relational.q_trailing_hour_sum("/root/testdata/sf0.001")
+    monkeypatch.setattr(relational, "_TRAIL_BAND_MAX", 0)
+    slow = relational.q_trailing_hour_sum("/root/testdata/sf0.001")
+    assert fast.equals(slow) and len(fast) > 0
+
+
+def test_pagerank_matches_naive(ray_session, tmp_path):
+    """Distributed PageRank equals the naive single-process iteration on
+    the same edges (same damping/iterations), and rank mass stays 1.
+    Includes a dangling node (no out-edges) to exercise redistribution."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf_parse_new_ray.functions.graph import (PAGERANK_DAMPING,
+                                                   PAGERANK_ITERS,
+                                                   pagerank_edges)
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]  # 5 is reachable-only
+    edges.append((3, 5))  # node 5 dangles
+    pq.write_table(pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64()),
+    }), str(tmp_path / "edges.parquet"))
+    got = pagerank_edges(rd.read_parquet(str(tmp_path / "edges.parquet")))
+    # naive reference
+    nodes = sorted({x for e in edges for x in e})
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for a, _ in edges:
+        out_deg[ix[a]] += 1
+    rank = np.full(n, 1 / n)
+    for _ in range(PAGERANK_ITERS):
+        share = np.divide(rank, out_deg, out=np.zeros_like(rank),
+                          where=out_deg > 0)
+        incoming = np.zeros(n)
+        for a, b in edges:
+            incoming[ix[b]] += share[ix[a]]
+        dangling = rank[out_deg == 0].sum()
+        rank = (1 - PAGERANK_DAMPING) / n \
+            + PAGERANK_DAMPING * (incoming + dangling / n)
+    assert np.allclose(got["rank"].to_numpy(), rank, atol=1e-12)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+    assert list(got["node"]) == nodes
+
+
+def test_pagerank_copurchase_runs(ray_session):
+    from pdf_parse_new_ray.functions.graph import g_pagerank_copurchase
+
+    out = g_pagerank_copurchase("/root/testdata/sf0.001")
+    assert len(out) == 20
+    assert (out["rank"].to_numpy()[:-1] >= out["rank"].to_numpy()[1:]).all()
