@@ -146,7 +146,12 @@ def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
         "q_copurchase_pairs": relational.q_copurchase_pairs,
         "d_levenshtein_pairs": dedup.d_levenshtein_pairs,
         "q_kmv_distinct": relational.q_kmv_distinct,
+        "q_decile_stats": relational.q_decile_stats,
+        "q_trailing_hour_sum": relational.q_trailing_hour_sum,
     }
+    from pdf_parse_new_ray.functions import graph
+
+    bench_queries["g_pagerank_copurchase"] = graph.g_pagerank_copurchase
     for name, fn in bench_queries.items():
         t0 = time.time()
         try:
