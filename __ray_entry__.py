@@ -319,6 +319,94 @@ def _phash_dup_groups(sf_dir: str, n_buckets: int = 64):
     return df.sort_values("phash").reset_index(drop=True)
 
 
+PHASH_NEARDUP_MAX_HAMMING = 6
+_PHASH_BANDS = 4  # 4 x 16-bit bands: d differing bits can break at most
+# d bands, so any pair within hamming 3 ALWAYS shares a band (pigeonhole)
+
+
+def _phash_neardup_pairs(sf_dir: str):
+    """Image NEAR-dup pairs: banded LSH over the 64-bit perceptual hash
+    (4 x 16-bit bands -> candidate buckets, the d_minhash_pairs banding
+    shape) verified with an exact hamming distance <= 6 — catches noisy
+    re-encodes whose fingerprints differ in a few grid cells, which the
+    exact-phash group (m_phash_dup_groups) misses.  Bands shuffle as
+    slim (band, 16-bit value, ref) rows; per-bucket all-pairs is
+    star-capped by construction of the bucket (same key)."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_parse_new_ray.fixtures.media_mixed import mixed_media_dir_for
+    from pdf_parse_new_ray.stages.multimodal import ImagePHasher
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
+    hashes = rd.read_parquet(base, columns=["media_ref", "bytes"]) \
+        .map_batches(ImagePHasher, concurrency=(1, 4), batch_size=16,
+                     batch_format="pyarrow")
+
+    def bands(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("decoded"))
+        refs = t.column("media_ref").to_pylist()
+        hs = np.array([int(x, 16) for x in t.column("phash").to_pylist()],
+                      dtype=np.uint64)
+        n = len(hs)
+        out_r, out_b, out_v, out_h = [], [], [], []
+        for b in range(_PHASH_BANDS):
+            v = (hs >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            out_r.extend(refs)
+            out_b.extend([b] * n)
+            out_v.extend(v.tolist())
+            out_h.extend(hs.tolist())
+        return pa.table({
+            "media_ref": pa.array(out_r, pa.string()),
+            "band": pa.array(out_b, pa.int32()),
+            "val": pa.array(out_v, pa.int32()),
+            "phash": pa.array(out_h, pa.uint64()),
+        })
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(g, sort_keys=[("media_ref", "ascending")])
+        g = g.take(order)
+        refs = g.column("media_ref").to_pylist()
+        hs = g.column("phash").to_numpy(zero_copy_only=False)
+        n = len(refs)
+        if n < 2:
+            return pa.table({"ref_a": pa.array([], pa.string()),
+                             "ref_b": pa.array([], pa.string()),
+                             "hamming": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(n, 1)
+        x = hs[ia] ^ hs[ib]
+        ham = np.zeros(len(x), np.int64)
+        for s in range(8):  # byte-wise popcount via unpackbits
+            ham += np.unpackbits(
+                ((x >> np.uint64(8 * s)) & np.uint64(0xFF))
+                .astype(np.uint8)[:, None], axis=1) \
+                .sum(1, dtype=np.int64)  # uint8.sum() would promote to
+            # uint64, and int64 += uint64 upcasts to float64
+        keep = (ham <= PHASH_NEARDUP_MAX_HAMMING) & (ham > 0)
+        return pa.table({
+            "ref_a": pa.array([refs[i] for i in ia[keep]], pa.string()),
+            "ref_b": pa.array([refs[j] for j in ib[keep]], pa.string()),
+            "hamming": pa.array(ham[keep], pa.int64()),
+        })
+
+    df = hashes.map_batches(bands, batch_format="pyarrow") \
+        .groupby(["band", "val"]).map_groups(
+            bucket_pairs, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return pd.DataFrame({"ref_a": pd.Series(dtype="object"),
+                             "ref_b": pd.Series(dtype="object"),
+                             "hamming": pd.Series(dtype="int64")})
+    df = df.drop_duplicates(["ref_a", "ref_b"])  # multi-band collisions
+    return df.sort_values(["ref_a", "ref_b"]).reset_index(drop=True)
+
+
 def _curation_funnel(sf_dir: str, n_buckets: int = 256):
     """The complete curation story in ONE streaming lineage: extract
     the interleaved corpus → assemble per-doc text → C4-style quality
@@ -509,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_pdf_images": _pdf_images,
         "m_image_phash": _image_phash,
         "m_phash_dup_groups": _phash_dup_groups,
+        "m_phash_neardup_pairs": _phash_neardup_pairs,
         # composition: extract -> dedup in one streaming lineage
         "x_extract_then_dedup": _extract_then_dedup,
         "x_curation_funnel": _curation_funnel,

@@ -223,3 +223,42 @@ def test_phash_catches_reencodes(ray_session, tmp_path):
     assert out.loc["a-png", "decoded"] and out.loc["b-gif", "decoded"]
     assert out.loc["a-png", "phash"] == out.loc["b-gif", "phash"]
     assert out.loc["c-other", "phash"] != out.loc["a-png", "phash"]
+
+
+def test_phash_neardup_banding_guarantee(ray_session, tmp_path, monkeypatch):
+    """Pigeonhole guarantee: a re-encode whose fingerprint differs in
+    <= 3 bits ALWAYS shares one of the 4 16-bit bands, so the banded
+    near-dup pass must surface the pair with its exact hamming
+    distance."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+    from pdf_parse_new_ray.fixtures.media_mixed import _make_png
+    from pdf_parse_new_ray.stages.multimodal import ahash64
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    base_hash = ahash64(img)
+    # perturb ONE 8x8 grid cell hard enough to flip its bit
+    noisy = img.copy()
+    noisy[0:8, 0:8] = 255 - noisy[0:8, 0:8]
+    d = bin(base_hash ^ ahash64(noisy)).count("1")
+    assert 1 <= d <= 3  # the pigeonhole premise
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    pq.write_table(pa.table({
+        "media_ref": ["orig", "reenc", "other"],
+        "bytes": [_make_png(img), _make_png(noisy),
+                  _make_png(rng.integers(0, 256, (64, 64, 3))
+                            .astype(np.uint8))],
+    }), str(media_dir / "part.parquet"))
+    monkeypatch.setattr(
+        "pdf_parse_new_ray.fixtures.media_mixed.mixed_media_dir_for",
+        lambda sf: str(media_dir))
+    out = entry._phash_neardup_pairs("/root/testdata/sf0.001")
+    pairs = set(zip(out["ref_a"], out["ref_b"]))
+    assert ("orig", "reenc") in pairs
+    row = out[(out["ref_a"] == "orig") & (out["ref_b"] == "reenc")]
+    assert int(row.iloc[0]["hamming"]) == d
