@@ -573,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_incremental_dedup": dedup.d_incremental_dedup,
         "d_substring_dedup": dedup.d_substring_dedup,
         "d_levenshtein_pairs": dedup.d_levenshtein_pairs,
+        "d_ngram_containment": dedup.d_ngram_containment,
         # similarity search
         "e_knn_bruteforce": ann.e_knn_bruteforce,
         "e_knn_lsh": ann.e_knn_lsh,
@@ -1216,6 +1217,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = i.a
             JOIN sizes nb ON nb.doc_id = i.b
             WHERE jaccard >= 0.3 ORDER BY a, b
+        """,
+        "d_ngram_containment": f"""
+            WITH {dedup.oracle_ctes(0.2)},
+            cdocs AS (
+                SELECT DISTINCT a AS doc_id FROM minhash_pairs
+                UNION SELECT DISTINCT b FROM minhash_pairs),
+            cgrams AS (
+                SELECT DISTINCT w.doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+                FROM words w JOIN cdocs USING (doc_id),
+                     unnest(range(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 3
+                UNION
+                SELECT DISTINCT w.doc_id, array_to_string(ws, ' ')
+                FROM words w JOIN cdocs USING (doc_id)
+                WHERE len(ws) < 3),
+            cghash AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS gh
+                FROM cgrams),
+            sizes AS (SELECT doc_id, count(*) AS n FROM cghash GROUP BY doc_id),
+            inters AS (
+                SELECT p.a, p.b, count(*) AS inter
+                FROM minhash_pairs p
+                JOIN cghash ga ON ga.doc_id = p.a
+                JOIN cghash gb ON gb.doc_id = p.b AND gb.gh = ga.gh
+                GROUP BY p.a, p.b)
+            SELECT i.a, i.b,
+                   i.inter::DOUBLE / greatest(1, na.n) AS a_in_b,
+                   i.inter::DOUBLE / greatest(1, nb.n) AS b_in_a
+            FROM inters i
+            JOIN sizes na ON na.doc_id = i.a
+            JOIN sizes nb ON nb.doc_id = i.b
+            WHERE greatest(i.inter::DOUBLE / greatest(1, na.n),
+                           i.inter::DOUBLE / greatest(1, nb.n)) >= 0.5
+            ORDER BY a, b
         """,
         "d_dup_clusters": f"""
             WITH RECURSIVE {dedup.oracle_ctes(0.5)},

@@ -444,6 +444,39 @@ def d_ngram_jaccard(sf_dir: str, threshold: float = 0.3, k: int = 3) -> pd.DataF
     if cands.empty:
         return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
                              "jaccard": pd.Series(dtype="float64")})
+    with_ab = _pair_gram_lists(sf_dir, cands, k)
+
+    def jac(t: pa.Table) -> pa.Table:
+        a_out, b_out, j_out = [], [], []
+        for a, b, ga, gb in zip(t.column("a").to_pylist(), t.column("b").to_pylist(),
+                                t.column("g_a").to_pylist(), t.column("g_b").to_pylist()):
+            ga = np.asarray(ga, dtype=np.uint64)
+            gb = np.asarray(gb, dtype=np.uint64)
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            # one IEEE float64 division — identical to the oracle's
+            # inter::DOUBLE / greatest(1, |A|+|B|-inter), so the value
+            # hashes bit-for-bit with no rounding step
+            j = inter / max(1, len(ga) + len(gb) - inter)
+            if j >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(j)
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64()),
+                         "jaccard": pa.array(j_out, pa.float64())})
+
+    df = with_ab.map_batches(jac, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _pair_gram_lists(sf_dir: str, cands: pd.DataFrame, k: int) -> rd.Dataset:
+    """Shared verify plumbing: candidate doc ids prune the documents
+    read, each candidate's word-k-gram hash set becomes a sorted uint64
+    list, and two keyed cogroup shuffles attach (g_a, g_b) to every
+    candidate pair row (d_ngram_jaccard steps 1-3, reused by the
+    containment scorer)."""
+    import pyarrow.compute as pc
+
     need = pa.array(sorted(set(cands["a"]) | set(cands["b"])), pa.int64())
 
     def gram_lists(t: pa.Table) -> pa.Table:
@@ -471,30 +504,8 @@ def d_ngram_jaccard(sf_dir: str, threshold: float = 0.3, k: int = 3) -> pd.DataF
     gtype = pa.list_(pa.uint64())
     with_a = _attach_value(pair_ds, grams, "a", "g_a", gtype,
                            [("a", pa.int64()), ("b", pa.int64())]).materialize()
-    with_ab = _attach_value(with_a, grams, "b", "g_b", gtype,
-                            [("a", pa.int64()), ("b", pa.int64()), ("g_a", gtype)])
-
-    def jac(t: pa.Table) -> pa.Table:
-        a_out, b_out, j_out = [], [], []
-        for a, b, ga, gb in zip(t.column("a").to_pylist(), t.column("b").to_pylist(),
-                                t.column("g_a").to_pylist(), t.column("g_b").to_pylist()):
-            ga = np.asarray(ga, dtype=np.uint64)
-            gb = np.asarray(gb, dtype=np.uint64)
-            inter = len(np.intersect1d(ga, gb, assume_unique=True))
-            # one IEEE float64 division — identical to the oracle's
-            # inter::DOUBLE / greatest(1, |A|+|B|-inter), so the value
-            # hashes bit-for-bit with no rounding step
-            j = inter / max(1, len(ga) + len(gb) - inter)
-            if j >= threshold:
-                a_out.append(a)
-                b_out.append(b)
-                j_out.append(j)
-        return pa.table({"a": pa.array(a_out, pa.int64()),
-                         "b": pa.array(b_out, pa.int64()),
-                         "jaccard": pa.array(j_out, pa.float64())})
-
-    df = with_ab.map_batches(jac, batch_format="pyarrow").to_pandas()
-    return df.sort_values(["a", "b"]).reset_index(drop=True)
+    return _attach_value(with_a, grams, "b", "g_b", gtype,
+                         [("a", pa.int64()), ("b", pa.int64()), ("g_a", gtype)])
 
 
 # ---------------------------------------------------------------------------
@@ -1132,3 +1143,46 @@ def d_levenshtein_pairs(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({c: pd.Series(dtype="int64")
                              for c in ("id_a", "id_b", "dist")})
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def d_ngram_containment(sf_dir: str, threshold: float = 0.5,
+                        k: int = 3) -> pd.DataFrame:
+    """Asymmetric gram CONTAINMENT over the MinHash candidates:
+    c_in_b = |A∩B| / |A| (how much of a lives inside b) and its mirror —
+    the direction signal Jaccard can't give (a quote, a subset page, a
+    boilerplate-wrapped copy score high here long before their Jaccard
+    clears any bar).  Same distributed plumbing as d_ngram_jaccard
+    (_pair_gram_lists: pruned read, per-doc sorted hash lists, two keyed
+    cogroup attaches); kept when max(containment) >= threshold.  Exact
+    single-division float64, so the oracle hashes bit-for-bit."""
+    cands = d_minhash_pairs(sf_dir, threshold=0.2)
+    if cands.empty:
+        return pd.DataFrame({
+            "a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+            "a_in_b": pd.Series(dtype="float64"),
+            "b_in_a": pd.Series(dtype="float64")})
+    with_ab = _pair_gram_lists(sf_dir, cands, k)
+
+    def contain(t: pa.Table) -> pa.Table:
+        a_o, b_o, ab_o, ba_o = [], [], [], []
+        for a, b, ga, gb in zip(t.column("a").to_pylist(),
+                                t.column("b").to_pylist(),
+                                t.column("g_a").to_pylist(),
+                                t.column("g_b").to_pylist()):
+            ga = np.asarray(ga, dtype=np.uint64)
+            gb = np.asarray(gb, dtype=np.uint64)
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            a_in_b = inter / max(1, len(ga))
+            b_in_a = inter / max(1, len(gb))
+            if max(a_in_b, b_in_a) >= threshold:
+                a_o.append(a)
+                b_o.append(b)
+                ab_o.append(a_in_b)
+                ba_o.append(b_in_a)
+        return pa.table({"a": pa.array(a_o, pa.int64()),
+                         "b": pa.array(b_o, pa.int64()),
+                         "a_in_b": pa.array(ab_o, pa.float64()),
+                         "b_in_a": pa.array(ba_o, pa.float64())})
+
+    df = with_ab.map_batches(contain, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["a", "b"]).reset_index(drop=True)

@@ -1549,3 +1549,29 @@ def test_pagerank_copurchase_runs(ray_session):
     out = g_pagerank_copurchase("/root/testdata/sf0.001")
     assert len(out) == 20
     assert (out["rank"].to_numpy()[:-1] >= out["rank"].to_numpy()[1:]).all()
+
+
+def test_ngram_containment_detects_subset_doc(ray_session, tmp_path):
+    """A document that is a strict prefix of another must score
+    a_in_b = 1.0 (every gram contained) with b_in_a < 1 — the direction
+    signal Jaccard can't express."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import dedup
+
+    words = [f"w{i}" for i in range(40)]
+    full = " ".join(words)
+    # prefix long enough that the LSH bands collide with near-certainty
+    # (J ~ 0.87 -> P(any of 16 bands) ~ 1); containment is exact either way
+    prefix = " ".join(words[:35])
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [prefix, full, "completely different content here now"],
+    }), str(tmp_path / "documents.parquet"))
+    out = dedup.d_ngram_containment(str(tmp_path))
+    row = out[(out["a"] == 1) & (out["b"] == 2)]
+    assert len(row) == 1
+    assert row.iloc[0]["a_in_b"] == 1.0
+    assert row.iloc[0]["b_in_a"] < 1.0
+    assert 3 not in set(out["a"]) | set(out["b"])
