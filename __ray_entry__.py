@@ -537,6 +537,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.q18_large_volume_customers,
         "q_kmv_distinct": relational.q_kmv_distinct,
         "q7_nation_pair_revenue": relational.q7_nation_pair_revenue,
+        "q8_market_share": relational.q8_market_share,
+        "q10_returned_revenue": relational.q10_returned_revenue,
+        "q14_promo_share": relational.q14_promo_share,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q17_small_qty_revenue": relational.q17_small_qty_revenue,
+        "q19_disjunct_revenue": relational.q19_disjunct_revenue,
         "q_histogram_quantiles": relational.q_histogram_quantiles,
         "q_copurchase_pairs": relational.q_copurchase_pairs,
         "q_decile_stats": relational.q_decile_stats,
@@ -1558,6 +1564,119 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON c.c_custkey = o.o_custkey
             ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
             LIMIT 100
+        """,
+        "q8_market_share": f"""
+            WITH rev AS (
+                SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                       s.s_nationkey AS snk,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS sub
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                           AND p.p_type = '{relational.Q8_PART_TYPE}'
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+                WHERE n.n_regionkey = {relational.Q8_REGION_KEY})
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN snk = {relational.Q8_NATION_KEY}
+                                 THEN sub ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(sub) AS DOUBLE) AS mkt_share,
+                   ((SUM(CASE WHEN snk = {relational.Q8_NATION_KEY}
+                              THEN sub ELSE 0 END) + 50) // 100) / 100.0
+                       AS nation_revenue,
+                   ((SUM(sub) + 50) // 100) / 100.0 AS total_revenue
+            FROM rev GROUP BY o_year ORDER BY o_year
+        """,
+        "q10_returned_revenue": f"""
+            WITH rev AS (
+                SELECT o.o_custkey,
+                       SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l.l_discount * 100)
+                                         AS BIGINT))) AS sub
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= TIMESTAMP '{relational.Q10_DATE_LO}'
+                  AND o.o_orderdate <  TIMESTAMP '{relational.Q10_DATE_HI}'
+                GROUP BY o.o_custkey)
+            SELECT c.c_custkey, c.c_name,
+                   ((r.sub + 50) // 100) / 100.0 AS revenue,
+                   c.c_acctbal, n.n_name
+            FROM rev r
+            JOIN customer c ON c.c_custkey = r.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY r.sub DESC, c.c_custkey
+            LIMIT {relational.Q10_TOP_K}
+        """,
+        "q14_promo_share": f"""
+            WITH rev AS (
+                SELECT CAST(month(l.l_shipdate) AS BIGINT) AS l_month,
+                       CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END
+                           AS promo,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS sub
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '{relational.Q14_YEAR}-01-01'
+                  AND l.l_shipdate <  TIMESTAMP '{relational.Q14_YEAR + 1}-01-01')
+            SELECT l_month,
+                   100.0 * (CAST(SUM(CASE WHEN promo = 1 THEN sub
+                                          ELSE 0 END) AS DOUBLE)
+                            / CAST(SUM(sub) AS DOUBLE)) AS promo_share,
+                   ((SUM(CASE WHEN promo = 1 THEN sub ELSE 0 END) + 50)
+                        // 100) / 100.0 AS promo_revenue,
+                   ((SUM(sub) + 50) // 100) / 100.0 AS total_revenue
+            FROM rev GROUP BY l_month ORDER BY l_month
+        """,
+        "q15_top_supplier": f"""
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100)
+                                         AS BIGINT))) AS sub
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '{relational.Q15_DATE_LO}'
+                  AND l_shipdate <  TIMESTAMP '{relational.Q15_DATE_HI}'
+                GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name,
+                   ((r.sub + 50) // 100) / 100.0 AS total_revenue
+            FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.sub = (SELECT max(sub) FROM rev)
+            ORDER BY s.s_suppkey
+        """,
+        "q17_small_qty_revenue": f"""
+            -- exact-integer form of qty < 0.2 * avg(qty):
+            -- 5*qty*cnt < qty_sum (quantities are integral)
+            WITH pq AS (
+                SELECT l_partkey,
+                       SUM(CAST(l_quantity AS BIGINT)) AS qsum,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_brand = '{relational.Q17_BRAND}')
+                GROUP BY l_partkey)
+            SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                        AS DOUBLE) / 700.0 AS avg_yearly
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+                       AND p.p_brand = '{relational.Q17_BRAND}'
+            JOIN pq ON pq.l_partkey = l.l_partkey
+            WHERE CAST(l.l_quantity AS BIGINT) * 5 * pq.cnt < pq.qsum
+        """,
+        "q19_disjunct_revenue": f"""
+            SELECT ((SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100)
+                                       AS BIGINT))) + 50) // 100) / 100.0
+                       AS revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE {" OR ".join(
+                f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+                f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+                for b, slo, shi, qlo, qhi in relational.Q19_TERMS)}
         """,
         "q_kmv_distinct": f"""
             WITH h AS (

@@ -2665,3 +2665,751 @@ def q_trailing_hour_sum(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
         .to_pandas()
     return df.sort_values(["user_id", "ts", "event_id"]) \
         .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H tail (round-3 continuation): Q8 / Q10 / Q14 / Q15 / Q17 / Q19
+# adapted to the test schema (no partsupp / l_shipmode / p_container, so
+# Q2/Q9/Q11/Q12/Q16/Q20/Q21/Q22 are out of reach by schema).  All money is
+# the exact integer sub-cent convention of q7 (cents x (100 - disc%)), so
+# partial-sum order can never flip a rounded result, and every float the
+# oracle compares is produced by ONE identical division on identical ints.
+# ---------------------------------------------------------------------------
+
+def _rev_subcents(t: pa.Table) -> pa.Array:
+    """Exact integer sub-cents: round(price*100) x (100 - round(disc*100)).
+    Same convention as q7/q_bloom_semi_join; dollars = ((s+50)//100)/100."""
+    cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                         pa.scalar(100.0))), pa.int64())
+    disc = pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                        pa.scalar(100.0))), pa.int64())
+    return pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+
+
+def _sub_to_dollars(s: "pd.Series | int") -> "pd.Series | float":
+    if isinstance(s, (int, np.integer)):
+        return ((int(s) + 50) // 100) / 100.0
+    return ((s + 50) // 100) / 100.0
+
+
+Q8_REGION_KEY = 2          # ASIA
+Q8_NATION_KEY = 2          # NATION_2 (inside ASIA: regionkey = 2 % 5)
+Q8_PART_TYPE = "PROMO"
+
+
+def q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape: NATION_2's share of PROMO-part revenue sold to
+    ASIA-region customers, per order year.  Plan (shrinking aggregates,
+    ref lib/SmartPDFParser.js pipeline composition generalized):
+
+      lineitem --batch: PROMO-partkey semi-filter + supp-nation attach +
+                pre-agg (orderkey, supp_nk)--> partials
+        --bucketed cogroup w/ orders (value encodes custkey*8+year)-->
+        --custkey->nationkey probe, region filter, combine (year, supp_nk)
+        --driver: share = nation_sub / total_sub (one float64 division)
+
+    The part and customer sides are size-gated (broadcast arrays under
+    BROADCAST_DIM_ROWS, bucketed cogroup above); supplier is the q7-style
+    nationkey map broadcast (2 int64 columns, fact/10_000 rows)."""
+    import pyarrow.parquet as pq_
+
+    from .joins import attach_value, rename_agg
+
+    part_src = _rp(sf_dir, "part", ["p_partkey", "p_type"])
+    sup = pq_.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sup_ref = ray.put((sup.column("s_suppkey").combine_chunks(),
+                       sup.column("s_nationkey").cast(pa.int64())
+                          .combine_chunks()))
+    part_small = part_src.count() <= BROADCAST_DIM_ROWS
+    promo_ref = None
+    if part_small:
+        pt = pq_.read_table(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_type"])
+        promo_ref = ray.put(
+            pt.filter(pc.equal(pt["p_type"], Q8_PART_TYPE))
+              .column("p_partkey").combine_chunks())
+
+    li_cols = ["l_orderkey", "l_partkey", "l_suppkey",
+               "l_extendedprice", "l_discount"]
+    li = _rp(sf_dir, "lineitem", li_cols)
+
+    class PromoSuppPartial:
+        def __init__(self, sup_ref, promo_ref):
+            self.skeys, self.snk = (
+                ray.get(sup_ref) if isinstance(sup_ref, ray.ObjectRef)
+                else sup_ref)
+            self.promo = (ray.get(promo_ref)
+                          if isinstance(promo_ref, ray.ObjectRef)
+                          else promo_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self.promo is not None:
+                t = t.filter(pc.is_in(t["l_partkey"], value_set=self.promo))
+            sub = _rev_subcents(t)
+            snk = pc.take(self.snk,
+                          pc.index_in(t["l_suppkey"], value_set=self.skeys))
+            g = pa.table({"l_orderkey": t["l_orderkey"], "supp_nk": snk,
+                          "sub": sub}) \
+                .group_by(["l_orderkey", "supp_nk"]) \
+                .aggregate([("sub", "sum")])
+            return rename_agg(g, {"sub_sum": "sub"},
+                              ["l_orderkey", "supp_nk", "sub"])
+
+    partials = li.map_batches(
+        PromoSuppPartial,
+        fn_constructor_kwargs={"sup_ref": sup_ref, "promo_ref": promo_ref},
+        batch_format="pyarrow", batch_size=65536, concurrency=(1, 8))
+
+    if not part_small:
+        # scale path: PROMO flag attached by ONE bucketed cogroup, then
+        # the partial re-combines (partials keyed by orderkey+supp_nk)
+        flags = part_src.map_batches(
+            lambda t: pa.table({
+                "doc_id": t["p_partkey"],
+                "value": pc.cast(pc.equal(t["p_type"], Q8_PART_TYPE),
+                                 pa.int64())}),
+            batch_format="pyarrow")
+
+        class SuppPartialOnly(PromoSuppPartial):
+            def __call__(self, t: pa.Table) -> pa.Table:
+                sub = _rev_subcents(t)
+                snk = pc.take(self.snk, pc.index_in(
+                    t["l_suppkey"], value_set=self.skeys))
+                g = pa.table({"l_orderkey": t["l_orderkey"],
+                              "l_partkey": t["l_partkey"],
+                              "supp_nk": snk, "sub": sub}) \
+                    .group_by(["l_orderkey", "l_partkey", "supp_nk"]) \
+                    .aggregate([("sub", "sum")])
+                return rename_agg(g, {"sub_sum": "sub"},
+                                  ["l_orderkey", "l_partkey", "supp_nk",
+                                   "sub"])
+
+        keyed = li.map_batches(
+            SuppPartialOnly,
+            fn_constructor_kwargs={"sup_ref": sup_ref, "promo_ref": None},
+            batch_format="pyarrow", batch_size=65536, concurrency=(1, 8))
+
+        def keep_promo(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["is_promo"], pa.scalar(1, pa.int64())))
+            g = t.group_by(["l_orderkey", "supp_nk"]) \
+                .aggregate([("sub", "sum")])
+            return rename_agg(g, {"sub_sum": "sub"},
+                              ["l_orderkey", "supp_nk", "sub"])
+
+        partials = attach_value(
+            keyed.materialize(), flags, "l_partkey", "is_promo", pa.int64(),
+            [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+             ("supp_nk", pa.int64()), ("sub", pa.int64())],
+            post=keep_promo).materialize()
+
+    # orders attach: ONE value column encodes (custkey, order year) as
+    # custkey*8 + (year-1995) — years span 1995..2001 (<8), so the encode
+    # is lossless int64 with headroom to custkey ~1.1e18
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                    "o_orderdate"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["o_orderkey"],
+            "value": pc.add(
+                pc.multiply(t["o_custkey"], pa.scalar(8, pa.int64())),
+                pc.cast(pc.subtract(pc.year(t["o_orderdate"]),
+                                    pa.scalar(1995, pa.int32())),
+                        pa.int64()))}),
+        batch_format="pyarrow")
+
+    def combine_cust(t: pa.Table) -> pa.Table:
+        cust = pc.divide(t["cy"], pa.scalar(8, pa.int64()))
+        year = pc.add(pc.subtract(t["cy"], pc.multiply(
+            cust, pa.scalar(8, pa.int64()))), pa.scalar(1995, pa.int64()))
+        g = pa.table({"o_custkey": cust, "o_year": year,
+                      "supp_nk": t["supp_nk"], "sub": t["sub"]}) \
+            .group_by(["o_custkey", "o_year", "supp_nk"]) \
+            .aggregate([("sub", "sum")])
+        return rename_agg(g, {"sub_sum": "sub"},
+                          ["o_custkey", "o_year", "supp_nk", "sub"])
+
+    by_cust = attach_value(
+        partials, orders, "l_orderkey", "cy", pa.int64(),
+        [("l_orderkey", pa.int64()), ("supp_nk", pa.int64()),
+         ("sub", pa.int64())],
+        post=combine_cust)
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_regionkey"])
+    region_of = np.zeros(
+        int(pc.max(nat["n_nationkey"]).as_py()) + 1, np.int64)
+    region_of[nat.column("n_nationkey").to_numpy()] = \
+        nat.column("n_regionkey").to_numpy()
+    region_arr = pa.array(region_of, pa.int64())
+
+    def combine_year(t: pa.Table) -> pa.Table:
+        rk = pc.take(region_arr, t["c_nationkey"])
+        t = t.filter(pc.equal(rk, pa.scalar(Q8_REGION_KEY, pa.int64())))
+        g = t.group_by(["o_year", "supp_nk"]).aggregate([("sub", "sum")])
+        return rename_agg(g, {"sub_sum": "sub"},
+                          ["o_year", "supp_nk", "sub"])
+
+    cust_src = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    if cust_src.count() <= BROADCAST_DIM_ROWS:
+        ct = pq_.read_table(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"])
+        lookup_ref = ray.put((ct.column("c_custkey").combine_chunks(),
+                              ct.column("c_nationkey").cast(pa.int64())
+                                .combine_chunks()))
+
+        class YearCombine:
+            def __init__(self, ref):
+                self.keys, self.nk = (
+                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                cnk = pc.take(self.nk, pc.index_in(
+                    t["o_custkey"], value_set=self.keys))
+                return combine_year(pa.table({
+                    "o_year": t["o_year"], "supp_nk": t["supp_nk"],
+                    "c_nationkey": cnk, "sub": t["sub"]}))
+
+        part_year = by_cust.map_batches(
+            YearCombine, fn_constructor_kwargs={"ref": lookup_ref},
+            batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    else:
+        cust = cust_src.map_batches(
+            lambda t: pa.table({"doc_id": t["c_custkey"],
+                                "value": t["c_nationkey"].cast(pa.int64())}),
+            batch_format="pyarrow")
+        part_year = attach_value(
+            by_cust.materialize(), cust, "o_custkey", "c_nationkey",
+            pa.int64(),
+            [("o_custkey", pa.int64()), ("o_year", pa.int64()),
+             ("supp_nk", pa.int64()), ("sub", pa.int64())],
+            post=combine_year).to_pandas()
+
+    agg = part_year.groupby(["o_year", "supp_nk"], as_index=False) \
+        .agg(sub=("sub", "sum"))
+    total = agg.groupby("o_year", as_index=False).agg(total=("sub", "sum"))
+    nat_rev = agg[agg["supp_nk"] == Q8_NATION_KEY] \
+        .groupby("o_year", as_index=False).agg(nat=("sub", "sum"))
+    out = total.merge(nat_rev, on="o_year", how="left").fillna({"nat": 0})
+    out["nat"] = out["nat"].astype("int64")
+    # ONE float64 division over exact ints — bit-identical to the oracle's
+    # CAST(.. AS DOUBLE)/CAST(.. AS DOUBLE)
+    out["mkt_share"] = out["nat"].to_numpy().astype(np.float64) \
+        / out["total"].to_numpy().astype(np.float64)
+    out["nation_revenue"] = _sub_to_dollars(out["nat"])
+    out["total_revenue"] = _sub_to_dollars(out["total"])
+    out = out.drop(columns=["nat", "total"])
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+Q10_DATE_LO = "1995-10-01"
+Q10_DATE_HI = "1996-01-01"   # exclusive
+Q10_TOP_K = 20
+
+
+def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returned items
+    (l_returnflag='R') on orders placed in 1995Q4.  Plan:
+
+      lineitem --batch: returnflag filter + pre-agg (orderkey)--> partials
+        --bucketed cogroup w/ date-filtered orders--> (custkey, sub)
+        --re-bucket BY CUSTKEY, per-bucket final sum + local top-20-->
+        --driver merges 20 x n_buckets rows, global top-20, then a
+          20-key semi-filtered customer read attaches name/acctbal/nation
+
+    Custkeys are bucket-exclusive after the re-bucket, so the per-bucket
+    sums are FINAL and a per-bucket top-k is exact (q_top_suppliers
+    pattern); ordering is by exact sub-cents then custkey, so the LIMIT
+    boundary can never be float-tie-dependent."""
+    from .joins import _bucket_of, attach_value, rename_agg
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_returnflag",
+                                  "l_extendedprice", "l_discount"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        g = pa.table({"l_orderkey": t["l_orderkey"],
+                      "sub": _rev_subcents(t)}) \
+            .group_by("l_orderkey").aggregate([("sub", "sum")])
+        return rename_agg(g, {"sub_sum": "sub"}, ["l_orderkey", "sub"])
+
+    partials = li.map_batches(rev_partial, batch_format="pyarrow",
+                              batch_size=65536)
+
+    lo = pa.scalar(pd.Timestamp(Q10_DATE_LO))
+    hi = pa.scalar(pd.Timestamp(Q10_DATE_HI))
+    orders = _rp(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: (lambda f: pa.table({"doc_id": f["o_orderkey"],
+                                       "value": f["o_custkey"]}))(
+            t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))),
+        batch_format="pyarrow")
+
+    def combine_cust(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("sub", "sum")])
+        return rename_agg(g, {"sub_sum": "sub"}, ["o_custkey", "sub"])
+
+    by_cust = attach_value(
+        partials, orders, "l_orderkey", "o_custkey", pa.int64(),
+        [("l_orderkey", pa.int64()), ("sub", pa.int64())],
+        post=combine_cust)
+
+    def add_bk(t: pa.Table) -> pa.Table:
+        return t.append_column("__bk", _bucket_of(t["o_custkey"], 256))
+
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        f = g.group_by("o_custkey").aggregate([("sub", "sum")])
+        f = rename_agg(f, {"sub_sum": "sub"}, ["o_custkey", "sub"])
+        order = pc.sort_indices(f, sort_keys=[("sub", "descending"),
+                                              ("o_custkey", "ascending")])
+        return f.take(order.slice(0, Q10_TOP_K))
+
+    cand = by_cust.map_batches(add_bk, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(bucket_topk, batch_format="pyarrow") \
+        .to_pandas()
+    top = cand.sort_values(["sub", "o_custkey"],
+                           ascending=[False, True]).head(Q10_TOP_K)
+
+    keys = pa.array(sorted(top["o_custkey"]), pa.int64())
+    winners = _rp(sf_dir, "customer",
+                  ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]) \
+        .map_batches(lambda t: t.filter(pc.is_in(t["c_custkey"],
+                                                 value_set=keys)),
+                     batch_format="pyarrow").to_pandas()
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _rp(sf_dir, "nation").take_all()}
+    out = top.rename(columns={"o_custkey": "c_custkey"}) \
+        .merge(winners, on="c_custkey", how="left")
+    out["n_name"] = out["c_nationkey"].map(nation)
+    out["revenue"] = _sub_to_dollars(out["sub"])
+    out = out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+    return out.sort_values(["revenue", "c_custkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+Q14_YEAR = 1995
+
+
+def q14_promo_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 generalized to every ship month of Q14_YEAR: the share of
+    revenue from PROMO-type parts.  The part side is size-gated: under
+    BROADCAST_DIM_ROWS the (partkey -> is_promo) arrays broadcast once via
+    ray.put; above it ONE bucketed cogroup attaches the flag to per-batch
+    (partkey, month) partials.  Either way each batch collapses to <= 24
+    rows before any exchange, and the driver merges month x flag cells."""
+    import pyarrow.parquet as pq_
+
+    from .joins import attach_value, rename_agg
+
+    lo = pa.scalar(pd.Timestamp(f"{Q14_YEAR}-01-01"))
+    hi = pa.scalar(pd.Timestamp(f"{Q14_YEAR + 1}-01-01"))
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+    part_src = _rp(sf_dir, "part", ["p_partkey", "p_type"])
+
+    if part_src.count() <= BROADCAST_DIM_ROWS:
+        pt = pq_.read_table(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_type"])
+        ref = ray.put((pt.column("p_partkey").combine_chunks(),
+                       pc.cast(pc.equal(pt["p_type"], "PROMO"), pa.int64())
+                         .combine_chunks()))
+
+        class PromoPartial:
+            def __init__(self, ref):
+                self.keys, self.flag = (
+                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                                     pc.less(t["l_shipdate"], hi)))
+                promo = pc.take(self.flag, pc.index_in(
+                    t["l_partkey"], value_set=self.keys))
+                g = pa.table({
+                    "l_month": pc.cast(pc.month(t["l_shipdate"]), pa.int64()),
+                    "is_promo": promo, "sub": _rev_subcents(t)}) \
+                    .group_by(["l_month", "is_promo"]) \
+                    .aggregate([("sub", "sum")])
+                return rename_agg(g, {"sub_sum": "sub"},
+                                  ["l_month", "is_promo", "sub"])
+
+        cells = li.map_batches(
+            PromoPartial, fn_constructor_kwargs={"ref": ref},
+            batch_format="pyarrow", batch_size=65536,
+            concurrency=(1, 8)).to_pandas()
+    else:
+        def keyed_partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                                 pc.less(t["l_shipdate"], hi)))
+            g = pa.table({
+                "l_partkey": t["l_partkey"],
+                "l_month": pc.cast(pc.month(t["l_shipdate"]), pa.int64()),
+                "sub": _rev_subcents(t)}) \
+                .group_by(["l_partkey", "l_month"]) \
+                .aggregate([("sub", "sum")])
+            return rename_agg(g, {"sub_sum": "sub"},
+                              ["l_partkey", "l_month", "sub"])
+
+        flags = part_src.map_batches(
+            lambda t: pa.table({
+                "doc_id": t["p_partkey"],
+                "value": pc.cast(pc.equal(t["p_type"], "PROMO"),
+                                 pa.int64())}),
+            batch_format="pyarrow")
+
+        def combine_cells(t: pa.Table) -> pa.Table:
+            g = t.group_by(["l_month", "is_promo"]) \
+                .aggregate([("sub", "sum")])
+            return rename_agg(g, {"sub_sum": "sub"},
+                              ["l_month", "is_promo", "sub"])
+
+        cells = attach_value(
+            li.map_batches(keyed_partial, batch_format="pyarrow",
+                           batch_size=65536).materialize(),
+            flags, "l_partkey", "is_promo", pa.int64(),
+            [("l_partkey", pa.int64()), ("l_month", pa.int64()),
+             ("sub", pa.int64())],
+            post=combine_cells).to_pandas()
+
+    agg = cells.groupby(["l_month", "is_promo"], as_index=False) \
+        .agg(sub=("sub", "sum"))
+    total = agg.groupby("l_month", as_index=False).agg(total=("sub", "sum"))
+    promo = agg[agg["is_promo"] == 1].groupby("l_month", as_index=False) \
+        .agg(promo=("sub", "sum"))
+    out = total.merge(promo, on="l_month", how="left").fillna({"promo": 0})
+    out["promo"] = out["promo"].astype("int64")
+    out["promo_share"] = 100.0 * (
+        out["promo"].to_numpy().astype(np.float64)
+        / out["total"].to_numpy().astype(np.float64))
+    out["promo_revenue"] = _sub_to_dollars(out["promo"])
+    out["total_revenue"] = _sub_to_dollars(out["total"])
+    out = out.drop(columns=["promo", "total"])
+    return out.sort_values("l_month").reset_index(drop=True)
+
+
+Q15_DATE_LO = "1996-01-01"
+Q15_DATE_HI = "1996-04-01"   # exclusive
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15: the supplier(s) whose 1996Q1 revenue equals the global
+    maximum.  Per-batch partials by suppkey, ONE bucket shuffle (suppkeys
+    bucket-exclusive so in-bucket sums are final), each bucket emits only
+    its rows TIED AT ITS LOCAL MAX — the global winners are a subset of
+    those candidates by exhaustivity of the max over bucket maxima.  The
+    driver filters n_buckets-ish candidates to the global max and attaches
+    s_name with a winner-key semi-filtered read (never a supplier dict)."""
+    from .joins import _bucket_of, rename_agg
+
+    lo = pa.scalar(pd.Timestamp(Q15_DATE_LO))
+    hi = pa.scalar(pd.Timestamp(Q15_DATE_HI))
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        g = pa.table({"l_suppkey": t["l_suppkey"],
+                      "sub": _rev_subcents(t)}) \
+            .group_by("l_suppkey").aggregate([("sub", "sum")])
+        g = rename_agg(g, {"sub_sum": "sub"}, ["l_suppkey", "sub"])
+        return g.append_column("__bk", _bucket_of(g["l_suppkey"], 256))
+
+    def bucket_max(g: pa.Table) -> pa.Table:
+        f = g.group_by("l_suppkey").aggregate([("sub", "sum")])
+        f = rename_agg(f, {"sub_sum": "sub"}, ["l_suppkey", "sub"])
+        if f.num_rows == 0:
+            return f
+        m = pc.max(f["sub"])
+        return f.filter(pc.equal(f["sub"], m))
+
+    cand = li.map_batches(rev_partial, batch_format="pyarrow",
+                          batch_size=65536) \
+        .groupby("__bk").map_groups(bucket_max, batch_format="pyarrow") \
+        .to_pandas()
+    best = int(cand["sub"].max())
+    winners = cand[cand["sub"] == best].copy()
+
+    keys = pa.array(sorted(winners["l_suppkey"]), pa.int64())
+    names = _rp(sf_dir, "supplier", ["s_suppkey", "s_name"]) \
+        .map_batches(lambda t: t.filter(pc.is_in(t["s_suppkey"],
+                                                 value_set=keys)),
+                     batch_format="pyarrow").to_pandas()
+    out = winners.rename(columns={"l_suppkey": "s_suppkey"}) \
+        .merge(names, on="s_suppkey", how="left")
+    out["total_revenue"] = _sub_to_dollars(out["sub"])
+    out = out[["s_suppkey", "s_name", "total_revenue"]]
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+Q17_BRAND = "Brand#13"
+
+
+def q17_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17: average yearly revenue lost if Brand#13 orders below
+    20% of the part's average quantity were not taken.  Exact arithmetic:
+    ``qty < 0.2 * avg(qty)``  <=>  ``5*qty*cnt < qty_sum`` (quantities are
+    integral), so the filter is an int64 compare that can never disagree
+    with the oracle at a float boundary.  Two passes over the brand's
+    lineitems; the per-part stats table (parts/25 rows) is size-gated:
+    broadcast arrays under BROADCAST_DIM_ROWS, else ONE bucketed cogroup
+    attaches (qty_sum, cnt) encoded as qsum*2^32+cnt (qty <= 50 keeps the
+    encode lossless to ~2^31 rows per part)."""
+    import pyarrow.parquet as pq_
+
+    from .joins import _bucket_of, attach_value, rename_agg
+
+    part_src = _rp(sf_dir, "part", ["p_partkey", "p_brand"])
+    part_small = part_src.count() <= BROADCAST_DIM_ROWS
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    if part_small:
+        pt = pq_.read_table(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_brand"])
+        brand_keys = pt.filter(pc.equal(pt["p_brand"], Q17_BRAND)) \
+            .column("p_partkey").combine_chunks()
+        bref = ray.put(brand_keys)
+
+        class QtyPartial:
+            def __init__(self, ref):
+                self.keys = (ray.get(ref)
+                             if isinstance(ref, ray.ObjectRef) else ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                t = t.filter(pc.is_in(t["l_partkey"], value_set=self.keys))
+                g = pa.table({
+                    "l_partkey": t["l_partkey"],
+                    "qty": pc.cast(t["l_quantity"], pa.int64())}) \
+                    .group_by("l_partkey") \
+                    .aggregate([("qty", "sum"), ("qty", "count")])
+                return rename_agg(g, {"qty_sum": "qsum", "qty_count": "cnt"},
+                                  ["l_partkey", "qsum", "cnt"])
+
+        def add_bk(t: pa.Table) -> pa.Table:
+            return t.append_column("__bk", _bucket_of(t["l_partkey"], 256))
+
+        def bucket_final(g: pa.Table) -> pa.Table:
+            f = g.group_by("l_partkey").aggregate([("qsum", "sum"),
+                                                   ("cnt", "sum")])
+            return rename_agg(f, {"qsum_sum": "qsum", "cnt_sum": "cnt"},
+                              ["l_partkey", "qsum", "cnt"])
+
+        stats = li.map_batches(
+            QtyPartial, fn_constructor_kwargs={"ref": bref},
+            batch_format="pyarrow", batch_size=65536, concurrency=(1, 8)) \
+            .map_batches(add_bk, batch_format="pyarrow") \
+            .groupby("__bk").map_groups(bucket_final,
+                                        batch_format="pyarrow") \
+            .take_all()
+        skeys = pa.array([r["l_partkey"] for r in stats], pa.int64())
+        sqsum = pa.array([r["qsum"] for r in stats], pa.int64())
+        scnt = pa.array([r["cnt"] for r in stats], pa.int64())
+        sref = ray.put((skeys, sqsum, scnt))
+
+        class SmallQtySum:
+            def __init__(self, ref):
+                self.keys, self.qsum, self.cnt = (
+                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                idx = pc.index_in(t["l_partkey"], value_set=self.keys)
+                hit = pc.is_valid(idx)
+                t = t.filter(hit)
+                idx = idx.filter(hit)
+                qty = pc.cast(t["l_quantity"], pa.int64())
+                lhs = pc.multiply(pc.multiply(qty, pa.scalar(5, pa.int64())),
+                                  pc.take(self.cnt, idx))
+                keep = pc.less(lhs, pc.take(self.qsum, idx))
+                t = t.filter(keep)
+                cents = pc.cast(pc.round(pc.multiply(
+                    t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+                s = pc.sum(cents)
+                return pa.table({"cents": pa.array(
+                    [int(s.as_py() or 0)], pa.int64())})
+
+        total = li.map_batches(
+            SmallQtySum, fn_constructor_kwargs={"ref": sref},
+            batch_format="pyarrow", batch_size=65536,
+            concurrency=(1, 8)).sum("cents")
+    else:
+        # scale path: brand flag + per-part stats both attach by bucketed
+        # cogroups; encode (qsum, cnt) -> qsum*2^32 + cnt
+        flags = part_src.map_batches(
+            lambda t: pa.table({
+                "doc_id": t["p_partkey"],
+                "value": pc.cast(pc.equal(t["p_brand"], Q17_BRAND),
+                                 pa.int64())}),
+            batch_format="pyarrow")
+
+        def keyed(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_partkey": t["l_partkey"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "cents": pc.cast(pc.round(pc.multiply(
+                    t["l_extendedprice"], pa.scalar(100.0))), pa.int64())})
+
+        rows = li.map_batches(keyed, batch_format="pyarrow",
+                              batch_size=65536)
+
+        def keep_brand(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["is_brand"],
+                                     pa.scalar(1, pa.int64()))) \
+                .drop_columns(["is_brand"])
+
+        brand_rows = attach_value(
+            rows.materialize(), flags, "l_partkey", "is_brand", pa.int64(),
+            [("l_partkey", pa.int64()), ("qty", pa.int64()),
+             ("cents", pa.int64())],
+            post=keep_brand).materialize()
+
+        def stats_partial(t: pa.Table) -> pa.Table:
+            g = t.group_by("l_partkey").aggregate([("qty", "sum"),
+                                                   ("qty", "count")])
+            g = rename_agg(g, {"qty_sum": "qsum", "qty_count": "cnt"},
+                           ["l_partkey", "qsum", "cnt"])
+            return pa.table({
+                "doc_id": g["l_partkey"],
+                "qsum": g["qsum"], "cnt": g["cnt"]})
+
+        def stats_final(g: pa.Table) -> pa.Table:
+            f = g.group_by("doc_id").aggregate([("qsum", "sum"),
+                                                ("cnt", "sum")])
+            f = rename_agg(f, {"qsum_sum": "qsum", "cnt_sum": "cnt"},
+                           ["doc_id", "qsum", "cnt"])
+            enc = pc.add(pc.multiply(f["qsum"],
+                                     pa.scalar(1 << 32, pa.int64())),
+                         f["cnt"])
+            return pa.table({"doc_id": f["doc_id"], "value": enc})
+
+        from .joins import _bucket_of as _bk
+
+        def add_bk2(t: pa.Table) -> pa.Table:
+            return t.append_column("__bk", _bk(t["doc_id"], 256))
+
+        stats_ds = brand_rows.map_batches(stats_partial,
+                                          batch_format="pyarrow") \
+            .map_batches(add_bk2, batch_format="pyarrow") \
+            .groupby("__bk").map_groups(
+                lambda g: stats_final(g.drop_columns(["__bk"])),
+                batch_format="pyarrow")
+
+        def small_sum(t: pa.Table) -> pa.Table:
+            qsum = pc.divide(t["enc"], pa.scalar(1 << 32, pa.int64()))
+            cnt = pc.subtract(t["enc"], pc.multiply(
+                qsum, pa.scalar(1 << 32, pa.int64())))
+            keep = pc.less(pc.multiply(pc.multiply(
+                t["qty"], pa.scalar(5, pa.int64())), cnt), qsum)
+            s = pc.sum(t.filter(keep)["cents"])
+            return pa.table({"cents": pa.array([int(s.as_py() or 0)],
+                                               pa.int64())})
+
+        total = attach_value(
+            brand_rows, stats_ds.materialize(), "l_partkey", "enc",
+            pa.int64(),
+            [("l_partkey", pa.int64()), ("qty", pa.int64()),
+             ("cents", pa.int64())],
+            post=small_sum).sum("cents")
+
+    return pd.DataFrame({"avg_yearly": [
+        np.float64(int(total or 0)) / 700.0]})
+
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) — adapted Q19 disjuncts (the
+# test schema has no p_container / l_shipinstruct / l_shipmode)
+Q19_TERMS = (("Brand#11", 1, 5, 1, 11),
+             ("Brand#13", 1, 10, 10, 20),
+             ("Brand#22", 1, 15, 20, 30))
+
+
+def q19_disjunct_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19: revenue under three OR'd (brand, size range, quantity
+    range) predicates.  Brands are disjoint across terms, so each part
+    matches at most one term; the part side reduces to a
+    (partkey -> qty_lo*64+qty_hi) map over MATCHED parts only — size-gated
+    broadcast arrays, else ONE bucketed cogroup attach of the encoded
+    range.  The lineitem side is a pure vectorized filter + global sum of
+    exact sub-cents (q6 shape with a joined predicate)."""
+    import pyarrow.parquet as pq_
+
+    from .joins import attach_value
+
+    part_src = _rp(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def part_ranges(t: pa.Table) -> pa.Table:
+        enc = pa.nulls(t.num_rows, pa.int64())
+        for brand, slo, shi, qlo, qhi in Q19_TERMS:
+            m = pc.and_(pc.equal(t["p_brand"], brand),
+                        pc.and_(pc.greater_equal(t["p_size"],
+                                                 pa.scalar(slo)),
+                                pc.less_equal(t["p_size"],
+                                              pa.scalar(shi))))
+            enc = pc.if_else(m, pa.scalar(qlo * 64 + qhi, pa.int64()), enc)
+        keep = pc.is_valid(enc)
+        return pa.table({"p_partkey": t["p_partkey"].filter(keep),
+                         "enc": enc.filter(keep)})
+
+    if part_src.count() <= BROADCAST_DIM_ROWS:
+        pt = part_ranges(pq_.read_table(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_size"]))
+        ref = ray.put((pt.column("p_partkey").combine_chunks(),
+                       pt.column("enc").combine_chunks()))
+
+        class DisjunctSum:
+            def __init__(self, ref):
+                self.keys, self.enc = (
+                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                idx = pc.index_in(t["l_partkey"], value_set=self.keys)
+                hit = pc.is_valid(idx)
+                t = t.filter(hit)
+                enc = pc.take(self.enc, idx.filter(hit))
+                qlo = pc.divide(enc, pa.scalar(64, pa.int64()))
+                qhi = pc.subtract(enc, pc.multiply(
+                    qlo, pa.scalar(64, pa.int64())))
+                qty = pc.cast(t["l_quantity"], pa.int64())
+                keep = pc.and_(pc.greater_equal(qty, qlo),
+                               pc.less_equal(qty, qhi))
+                s = pc.sum(_rev_subcents(t.filter(keep)))
+                return pa.table({"sub": pa.array([int(s.as_py() or 0)],
+                                                 pa.int64())})
+
+        total = li.map_batches(
+            DisjunctSum, fn_constructor_kwargs={"ref": ref},
+            batch_format="pyarrow", batch_size=65536,
+            concurrency=(1, 8)).sum("sub")
+    else:
+        ranges = part_src.map_batches(
+            lambda t: (lambda r: pa.table({"doc_id": r["p_partkey"],
+                                           "value": r["enc"]}))(
+                part_ranges(t)),
+            batch_format="pyarrow")
+
+        def keyed(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_partkey": t["l_partkey"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "sub": _rev_subcents(t)})
+
+        def term_sum(t: pa.Table) -> pa.Table:
+            qlo = pc.divide(t["enc"], pa.scalar(64, pa.int64()))
+            qhi = pc.subtract(t["enc"], pc.multiply(
+                qlo, pa.scalar(64, pa.int64())))
+            keep = pc.and_(pc.greater_equal(t["qty"], qlo),
+                           pc.less_equal(t["qty"], qhi))
+            s = pc.sum(t.filter(keep)["sub"])
+            return pa.table({"sub": pa.array([int(s.as_py() or 0)],
+                                             pa.int64())})
+
+        total = attach_value(
+            li.map_batches(keyed, batch_format="pyarrow",
+                           batch_size=65536).materialize(),
+            ranges, "l_partkey", "enc", pa.int64(),
+            [("l_partkey", pa.int64()), ("qty", pa.int64()),
+             ("sub", pa.int64())],
+            post=term_sum).sum("sub")
+
+    return pd.DataFrame({"revenue": [_sub_to_dollars(int(total or 0))]})

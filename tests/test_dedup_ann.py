@@ -1575,3 +1575,42 @@ def test_ngram_containment_detects_subset_doc(ray_session, tmp_path):
     assert row.iloc[0]["a_in_b"] == 1.0
     assert row.iloc[0]["b_in_a"] < 1.0
     assert 3 not in set(out["a"]) | set(out["b"])
+
+
+def test_tpch_tail_cogroup_paths_match_broadcast(ray_session, monkeypatch):
+    """q8/q14/q17/q19 gate their part/customer sides on BROADCAST_DIM_ROWS;
+    forcing the bucketed-cogroup scale path must reproduce the broadcast
+    result exactly (same exact-integer money, different exchange layout)."""
+    import pandas as pd
+
+    from pdf_parse_new_ray.functions import relational
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        "q8": relational.q8_market_share(sf),
+        "q14": relational.q14_promo_share(sf),
+        "q17": relational.q17_small_qty_revenue(sf),
+        "q19": relational.q19_disjunct_revenue(sf),
+    }
+    monkeypatch.setattr(relational, "BROADCAST_DIM_ROWS", 0)
+    pd.testing.assert_frame_equal(base["q8"], relational.q8_market_share(sf))
+    pd.testing.assert_frame_equal(base["q14"], relational.q14_promo_share(sf))
+    pd.testing.assert_frame_equal(base["q17"],
+                                  relational.q17_small_qty_revenue(sf))
+    pd.testing.assert_frame_equal(base["q19"],
+                                  relational.q19_disjunct_revenue(sf))
+
+
+def test_q10_topk_boundary_deterministic(ray_session):
+    """q10 orders its LIMIT boundary by exact sub-cents then custkey, so
+    repeated runs return the identical top-20 set and row order."""
+    import pandas as pd
+
+    from pdf_parse_new_ray.functions import relational
+
+    sf = "/root/testdata/sf0.001"
+    a = relational.q10_returned_revenue(sf)
+    b = relational.q10_returned_revenue(sf)
+    assert len(a) <= relational.Q10_TOP_K
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["revenue"].to_numpy()[:-1] >= a["revenue"].to_numpy()[1:]).all()
