@@ -548,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decile_stats": relational.q_decile_stats,
         "q_event_age": relational.q_event_age,
         "q_trailing_hour_sum": relational.q_trailing_hour_sum,
+        "q_cms_heavy_hitters": relational.q_cms_heavy_hitters,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
@@ -566,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_c4_quality_filter": text.t_c4_quality_filter,
         "t_lang_mix_sample": text.t_lang_mix_sample,
         "t_sequence_pack": text.t_sequence_pack,
+        "t_dsir_importance": text.t_dsir_importance,
         # dedup
         "d_exact_dedup": dedup.d_exact_dedup,
         "d_dedup_keep_longest": dedup.d_dedup_keep_longest,
@@ -584,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_knn_bruteforce": ann.e_knn_bruteforce,
         "e_knn_lsh": ann.e_knn_lsh,
         "e_knn_pq": ann.e_knn_pq,
+        "e_kmeans_train": ann.e_kmeans_train,
         "e_knn_ivf": ann.e_knn_ivf,
         "e_knn_filtered": ann.e_knn_filtered,
         "e_centroid_assign": ann.e_centroid_assign,
@@ -1564,6 +1567,78 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON c.c_custkey = o.o_custkey
             ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
             LIMIT 100
+        """,
+        "q_cms_heavy_hitters": f"""
+            WITH hs(i, a, b) AS (VALUES
+                {", ".join(f"({i}, {a}::HUGEINT, {b}::HUGEINT)"
+                           for i, (a, b) in enumerate(
+                               zip(relational.CMS_ROW_A,
+                                   relational.CMS_ROW_B)))}),
+            bk AS (
+                SELECT h.i,
+                       ((((e.user_id::HUGEINT * h.a) % {1 << 64} + h.b)
+                          % {1 << 64}) % {(1 << 61) - 1})
+                           % {relational.CMS_WIDTH} AS bucket
+                FROM events e CROSS JOIN hs h),
+            cms AS (
+                SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt
+                FROM bk GROUP BY i, bucket),
+            top AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+                FROM events GROUP BY user_id
+                ORDER BY exact_count DESC, user_id
+                LIMIT {relational.CMS_TOP_K}),
+            cand AS (
+                SELECT t.user_id, t.exact_count, h.i,
+                       ((((t.user_id::HUGEINT * h.a) % {1 << 64} + h.b)
+                          % {1 << 64}) % {(1 << 61) - 1})
+                           % {relational.CMS_WIDTH} AS bucket
+                FROM top t CROSS JOIN hs h)
+            SELECT c.user_id, c.exact_count,
+                   CAST(min(m.cnt) AS BIGINT) AS est_count
+            FROM cand c JOIN cms m ON m.i = c.i AND m.bucket = c.bucket
+            GROUP BY c.user_id, c.exact_count
+            ORDER BY c.exact_count DESC, c.user_id
+        """,
+        "t_dsir_importance": f"""
+            WITH words AS (
+                SELECT doc_id, lang,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            bg AS MATERIALIZED (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]),
+                                       1, 16))::UBIGINT
+                           % {text.DSIR_BUCKETS} AS b
+                FROM words, unnest(range(1, len(ws))) AS t(i)
+                WHERE len(ws) >= 2),
+            cnt AS (
+                SELECT b, CAST(count(*) AS BIGINT) AS rcnt,
+                       CAST(count(*) FILTER (
+                           WHERE lang = '{text.DSIR_TARGET_LANG}')
+                            AS BIGINT) AS tcnt
+                FROM bg GROUP BY b),
+            tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS rtot,
+                       CAST(count(*) FILTER (
+                           WHERE lang = '{text.DSIR_TARGET_LANG}')
+                            AS BIGINT) AS ttot
+                FROM bg),
+            occ AS (
+                SELECT doc_id, b, CAST(count(*) AS BIGINT) AS occ
+                FROM bg GROUP BY doc_id, b)
+            SELECT o.doc_id,
+                   CAST(SUM(o.occ) AS BIGINT) AS n_occ,
+                   CAST(SUM(o.occ * (c.tcnt + 1)) AS BIGINT) AS tmass,
+                   CAST(SUM(o.occ * (c.rcnt + 1)) AS BIGINT) AS rmass,
+                   (CAST(SUM(o.occ * (c.tcnt + 1)) AS DOUBLE)
+                      * CAST(t.rtot + {text.DSIR_BUCKETS} AS DOUBLE))
+                     / (CAST(SUM(o.occ * (c.rcnt + 1)) AS DOUBLE)
+                          * CAST(t.ttot + {text.DSIR_BUCKETS} AS DOUBLE))
+                       AS importance
+            FROM occ o JOIN cnt c USING (b) CROSS JOIN tot t
+            GROUP BY o.doc_id, t.rtot, t.ttot
+            ORDER BY o.doc_id
         """,
         "q8_market_share": f"""
             WITH rev AS (

@@ -148,6 +148,9 @@ def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
         "q_kmv_distinct": relational.q_kmv_distinct,
         "q_decile_stats": relational.q_decile_stats,
         "q_trailing_hour_sum": relational.q_trailing_hour_sum,
+        "q8_market_share": relational.q8_market_share,
+        "q10_returned_revenue": relational.q10_returned_revenue,
+        "q17_small_qty_revenue": relational.q17_small_qty_revenue,
     }
     from pdf_parse_new_ray.functions import graph
 

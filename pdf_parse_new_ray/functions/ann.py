@@ -683,3 +683,108 @@ def e_knn_pq(sf_dir: str, n_queries: int = 5, k: int = 5,
     out["nn_rank"] = out.groupby("query_id").cumcount() + 1
     out["cosine"] = out["cosine"].round(6)
     return out[["query_id", "nn_rank", "vec_id", "cosine"]]
+
+
+# ---------------------------------------------------------------------------
+# fully-distributed Lloyd k-means training (iterative, corpus-scale)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 10
+KMEANS_ITERS = 5
+
+
+class _KmeansPartial:
+    """One Lloyd half-step per batch: assign each (unit-normalized)
+    vector to its max-dot centroid, emit per-cluster partials
+    (count, float64 component sums packed as bytes, inertia partial).
+    Centroids arrive by ray.put once per ITERATION — never per batch."""
+
+    def __init__(self, cents_ref):
+        c = (ray.get(cents_ref)
+             if isinstance(cents_ref, ray.ObjectRef) else cents_ref)
+        self.cents = c  # (k, d) float64, unit rows
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.binary()),
+                             "inertia": pa.array([], pa.float64())})
+        m = emb_matrix(t)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ self.cents.T
+        assign = sims.argmax(axis=1)
+        k, d = self.cents.shape
+        rows = []
+        for c in range(k):
+            sel = m[assign == c]
+            if not len(sel):
+                continue
+            # squared L2 on unit vectors = 2 - 2*cos
+            rows.append((c, len(sel), sel.sum(axis=0).tobytes(),
+                         float((2.0 - 2.0 * sims[assign == c, c]).sum())))
+        return pa.table({
+            "cluster": pa.array([r[0] for r in rows], pa.int64()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "s": pa.array([r[2] for r in rows], pa.binary()),
+            "inertia": pa.array([r[3] for r in rows], pa.float64()),
+        })
+
+
+def _kmeans_init(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic init: the k lowest-vec_id vectors, unit-normalized
+    (reads k rows; at corpus scale swap for a sampled read — the
+    iteration loop below is unchanged)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    t = t.take(pc.sort_indices(t.column("vec_id"))).slice(0, k)
+    m = emb_matrix(t)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def e_kmeans_train(sf_dir: str, k: int = KMEANS_K,
+                   n_iters: int = KMEANS_ITERS) -> pd.DataFrame:
+    """Distributed Lloyd k-means over the FULL embedding table (vs the
+    driver-sample training `_train_centroids` uses for IVF): each
+    iteration is ONE streaming map_batches pass — centroids broadcast
+    via ray.put, per-batch per-cluster partial sums (k rows x 8d bytes
+    per batch, no shuffle), driver merge is O(k x n_batches).  Partials
+    are sorted by content before the float64 merge so the result is
+    run-deterministic regardless of task completion order.  Returns
+    per-cluster size + within-cluster inertia (squared L2 on unit
+    vectors) after n_iters iterations; pytest locks the result against
+    a single-process Lloyd reference on the same init."""
+    cents = _kmeans_init(sf_dir, k)
+    d = cents.shape[1]
+    stats = None
+    for _ in range(n_iters):
+        ref = ray.put(cents)
+        parts = _emb(sf_dir, ["embedding"]).map_batches(
+            _KmeansPartial, fn_constructor_kwargs={"cents_ref": ref},
+            batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+        ).take_all()
+        # content-sort -> deterministic float64 accumulation order
+        parts.sort(key=lambda r: (r["cluster"], r["n"], r["s"]))
+        counts = np.zeros(k, np.int64)
+        sums = np.zeros((k, d), np.float64)
+        inertia = np.zeros(k, np.float64)
+        for r in parts:
+            c = r["cluster"]
+            counts[c] += r["n"]
+            sums[c] += np.frombuffer(r["s"], np.float64)
+            inertia[c] += r["inertia"]
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / np.linalg.norm(sums[nz], axis=1,
+                                            keepdims=True)
+        cents = new
+        stats = (counts, inertia)
+    counts, inertia = stats
+    return pd.DataFrame({
+        "cluster": np.arange(k, dtype=np.int64),
+        "size": counts,
+        "inertia": np.round(inertia, 6),
+    })

@@ -3413,3 +3413,89 @@ def q19_disjunct_revenue(sf_dir: str) -> pd.DataFrame:
             post=term_sum).sum("sub")
 
     return pd.DataFrame({"revenue": [_sub_to_dollars(int(total or 0))]})
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (mergeable sketch, zero shuffles)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOP_K = 20
+# per-row multipliers: odd constants < 2^61 so the DuckDB HUGEINT mirror
+# stays inside int128 (the q_train_test_split hash family, one per row)
+CMS_ROW_A = (1181783497276652981, 1629066918124513157,
+             828303857856126223, 399414358326530291)
+CMS_ROW_B = (1721059793829289713, 454530438278005271,
+             135837692235489351, 902472229110704839)
+
+
+def _cms_bucket(ids: np.ndarray, row: int) -> np.ndarray:
+    """Row `row`'s CMS bucket for each id — the sample_hash family with
+    per-row constants; numpy uint64 wrap == the SQL's explicit % 2^64."""
+    x = ids.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (x * np.uint64(CMS_ROW_A[row]) + np.uint64(CMS_ROW_B[row])) \
+            % np.uint64((1 << 61) - 1)
+    return (h % np.uint64(CMS_WIDTH)).astype(np.int64)
+
+
+def q_cms_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Count-Min sketch demo with an exact oracle: estimate the event
+    counts of the true top-CMS_TOP_K users from a CMS_DEPTH x CMS_WIDTH
+    sketch built in ONE streaming pass — each batch adds into a local
+    numpy matrix and emits sparse (row, bucket, cnt) partials; merging
+    is elementwise-add (the sketch property), done by a 4096-group Ray
+    aggregate, so the sketch never needs a fact-size shuffle and the
+    driver receives CMS_DEPTH*CMS_WIDTH ints.  est_count >= exact_count
+    always (CMS one-sided error); equality at small scale, inflation
+    under collision.  Everything is integer + the SQL-mirrorable hash
+    family, so the oracle reproduces the sketch bit-for-bit."""
+    from .joins import rename_agg
+
+    ev = _rp(sf_dir, "events", ["user_id"])
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("user_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        rows, buckets, cnts = [], [], []
+        for r in range(CMS_DEPTH):
+            bk = _cms_bucket(ids, r)
+            ub, c = np.unique(bk, return_counts=True)
+            rows.append(np.full(len(ub), r, np.int64))
+            buckets.append(ub)
+            cnts.append(c.astype(np.int64))
+        return pa.table({
+            "row": pa.array(np.concatenate(rows), pa.int64()),
+            "bucket": pa.array(np.concatenate(buckets), pa.int64()),
+            "cnt": pa.array(np.concatenate(cnts), pa.int64()),
+        })
+
+    cells = ev.map_batches(sketch_partial, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["row", "bucket"]).aggregate(Sum("cnt", alias_name="cnt")) \
+        .take_all()
+    cms = np.zeros((CMS_DEPTH, CMS_WIDTH), np.int64)
+    for r in cells:
+        cms[r["row"], r["bucket"]] = r["cnt"]
+
+    # exact top-k candidates: the q_heavy_hitters combiner shape
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("user_id", "count")])
+        return rename_agg(g, {"user_id_count": "n"}, ["user_id", "n"])
+
+    exact = ev.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    exact["n"] = exact["n"].astype("int64")
+    top = exact.sort_values(["n", "user_id"], ascending=[False, True]) \
+        .head(CMS_TOP_K).reset_index(drop=True)
+
+    ids = top["user_id"].to_numpy()
+    est = np.min(np.stack([cms[r, _cms_bucket(ids, r)]
+                           for r in range(CMS_DEPTH)]), axis=0)
+    return pd.DataFrame({
+        "user_id": ids.astype(np.int64),
+        "exact_count": top["n"].to_numpy(),
+        "est_count": est.astype(np.int64),
+    })

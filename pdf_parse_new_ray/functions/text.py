@@ -869,3 +869,138 @@ def t_sequence_pack(sf_dir: str, seq_len: int = SEQ_LEN,
     out = tagged.groupby("__rb").map_groups(
         per_range, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-bigram importance weighting (data selection)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096        # hashed feature dimension (DSIR's 10^4 scale)
+DSIR_TARGET_LANG = "en"    # target distribution = the English slice
+
+
+def t_dsir_importance(sf_dir: str, n_shuffle: int = 256) -> pd.DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) with an
+    integer-exact statistic: word bigrams hash into DSIR_BUCKETS buckets;
+    the target distribution is the DSIR_TARGET_LANG slice.  Instead of
+    DSIR's log-ratio sum (whose float partial sums are exchange-order-
+    dependent), each document scores
+
+        target_mass = sum_b occ_b * (tcnt_b + 1)      (int64)
+        raw_mass    = sum_b occ_b * (rcnt_b + 1)      (int64)
+        importance  = (target_mass * (R + B)) / (raw_mass * (T + B))
+
+    — the arithmetic-mean analogue of DSIR's geometric weight: >1 means
+    the document's features are relatively more frequent in the target
+    slice.  All masses are int64, so ONE float64 division pair at the
+    end is the only float; the oracle reproduces it bit-for-bit.
+
+    ONE shuffle total (the t_bigram_lm_score layout): every occurrence
+    row lands in its feature bucket's shuffle group, so bucket-local
+    counts ARE the global tcnt/rcnt and the per-doc partial masses fold
+    in the same pass; the per-doc merge is doc-bucketed (doc-exclusive),
+    never a high-cardinality Ray aggregate."""
+    from .dedup import _gram_hash64
+    from .joins import _bucket_of, rename_agg
+
+    word = re.compile(r"[a-z0-9]+")
+
+    def grams(t: pa.Table) -> pa.Table:
+        hs_all, ids_all, occ_all, tgt_all = [], [], [], []
+        for did, text, lang in zip(t.column("doc_id").to_pylist(),
+                                   t.column("text").to_pylist(),
+                                   t.column("lang").to_pylist()):
+            ws = word.findall((text or "").lower())
+            if len(ws) < 2:
+                continue
+            hs = np.fromiter(
+                (_gram_hash64(f"{a} {b}") % DSIR_BUCKETS
+                 for a, b in zip(ws, ws[1:])),
+                np.uint64, len(ws) - 1)
+            uh, cnt = np.unique(hs, return_counts=True)
+            hs_all.append(uh)
+            ids_all.append(np.full(len(uh), did, np.int64))
+            occ_all.append(cnt.astype(np.int64))
+            tgt_all.append(np.full(len(uh),
+                                   1 if lang == DSIR_TARGET_LANG else 0,
+                                   np.int64))
+        h = np.concatenate(hs_all) if hs_all else np.empty(0, np.uint64)
+        return pa.table({
+            "b": pa.array(h.astype(np.int64), pa.int64()),
+            "doc_id": pa.array(
+                np.concatenate(ids_all) if ids_all
+                else np.empty(0, np.int64), pa.int64()),
+            "occ": pa.array(
+                np.concatenate(occ_all) if occ_all
+                else np.empty(0, np.int64), pa.int64()),
+            "is_tgt": pa.array(
+                np.concatenate(tgt_all) if tgt_all
+                else np.empty(0, np.int64), pa.int64()),
+            "__bk": pa.array((h % np.uint64(n_shuffle)).astype(np.int32)),
+        })
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_occ": pa.array([], pa.int64()),
+                      "tmass": pa.array([], pa.int64()),
+                      "rmass": pa.array([], pa.int64())})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        # global per-feature counts (all rows of a feature bucket are
+        # in this shuffle group by construction)
+        tocc = pc.multiply(g["occ"], g["is_tgt"])
+        cnt = pa.table({"b": g["b"], "r": g["occ"], "t": tocc}) \
+            .group_by("b").aggregate([("r", "sum"), ("t", "sum")])
+        cnt = rename_agg(cnt, {"r_sum": "rcnt", "t_sum": "tcnt"})
+        idx = pc.index_in(g["b"], value_set=cnt.column("b").combine_chunks())
+        rc = pc.take(cnt.column("rcnt").combine_chunks(), idx)
+        tc = pc.take(cnt.column("tcnt").combine_chunks(), idx)
+        tm = pc.multiply(g["occ"], pc.add(tc, pa.scalar(1, pa.int64())))
+        rm = pc.multiply(g["occ"], pc.add(rc, pa.scalar(1, pa.int64())))
+        f = pa.table({"doc_id": g["doc_id"], "n_occ": g["occ"],
+                      "tmass": tm, "rmass": rm}) \
+            .group_by("doc_id").aggregate([
+                ("n_occ", "sum"), ("tmass", "sum"), ("rmass", "sum")])
+        return rename_agg(f, {"n_occ_sum": "n_occ", "tmass_sum": "tmass",
+                              "rmass_sum": "rmass"},
+                          ["doc_id", "n_occ", "tmass", "rmass"])
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    partials = docs.map_batches(grams, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(
+            lambda g: per_bucket(g.drop_columns(["__bk"])),
+            batch_format="pyarrow")
+
+    def add_dbk(t: pa.Table) -> pa.Table:
+        return t.append_column("__bk", _bucket_of(t["doc_id"], 256))
+
+    def per_doc(g: pa.Table) -> pa.Table:
+        f = g.group_by("doc_id").aggregate([
+            ("n_occ", "sum"), ("tmass", "sum"), ("rmass", "sum")])
+        return rename_agg(f, {"n_occ_sum": "n_occ", "tmass_sum": "tmass",
+                              "rmass_sum": "rmass"},
+                          ["doc_id", "n_occ", "tmass", "rmass"])
+
+    out = partials.map_batches(add_dbk, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(
+            lambda g: per_doc(g.drop_columns(["__bk"])),
+            batch_format="pyarrow").to_pandas()
+
+    # global totals: R = all bigram occurrences, T = the target slice's
+    # (per-doc n_occ split by lang — a tiny column-pruned read)
+    langs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"]).to_pandas()
+    out = out.merge(langs, on="doc_id", how="left")
+    big_r = int(out["n_occ"].sum())
+    big_t = int(out.loc[out["lang"] == DSIR_TARGET_LANG, "n_occ"].sum())
+    bb = DSIR_BUCKETS
+    num = out["tmass"].to_numpy().astype(np.float64) \
+        * np.float64(big_r + bb)
+    den = out["rmass"].to_numpy().astype(np.float64) \
+        * np.float64(big_t + bb)
+    out["importance"] = num / den
+    out = out.drop(columns=["lang"])
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        [["doc_id", "n_occ", "tmass", "rmass", "importance"]]

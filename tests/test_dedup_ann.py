@@ -1614,3 +1614,51 @@ def test_q10_topk_boundary_deterministic(ray_session):
     assert len(a) <= relational.Q10_TOP_K
     pd.testing.assert_frame_equal(a, b)
     assert (a["revenue"].to_numpy()[:-1] >= a["revenue"].to_numpy()[1:]).all()
+
+
+def test_kmeans_train_matches_naive_lloyd(ray_session):
+    """e_kmeans_train's distributed partial-sum iterations must reproduce
+    a single-process Lloyd on the same data and deterministic init
+    (cluster sizes exact, inertia to float-merge tolerance)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import ann
+
+    sf = "/root/testdata/sf0.001"
+    out = ann.e_kmeans_train(sf)
+
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+
+    t = t.take(pc.sort_indices(t.column("vec_id")))
+    m = ann.emb_matrix(t)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cents = m[: ann.KMEANS_K].copy()
+    counts = inertia = None
+    for _ in range(ann.KMEANS_ITERS):
+        sims = m @ cents.T
+        assign = sims.argmax(axis=1)
+        counts = np.bincount(assign, minlength=ann.KMEANS_K)
+        inertia = np.zeros(ann.KMEANS_K)
+        new = cents.copy()
+        for c in range(ann.KMEANS_K):
+            sel = m[assign == c]
+            if len(sel):
+                s = sel.sum(axis=0)
+                new[c] = s / np.linalg.norm(s)
+                inertia[c] = (2.0 - 2.0 * sims[assign == c, c]).sum()
+        cents = new
+    assert (out["size"].to_numpy() == counts).all()
+    assert np.allclose(out["inertia"].to_numpy(), inertia, atol=1e-4)
+
+
+def test_cms_estimate_one_sided(ray_session):
+    """Count-Min estimates can only overcount: est >= exact for every
+    reported heavy hitter, and the candidate set is the exact top-k."""
+    from pdf_parse_new_ray.functions import relational
+
+    out = relational.q_cms_heavy_hitters("/root/testdata/sf0.001")
+    assert 0 < len(out) <= relational.CMS_TOP_K  # sf0.001 has < k users
+    assert (out["est_count"] >= out["exact_count"]).all()
