@@ -587,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_knn_lsh": ann.e_knn_lsh,
         "e_knn_pq": ann.e_knn_pq,
         "e_kmeans_train": ann.e_kmeans_train,
+        "d_semdedup": dedup.d_semdedup,
         "e_knn_ivf": ann.e_knn_ivf,
         "e_knn_filtered": ann.e_knn_filtered,
         "e_centroid_assign": ann.e_centroid_assign,

@@ -1186,3 +1186,163 @@ def d_ngram_containment(sf_dir: str, threshold: float = 0.5,
 
     df = with_ab.map_batches(contain, batch_format="pyarrow").to_pandas()
     return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via k-means cluster + in-cluster cosine
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_EPS = 0.05          # duplicate iff cosine >= 1 - eps
+SEMDEDUP_CLUSTERS = 16
+SEMDEDUP_CLUSTER_CAP = 4096  # in-cluster pairwise block guard (see below)
+
+
+def d_semdedup(sf_dir: str, eps: float = SEMDEDUP_EPS,
+               n_clusters: int = SEMDEDUP_CLUSTERS) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    find semantic-duplicate groups INSIDE each cluster (cosine
+    >= 1 - eps) and keep one representative per group — the paper's
+    keep-low policy: the member FARTHEST from its cluster centroid
+    survives (lowest centroid cosine; vec_id breaks exact ties).
+
+    Distributed shape: centroids come from the shared sample-trained
+    quantizer (`ann._train_centroids`); assignment is a streaming
+    map_batches over broadcast centroids emitting 16-byte (cluster,
+    vec_id) rows; ONE cluster-keyed shuffle co-locates each cluster,
+    whose group task fetches its vectors (size-gated like the LSH
+    verify), runs the blocked pairwise cosine, and resolves groups with
+    a union-find — O(|cluster|^2) bounded by choosing n_clusters ~
+    N / target_cluster_size; clusters past SEMDEDUP_CLUSTER_CAP compare
+    only against their cap prefix (surfaced in the `capped` column,
+    never silent — the MinHash star-cap convention).
+
+    Returns one row per vector: (vec_id, cluster, centroid_cos, keep,
+    keep_ref, capped); rows with keep=False are the prunable set and
+    keep_ref names their surviving representative."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from .ann import _train_centroids, emb_matrix
+
+    cents = _train_centroids(sf_dir, n_clusters)
+    # size-gated vector side: the in-cluster verify needs the vectors;
+    # at corpus scale the group task would fetch its cluster's slice via
+    # a keyed cogroup (the d_embedding_neardup LSH-verify pattern) — the
+    # broadcast is gated the same way
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids_all = t.column("vec_id").to_numpy()
+    m_all = emb_matrix(t)
+    m_all = m_all / np.linalg.norm(m_all, axis=1, keepdims=True)
+    order = np.argsort(ids_all)
+    ids_all, m_all = ids_all[order], m_all[order]
+    vec_ref = ray.put((ids_all, m_all))
+    cents_ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self, cents_ref):
+            self.cents = (ray.get(cents_ref)
+                          if isinstance(cents_ref, ray.ObjectRef)
+                          else cents_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "ccos": pa.array([], pa.float64())})
+            from .ann import emb_matrix as _em
+
+            m = _em(t)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ self.cents.T
+            a = sims.argmax(axis=1)
+            return pa.table({
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "ccos": pa.array(sims[np.arange(len(a)), a], pa.float64()),
+            })
+
+    class ClusterDedup:
+        def __init__(self, vec_ref, eps: float, cap: int):
+            self.ids, self.m = (ray.get(vec_ref)
+                                if isinstance(vec_ref, ray.ObjectRef)
+                                else vec_ref)
+            self.thr = 1.0 - eps
+            self.cap = cap
+
+        def __call__(self, g: pa.Table) -> pa.Table:
+            n = g.num_rows
+            empty = pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "centroid_cos": pa.array([], pa.float64()),
+                "keep": pa.array([], pa.bool_()),
+                "keep_ref": pa.array([], pa.int64()),
+                "capped": pa.array([], pa.bool_())})
+            if n == 0:
+                return empty
+            vid = g.column("vec_id").combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            ccos = g.column("ccos").combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            cl = int(g.column("cluster")[0].as_py())
+            o = np.argsort(vid)
+            vid, ccos = vid[o], ccos[o]
+            capped = n > self.cap
+            cmp_n = min(n, self.cap)
+            idx = np.searchsorted(self.ids, vid)
+            mv = self.m[idx]
+            # union-find over duplicate edges (blocked pairwise cosine
+            # against the cap prefix keeps memory at cmp_n x block)
+            parent = np.arange(n)
+
+            def find(i):
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]
+                    i = parent[i]
+                return i
+
+            prefix = mv[:cmp_n]
+            for lo in range(0, n, 1024):
+                sims = mv[lo:lo + 1024] @ prefix.T
+                for ii, jj in zip(*np.nonzero(sims >= self.thr)):
+                    i = lo + int(ii)
+                    j = int(jj)
+                    if i == j:
+                        continue
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+            root = np.fromiter((find(i) for i in range(n)), np.int64, n)
+            # keeper per group: lowest centroid cosine, vec_id tie-break —
+            # vectorized first-of-segment over a (root, ccos, vid) lexsort
+            uroot, inv = np.unique(root, return_inverse=True)
+            o2 = np.lexsort((vid, ccos, root))
+            seg_first = np.concatenate(
+                ([True], root[o2][1:] != root[o2][:-1]))
+            firsts = o2[seg_first]          # one index per root, root-asc
+            keep = np.zeros(n, bool)
+            keep[firsts] = True
+            keep_ref = vid[firsts][inv]
+            return pa.table({
+                "vec_id": pa.array(vid, pa.int64()),
+                "cluster": pa.array(np.full(n, cl, np.int64), pa.int64()),
+                "centroid_cos": pa.array(np.round(ccos, 6), pa.float64()),
+                "keep": pa.array(keep, pa.bool_()),
+                "keep_ref": pa.array(keep_ref, pa.int64()),
+                "capped": pa.array(np.full(n, capped, bool), pa.bool_()),
+            })
+
+    out = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]) \
+        .map_batches(Assign, fn_constructor_kwargs={"cents_ref": cents_ref},
+                     batch_format="pyarrow", batch_size=4096,
+                     concurrency=(1, 8)) \
+        .groupby("cluster") \
+        .map_groups(ClusterDedup,
+                    fn_constructor_kwargs={"vec_ref": vec_ref, "eps": eps,
+                                           "cap": SEMDEDUP_CLUSTER_CAP},
+                    batch_format="pyarrow", concurrency=(1, 8)) \
+        .to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -1662,3 +1662,25 @@ def test_cms_estimate_one_sided(ray_session):
     out = relational.q_cms_heavy_hitters("/root/testdata/sf0.001")
     assert 0 < len(out) <= relational.CMS_TOP_K  # sf0.001 has < k users
     assert (out["est_count"] >= out["exact_count"]).all()
+
+
+def test_semdedup_planted_pair_collapses(ray_session, planted_embeddings_dir):
+    """The planted near-identical pair (vec 0 ~ vec 1) must land in one
+    cluster, form one duplicate group, and keep exactly one member —
+    the one with the LOWER centroid cosine (SemDeDup keep-low)."""
+    from pdf_parse_new_ray.functions import dedup
+
+    out = dedup.d_semdedup(planted_embeddings_dir, n_clusters=4)
+    assert len(out) == 40                       # one row per vector
+    assert out["vec_id"].is_unique
+    a, b = out[out["vec_id"] == 0].iloc[0], out[out["vec_id"] == 1].iloc[0]
+    assert a["cluster"] == b["cluster"]
+    assert a["keep_ref"] == b["keep_ref"]       # same duplicate group
+    assert int(a["keep"]) + int(b["keep"]) == 1  # exactly one survivor
+    kept = a if a["keep"] else b
+    other = b if a["keep"] else a
+    assert kept["centroid_cos"] <= other["centroid_cos"]
+    # every group's keeper is a member of the group
+    for ref, grp in out.groupby("keep_ref"):
+        assert (grp["vec_id"] == ref).any()
+        assert grp["keep"].sum() == 1
