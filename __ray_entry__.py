@@ -549,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_age": relational.q_event_age,
         "q_trailing_hour_sum": relational.q_trailing_hour_sum,
         "q_cms_heavy_hitters": relational.q_cms_heavy_hitters,
+        "q_value_quantiles_by_type":
+            relational.q_value_quantiles_by_type,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
@@ -1640,6 +1642,20 @@ def oracle_sql() -> dict[str, str]:
             FROM occ o JOIN cnt c USING (b) CROSS JOIN tot t
             GROUP BY o.doc_id, t.rtot, t.ttot
             ORDER BY o.doc_id
+        """,
+        "q_value_quantiles_by_type": f"""
+            WITH r AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) - 1 AS rk,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events),
+            qs(q) AS (VALUES {", ".join(f"({q})"
+                                        for q in relational.EVQ_QUANTILES)})
+            SELECT event_type, CAST(q AS DOUBLE) AS quantile, value
+            FROM r JOIN qs
+              ON r.rk = CAST(floor(CAST(q AS DOUBLE) * (r.n - 1)) AS BIGINT)
+            ORDER BY event_type, quantile
         """,
         "q8_market_share": f"""
             WITH rev AS (

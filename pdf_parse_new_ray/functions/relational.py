@@ -3499,3 +3499,106 @@ def q_cms_heavy_hitters(sf_dir: str) -> pd.DataFrame:
         "exact_count": top["n"].to_numpy(),
         "est_count": est.astype(np.int64),
     })
+
+
+# ---------------------------------------------------------------------------
+# exact grouped quantiles over CONTINUOUS values (bit-bucket two-pass)
+# ---------------------------------------------------------------------------
+
+EVQ_QUANTILES = (0.25, 0.5, 0.9)
+_EVQ_SHIFT = np.uint64(44)       # keep the top 20 order-preserving bits
+
+
+def _ordered_bits(v: np.ndarray) -> np.ndarray:
+    """Order-preserving float64 -> uint64 (IEEE trick: flip all bits of
+    negatives, set the sign bit of non-negatives), so integer bucket
+    ranges ARE value ranges and a histogram can range-partition doubles
+    without sampling."""
+    b = v.astype(np.float64).view(np.uint64)
+    neg = (b >> np.uint64(63)).astype(bool)
+    return np.where(neg, ~b, b | np.uint64(1 << 63))
+
+
+def q_value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact per-event_type quantiles of the continuous `value` column
+    (rank = floor(q*(n-1)), DuckDB quantile_disc semantics).  The
+    value-counting quantile trick (q_order_price_quantiles) needs
+    discrete values; this is the continuous-domain analogue:
+
+      pass 1: histogram on the top 20 ORDER-PRESERVING bits of the
+              float (one streaming pre-agg, sparse (type, bucket)
+              cells to a small Ray aggregate)
+      driver: per-type prefix sums locate, for each target rank, the
+              one bucket holding it (+ its in-bucket offset)
+      pass 2: ONLY the located buckets' rows (a broadcast set of
+              <= types x quantiles cells) shuffle to their group task,
+              which sorts ~n/2^20 rows and picks the offsets
+
+    No sampling, no full sort, two passes; a pathological value
+    distribution concentrating mass in one bucket degrades the pass-2
+    sort to that bucket's size — the documented knob is _EVQ_SHIFT
+    (more bits = smaller buckets = bigger pass-1 histogram)."""
+    from .joins import rename_agg
+
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        vb = (_ordered_bits(v) >> _EVQ_SHIFT).astype(np.int64)
+        g = pa.table({"event_type": t["event_type"],
+                      "vb": pa.array(vb, pa.int64()),
+                      "cnt": pa.array(np.ones(len(vb), np.int64))}) \
+            .group_by(["event_type", "vb"]).aggregate([("cnt", "sum")])
+        return rename_agg(g, {"cnt_sum": "cnt"}, ["event_type", "vb", "cnt"])
+
+    hist = ev.map_batches(hist_partial, batch_format="pyarrow",
+                          batch_size=65536) \
+        .groupby(["event_type", "vb"]).aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas()
+    hist["cnt"] = hist["cnt"].astype("int64")
+    hist = hist.sort_values(["event_type", "vb"]).reset_index(drop=True)
+
+    # driver: locate each target rank's bucket + in-bucket offset
+    need: dict[tuple[str, int], list[tuple[float, int]]] = {}
+    for etype, g in hist.groupby("event_type", sort=True):
+        n = int(g["cnt"].sum())
+        cum = g["cnt"].cumsum().to_numpy()
+        vbs = g["vb"].to_numpy()
+        for q in EVQ_QUANTILES:
+            rk = int(np.floor(q * (n - 1)))
+            i = int(np.searchsorted(cum, rk, side="right"))
+            before = int(cum[i - 1]) if i else 0
+            need.setdefault((etype, int(vbs[i])), []).append(
+                (q, rk - before))
+
+    need_keys = pa.array([f"{t}\x00{b}" for t, b in sorted(need)],
+                         pa.string())
+
+    def pick_rows(t: pa.Table) -> pa.Table:
+        v = t.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        vb = (_ordered_bits(v) >> _EVQ_SHIFT).astype(np.int64)
+        key = pc.binary_join_element_wise(
+            t["event_type"].cast(pa.string()),
+            pa.array(vb.astype("U"), pa.string()), "\x00")
+        keep = pc.is_in(key, value_set=need_keys)
+        return pa.table({"key": key, "value": t["value"]}).filter(keep)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        key = g.column("key")[0].as_py()
+        etype, vb = key.rsplit("\x00", 1)
+        v = np.sort(g.column("value").combine_chunks()
+                    .to_numpy(zero_copy_only=False))
+        qs, vals = [], []
+        for q, off in need[(etype, int(vb))]:
+            qs.append(q)
+            vals.append(v[off])
+        return pa.table({
+            "event_type": pa.array([etype] * len(qs), pa.string()),
+            "quantile": pa.array(qs, pa.float64()),
+            "value": pa.array(vals, pa.float64())})
+
+    out = ev.map_batches(pick_rows, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("key").map_groups(per_bucket, batch_format="pyarrow") \
+        .to_pandas()
+    return out.sort_values(["event_type", "quantile"]).reset_index(drop=True)
