@@ -551,6 +551,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cms_heavy_hitters": relational.q_cms_heavy_hitters,
         "q_value_quantiles_by_type":
             relational.q_value_quantiles_by_type,
+        "q_hopping_window_counts":
+            relational.q_hopping_window_counts,
+        "q_user_mode_event": relational.q_user_mode_event,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
@@ -1656,6 +1659,28 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN qs
               ON r.rk = CAST(floor(CAST(q AS DOUBLE) * (r.n - 1)) AS BIGINT)
             ORDER BY event_type, quantile
+        """,
+        "q_hopping_window_counts": f"""
+            WITH hops AS (
+                SELECT (CAST(floor(epoch_us(ts) / {relational.HOP_US})
+                             AS BIGINT) - j) * {relational.HOP_US}
+                           AS wstart_us
+                FROM events, unnest(range(0,
+                    {relational.HOP_WINDOW_US // relational.HOP_US}))
+                    AS t(j))
+            SELECT wstart_us, CAST(count(*) AS BIGINT) AS n_events
+            FROM hops GROUP BY wstart_us ORDER BY wstart_us
+        """,
+        "q_user_mode_event": """
+            WITH c AS (
+                SELECT user_id, event_type,
+                       CAST(count(*) AS BIGINT) AS n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC,
+                                                   event_type) AS rn
+                FROM events GROUP BY user_id, event_type)
+            SELECT user_id, event_type AS mode_event_type, n
+            FROM c WHERE rn = 1 ORDER BY user_id
         """,
         "q8_market_share": f"""
             WITH rev AS (

@@ -3602,3 +3602,83 @@ def q_value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
         .groupby("key").map_groups(per_bucket, batch_format="pyarrow") \
         .to_pandas()
     return out.sort_values(["event_type", "quantile"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# hopping (sliding) window counts + per-group mode
+# ---------------------------------------------------------------------------
+
+HOP_US = 1_800_000_000       # 30-minute hop
+HOP_WINDOW_US = 3_600_000_000  # 1-hour window (2 hops per window)
+
+
+def q_hopping_window_counts(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window event counts: 1-hour windows hopping every 30
+    minutes, so each event belongs to exactly window_us/hop_us = 2
+    windows.  The fan-out is VECTORIZED (np.repeat of the batch's hop
+    indices, never a per-row flat_map), each batch pre-aggregates its
+    (window, count) cells, and the global merge is a tiny Ray groupby
+    over at most time_span/hop windows — the streaming hopping-window
+    shape where no event row ever reaches the exchange."""
+    from .joins import rename_agg
+
+    ev = _rp(sf_dir, "events", ["ts"])
+    fan = HOP_WINDOW_US // HOP_US  # windows covering each event
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        g = us // HOP_US
+        # windows [w, w+window) with w = (g - j) * hop, j in [0, fan)
+        starts = ((np.repeat(g, fan)
+                   - np.tile(np.arange(fan, dtype=np.int64), len(g)))
+                  * HOP_US)
+        tbl = pa.table({"wstart_us": pa.array(starts, pa.int64()),
+                        "n": pa.array(np.ones(len(starts), np.int64))})
+        out = tbl.group_by("wstart_us").aggregate([("n", "sum")])
+        return rename_agg(out, {"n_sum": "n"}, ["wstart_us", "n"])
+
+    out = ev.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("wstart_us").aggregate(Sum("n", alias_name="n_events")) \
+        .to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("wstart_us").reset_index(drop=True)
+
+
+def q_user_mode_event(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Per-user modal event type (ties → lexicographically smallest
+    type): per-batch (user, type) partial counts, ONE user-bucketed
+    shuffle, per-bucket final counts + vectorized argmax (sort by
+    count desc / type asc, hash-'first' per user) — the grouped-mode
+    shape with no per-user Python call."""
+    from .joins import _bucket_of, rename_agg
+
+    ev = _rp(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]) \
+            .aggregate([("user_id", "count")])
+        g = rename_agg(g, {"user_id_count": "n"},
+                       ["user_id", "event_type", "n"])
+        return g.append_column("__bk", _bucket_of(g["user_id"], n_buckets))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        f = g.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        f = rename_agg(f, {"n_sum": "n"}, ["user_id", "event_type", "n"])
+        order = pc.sort_indices(f, sort_keys=[
+            ("user_id", "ascending"), ("n", "descending"),
+            ("event_type", "ascending")])
+        f = f.take(order)
+        out = f.group_by("user_id").aggregate(
+            [("event_type", "first"), ("n", "first")])
+        return rename_agg(out, {"event_type_first": "mode_event_type",
+                                "n_first": "n"},
+                          ["user_id", "mode_event_type", "n"])
+
+    out = ev.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("__bk").map_groups(
+            lambda g: per_bucket(g.drop_columns(["__bk"])),
+            batch_format="pyarrow").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
