@@ -554,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping_window_counts":
             relational.q_hopping_window_counts,
         "q_user_mode_event": relational.q_user_mode_event,
+        "q_hll_distinct": relational.q_hll_distinct,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
@@ -1681,6 +1682,42 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY user_id, event_type)
             SELECT user_id, event_type AS mode_event_type, n
             FROM c WHERE rn = 1 ORDER BY user_id
+        """,
+        "q_hll_distinct": f"""
+            WITH h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                       1, 16))::UBIGINT AS h
+                FROM events),
+            r AS (
+                SELECT event_type,
+                       CAST(h >> {64 - relational.HLL_P} AS BIGINT) AS idx,
+                       CASE WHEN (h & {(1 << (64 - relational.HLL_P)) - 1}
+                                      ::UBIGINT) = 0
+                            THEN {64 - relational.HLL_P + 1}
+                            ELSE {64 - relational.HLL_P + 1}
+                                 - length(bin(
+                                     (h & {(1 << (64 - relational.HLL_P))
+                                           - 1}::UBIGINT)::BIGINT))
+                       END AS rank
+                FROM h),
+            m AS (
+                SELECT event_type, idx, CAST(max(rank) AS BIGINT) AS mj
+                FROM r GROUP BY event_type, idx),
+            z AS (
+                SELECT event_type,
+                       CAST({relational.HLL_M} - count(*) AS BIGINT)
+                           AS n_zero_registers,
+                       SUM((1::UBIGINT << (64 - mj))::HUGEINT)
+                         + ({relational.HLL_M} - count(*))
+                             * 18446744073709551616::HUGEINT AS zs
+                FROM m GROUP BY event_type)
+            SELECT event_type, n_zero_registers,
+                   CAST(zs AS DOUBLE) AS z_scaled,
+                   {relational.HLL_ALPHA!r}
+                     * (CAST({relational._HLL_M2_64} AS DOUBLE)
+                          / CAST(zs AS DOUBLE)) AS est_hll
+            FROM z ORDER BY event_type
         """,
         "q8_market_share": f"""
             WITH rev AS (

@@ -3682,3 +3682,85 @@ def q_user_mode_event(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
             batch_format="pyarrow").to_pandas()
     out["n"] = out["n"].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (exact-integer registers, bit-exact oracle)
+# ---------------------------------------------------------------------------
+
+HLL_P = 10
+HLL_M = 1 << HLL_P                  # 1024 registers
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_HLL_WBITS = 64 - HLL_P             # 54-bit rank word
+_HLL_M2_64 = HLL_M * HLL_M * (1 << 64)  # exact int for the estimate
+
+
+def _bit_length64(w: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (propagate-highest-bit, then
+    popcount via byte LUT — numpy 1.x has no bitwise_count)."""
+    x = w.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(s)
+    b = x.view(np.uint8).reshape(len(x), 8)
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(axis=1)
+    return lut[b].sum(axis=1).astype(np.int64)
+
+
+def q_hll_distinct(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog per event_type with a BIT-EXACT oracle — the usual
+    objection to oracling HLL (q_kmv_distinct's docstring) is the
+    float harmonic mean; here the register sum Z = sum 2^-M_j is kept
+    as the EXACT integer sum 2^(64-M_j) (every term is dyadic, the sum
+    fits int128), so the estimate alpha*m^2/Z is ONE fixed float
+    expression over exact integers and DuckDB reproduces it bit for
+    bit.  Distributed shape: per-batch register partials (<= types x
+    1024 rows), merged by an idempotent groupby-max — the textbook
+    mergeable sketch; no distinct-key exchange ever happens.  The raw
+    estimate is reported uncorrected (no small-range linear counting —
+    that branch needs ln(); documented, not hidden)."""
+    import hashlib
+
+    ev = _rp(sf_dir, "events", ["event_type", "user_id"])
+
+    def registers(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        out_t, out_i, out_r = [], [], []
+        for ty in np.unique(et):
+            uids = np.unique(uid[et == ty])
+            hs = np.array(
+                [int.from_bytes(
+                    hashlib.md5(str(int(u)).encode()).digest()[:8], "big")
+                 for u in uids], dtype=np.uint64)
+            idx = (hs >> np.uint64(_HLL_WBITS)).astype(np.int64)
+            w = hs & np.uint64((1 << _HLL_WBITS) - 1)
+            rank = np.where(w > 0,
+                            _HLL_WBITS + 1 - _bit_length64(w),
+                            _HLL_WBITS + 1).astype(np.int64)
+            # batch-local register max (partial sketch)
+            g = pa.table({"idx": idx, "rank": rank}) \
+                .group_by("idx").aggregate([("rank", "max")])
+            out_t.extend([str(ty)] * g.num_rows)
+            out_i.extend(g.column("idx").to_pylist())
+            out_r.extend(g.column("rank_max").to_pylist())
+        return pa.table({"event_type": pa.array(out_t, pa.string()),
+                         "idx": pa.array(out_i, pa.int64()),
+                         "rank": pa.array(out_r, pa.int64())})
+
+    regs = ev.map_batches(registers, batch_format="pyarrow",
+                          batch_size=65536) \
+        .groupby(["event_type", "idx"]) \
+        .aggregate(Max("rank", alias_name="mj")).to_pandas()
+
+    rows = []
+    for ty, g in regs.groupby("event_type", sort=True):
+        mj = g["mj"].to_numpy().astype(np.int64)
+        vzero = HLL_M - len(mj)
+        zs = int(sum(1 << (64 - int(m)) for m in mj)) \
+            + vzero * (1 << 64)
+        est = HLL_ALPHA * (float(_HLL_M2_64) / float(zs))
+        rows.append((ty, int(vzero), float(zs), est))
+    out = pd.DataFrame(rows, columns=["event_type", "n_zero_registers",
+                                      "z_scaled", "est_hll"])
+    return out.sort_values("event_type").reset_index(drop=True)
