@@ -574,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_lang_mix_sample": text.t_lang_mix_sample,
         "t_sequence_pack": text.t_sequence_pack,
         "t_dsir_importance": text.t_dsir_importance,
+        "x_dsir_select": text.x_dsir_select,
         # dedup
         "d_exact_dedup": dedup.d_exact_dedup,
         "d_dedup_keep_longest": dedup.d_dedup_keep_longest,
@@ -1718,6 +1719,54 @@ def oracle_sql() -> dict[str, str]:
                      * (CAST({relational._HLL_M2_64} AS DOUBLE)
                           / CAST(zs AS DOUBLE)) AS est_hll
             FROM z ORDER BY event_type
+        """,
+        "x_dsir_select": f"""
+            WITH words AS (
+                SELECT doc_id, lang,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            bg AS MATERIALIZED (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]),
+                                       1, 16))::UBIGINT
+                           % {text.DSIR_BUCKETS} AS b
+                FROM words, unnest(range(1, len(ws))) AS t(i)
+                WHERE len(ws) >= 2),
+            cnt AS (
+                SELECT b, CAST(count(*) AS BIGINT) AS rcnt,
+                       CAST(count(*) FILTER (
+                           WHERE lang = '{text.DSIR_TARGET_LANG}')
+                            AS BIGINT) AS tcnt
+                FROM bg GROUP BY b),
+            tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS rtot,
+                       CAST(count(*) FILTER (
+                           WHERE lang = '{text.DSIR_TARGET_LANG}')
+                            AS BIGINT) AS ttot
+                FROM bg),
+            occ AS (
+                SELECT doc_id, b, CAST(count(*) AS BIGINT) AS occ
+                FROM bg GROUP BY doc_id, b),
+            sc AS (
+                SELECT o.doc_id,
+                       (CAST(SUM(o.occ * (c.tcnt + 1)) AS DOUBLE)
+                          * CAST(t.rtot + {text.DSIR_BUCKETS} AS DOUBLE))
+                         / (CAST(SUM(o.occ * (c.rcnt + 1)) AS DOUBLE)
+                              * CAST(t.ttot + {text.DSIR_BUCKETS}
+                                     AS DOUBLE)) AS importance
+                FROM occ o JOIN cnt c USING (b) CROSS JOIN tot t
+                GROUP BY o.doc_id, t.rtot, t.ttot),
+            rk AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY importance DESC,
+                                          doc_id) AS rn,
+                       count(*) OVER () AS n
+                FROM sc)
+            SELECT d.lang, CAST(count(*) AS BIGINT) AS n_selected
+            FROM rk r JOIN documents d USING (doc_id)
+            WHERE r.rn <= CAST(ceil(CAST(r.n AS DOUBLE)
+                               / {text.DSIR_KEEP_FRAC}) AS BIGINT)
+            GROUP BY d.lang ORDER BY d.lang
         """,
         "q8_market_share": f"""
             WITH rev AS (

@@ -1004,3 +1004,30 @@ def t_dsir_importance(sf_dir: str, n_shuffle: int = 256) -> pd.DataFrame:
     out = out.drop(columns=["lang"])
     return out.sort_values("doc_id").reset_index(drop=True) \
         [["doc_id", "n_occ", "tmass", "rmass", "importance"]]
+
+
+DSIR_KEEP_FRAC = 4   # keep the top 1/4 by importance
+
+
+def x_dsir_select(sf_dir: str) -> pd.DataFrame:
+    """End-to-end DSIR selection: score every document with
+    t_dsir_importance, keep the top 1/DSIR_KEEP_FRAC by importance
+    (ties → smallest doc_id), and report the selected per-language mix —
+    the visible effect of importance resampling is the target language's
+    share rising versus the raw corpus.  The per-doc frame is already a
+    driver-side result (the t_* contract); at corpus scale the selection
+    becomes a distributed rank threshold (q_value_quantiles_by_type's
+    bit-bucket pass over the importance column) followed by a filter —
+    same semantics, no driver sort."""
+    scores = t_dsir_importance(sf_dir)
+    n = len(scores)
+    k = -(-n // DSIR_KEEP_FRAC)  # ceil
+    top = scores.sort_values(["importance", "doc_id"],
+                             ascending=[False, True]).head(k)
+    langs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"]).to_pandas()
+    sel = top.merge(langs, on="doc_id", how="left")
+    out = sel.groupby("lang", as_index=False).agg(
+        n_selected=("doc_id", "count"))
+    out["n_selected"] = out["n_selected"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
