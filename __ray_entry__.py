@@ -555,6 +555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.q_hopping_window_counts,
         "q_user_mode_event": relational.q_user_mode_event,
         "q_hll_distinct": relational.q_hll_distinct,
+        "q_key_skew_profile": relational.q_key_skew_profile,
+        "t_column_profile": relational.t_column_profile,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
         "t_token_stats": text.t_token_stats,
@@ -1767,6 +1769,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE r.rn <= CAST(ceil(CAST(r.n AS DOUBLE)
                                / {text.DSIR_KEEP_FRAC}) AS BIGINT)
             GROUP BY d.lang ORDER BY d.lang
+        """,
+        "q_key_skew_profile": f"""
+            WITH c AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY user_id),
+            t AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                       CAST(sum(n) AS BIGINT) AS n_rows,
+                       CAST(max(n) AS BIGINT) AS max_per_key
+                FROM c),
+            r AS (
+                SELECT n, row_number() OVER (ORDER BY n DESC, user_id)
+                           AS rn
+                FROM c)
+            SELECT t.n_keys, t.n_rows, t.max_per_key,
+                   CAST(t.max_per_key AS DOUBLE)
+                     / CAST(t.n_rows AS DOUBLE) AS top1_share,
+                   CAST((SELECT sum(n) FROM r
+                         WHERE rn <= {relational.SKEW_TOP_N}) AS DOUBLE)
+                     / CAST(t.n_rows AS DOUBLE) AS topn_share
+            FROM t
+        """,
+        "t_column_profile": """
+            SELECT 'lang' AS "column",
+                   CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT)
+                       AS n_nulls,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct,
+                   CAST(min(lang) AS VARCHAR) AS min_val,
+                   CAST(max(lang) AS VARCHAR) AS max_val
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars',
+                   CAST(count(*) FILTER (WHERE n_chars IS NULL) AS BIGINT),
+                   CAST(count(DISTINCT n_chars) AS BIGINT),
+                   CAST(min(n_chars) AS VARCHAR),
+                   CAST(max(n_chars) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source',
+                   CAST(count(*) FILTER (WHERE source IS NULL) AS BIGINT),
+                   CAST(count(DISTINCT source) AS BIGINT),
+                   CAST(min(source) AS VARCHAR),
+                   CAST(max(source) AS VARCHAR)
+            FROM documents
+            ORDER BY "column"
         """,
         "q8_market_share": f"""
             WITH rev AS (

@@ -3764,3 +3764,92 @@ def q_hll_distinct(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["event_type", "n_zero_registers",
                                       "z_scaled", "est_hll"])
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# data profiling: key-skew profile + column profile
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_N = 10
+
+
+def q_key_skew_profile(sf_dir: str) -> pd.DataFrame:
+    """Skew diagnostics for the events.user_id key — the numbers that
+    decide salting/bucketing choices before a big join: distinct keys,
+    total rows, max per-key count, and the row share of the top-1 /
+    top-SKEW_TOP_N keys.  One combiner pass (batch-local counts) + a
+    |keys|-bounded groupby; shares are single float divisions of exact
+    int64 sums so the oracle matches bit-for-bit."""
+    from .joins import rename_agg
+
+    ev = _rp(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("user_id", "count")])
+        return rename_agg(g, {"user_id_count": "n"}, ["user_id", "n"])
+
+    counts = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("n", alias_name="n")).to_pandas()
+    counts["n"] = counts["n"].astype("int64")
+    counts = counts.sort_values(["n", "user_id"],
+                                ascending=[False, True])
+    total = int(counts["n"].sum())
+    top1 = int(counts["n"].iloc[0]) if len(counts) else 0
+    topn = int(counts["n"].head(SKEW_TOP_N).sum())
+    return pd.DataFrame({
+        "n_keys": [len(counts)],
+        "n_rows": [total],
+        "max_per_key": [top1],
+        "top1_share": [np.float64(top1) / np.float64(total)],
+        "topn_share": [np.float64(topn) / np.float64(total)],
+    }).astype({"n_keys": "int64", "n_rows": "int64",
+               "max_per_key": "int64"})
+
+
+PROFILE_COLUMNS = ("lang", "source", "n_chars")
+
+
+def t_column_profile(sf_dir: str) -> pd.DataFrame:
+    """Schema profiler over documents: per column null count, distinct
+    count, min/max (rendered as strings so one schema fits all column
+    types) — the pre-flight data-quality pass a pipeline runs before
+    committing to a layout.  Distinct counts use batch-local dedupe
+    partials + one bounded groupby per column (never a row-level
+    distinct exchange); numeric min/max ride the same partials."""
+    from .joins import rename_agg
+
+    cols = list(PROFILE_COLUMNS)
+    ds = _rp(sf_dir, "documents", cols)
+
+    _NULLS = "\x00nulls"  # sentinel row carrying the batch null count
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, vals, nulls = [], [], []
+        if t.num_rows:
+            for c in cols:
+                arr = t.column(c).combine_chunks()
+                uniq = pc.unique(arr).drop_null()
+                su = pc.cast(uniq, pa.string()).to_pylist()
+                names.extend([c] * len(su) + [c])
+                vals.extend(su + [_NULLS])
+                nulls.extend([0] * len(su) + [arr.null_count])
+        return pa.table({"col": pa.array(names, pa.string()),
+                         "val": pa.array(vals, pa.string()),
+                         "nulls": pa.array(nulls, pa.int64())})
+
+    cells = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["col", "val"]).aggregate(Sum("nulls", alias_name="nulls")) \
+        .to_pandas()
+    rows = []
+    for c, g in cells.groupby("col", sort=True):
+        n_nulls = int(g.loc[g["val"] == "\x00nulls", "nulls"].sum())
+        vals = g.loc[g["val"] != "\x00nulls", "val"]
+        if c == "n_chars":  # numeric: compare as numbers, render as str
+            nums = vals.astype("int64")
+            mn, mx = str(int(nums.min())), str(int(nums.max()))
+        else:
+            mn, mx = str(vals.min()), str(vals.max())
+        rows.append((c, n_nulls, int(vals.nunique()), mn, mx))
+    return pd.DataFrame(rows, columns=["column", "n_nulls", "n_distinct",
+                                       "min_val", "max_val"])
