@@ -604,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph compute (rows-only: float iteration order;
         # locked against the naive reference in pytest)
         "g_pagerank_copurchase": graph.g_pagerank_copurchase,
+        "g_triangle_count": graph.g_triangle_count,
         # extraction (flagship; north-rule pipeline)
         "x_extract_corpus": _extract_corpus,
         "x_extract_media": _extract_media,
@@ -1814,6 +1815,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(source) AS VARCHAR)
             FROM documents
             ORDER BY "column"
+        """,
+        "g_triangle_count": """
+            WITH pr AS (
+                SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lineitem a
+                JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey),
+            nodes AS (
+                SELECT pa AS n FROM pr UNION SELECT pb FROM pr)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM pr e1
+                    JOIN pr e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+                    JOIN pr e3 ON e3.pa = e1.pb AND e3.pb = e2.pb)
+                       AS n_triangles
         """,
         "q8_market_share": f"""
             WITH rev AS (

@@ -1684,3 +1684,19 @@ def test_semdedup_planted_pair_collapses(ray_session, planted_embeddings_dir):
     for ref, grp in out.groupby("keep_ref"):
         assert (grp["vec_id"] == ref).any()
         assert grp["keep"].sum() == 1
+
+
+def test_triangle_count_cogroup_path_matches_broadcast(ray_session,
+                                                       monkeypatch):
+    """Forcing the degree-attach cogroup path (broadcast gate at 0) must
+    reproduce the broadcast orientation exactly."""
+    import pandas as pd
+
+    from pdf_parse_new_ray.functions import graph
+
+    sf = "/root/testdata/sf0.001"
+    base = graph.g_triangle_count(sf)
+    monkeypatch.setattr(graph, "TRIANGLE_BROADCAST_NODES", 0)
+    forced = graph.g_triangle_count(sf)
+    pd.testing.assert_frame_equal(base, forced)
+    assert int(base["n_triangles"].iloc[0]) > 0  # non-trivial input
