@@ -597,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_knn_pq": ann.e_knn_pq,
         "e_kmeans_train": ann.e_kmeans_train,
         "d_semdedup": dedup.d_semdedup,
+        "x_neardup_keep_best": dedup.x_neardup_keep_best,
         "e_knn_ivf": ann.e_knn_ivf,
         "e_knn_filtered": ann.e_knn_filtered,
         "e_centroid_assign": ann.e_centroid_assign,
@@ -1831,6 +1832,33 @@ def oracle_sql() -> dict[str, str]:
                     JOIN pr e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
                     JOIN pr e3 ON e3.pa = e1.pb AND e3.pb = e2.pb)
                        AS n_triangles
+        """,
+        "x_neardup_keep_best": f"""
+            WITH RECURSIVE {dedup.oracle_ctes(0.5)},
+            edges AS MATERIALIZED (
+                SELECT a AS u, b AS v FROM minhash_pairs
+                UNION ALL SELECT b, a FROM minhash_pairs),
+            reach(doc_id, r) AS (
+                SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT e.u, re.r FROM edges e
+                JOIN reach re ON re.doc_id = e.v),
+            clus AS (
+                SELECT doc_id, min(r) AS cluster
+                FROM reach GROUP BY doc_id),
+            allc AS (
+                SELECT d.doc_id,
+                       COALESCE(c.cluster, d.doc_id) AS cluster
+                FROM documents d LEFT JOIN clus c USING (doc_id)),
+            ranked AS (
+                SELECT a.doc_id,
+                       row_number() OVER (PARTITION BY a.cluster
+                                          ORDER BY d.n_chars DESC,
+                                                   a.doc_id) AS rn
+                FROM allc a JOIN documents d USING (doc_id))
+            SELECT d.lang, CAST(count(*) AS BIGINT) AS n_survivors
+            FROM ranked r JOIN documents d USING (doc_id)
+            WHERE r.rn = 1 GROUP BY d.lang ORDER BY d.lang
         """,
         "q8_market_share": f"""
             WITH rev AS (

@@ -1346,3 +1346,63 @@ def d_semdedup(sf_dir: str, eps: float = SEMDEDUP_EPS,
                     batch_format="pyarrow", concurrency=(1, 8)) \
         .to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def x_neardup_keep_best(sf_dir: str, threshold: float = 0.5,
+                        n_buckets: int = 256) -> pd.DataFrame:
+    """End-to-end near-dup curation: MinHash pair edges → connected-
+    component clusters (d_dup_clusters) → keep the LONGEST document per
+    cluster (ties → smallest doc_id; singletons survive by definition)
+    → per-language survivor counts.  The whole chain is value-oracled:
+    the SQL mirror rebuilds the identical clusters with the recursive
+    min-label CTE over the bit-exact MinHash edges, so even the
+    survivor CHOICE matches, not just the counts.
+
+    Scale shape: the cluster map covers only documents that appear in a
+    duplicate pair (a small fraction of any real corpus), broadcast via
+    ray.put; survivors fold per cluster inside ONE doc-bucketed shuffle
+    (sort + hash-'first', the d_dedup_keep_longest argmax), and the
+    per-lang counts pre-aggregate per bucket before the driver merge."""
+    import ray
+
+    from .joins import _bucket_of, rename_agg
+
+    clus = d_dup_clusters(sf_dir, threshold=threshold)
+    cmap_ids = pa.array(clus["doc_id"].to_numpy(), pa.int64())
+    cmap_cl = pa.array(clus["cluster"].to_numpy(), pa.int64())
+    ref = ray.put((cmap_ids, cmap_cl))
+
+    class AssignCluster:
+        def __init__(self, ref):
+            self.ids, self.cl = (ray.get(ref)
+                                 if isinstance(ref, ray.ObjectRef) else ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t["doc_id"], value_set=self.ids)
+            cl = pc.if_else(pc.is_valid(idx),
+                            pc.take(self.cl, idx), t["doc_id"])
+            out = pa.table({"doc_id": t["doc_id"], "cluster": cl,
+                            "n_chars": t["n_chars"], "lang": t["lang"]})
+            return out.append_column("__bk", _bucket_of(cl, n_buckets))
+
+    def survivors(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[
+            ("cluster", "ascending"), ("n_chars", "descending"),
+            ("doc_id", "ascending")])
+        g = g.take(order)
+        win = g.group_by("cluster").aggregate([("lang", "first")])
+        out = win.group_by("lang_first").aggregate([("lang_first", "count")])
+        return rename_agg(out, {"lang_first": "lang",
+                                "lang_first_count": "n"}, ["lang", "n"])
+
+    out = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "n_chars", "lang"]) \
+        .map_batches(AssignCluster, fn_constructor_kwargs={"ref": ref},
+                     batch_format="pyarrow", concurrency=(1, 8)) \
+        .groupby("__bk").map_groups(
+            lambda g: survivors(g.drop_columns(["__bk"])),
+            batch_format="pyarrow").to_pandas()
+    out = out.groupby("lang", as_index=False).agg(
+        n_survivors=("n", "sum"))
+    out["n_survivors"] = out["n_survivors"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
