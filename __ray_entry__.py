@@ -577,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_sequence_pack": text.t_sequence_pack,
         "t_dsir_importance": text.t_dsir_importance,
         "x_dsir_select": text.x_dsir_select,
+        "t_lm_perplexity_buckets": text.t_lm_perplexity_buckets,
         # dedup
         "d_exact_dedup": dedup.d_exact_dedup,
         "d_dedup_keep_longest": dedup.d_dedup_keep_longest,
@@ -596,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_knn_lsh": ann.e_knn_lsh,
         "e_knn_pq": ann.e_knn_pq,
         "e_kmeans_train": ann.e_kmeans_train,
+        "e_pca_power_iteration": ann.e_pca_power_iteration,
         "d_semdedup": dedup.d_semdedup,
         "x_neardup_keep_best": dedup.x_neardup_keep_best,
         "e_knn_ivf": ann.e_knn_ivf,
@@ -1859,6 +1861,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, CAST(count(*) AS BIGINT) AS n_survivors
             FROM ranked r JOIN documents d USING (doc_id)
             WHERE r.rn = 1 GROUP BY d.lang ORDER BY d.lang
+        """,
+        "t_lm_perplexity_buckets": """
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents
+            ), bg AS MATERIALIZED (
+                SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+                FROM words, unnest(range(1, len(ws))) AS t(i)
+                WHERE len(ws) >= 2
+            ), cnt AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS c
+                FROM bg GROUP BY g
+            ), sc AS (
+                SELECT b.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_bigrams,
+                       CAST(sum(c.c) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE) AS score
+                FROM bg b JOIN cnt c USING (g)
+                GROUP BY b.doc_id
+            ), rk AS (
+                SELECT doc_id, n_bigrams,
+                       row_number() OVER (ORDER BY score DESC, doc_id)
+                           AS rn,
+                       count(*) OVER () AS n
+                FROM sc)
+            SELECT CASE WHEN rn <= CAST(ceil(n / 3.0) AS BIGINT)
+                        THEN 'head'
+                        WHEN rn <= CAST(ceil(2 * n / 3.0) AS BIGINT)
+                        THEN 'middle' ELSE 'tail' END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams
+            FROM rk GROUP BY 1 ORDER BY 1
         """,
         "q8_market_share": f"""
             WITH rev AS (

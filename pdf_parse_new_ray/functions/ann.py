@@ -788,3 +788,99 @@ def e_kmeans_train(sf_dir: str, k: int = KMEANS_K,
         "size": counts,
         "inertia": np.round(inertia, 6),
     })
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA: top principal component via power iteration
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 20
+
+
+class _PcaPartial:
+    """One power-iteration half-step per batch: emit the d-vector
+    partial (X - mean)^T ((X - mean) @ v) plus the batch's Rayleigh
+    numerator — (mean, v) broadcast once per iteration via ray.put."""
+
+    def __init__(self, state_ref):
+        self.mean, self.v = (ray.get(state_ref)
+                             if isinstance(state_ref, ray.ObjectRef)
+                             else state_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.binary()),
+                             "num": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        x = emb_matrix(t) - self.mean
+        proj = x @ self.v
+        return pa.table({
+            "s": pa.array([(x.T @ proj).tobytes()], pa.binary()),
+            "num": pa.array([float(proj @ proj)], pa.float64()),
+            "n": pa.array([t.num_rows], pa.int64()),
+        })
+
+
+def e_pca_power_iteration(sf_dir: str,
+                          n_iters: int = PCA_ITERS) -> pd.DataFrame:
+    """Top principal component of the embedding table by DISTRIBUTED
+    power iteration: the mean and the current direction broadcast per
+    iteration (two d-vectors), each batch contributes the d-vector
+    partial (X-mean)^T (X-mean) v — the covariance is NEVER formed and
+    no pass stores more than O(d) per batch.  Partials merge in
+    content-sorted order (the e_kmeans_train determinism recipe).
+    Returns one row per component weight plus the Rayleigh-quotient
+    eigenvalue estimate; sign convention: the largest-|w| component is
+    positive.  pytest locks it against a single-process power
+    iteration on the same init, and against numpy's dominant
+    eigenvector up to tolerance."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["embedding"]).slice(0, 1)
+    d = len(t.column("embedding")[0])
+
+    # pass 0: mean vector (content-sorted float64 partial merge)
+    def mean_partial(tt: pa.Table) -> pa.Table:
+        if tt.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.binary()),
+                             "n": pa.array([], pa.int64())})
+        m = emb_matrix(tt)
+        return pa.table({"s": pa.array([m.sum(axis=0).tobytes()],
+                                       pa.binary()),
+                         "n": pa.array([tt.num_rows], pa.int64())})
+
+    parts = _emb(sf_dir, ["embedding"]).map_batches(
+        mean_partial, batch_format="pyarrow", batch_size=4096).take_all()
+    parts.sort(key=lambda r: r["s"])
+    total = np.zeros(d)
+    n_rows = 0
+    for r in parts:
+        total += np.frombuffer(r["s"], np.float64)
+        n_rows += r["n"]
+    mean = total / n_rows
+
+    v = np.zeros(d)
+    v[0] = 1.0  # deterministic init
+    eig = 0.0
+    for _ in range(n_iters):
+        ref = ray.put((mean, v))
+        parts = _emb(sf_dir, ["embedding"]).map_batches(
+            _PcaPartial, fn_constructor_kwargs={"state_ref": ref},
+            batch_format="pyarrow", batch_size=4096,
+            concurrency=(1, 8)).take_all()
+        parts.sort(key=lambda r: r["s"])
+        s = np.zeros(d)
+        num = 0.0
+        for r in parts:
+            s += np.frombuffer(r["s"], np.float64)
+            num += r["num"]
+        eig = num / n_rows          # Rayleigh numerator with unit v
+        v = s / np.linalg.norm(s)
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    return pd.DataFrame({
+        "component": np.arange(d, dtype=np.int64),
+        "weight": np.round(v, 9),
+        "eigenvalue": np.round(np.full(d, eig), 9),
+    })

@@ -1031,3 +1031,35 @@ def x_dsir_select(sf_dir: str) -> pd.DataFrame:
         n_selected=("doc_id", "count"))
     out["n_selected"] = out["n_selected"].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def t_lm_perplexity_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style corpus partition: rank documents by bigram-LM
+    fluency (mean corpus bigram frequency, t_bigram_lm_score's
+    integer-exact statistic) and cut into head / middle / tail
+    tertiles — the standard quality-stratification step before
+    sampling training data.  Ordering is the single float division
+    total_freq/n_bigrams (identical expression in the oracle) with
+    doc_id tie-break; boundaries at ceil(n/3) / ceil(2n/3).  The
+    per-doc frame is a driver-side result by the t_* contract; at
+    corpus scale the cut becomes a distributed rank threshold (the
+    bit-bucket pass of q_value_quantiles_by_type) over the score."""
+    scores = t_bigram_lm_score(sf_dir)
+    s = scores.copy()
+    s["score"] = s["total_freq"].to_numpy().astype(np.float64) \
+        / s["n_bigrams"].to_numpy().astype(np.float64)
+    s = s.sort_values(["score", "doc_id"],
+                      ascending=[False, True]).reset_index(drop=True)
+    n = len(s)
+    c1 = -(-n // 3)          # ceil(n/3)
+    c2 = -(-2 * n // 3)      # ceil(2n/3)
+    bucket = np.full(n, "tail", object)
+    bucket[:c2] = "middle"
+    bucket[:c1] = "head"
+    s["bucket"] = bucket
+    out = s.groupby("bucket", as_index=False).agg(
+        n_docs=("doc_id", "count"),
+        total_bigrams=("n_bigrams", "sum"))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_bigrams"] = out["total_bigrams"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)

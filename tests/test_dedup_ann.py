@@ -1700,3 +1700,43 @@ def test_triangle_count_cogroup_path_matches_broadcast(ray_session,
     forced = graph.g_triangle_count(sf)
     pd.testing.assert_frame_equal(base, forced)
     assert int(base["n_triangles"].iloc[0]) > 0  # non-trivial input
+
+
+def test_pca_power_iteration_matches_naive(ray_session):
+    """The distributed PCA partials must reproduce a single-process power
+    iteration on the same init, and converge toward numpy's dominant
+    eigenvector of the exact covariance."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import ann
+
+    sf = "/root/testdata/sf0.001"
+    out = ann.e_pca_power_iteration(sf)
+    w = out["weight"].to_numpy()
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    m = ann.emb_matrix(t)
+    mean = m.mean(axis=0)
+    x = m - mean
+    v = np.zeros(x.shape[1])
+    v[0] = 1.0
+    for _ in range(ann.PCA_ITERS):
+        s = x.T @ (x @ v)
+        eig = (x @ v) @ (x @ v) / len(x)
+        v = s / np.linalg.norm(s)
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    assert np.allclose(w, v, atol=1e-6)
+    assert abs(out["eigenvalue"].iloc[0] - eig) < 1e-6
+    # and against the exact dominant eigvec (same subspace, tolerance
+    # bounded by the eigengap after PCA_ITERS steps)
+    cov = x.T @ x / len(x)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    # synthetic embeddings have a small eigengap, so after PCA_ITERS
+    # steps assert convergence via the Rayleigh quotient (>=95% of the
+    # true top eigenvalue) plus substantial alignment
+    assert out["eigenvalue"].iloc[0] >= 0.95 * vals[-1]
+    assert abs(float(np.abs(top @ w))) > 0.9
