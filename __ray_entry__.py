@@ -556,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_mode_event": relational.q_user_mode_event,
         "q_hll_distinct": relational.q_hll_distinct,
         "q_key_skew_profile": relational.q_key_skew_profile,
+        "q_kmv_join_overlap": relational.q_kmv_join_overlap,
         "t_column_profile": relational.t_column_profile,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
@@ -1894,6 +1895,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams
             FROM rk GROUP BY 1 ORDER BY 1
+        """,
+        "q_kmv_join_overlap": f"""
+            WITH a AS (
+                SELECT DISTINCT o_orderkey AS k FROM orders
+                WHERE o_totalprice > {relational.BLOOM_PRICE_MIN}),
+            b AS (
+                SELECT DISTINCT l_orderkey AS k FROM lineitem
+                WHERE l_returnflag = 'R'),
+            ha AS (
+                SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 16))
+                           ::UBIGINT AS h
+                FROM a ORDER BY 1 LIMIT {relational.KMV_JOIN_K}),
+            hb AS (
+                SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 16))
+                           ::UBIGINT AS h
+                FROM b ORDER BY 1 LIMIT {relational.KMV_JOIN_K}),
+            un AS (
+                SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+                ORDER BY h LIMIT {relational.KMV_JOIN_K}),
+            stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS nu,
+                       max(h) AS hk,
+                       CAST(count(*) FILTER (
+                           WHERE h IN (SELECT h FROM ha)
+                             AND h IN (SELECT h FROM hb)) AS BIGINT)
+                           AS si
+                FROM un),
+            ex AS (
+                SELECT CAST(count(*) AS BIGINT) AS c
+                FROM a JOIN b USING (k))
+            SELECT s.nu AS n_union_sketch,
+                   s.si AS sketch_intersection,
+                   CAST(s.si AS DOUBLE) / CAST(s.nu AS DOUBLE)
+                       AS est_jaccard,
+                   (CAST(s.si AS DOUBLE) / CAST(s.nu AS DOUBLE))
+                     * (CASE WHEN s.nu < {relational.KMV_JOIN_K}
+                             THEN CAST(s.nu AS DOUBLE)
+                             ELSE ({relational.KMV_JOIN_K} - 1)
+                                  * 18446744073709551616.0
+                                  / CAST(s.hk AS DOUBLE) END)
+                       AS est_intersection,
+                   ex.c AS exact_intersection
+            FROM stats s, ex
         """,
         "q8_market_share": f"""
             WITH rev AS (

@@ -3853,3 +3853,100 @@ def t_column_profile(sf_dir: str) -> pd.DataFrame:
         rows.append((c, n_nulls, int(vals.nunique()), mn, mx))
     return pd.DataFrame(rows, columns=["column", "n_nulls", "n_distinct",
                                        "min_val", "max_val"])
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch intersection: join-size estimation without the join
+# ---------------------------------------------------------------------------
+
+KMV_JOIN_K = 128
+
+
+def q_kmv_join_overlap(sf_dir: str, k: int = KMV_JOIN_K,
+                       n_buckets: int = 64) -> pd.DataFrame:
+    """Join-cardinality estimation by SKETCH COMPOSITION: how many
+    distinct orderkeys do the high-value orders (o_totalprice >
+    BLOOM_PRICE_MIN) share with the returned lineitems (returnflag R)?
+    Two KMV sketches meet on the driver: est_jaccard = |A-sketch ∩
+    B-sketch ∩ union-K| / |union-K| and est_intersection = jaccard x
+    KMV-union-estimate — the planner-style answer that costs two
+    sketch passes instead of a key exchange.  The EXACT intersection
+    rides along on one key-bucketed shuffle (batch-local dedupe first)
+    for the honesty column.  Everything is md5-hash + exact-int
+    arithmetic with fixed float expression trees, so the DuckDB
+    oracle matches bit-for-bit."""
+    import hashlib
+
+    from .joins import _bucket_of, rename_agg
+
+    def _h64(keys: np.ndarray) -> np.ndarray:
+        return np.array(
+            [int.from_bytes(hashlib.md5(str(int(x)).encode())
+                            .digest()[:8], "big") for x in keys],
+            dtype=np.uint64)
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(lambda t: pa.table({"k": t.filter(
+            pc.greater(t["o_totalprice"], BLOOM_PRICE_MIN))["o_orderkey"]}),
+            batch_format="pyarrow")
+    returned = _rp(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]) \
+        .map_batches(lambda t: pa.table({"k": pc.unique(
+            t.filter(pc.equal(t["l_returnflag"], "R"))["l_orderkey"]
+            .combine_chunks())}), batch_format="pyarrow")
+
+    def sketch(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = np.unique(t.column("k").to_numpy(zero_copy_only=False))
+            hs = np.sort(_h64(keys))[:k]
+            return pa.table({"side": pa.array([side] * len(hs), pa.string()),
+                             "h": pa.array(hs, pa.uint64())})
+        return fn
+
+    parts_a = orders.map_batches(sketch("a"), batch_format="pyarrow",
+                                 batch_size=65536).to_pandas()
+    parts_b = returned.map_batches(sketch("b"), batch_format="pyarrow",
+                                   batch_size=65536).to_pandas()
+    ha = np.unique(parts_a["h"].to_numpy().astype(np.uint64))[:k]
+    hb = np.unique(parts_b["h"].to_numpy().astype(np.uint64))[:k]
+    un = np.unique(np.concatenate([ha, hb]))[:k]
+    nu = len(un)
+    hk = int(un[-1]) if nu else 0
+    inter_sketch = int(np.count_nonzero(np.isin(un, ha)
+                                        & np.isin(un, hb)))
+    est_union = float(nu) if nu < k \
+        else (k - 1) * 18446744073709551616.0 / float(hk)
+    est_jaccard = (np.float64(inter_sketch) / np.float64(nu)) if nu \
+        else 0.0
+    est_intersection = est_jaccard * est_union
+
+    # exact intersection: tagged key rows, ONE bucketed shuffle,
+    # per-bucket both-sides count
+    def tag(side_bit: int):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = pc.unique(t["k"].combine_chunks())
+            out = pa.table({
+                "k": keys,
+                "bit": pa.array(np.full(len(keys), side_bit, np.int64))})
+            return out.append_column("__bk", _bucket_of(out["k"],
+                                                        n_buckets))
+        return fn
+
+    def both(g: pa.Table) -> pa.Table:
+        f = g.group_by("k").aggregate([("bit", "min"), ("bit", "max")])
+        f = rename_agg(f, {"bit_min": "lo", "bit_max": "hi"})
+        n = pc.sum(pc.cast(pc.and_(pc.equal(f["lo"], 1),
+                                   pc.equal(f["hi"], 2)), pa.int64()))
+        return pa.table({"n": pa.array([int(n.as_py() or 0)], pa.int64())})
+
+    tagged = orders.map_batches(tag(1), batch_format="pyarrow") \
+        .union(returned.map_batches(tag(2), batch_format="pyarrow"))
+    exact = tagged.groupby("__bk").map_groups(
+        both, batch_format="pyarrow").sum("n")
+
+    return pd.DataFrame({
+        "n_union_sketch": [int(nu)],
+        "sketch_intersection": [int(inter_sketch)],
+        "est_jaccard": [float(est_jaccard)],
+        "est_intersection": [float(est_intersection)],
+        "exact_intersection": [int(exact or 0)],
+    })
