@@ -579,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_dsir_importance": text.t_dsir_importance,
         "x_dsir_select": text.x_dsir_select,
         "t_lm_perplexity_buckets": text.t_lm_perplexity_buckets,
+        "t_gram_novelty": text.t_gram_novelty,
         # dedup
         "d_exact_dedup": dedup.d_exact_dedup,
         "d_dedup_keep_longest": dedup.d_dedup_keep_longest,
@@ -1938,6 +1939,32 @@ def oracle_sql() -> dict[str, str]:
                        AS est_intersection,
                    ex.c AS exact_intersection
             FROM stats s, ex
+        """,
+        "t_gram_novelty": f"""
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            g3 AS MATERIALIZED (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(array_to_string(
+                            list_slice(ws, i,
+                                i + {text.NOVELTY_GRAM_N - 1}), ' ')),
+                            1, 16))::UBIGINT AS h
+                FROM words,
+                     unnest(range(1, len(ws) - {text.NOVELTY_GRAM_N - 2}))
+                         AS t(i)
+                WHERE len(ws) >= {text.NOVELTY_GRAM_N}),
+            fst AS (
+                SELECT h, min(doc_id) AS fd FROM g3 GROUP BY h)
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(*) FILTER (WHERE g.doc_id = f.fd)
+                        AS BIGINT) AS n_novel,
+                   CAST(count(*) FILTER (WHERE g.doc_id = f.fd)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+            FROM g3 g JOIN fst f USING (h)
+            GROUP BY g.doc_id ORDER BY g.doc_id
         """,
         "q8_market_share": f"""
             WITH rev AS (

@@ -151,10 +151,17 @@ def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
         "q8_market_share": relational.q8_market_share,
         "q10_returned_revenue": relational.q10_returned_revenue,
         "q17_small_qty_revenue": relational.q17_small_qty_revenue,
+        "q_value_quantiles_by_type": relational.q_value_quantiles_by_type,
+        "q_cms_heavy_hitters": relational.q_cms_heavy_hitters,
+        "q_hll_distinct": relational.q_hll_distinct,
+        "t_dsir_importance": tfn.t_dsir_importance,
     }
     from pdf_parse_new_ray.functions import graph
 
     bench_queries["g_pagerank_copurchase"] = graph.g_pagerank_copurchase
+    bench_queries["g_triangle_count"] = graph.g_triangle_count
+    bench_queries["e_kmeans_train"] = ann.e_kmeans_train
+    bench_queries["d_semdedup"] = dedup.d_semdedup
     for name, fn in bench_queries.items():
         t0 = time.time()
         try:

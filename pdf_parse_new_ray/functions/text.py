@@ -1063,3 +1063,89 @@ def t_lm_perplexity_buckets(sf_dir: str) -> pd.DataFrame:
     out["n_docs"] = out["n_docs"].astype("int64")
     out["total_bigrams"] = out["total_bigrams"].astype("int64")
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+NOVELTY_GRAM_N = 3
+
+
+def t_gram_novelty(sf_dir: str, n_shuffle: int = 256) -> pd.DataFrame:
+    """Corpus novelty per document: the fraction of its distinct
+    NOVELTY_GRAM_N-grams whose FIRST occurrence (min doc_id) is this
+    document — near-1 for original text, near-0 for recombinations of
+    earlier content; the RefinedWeb-style signal for ordering a crawl
+    by contribution.  ONE gram-hash-bucketed shuffle resolves global
+    first-occurrence AND folds the per-doc partials in the same pass
+    (every row of a gram lands in one bucket, so the bucket-local
+    min(doc_id) IS global); the per-doc merge is doc-bucketed.  Both
+    engines hash grams with the shared md5-64 so even hash collisions
+    (which would re-assign credit) are identical."""
+    from .dedup import _gram_hash64
+    from .joins import _bucket_of, rename_agg
+
+    word = re.compile(r"[a-z0-9]+")
+    n = NOVELTY_GRAM_N
+
+    def grams(t: pa.Table) -> pa.Table:
+        hs_all, ids_all = [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            ws = word.findall((text or "").lower())
+            if len(ws) < n:
+                continue
+            hs = {_gram_hash64(" ".join(ws[i:i + n]))
+                  for i in range(len(ws) - n + 1)}
+            arr = np.fromiter(hs, np.uint64, len(hs))
+            hs_all.append(arr)
+            ids_all.append(np.full(len(arr), did, np.int64))
+        h = np.concatenate(hs_all) if hs_all else np.empty(0, np.uint64)
+        d = np.concatenate(ids_all) if ids_all else np.empty(0, np.int64)
+        return pa.table({
+            "h": pa.array(h, pa.uint64()),
+            "doc_id": pa.array(d, pa.int64()),
+            "__bk": pa.array((h % np.uint64(n_shuffle)).astype(np.int32)),
+        })
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_grams": pa.array([], pa.int64()),
+                      "n_novel": pa.array([], pa.int64())})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        fst = g.group_by("h").aggregate([("doc_id", "min")])
+        idx = pc.index_in(g["h"], value_set=fst.column("h").combine_chunks())
+        fd = pc.take(fst.column("doc_id_min").combine_chunks(), idx)
+        novel = pc.cast(pc.equal(g["doc_id"], fd), pa.int64())
+        f = pa.table({"doc_id": g["doc_id"],
+                      "n_grams": pa.array(np.ones(g.num_rows, np.int64)),
+                      "n_novel": novel}) \
+            .group_by("doc_id").aggregate([("n_grams", "sum"),
+                                           ("n_novel", "sum")])
+        return rename_agg(f, {"n_grams_sum": "n_grams",
+                              "n_novel_sum": "n_novel"},
+                          ["doc_id", "n_grams", "n_novel"])
+
+    def add_dbk(t: pa.Table) -> pa.Table:
+        return t.append_column("__bk", _bucket_of(t["doc_id"], 256))
+
+    def per_doc(g: pa.Table) -> pa.Table:
+        f = g.group_by("doc_id").aggregate([("n_grams", "sum"),
+                                            ("n_novel", "sum")])
+        return rename_agg(f, {"n_grams_sum": "n_grams",
+                              "n_novel_sum": "n_novel"},
+                          ["doc_id", "n_grams", "n_novel"])
+
+    out = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"]) \
+        .map_batches(grams, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(
+            lambda g: per_bucket(g.drop_columns(["__bk"])),
+            batch_format="pyarrow") \
+        .materialize() \
+        .map_batches(add_dbk, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(
+            lambda g: per_doc(g.drop_columns(["__bk"])),
+            batch_format="pyarrow").to_pandas()
+    out["novelty"] = out["n_novel"].to_numpy().astype(np.float64) \
+        / out["n_grams"].to_numpy().astype(np.float64)
+    return out.sort_values("doc_id").reset_index(drop=True)
