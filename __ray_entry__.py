@@ -557,6 +557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_distinct": relational.q_hll_distinct,
         "q_key_skew_profile": relational.q_key_skew_profile,
         "q_kmv_join_overlap": relational.q_kmv_join_overlap,
+        "q4_priority_with_returns":
+            relational.q4_priority_with_returns,
         "t_column_profile": relational.t_column_profile,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
@@ -1965,6 +1967,18 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
             FROM g3 g JOIN fst f USING (h)
             GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        "q4_priority_with_returns": f"""
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '{relational.Q4_DATE_LO}'
+              AND o.o_orderdate <  TIMESTAMP '{relational.Q4_DATE_HI}'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o.o_orderpriority
+            ORDER BY o.o_orderpriority
         """,
         "q8_market_share": f"""
             WITH rev AS (

@@ -3950,3 +3950,59 @@ def q_kmv_join_overlap(sf_dir: str, k: int = KMV_JOIN_K,
         "est_intersection": [float(est_intersection)],
         "exact_intersection": [int(exact or 0)],
     })
+
+
+Q4_DATE_LO = "1996-01-01"
+Q4_DATE_HI = "1996-07-01"   # exclusive (two quarters)
+
+
+def q4_priority_with_returns(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """TPC-H Q4 adapted to the test schema (no commit/receipt dates):
+    orders placed in [Q4_DATE_LO, Q4_DATE_HI) with AT LEAST ONE returned
+    lineitem (returnflag R), counted per order priority.  The EXISTS
+    side never aggregates more than batch-local distinct orderkeys
+    before its ONE bucketed cogroup with the date-filtered orders; the
+    priority count folds inside the cogroup's post hook, so the driver
+    merges priority x n_buckets partials."""
+    from .joins import attach_value, rename_agg
+
+    lo = pa.scalar(pd.Timestamp(Q4_DATE_LO))
+    hi = pa.scalar(pd.Timestamp(Q4_DATE_HI))
+
+    def returned_keys(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t.filter(
+            pc.equal(t["l_returnflag"], "R"))["l_orderkey"]
+            .combine_chunks())
+        return pa.table({"doc_id": keys,
+                         "value": pa.array(np.ones(len(keys), np.int64))})
+
+    returned = _rp(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]) \
+        .map_batches(returned_keys, batch_format="pyarrow")
+
+    orders = _rp(sf_dir, "orders",
+                 ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi)))
+            .select(["o_orderkey", "o_orderpriority"]),
+            batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        # a key may arrive from several lineitem batches — dedupe the
+        # order before counting (EXISTS, not COUNT)
+        f = t.group_by("o_orderkey").aggregate([("o_orderpriority",
+                                                 "first")])
+        g = f.group_by("o_orderpriority_first").aggregate(
+            [("o_orderpriority_first", "count")])
+        return rename_agg(g, {"o_orderpriority_first": "o_orderpriority",
+                              "o_orderpriority_first_count": "n"},
+                          ["o_orderpriority", "n"])
+
+    parts = attach_value(
+        orders, returned, "o_orderkey", "has_return", pa.int64(),
+        [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())],
+        n_buckets=n_buckets, post=combine).to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        order_count=("n", "sum"))
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

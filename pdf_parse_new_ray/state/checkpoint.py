@@ -143,3 +143,59 @@ def read_output(out_dir: str) -> pa.Table:
     if not parts:
         raise FileNotFoundError(f"no completed partitions under {out_dir}")
     return pa.concat_tables(parts)
+
+
+def compact_partitions(out_dir: str, target_bytes: int = 64 * 1024 * 1024,
+                       compacted_dir: str | None = None) -> dict:
+    """Small-file compaction for a completed partitioned output: greedily
+    bin-packs adjacent completed partitions (ascending partition id, so
+    any partition-order guarantee survives) into files of ~target_bytes,
+    written to ``compacted_dir`` (default: <out_dir>_compacted) with a
+    fresh manifest + lineage so the compacted store is itself resumable.
+    The classic post-job hygiene step: a 10^12-doc run at fine partition
+    granularity (needed for resume) leaves far more files than any
+    reader wants; compaction trades the completed run's granularity for
+    read efficiency WITHOUT a Ray job (pure driver-side streaming merge,
+    one input partition in memory at a time).  Returns
+    {n_input_partitions, n_output_files, rows_in, rows_out} and asserts
+    nothing is lost (rows_in == rows_out)."""
+    import glob as _glob
+
+    dst = compacted_dir or out_dir.rstrip("/") + "_compacted"
+    os.makedirs(dst, exist_ok=True)
+    done = sorted(completed_partitions(out_dir))
+    rows_in = 0
+    rows_out = 0
+    group: list[pa.Table] = []
+    group_bytes = 0
+    out_k = 0
+
+    def flush():
+        nonlocal group, group_bytes, out_k, rows_out
+        if not group:
+            return
+        merged = pa.concat_tables(group)
+        rec = write_partition(dst, out_k, merged,
+                              {"compacted_from": len(group)})
+        rows_out += rec["rows"]
+        out_k += 1
+        group, group_bytes = [], 0
+
+    for k in done:
+        p = os.path.join(out_dir, f"part={k}", "data.parquet")
+        if not os.path.exists(p):
+            continue
+        t = pq.read_table(p)
+        rows_in += t.num_rows
+        sz = os.path.getsize(p)
+        if group and group_bytes + sz > target_bytes:
+            flush()
+        group.append(t)
+        group_bytes += sz
+    flush()
+    ensure_manifest(dst, {"compacted_from": out_dir,
+                          "n_inputs": len(done)})
+    assert rows_in == rows_out, (rows_in, rows_out)
+    n_files = len(_glob.glob(os.path.join(dst, "part=*", "data.parquet")))
+    return {"n_input_partitions": len(done), "n_output_files": n_files,
+            "rows_in": rows_in, "rows_out": rows_out}

@@ -262,3 +262,27 @@ def test_phash_neardup_banding_guarantee(ray_session, tmp_path, monkeypatch):
     assert ("orig", "reenc") in pairs
     row = out[(out["ref_a"] == "orig") & (out["ref_b"] == "reenc")]
     assert int(row.iloc[0]["hamming"]) == d
+
+
+def test_compact_partitions_preserves_rows(tmp_path):
+    """Compaction bin-packs completed partitions into fewer files with
+    zero row loss, ascending-partition order preserved, and a resumable
+    manifest + lineage in the compacted store."""
+    import pyarrow as pa
+
+    from pdf_parse_new_ray.state import checkpoint as ckpt
+
+    src = str(tmp_path / "out")
+    for k in range(8):
+        t = pa.table({"doc_id": [f"d{k}-{i}" for i in range(50)],
+                      "text": ["x" * 100] * 50})
+        ckpt.write_partition(src, k, t, {})
+    stats = ckpt.compact_partitions(src, target_bytes=6000)
+    assert stats["rows_in"] == stats["rows_out"] == 400
+    assert stats["n_input_partitions"] == 8
+    assert 1 <= stats["n_output_files"] < 8
+    merged = ckpt.read_output(src.rstrip("/") + "_compacted")
+    orig = ckpt.read_output(src)
+    assert merged.num_rows == orig.num_rows
+    assert merged.column("doc_id").to_pylist() == \
+        orig.column("doc_id").to_pylist()  # ascending-partition order
