@@ -559,6 +559,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kmv_join_overlap": relational.q_kmv_join_overlap,
         "q4_priority_with_returns":
             relational.q4_priority_with_returns,
+        "q_cumulative_distinct_users":
+            relational.q_cumulative_distinct_users,
         "t_column_profile": relational.t_column_profile,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
@@ -1979,6 +1981,18 @@ def oracle_sql() -> dict[str, str]:
                             AND l.l_returnflag = 'R')
             GROUP BY o.o_orderpriority
             ORDER BY o.o_orderpriority
+        """,
+        "q_cumulative_distinct_users": """
+            WITH f AS (
+                SELECT user_id, min(date_trunc('day', ts)) AS day
+                FROM events GROUP BY user_id),
+            n AS (
+                SELECT day, CAST(count(*) AS BIGINT) AS new_users
+                FROM f GROUP BY day)
+            SELECT day, new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_distinct_users
+            FROM n ORDER BY day
         """,
         "q8_market_share": f"""
             WITH rev AS (

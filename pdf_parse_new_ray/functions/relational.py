@@ -4006,3 +4006,48 @@ def q4_priority_with_returns(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
         order_count=("n", "sum"))
     out["order_count"] = out["order_count"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+_DAY_US = 86_400_000_000
+
+
+def q_cumulative_distinct_users(sf_dir: str,
+                                n_buckets: int = 256) -> pd.DataFrame:
+    """Cumulative distinct users per day — the growth-curve query whose
+    naive form (COUNT(DISTINCT) per expanding window) re-scans
+    everything per day.  Exact one-pass plan: each user's FIRST day is
+    a per-user min (batch partials + one user-bucketed combine, users
+    bucket-exclusive so the in-bucket min is global), daily new-user
+    counts fold in the same bucket task, and the driver prefix-sums a
+    days-long vector.  All int64 until the final frame."""
+    from .joins import _bucket_of, rename_agg
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.multiply(pc.divide(pc.cast(t["ts"], pa.int64()),
+                                    pa.scalar(_DAY_US, pa.int64())),
+                          pa.scalar(_DAY_US, pa.int64()))
+        g = pa.table({"user_id": t["user_id"], "day": day}) \
+            .group_by("user_id").aggregate([("day", "min")])
+        g = rename_agg(g, {"day_min": "day"}, ["user_id", "day"])
+        return g.append_column("__bk", _bucket_of(g["user_id"], n_buckets))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        f = g.group_by("user_id").aggregate([("day", "min")])
+        f = rename_agg(f, {"day_min": "day"}, ["user_id", "day"])
+        out = f.group_by("day").aggregate([("day", "count")])
+        return rename_agg(out, {"day_count": "new_users"},
+                          ["day", "new_users"])
+
+    days = ev.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536) \
+        .groupby("__bk").map_groups(
+            lambda g: per_bucket(g.drop_columns(["__bk"])),
+            batch_format="pyarrow").to_pandas()
+    out = days.groupby("day", as_index=False).agg(
+        new_users=("new_users", "sum")).sort_values("day")
+    out["new_users"] = out["new_users"].astype("int64")
+    out["cum_distinct_users"] = out["new_users"].cumsum().astype("int64")
+    out["day"] = pd.to_datetime(out["day"], unit="us")
+    return out.reset_index(drop=True)
