@@ -553,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.q_value_quantiles_by_type,
         "q_hopping_window_counts":
             relational.q_hopping_window_counts,
+        "q_window_trending": relational.q_window_trending,
         "q_user_mode_event": relational.q_user_mode_event,
         "q_hll_distinct": relational.q_hll_distinct,
         "q_key_skew_profile": relational.q_key_skew_profile,
@@ -561,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.q4_priority_with_returns,
         "q_cumulative_distinct_users":
             relational.q_cumulative_distinct_users,
+        "d_event_window_dedup": relational.d_event_window_dedup,
         "t_column_profile": relational.t_column_profile,
         # text analysis
         "t_stratified_sample": text.t_stratified_sample,
@@ -1993,6 +1995,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
                        AS cum_distinct_users
             FROM n ORDER BY day
+        """,
+        "d_event_window_dedup": f"""
+            WITH l AS (
+                SELECT user_id, event_type, ts,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events)
+            SELECT user_id, event_type,
+                   CAST(count(*) FILTER (WHERE prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts)
+                          > {relational.DEDUP_WINDOW_US}) AS BIGINT)
+                       AS n_kept,
+                   CAST(count(*) FILTER (WHERE prev_ts IS NOT NULL
+                       AND epoch_us(ts) - epoch_us(prev_ts)
+                           <= {relational.DEDUP_WINDOW_US}) AS BIGINT)
+                       AS n_dropped
+            FROM l GROUP BY user_id, event_type
+            ORDER BY user_id, event_type
+        """,
+        "q_window_trending": f"""
+            WITH hops AS (
+                SELECT (CAST(floor(epoch_us(ts) / {relational.HOP_US})
+                             AS BIGINT) - j) * {relational.HOP_US}
+                           AS wstart_us,
+                       event_type
+                FROM events, unnest(range(0,
+                    {relational.HOP_WINDOW_US // relational.HOP_US}))
+                    AS t(j)),
+            c AS (
+                SELECT wstart_us, event_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM hops GROUP BY wstart_us, event_type),
+            r AS (
+                SELECT wstart_us, event_type, n,
+                       row_number() OVER (PARTITION BY wstart_us
+                                          ORDER BY n DESC, event_type)
+                           AS rn
+                FROM c)
+            SELECT wstart_us, event_type AS top_event_type, n
+            FROM r WHERE rn = 1 ORDER BY wstart_us
         """,
         "q8_market_share": f"""
             WITH rev AS (

@@ -4051,3 +4051,114 @@ def q_cumulative_distinct_users(sf_dir: str,
     out["cum_distinct_users"] = out["new_users"].cumsum().astype("int64")
     out["day"] = pd.to_datetime(out["day"], unit="us")
     return out.reset_index(drop=True)
+
+
+DEDUP_WINDOW_US = 5_000_000   # 5-second repeat window
+
+
+def d_event_window_dedup(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Temporal event dedup (bot/double-fire filtering): collapse each
+    BURST — a run of same-(user, type) events where every consecutive
+    gap is <= DEDUP_WINDOW_US — to its first event.  An event survives
+    iff it starts a (user, type) segment or its gap to the immediately
+    preceding event of that key exceeds the window (the LAG semantics,
+    fully vectorizable; the alternative kept-anchor chain is inherently
+    sequential and is NOT what this operator implements).  One shuffle
+    on hash(user) buckets, vectorized multi-key diff fold per bucket
+    (the q_sessionization shape).  Returns per-(user, type) kept and
+    dropped counts — exact int64, LAG-window SQL oracle."""
+    from .joins import _bucket_of, rename_agg
+
+    ev = _rp(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    ev = ev.map_batches(
+        lambda t: t.append_column("__bk", _bucket_of(t["user_id"],
+                                                     n_buckets)),
+        batch_format="pyarrow")
+
+    def fold(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("event_type", "ascending"),
+            ("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(order)
+        uid = g.column("user_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        ety = g.column("event_type").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        ts = g.column("ts").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(ts)
+        keep = np.ones(n, bool)
+        if n > 1:
+            same = (uid[1:] == uid[:-1]) & (ety[1:] == ety[:-1])
+            keep[1:] = ~same | (np.diff(ts) > DEDUP_WINDOW_US)
+        t2 = pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": g.column("event_type").combine_chunks(),
+            "kept": pa.array(keep.astype(np.int64)),
+            "dropped": pa.array((~keep).astype(np.int64)),
+        })
+        f = t2.group_by(["user_id", "event_type"]).aggregate(
+            [("kept", "sum"), ("dropped", "sum")])
+        return rename_agg(f, {"kept_sum": "n_kept",
+                              "dropped_sum": "n_dropped"},
+                          ["user_id", "event_type", "n_kept", "n_dropped"])
+
+    out = ev.groupby("__bk").map_groups(
+        lambda g: fold(g.drop_columns(["__bk"])),
+        batch_format="pyarrow").to_pandas()
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["n_dropped"] = out["n_dropped"].astype("int64")
+    return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+def q_window_trending(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Trending event type per hopping window (1h window / 30min hop):
+    the 'what's hot right now' query.  Vectorized 2x window fan-out
+    with per-batch (window, type) pre-agg (the q_hopping_window_counts
+    exchange — no event row ever shuffles), then per-window argmax via
+    ONE window-bucketed fold (windows are bucket-exclusive, so the
+    in-bucket sort + hash-'first' is the global winner); ties break to
+    the lexicographically smallest type."""
+    from .joins import _bucket_of, rename_agg
+
+    ev = _rp(sf_dir, "events", ["ts", "event_type"])
+    fan = HOP_WINDOW_US // HOP_US
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        g = us // HOP_US
+        starts = ((np.repeat(g, fan)
+                   - np.tile(np.arange(fan, dtype=np.int64), len(g)))
+                  * HOP_US)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        tbl = pa.table({
+            "wstart_us": pa.array(starts, pa.int64()),
+            "event_type": pa.array(np.repeat(et, fan), pa.string()),
+            "n": pa.array(np.ones(len(starts), np.int64))})
+        out = tbl.group_by(["wstart_us", "event_type"]) \
+            .aggregate([("n", "sum")])
+        out = rename_agg(out, {"n_sum": "n"},
+                         ["wstart_us", "event_type", "n"])
+        return out.append_column("__bk", _bucket_of(out["wstart_us"],
+                                                    n_buckets))
+
+    def winner(g: pa.Table) -> pa.Table:
+        f = g.group_by(["wstart_us", "event_type"]).aggregate([("n", "sum")])
+        f = rename_agg(f, {"n_sum": "n"}, ["wstart_us", "event_type", "n"])
+        order = pc.sort_indices(f, sort_keys=[
+            ("wstart_us", "ascending"), ("n", "descending"),
+            ("event_type", "ascending")])
+        f = f.take(order)
+        out = f.group_by("wstart_us").aggregate(
+            [("event_type", "first"), ("n", "first")])
+        return rename_agg(out, {"event_type_first": "top_event_type",
+                                "n_first": "n"},
+                          ["wstart_us", "top_event_type", "n"])
+
+    out = ev.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("__bk").map_groups(
+            lambda g: winner(g.drop_columns(["__bk"])),
+            batch_format="pyarrow").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("wstart_us").reset_index(drop=True)
