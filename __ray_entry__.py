@@ -554,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping_window_counts":
             relational.q_hopping_window_counts,
         "q_window_trending": relational.q_window_trending,
+        "q_cube_revenue": relational.q_cube_revenue,
         "q_user_mode_event": relational.q_user_mode_event,
         "q_hll_distinct": relational.q_hll_distinct,
         "q_key_skew_profile": relational.q_key_skew_profile,
@@ -2035,6 +2036,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM c)
             SELECT wstart_us, event_type AS top_event_type, n
             FROM r WHERE rn = 1 ORDER BY wstart_us
+        """,
+        "q_cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   ((SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     + 50) // 100) / 100.0 AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
         """,
         "q8_market_share": f"""
             WITH rev AS (

@@ -4162,3 +4162,54 @@ def q_window_trending(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
             batch_format="pyarrow").to_pandas()
     out["n"] = out["n"].astype("int64")
     return out.sort_values("wstart_us").reset_index(drop=True)
+
+
+CUBE_ALL = "__ALL__"   # grouping-set sentinel (DuckDB CUBE emits NULL)
+
+
+def q_cube_revenue(sf_dir: str) -> pd.DataFrame:
+    """CUBE(returnflag, linestatus) revenue — all four grouping sets in
+    ONE pass: each batch emits its partial for every set (vectorized
+    concat of 4 re-keyed copies of an already-collapsed per-batch
+    aggregate, so the fan-out multiplies the tiny partial, never the
+    batch), merged by a single small groupby.  NULL grouping keys are
+    carried as the CUBE_ALL sentinel through the exchange (Arrow
+    group_by treats nulls as a key, but the sentinel keeps the
+    semantics explicit) and mapped back to SQL's NULL convention in
+    the frame.  Exact integer sub-cents money."""
+    from .joins import rename_agg
+
+    li = _rp(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"rf": t["l_returnflag"], "ls": t["l_linestatus"],
+                      "sub": _rev_subcents(t), "n": pa.array(
+                          np.ones(t.num_rows, np.int64))}) \
+            .group_by(["rf", "ls"]).aggregate([("sub", "sum"),
+                                               ("n", "sum")])
+        g = rename_agg(g, {"sub_sum": "sub", "n_sum": "n"},
+                       ["rf", "ls", "sub", "n"])
+        allk = pa.array([CUBE_ALL] * g.num_rows, pa.string())
+        sets = [g,
+                g.set_column(1, "ls", allk),
+                g.set_column(0, "rf", allk),
+                g.set_column(0, "rf", allk).set_column(1, "ls", allk)]
+        return pa.concat_tables(sets)
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["rf", "ls"]).aggregate(Sum("sub", alias_name="sub"),
+                                         Sum("n", alias_name="n")) \
+        .to_pandas()
+    parts["revenue"] = _sub_to_dollars(parts["sub"].astype("int64"))
+    parts["n_items"] = parts["n"].astype("int64")
+    out = parts.drop(columns=["sub", "n"]).rename(
+        columns={"rf": "l_returnflag", "ls": "l_linestatus"})
+    # SQL NULL convention for the rolled-up keys
+    out["l_returnflag"] = out["l_returnflag"].where(
+        out["l_returnflag"] != CUBE_ALL, None)
+    out["l_linestatus"] = out["l_linestatus"].where(
+        out["l_linestatus"] != CUBE_ALL, None)
+    return out.sort_values(["l_returnflag", "l_linestatus"],
+                           na_position="last").reset_index(drop=True)
