@@ -1008,3 +1008,36 @@ def make_cff_builtin_encoding_pdf() -> tuple[bytes, str]:
     pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
     root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
     return b.build(root), "\n\nöé Ж"
+
+
+def make_surrogate_pair_pdf() -> bytes:
+    """ToUnicode targets OUTSIDE the BMP: bfchar destinations are
+    UTF-16BE SURROGATE PAIRS (U+1F600 😀, U+1D49C 𝒜) plus a mixed
+    astral+BMP destination — pdf.js decodes the raw UTF-16BE bytes
+    (build/pdf.worker.js bfchar path), so a kernel that treats the
+    destination as fixed 2-byte units corrupts these.  Expected text is
+    locked against the live reference in the differential sweep (no
+    hardcoded expectation here: surrogate handling is exactly the kind
+    of thing to OBSERVE, not assume)."""
+    tou = (b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
+           b"1 begincodespacerange <00> <FF> endcodespacerange "
+           b"3 beginbfchar "
+           b"<41> <D83DDE00> "          # U+1F600 grinning face
+           b"<42> <D835DC9C> "          # U+1D49C mathematical script A
+           b"<43> <0058D83DDE01> "      # 'X' + U+1F601 (mixed BMP+astral)
+           b"endbfchar endcmap end end")
+    b = PDFBuilder()
+    tou_num = b.add_stream(b"", tou, "flate")
+    font_num = b.add(
+        f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        f"/Encoding /WinAnsiEncoding /ToUnicode {tou_num} 0 R >>".encode())
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (A B C) Tj ET"
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(
+        f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+        f"/Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root)

@@ -356,3 +356,12 @@ def test_differential_sweep_vs_live_reference():
     failures = [name for name, pdf in cases
                 if parse_pdf(pdf)["text"] != diff.ref_text(pdf)]
     assert not failures, f"byte-exact parity broken: {failures}"
+
+
+def test_tounicode_surrogate_pairs():
+    """bfchar destinations outside the BMP (UTF-16BE surrogate pairs,
+    incl. a mixed BMP+astral destination) decode to the astral chars.
+    Expected locked against the live reference run (also in the
+    differential sweep)."""
+    pdf = pdfgen.make_surrogate_pair_pdf()
+    assert parse_pdf(pdf)["text"] == "\n\n\U0001F600 \U0001D49C X\U0001F601"

@@ -75,6 +75,7 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
         ("ttf-win-names", pdfgen.make_symbolic_truetype_pdf(True)[0]),
         ("ttf-mac-name", pdfgen.make_symbolic_truetype_pdf(False)[0]),
         ("cff-builtin-encoding", pdfgen.make_cff_builtin_encoding_pdf()[0]),
+        ("tounicode-surrogate-pairs", pdfgen.make_surrogate_pair_pdf()),
     ]
     for mode in ("rc4-40", "rc4-128", "aesv2", "aesv3"):
         specials.append((f"encrypted-{mode}", pdfgen.make_encrypted_pdf(mode)[0]))
