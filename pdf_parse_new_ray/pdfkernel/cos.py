@@ -167,36 +167,77 @@ class Lexer:
         return Token("op", kw)
 
     def _read_number(self) -> Token:
+        # exact port of the reference lexer's number semantics
+        # (lib/pdf.js build/pdf.worker.js Lexer.getNumber): tolerated
+        # double leading minus, CR/LF skipped after the sign, mid-number
+        # minus IGNORED (not a terminator), scientific e-notation with
+        # signed exponent, whitespace/EOF after a bare sign -> 0, any
+        # other non-digit start -> parse error
         data, n = self.data, len(self.data)
         pos = self.pos
-        start = pos
-        if data[pos] in b"+-":
+        sign = 1
+        ch = data[pos] if pos < n else -1
+        if ch == 0x2D:
+            sign = -1
             pos += 1
-        is_float = False
+            if pos < n and data[pos] == 0x2D:  # double minus tolerated
+                pos += 1
+        elif ch == 0x2B:
+            pos += 1
+        while pos < n and data[pos] in (0x0A, 0x0D):
+            pos += 1
+        divide_by = 0
+        if pos < n and data[pos] == 0x2E:
+            divide_by = 10
+            pos += 1
+        ch = data[pos] if pos < n else -1
+        if ch < 0x30 or ch > 0x39:
+            if ch == -1 or ch in WHITESPACE:
+                self.pos = pos
+                return Token("int", 0)
+            raise PDFError(f"invalid number start: {ch}")
+        base = ch - 0x30
+        pos += 1
+        power = 0
+        power_sign = 1
+        e_notation = False
         while pos < n:
             c = data[pos]
             if 0x30 <= c <= 0x39:
-                pos += 1
+                if e_notation:
+                    power = power * 10 + (c - 0x30)
+                else:
+                    if divide_by != 0:
+                        divide_by *= 10
+                    base = base * 10 + (c - 0x30)
             elif c == 0x2E:
-                is_float = True
-                pos += 1
-            elif c in b"+-":  # malformed embedded sign: stop (pdf.js tolerates)
-                pos += 1
+                if divide_by == 0:
+                    divide_by = 1
+                else:
+                    break
+            elif c == 0x2D:
+                pass  # badly formatted minus in the middle: ignored
+            elif c in (0x45, 0x65):  # E / e
+                nxt = data[pos + 1] if pos + 1 < n else -1
+                if nxt in (0x2B, 0x2D):
+                    power_sign = -1 if nxt == 0x2D else 1
+                    pos += 1
+                elif nxt < 0x30 or nxt > 0x39:
+                    pos += 1  # lone trailing e: consumed, ends the number
+                    break
+                e_notation = True
             else:
                 break
+            pos += 1
         self.pos = pos
-        txt = data[start:pos].decode("latin-1")
-        try:
-            if is_float:
-                return Token("num", float(txt))
-            return Token("int", int(txt))
-        except ValueError:
-            # salvage digits
-            digits = "".join(ch for ch in txt if ch.isdigit() or ch in "+-.")
-            try:
-                return Token("num", float(digits)) if "." in digits else Token("int", int(digits or "0"))
-            except ValueError:
-                return Token("int", 0)
+        if divide_by == 0 and not e_notation:
+            return Token("int", sign * base)
+        value = float(base)
+        if divide_by != 0:
+            value /= divide_by
+        if e_notation:
+            value *= 10.0 ** (power_sign * power)
+        return Token("num", sign * value)
 
     def _read_name(self) -> Token:
         data, n = self.data, len(self.data)
@@ -336,7 +377,12 @@ class FastLexer(Lexer):
         c = data[pos]
         if 0x30 <= c <= 0x39 or c == 0x2B or c == 0x2D or c == 0x2E:
             txt = _NUM_RE.match(data, pos).group()
-            self.pos = pos + len(txt)
+            end = pos + len(txt)
+            if end < n and data[end] in (0x45, 0x65):
+                # adjacent e/E: scientific notation — exact slow path
+                self.pos = pos
+                return self._read_number()
+            self.pos = end
             try:
                 v = int(txt)
                 if -1024 <= v <= 4096:  # TJ kerning / object numbers repeat
