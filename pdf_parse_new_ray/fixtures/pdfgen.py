@@ -231,12 +231,19 @@ def _expected_line(line: str) -> str:
     return " ".join(p for p in s.split(" ") if p)
 
 
+# Helvetica ASCII advances (1/1000 em) for line wrapping — frozen here so
+# seeded corpus generation stays byte-stable independent of the kernel's
+# width model.
+_HELV_ASCII = (278,278,355,556,556,889,667,191,333,333,389,584,278,333,278,278,556,556,556,556,556,556,556,556,556,556,278,278,584,584,584,556,1015,667,667,722,722,667,611,778,722,278,500,667,556,833,722,778,667,778,722,667,611,722,667,944,667,667,611,278,278,278,469,556,333,556,556,500,556,556,278,556,556,222,222,500,222,833,556,556,556,556,333,500,278,556,500,722,500,500,500,334,260,334,584)
+
+
 def _helv_width(s: str) -> float:
     """Approximate Helvetica advance in 1/1000 em units."""
-    from ..pdfkernel.fonts import _std14_widths
-
-    widths, default = _std14_widths("Helvetica")
-    return sum(widths.get(ord(c), default) for c in s)
+    return sum(
+        _HELV_ASCII[ord(c) - 0x20] if 0x20 <= ord(c) < 0x20 + len(_HELV_ASCII)
+        else 556.0
+        for c in s
+    )
 
 
 def _wrap_lines(lines: list[str], max_w: float) -> list[str]:
@@ -1032,6 +1039,71 @@ def make_surrogate_pair_pdf() -> bytes:
         f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
         f"/Encoding /WinAnsiEncoding /ToUnicode {tou_num} 0 R >>".encode())
     content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (A B C) Tj ET"
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(
+        f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+        f"/Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root)
+
+
+def make_base_encoding_sweep_pdf(enc_name: str | None,
+                                 base_font: str = "Helvetica") -> bytes:
+    """Full 0x20-0xFF charcode sweep through a non-embedded simple font.
+
+    ``enc_name`` is the explicit /Encoding name (None = omit, exercising the
+    reference's default-table selection — e.g. SymbolSetEncoding for a
+    non-embedded /Symbol, ZapfDingbatsEncoding for /ZapfDingbats,
+    build/pdf.worker.js:37209-37229).  Each code is its own positioned Tj
+    (20 per row) so every table slot, including the missing-file Type1
+    empty-name -> space rule (:29779-29786), surfaces in the output.
+    Expected text is locked against the live reference in the differential
+    sweep."""
+    ops = [b"BT /F1 12 Tf"]
+    for i, code in enumerate(range(0x20, 0x100)):
+        x = 40 + 28 * (i % 20)
+        y = 6900 - 20 * (i // 20)
+        ops.append(b"1 0 0 1 %d %d Tm (\\%03o) Tj" % (x, y, code))
+    content = b" ".join(ops) + b" ET"
+    enc_part = f" /Encoding /{enc_name}" if enc_name else ""
+    b = PDFBuilder()
+    font_num = b.add(
+        f"<< /Type /Font /Subtype /Type1 /BaseFont /{base_font}"
+        f"{enc_part} >>".encode())
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(
+        f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 7000] "
+        f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+        f"/Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root)
+
+
+def make_number_syntax_pdf() -> bytes:
+    """Operand-number syntax torture: scientific e-notation (1e2, 1E+1,
+    2.5e-1), double leading minus (--20), a mid-number minus (3-4 parses as
+    34), bare '.' (-> 0 via the whitespace-after-sign rule) and a trailing
+    lone 'e' — the reference Lexer.getNumber tolerances
+    (build/pdf.worker.js Lexer.getNumber).  Each quirk shifts a Td so the
+    text layout (space insertion between items) observably encodes the
+    parsed values; locked byte-exact vs the live reference in the
+    differential sweep."""
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (A) Tj "
+               b"1e2 0 Td (B) Tj "
+               b"1E+1 0 Td (C) Tj "
+               b"2.5e-1 -0 Td (D) Tj "
+               b"--20 0 Td (E) Tj "
+               b"3-4 0 Td (F) Tj "
+               b"1 0 0 1 72 650 Tm (G) Tj "
+               b"12e 0 Td (H) Tj ET")
+    b = PDFBuilder()
+    font_num = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                     b" /Encoding /WinAnsiEncoding >>")
     cn = b.add_stream(b"", content, "flate")
     pages_num = len(b.objects) + 2
     pn = b.add(

@@ -287,10 +287,13 @@ class _FallbackFont(Font):
         self.widths = {}
         self.default_width = 500.0
         self.to_unicode = None
-        from .encodings import encoding_table
+        from .encodings import encoding_names, encoding_table
 
         self._enc_table = list(encoding_table("StandardEncoding"))
         self._diff_names = {}
+        self._enc_names_resolved = list(encoding_names("StandardEncoding"))
+        self._has_encoding = False
+        self.missing_file = True
 
 
 class TextExtractor:

@@ -14,10 +14,24 @@ import re
 import unicodedata
 from typing import Any, Optional
 
+from .afm_data import METRICS, SERIF_FONTS, STD_FONT_MAP
 from .cos import FastLexer, Name, PDFError, Ref, StreamObj
-from .encodings import encoding_table, glyph_name_to_unicode
+from .encodings import (
+    encoding_names,
+    encoding_table,
+    glyph_name_to_unicode,
+    simple_font_to_unicode,
+)
 
 FONT_IDENTITY_MATRIX = (0.001, 0.0, 0.0, 0.001, 0.0, 0.0)
+
+# getSymbolsFonts (build/pdf.worker.js:21391-21398): named fonts whose
+# non-embedded instances suppress an explicit base encoding and force the
+# symbolic default-table selection.
+_SYMBOLS_FONTS = frozenset(
+    ("Dingbats", "Symbol", "ZapfDingbats", "Wingdings",
+     "Wingdings-Bold", "Wingdings-Regular")
+)
 
 
 # JS /\\s/ whitespace set (cf. getCharUnicodeCategory regex,
@@ -196,21 +210,21 @@ class Font:
         widths: dict[int, float] = {}
         first = r(fd.get("FirstChar", 0)) or 0
         warr = r(fd.get("Widths"))
-        if isinstance(warr, list):
+        has_widths_array = isinstance(warr, list)
+        if has_widths_array:
             for i, w in enumerate(warr):
                 w = r(w)
                 if isinstance(w, (int, float)):
                     widths[first + i] = float(w)
-        else:
-            std = _std14_widths(self.base_font)
-            if std:
-                widths, self.default_width = std
         self.widths = widths
 
-        # encoding selection — pdf.js precedence (PartialEvaluator font
-        # translation): explicit /Encoding name or BaseEncoding > builtin
-        # font-program encoding when symbolic > StandardEncoding; Differences
-        # always override on top.
+        # encoding selection — PartialEvaluator.extractDataStructures parity
+        # (pdf.worker.js:37167-37229): an explicit /Encoding name or
+        # /BaseEncoding survives only for MacRoman/MacExpert/WinAnsi; a
+        # non-embedded symbols-list font suppresses it; the default table is
+        # Standard / WinAnsi (TrueType, not explicitly nonsymbolic) /
+        # MacRoman (symbolic — with the Symbol/ZapfDingbats/Wingdings set
+        # tables for the non-embedded named fonts).
         base_name: Optional[str] = None
         diffs: dict[int, str] = {}
         enc = r(fd.get("Encoding"))
@@ -230,70 +244,101 @@ class Font:
                     elif isinstance(item, (Name, str)):
                         diffs[code] = str(item)
                         code += 1
+        if base_name not in ("MacRomanEncoding", "MacExpertEncoding",
+                             "WinAnsiEncoding"):
+            base_name = None
+        embedded = isinstance(desc, dict) and any(
+            isinstance(r(desc.get(k)), StreamObj)
+            for k in ("FontFile", "FontFile2", "FontFile3"))
+        self.missing_file = not embedded
+        is_symbols_name = self.base_font in _SYMBOLS_FONTS
+        if base_name is not None and not embedded and is_symbols_name:
+            base_name = None
         has_encoding = base_name is not None or bool(diffs)
+        # NB: selection uses the RAW symbolic bit (flags & 4), per the
+        # reference's local isSymbolicFont (pdf.worker.js:37210) — not the
+        # symbolic-and-not-nonsymbolic combination used elsewhere.
+        symbolic_raw = bool(self.flags & 4)
         default_enc_name = None
+        if base_name is not None:
+            enc_name = base_name
+        else:
+            enc_name = "StandardEncoding"
+            if self.subtype == "TrueType" and not (self.flags & 32):
+                enc_name = "WinAnsiEncoding"
+            if symbolic_raw or is_symbols_name:
+                enc_name = "MacRomanEncoding"
+                if not embedded:
+                    if re.search(r"Symbol", self.base_font, re.I):
+                        enc_name = "SymbolSetEncoding"
+                    elif re.search(r"Dingbats", self.base_font, re.I):
+                        enc_name = "ZapfDingbatsEncoding"
+                    elif re.search(r"Wingdings", self.base_font, re.I):
+                        enc_name = "WinAnsiEncoding"
+            default_enc_name = enc_name
+        default_names = encoding_names(enc_name)
+        # resolved per-code glyph names: differences first, then the default
+        # table — the lookup _charToGlyph performs for the missing-file
+        # Type1 empty-name rule (pdf.worker.js:29779-29786)
+        self._enc_names_resolved = [
+            diffs.get(c, default_names[c]) for c in range(256)
+        ]
+        # merged names for _simpleFontToUnicode (its own differences loop
+        # skips only '.notdef', pdf.worker.js:37248-37253)
+        merged = list(default_names)
+        for code, gname in diffs.items():
+            if 0 <= code < 256 and gname != ".notdef":
+                merged[code] = gname
+        table = simple_font_to_unicode(merged, base_name)
         # builtin font-program encoding: Type1 cleartext /Encoding or CFF
         # (FontFile3) Charset+Encoding — the reference's builtInEncoding
         builtin = self._parse_builtin_font_encoding(doc, desc)
-        if base_name is not None:
-            table = list(encoding_table(base_name if base_name in ("WinAnsiEncoding", "MacRomanEncoding", "MacExpertEncoding") else "StandardEncoding"))
-        else:
-            if builtin is not None and self.symbolic:
-                table = [""] * 256
-                for code, gname in builtin.items():
-                    if 0 <= code < 256:
-                        table[code] = glyph_name_to_unicode(gname)
-            else:
-                # pdf.js defaultEncoding selection (evaluator,
-                # pdf.worker.js:37209-37229): Standard; TrueType and not
-                # explicitly nonsymbolic -> WinAnsi; symbolic -> MacRoman
-                # (with Symbol/Dingbats special-casing for non-embedded)
-                default_enc_name = "StandardEncoding"
-                nonsymbolic = bool(self.flags & 32)
-                if self.subtype == "TrueType" and not nonsymbolic:
-                    default_enc_name = "WinAnsiEncoding"
-                if self.symbolic:
-                    default_enc_name = "MacRomanEncoding"
-                    embedded = isinstance(desc, dict) and any(
-                        isinstance(r(desc.get(k)), StreamObj)
-                        for k in ("FontFile", "FontFile2", "FontFile3"))
-                    if not embedded and re.search(r"Wingdings", self.base_font, re.I):
-                        default_enc_name = "WinAnsiEncoding"
-                table = list(encoding_table(default_enc_name))
-                if (self.symbolic and not isinstance(desc, dict)
-                        and re.search(r"Symbol|Dingbats", self.base_font, re.I)):
-                    from .encodings import SYMBOL_MAP
-
-                    for code, u in SYMBOL_MAP.items():
-                        table[code] = u
+        has_included_tounicode = isinstance(r(fd.get("ToUnicode")), StreamObj)
         # embedded-TrueType recovery (adjustTrueTypeToUnicode,
         # pdf.worker.js:27514-27558): a symbolic TrueType with NO /Encoding
-        # and no ToUnicode whose `name` table records are all Windows
-        # records is actually WinAnsi-coded — overlay WinAnsi where mapped.
-        # (ToUnicode entries, parsed later, still win: the amend only fills
-        # codes toUnicode misses, which is exactly the lookup order here.)
-        if (self.subtype == "TrueType" and self.symbolic and not has_encoding
+        # and no included /ToUnicode whose `name` table records are all
+        # Windows records is actually WinAnsi-coded — overlay WinAnsi where
+        # the AGL maps the name.
+        if (self.subtype == "TrueType" and symbolic_raw and not has_encoding
+                and not has_included_tounicode
                 and default_enc_name != "WinAnsiEncoding"
                 and self._truetype_name_records_all_windows(doc, desc)):
             win = encoding_table("WinAnsiEncoding")
             table = [win[c] if win[c] else table[c] for c in range(256)]
-        for code, gname in diffs.items():
-            if 0 <= code < 256:
-                u = glyph_name_to_unicode(gname)
-                table[code] = u if u else table[code]
         # adjustType1ToUnicode amend (pdf.worker.js:27559-27586): builtin
-        # font-program glyph names fill codes NOT covered by an explicit
-        # /Encoding — a base encoding name suppresses the amend entirely,
-        # /Differences suppress it per code; /ToUnicode still wins at
-        # lookup time (glyph construction consults it first)
-        if builtin is not None and base_name is None:
+        # font-program glyph names OVERWRITE the encoding-derived values for
+        # codes not pinned by a base encoding name (which suppresses every
+        # amend) or a per-code /Differences entry; an included /ToUnicode
+        # suppresses the amend entirely (hasIncludedToUnicodeMap guard).
+        if builtin is not None and not has_included_tounicode:
             for code, gname in builtin.items():
-                if 0 <= code < 256 and code not in diffs:
+                if 0 <= code < 256:
+                    if has_encoding and (base_name is not None
+                                         or code in diffs):
+                        continue
                     u = glyph_name_to_unicode(gname)
                     if u:
                         table[code] = u
         self._enc_table = table
         self._diff_names = diffs
+        self._has_encoding = has_encoding
+        # no /Widths array: the standard-14 AFM metrics keyed by glyph NAME
+        # through the resolved encoding — getBaseFontMetrics +
+        # buildCharCodeToWidth (pdf.worker.js:37559-37597); a glyph name
+        # outside the AFM table gets NO width (defaultWidth 0), which is
+        # what suppresses inter-item space insertion for such glyphs.
+        if not has_widths_array:
+            gw, self.default_width = _base_font_metrics(self.base_font)
+            w2: dict[int, float] = {}
+            for c in range(256):
+                gname = diffs.get(c)
+                if gname is not None and gw.get(gname):
+                    w2[c] = gw[gname]
+                    continue
+                gn = default_names[c]
+                if gn and gw.get(gn):
+                    w2[c] = gw[gn]
+            self.widths = w2
 
     def _set_symbolic(self, doc, desc) -> None:
         flags = doc.resolve(desc.get("Flags")) if isinstance(desc, dict) else None
@@ -435,6 +480,9 @@ class Font:
         # not available offline; Identity-H/V covers the fixtures + modern PDFs.
         self._enc_table = None
         self._diff_names = {}
+        self._enc_names_resolved = None
+        self._has_encoding = False
+        self.missing_file = False
 
     # -- decode ----------------------------------------------------------
     def chars_to_glyphs(self, chars: bytes) -> list[Glyph]:
@@ -478,60 +526,53 @@ class Font:
         return g
 
     def _make_glyph_uncached(self, code: int) -> Glyph:
+        # unicode precedence == buildToUnicode + _charToGlyph
+        # (pdf.worker.js:37321-37330, :29772): included /ToUnicode first;
+        # its holes consult the encoding-derived table only when the font
+        # HAS an encoding (amendFallbackToUnicode, :27590-27604); without an
+        # included map the encoding table (with builtin amendments) IS the
+        # toUnicode; remaining holes fall back to the charcode itself.
         u: Optional[str] = None
         if self.to_unicode is not None:
             u = self.to_unicode.get(code)
-        if u is None:
-            if self._enc_table is not None and 0 <= code < 256:
-                u = self._enc_table[code]
-                if not u and code in self._diff_names:
-                    u = ""
-            if not u:
-                # pdf.js falls back to the charcode itself
-                try:
-                    u = chr(code)
-                except ValueError:
-                    u = "�"
+            if u is None and self._has_encoding and self._enc_table is not None \
+                    and 0 <= code < 256:
+                u = self._enc_table[code] or None
+        elif self._enc_table is not None and 0 <= code < 256:
+            u = self._enc_table[code] or None
+        if not u:
+            # pdf.js falls back to the charcode itself
+            try:
+                u = chr(code)
+            except ValueError:
+                u = "�"
         w = self.widths.get(code)
         if w is None:
             w = self.default_width
+        # missing-file Type1 empty-name rule (_charToGlyph,
+        # pdf.worker.js:29779-29786): a non-embedded Type1 charcode whose
+        # resolved glyph name is '' renders the space fontChar — unicode
+        # becomes ' ' and a zero width borrows the space width.
+        if (self.missing_file and self.subtype in ("Type1", "MMType1")
+                and self._enc_names_resolved is not None and 0 <= code < 256
+                and self._enc_names_resolved[code] == ""):
+            u = " "
+            if not w:
+                w = self.widths.get(0x20) or self.default_width
         return Glyph(u, w)
 
 
-# -- standard 14 metrics (Annex D / AFM) -------------------------------------
-# Helvetica & Times & Courier width tables for WinAnsi-ish codes.  Compact:
-# Courier is fixed 600; Helvetica/Times carry the printable-ASCII widths that
-# dominate extraction advance math; non-ASCII falls back to 500.
-
-_HELV = (278,278,355,556,556,889,667,191,333,333,389,584,278,333,278,278,556,556,556,556,556,556,556,556,556,556,278,278,584,584,584,556,1015,667,667,722,722,667,611,778,722,278,500,667,556,833,722,778,667,778,722,667,611,722,667,944,667,667,611,278,278,278,469,556,333,556,556,500,556,556,278,556,556,222,222,500,222,833,556,556,556,556,333,500,278,556,500,722,500,500,500,334,260,334,584)
-_HELV_BOLD = (278,333,474,556,556,889,722,238,333,333,389,584,278,333,278,278,556,556,556,556,556,556,556,556,556,556,333,333,584,584,584,611,975,722,722,722,722,667,611,778,722,278,556,722,611,833,722,778,667,778,722,667,611,722,667,944,667,667,611,333,278,333,584,556,333,556,611,556,611,556,333,611,611,278,278,556,278,889,611,611,611,611,389,556,333,611,556,778,556,556,500,389,280,389,584)
-_TIMES = (250,333,408,500,500,833,778,180,333,333,500,564,250,333,250,278,500,500,500,500,500,500,500,500,500,500,278,278,564,564,564,444,921,722,667,667,722,611,556,722,722,333,389,722,611,889,722,722,556,722,667,556,611,722,722,944,722,722,611,333,278,333,469,500,333,444,500,444,500,444,333,500,500,278,278,500,278,778,500,500,500,500,333,389,278,500,500,722,500,500,444,480,200,480,541)
-_TIMES_BOLD = (250,333,555,500,500,1000,833,278,333,333,500,570,250,333,250,278,500,500,500,500,500,500,500,500,500,500,333,333,570,570,570,500,930,722,667,722,722,667,611,778,778,389,500,778,667,944,722,778,611,778,722,556,667,722,722,1000,722,722,667,333,278,333,581,500,333,500,556,444,556,444,333,500,556,278,333,556,278,833,556,500,556,556,444,389,333,556,500,722,500,500,444,394,220,394,520)
-_TIMES_ITALIC = (250,333,420,500,500,833,778,214,333,333,500,675,250,333,250,278,500,500,500,500,500,500,500,500,500,500,333,333,675,675,675,500,920,611,611,667,722,611,611,722,722,333,444,667,556,833,667,722,611,722,611,500,556,722,611,833,611,556,556,389,278,389,422,500,333,500,500,444,500,444,278,500,500,278,278,444,278,722,500,500,500,500,389,389,278,500,444,667,444,444,389,400,275,400,541)
-
-
-def _std14_widths(base_font: str) -> Optional[tuple[dict[int, float], float]]:
-    name = base_font.split("+")[-1].lower()
-    table = None
-    default = 500.0
-    if "courier" in name or name in ("monospace",):
-        return ({c: 600.0 for c in range(0, 256)}, 600.0)
-    if "helvetica" in name or "arial" in name:
-        table = _HELV_BOLD if "bold" in name else _HELV
-        default = 556.0
-    elif "times" in name or name.startswith("serif"):
-        if "bolditalic" in name or ("bold" in name and "italic" in name):
-            table = _TIMES_BOLD
-        elif "bold" in name:
-            table = _TIMES_BOLD
-        elif "italic" in name or "oblique" in name:
-            table = _TIMES_ITALIC
-        else:
-            table = _TIMES
-        default = 500.0
-    elif "symbol" in name or "zapf" in name or "dingbat" in name:
-        return ({c: 500.0 for c in range(0, 256)}, 500.0)
-    if table is None:
-        return None
-    widths = {0x20 + i: float(w) for i, w in enumerate(table)}
-    return widths, default
+# -- standard 14 metrics (AFM, name-keyed) -----------------------------------
+def _base_font_metrics(name: str) -> tuple[dict[str, float], float]:
+    """getBaseFontMetrics parity (pdf.worker.js:37559-37581): alias map,
+    then Times-Roman/Helvetica fallback by serif-ness; monospace entries
+    carry a single default advance and an empty name table."""
+    lookup = STD_FONT_MAP.get(name, name)
+    if lookup not in METRICS:
+        wo_style = name.split("-", 1)[0]
+        serif = wo_style in SERIF_FONTS or re.search(r"serif", wo_style, re.I)
+        lookup = "Times-Roman" if serif else "Helvetica"
+    gw = METRICS[lookup]
+    if isinstance(gw, float):
+        return {}, gw
+    return gw, 0.0

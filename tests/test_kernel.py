@@ -365,3 +365,44 @@ def test_tounicode_surrogate_pairs():
     differential sweep)."""
     pdf = pdfgen.make_surrogate_pair_pdf()
     assert parse_pdf(pdf)["text"] == "\n\n\U0001F600 \U0001D49C X\U0001F601"
+
+
+def test_base_encoding_tables_annexd():
+    """Annex D table parity highlights, locked byte-exact vs the live
+    reference by the `encsweep-*` differential cases: WinAnsi fills unused
+    slots with bullet and maps 0xAD to a plain hyphen (pdf.js table, NOT
+    cp1252 soft-hyphen); a missing-file Type1 charcode with an EMPTY glyph
+    name renders as a space (build/pdf.worker.js:29779-29786), so Standard
+    0x7F-0xA0 collapse into whitespace; MacRoman 0xF0 is the private-use
+    apple glyph."""
+    win = parse_pdf(pdfgen.make_base_encoding_sweep_pdf("WinAnsiEncoding"))["text"]
+    assert "• € • ‚" in win          # 0x7f bullet, 0x80 euro, 0x81 bullet
+    assert "¬ - ®" in win            # 0xAD -> hyphen, not soft-hyphen
+    assert "­" not in win
+    std = parse_pdf(pdfgen.make_base_encoding_sweep_pdf("StandardEncoding"))["text"]
+    assert "~\n¡ ¢ £ ⁄" in std       # 0x7f-0xa0 are spaces, folded away
+    assert "\x7f" not in std and "\x80" not in std
+    assert "¤ ' “" in std            # 0xa8 currency, 0xa9 quotesingle
+    mac = parse_pdf(pdfgen.make_base_encoding_sweep_pdf("MacRomanEncoding"))["text"]
+    assert "" in mac           # 0xf0 apple -> U+F8FF
+    assert "∆ «" in mac              # Delta -> U+2206 INCREMENT (AGL)
+    # non-embedded /Symbol with no /Encoding selects SymbolSetEncoding
+    sym = parse_pdf(pdfgen.make_base_encoding_sweep_pdf(None, "Symbol"))["text"]
+    assert "∀" in sym and "∃" in sym and "Ω" in sym
+
+
+def test_afm_width_zero_for_unknown_glyphs():
+    """MacExpert names are outside the Helvetica AFM table: width 0 per
+    buildCharCodeToWidth (pdf.worker.js:37582-37597) means no inter-item
+    space is inferred between adjacent positioned glyphs."""
+    text = parse_pdf(
+        pdfgen.make_base_encoding_sweep_pdf("MacExpertEncoding"))["text"]
+    assert "" in text  # adjacent, no synthetic spaces
+
+
+def test_number_syntax_tolerances():
+    """Lexer.getNumber parity: e-notation applies, double minus is one
+    minus, a mid-number minus is ignored (3-4 == 34), a lone trailing e
+    ends the number (12e == 12)."""
+    text = parse_pdf(pdfgen.make_number_syntax_pdf())["text"]
+    assert text == "\n\nA B CDE F\nG H"

@@ -76,7 +76,21 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
         ("ttf-mac-name", pdfgen.make_symbolic_truetype_pdf(False)[0]),
         ("cff-builtin-encoding", pdfgen.make_cff_builtin_encoding_pdf()[0]),
         ("tounicode-surrogate-pairs", pdfgen.make_surrogate_pair_pdf()),
+        ("number-syntax", pdfgen.make_number_syntax_pdf()),
     ]
+    # full 0x20-0xFF table sweeps: every Annex D base-encoding slot, the
+    # Symbol/ZapfDingbats set-encoding defaults, the std-font alias map and
+    # the name-keyed AFM width path (glyphs outside the AFM get width 0)
+    for enc, bf in (("StandardEncoding", "Helvetica"),
+                    ("WinAnsiEncoding", "Helvetica"),
+                    ("MacRomanEncoding", "Helvetica"),
+                    ("MacExpertEncoding", "Helvetica"),
+                    (None, "Symbol"), (None, "ZapfDingbats"),
+                    (None, "Courier"), (None, "Times-Roman"),
+                    (None, "Arial"), (None, "Bookman-Demi")):
+        tag = (enc or "default").replace("Encoding", "").lower()
+        specials.append((f"encsweep-{tag}-{bf.lower()}",
+                         pdfgen.make_base_encoding_sweep_pdf(enc, bf)))
     for mode in ("rc4-40", "rc4-128", "aesv2", "aesv3"):
         specials.append((f"encrypted-{mode}", pdfgen.make_encrypted_pdf(mode)[0]))
     specials.append(("encrypted-aesv3-xstream",
@@ -100,7 +114,7 @@ def main() -> None:
             failures.append(name)
             print(f"MISMATCH {name}: ours={ours[:80]!r} ref={theirs[:80]!r}")
     print(f"{n_ok}/{len(cases)} byte-exact vs live reference "
-          f"({sum(1 for n, _ in cases if 'enc' in n)} encrypted)")
+          f"({sum(1 for n, _ in cases if 'encrypted' in n or n.endswith('-enc'))} encrypted)")
     if failures:
         print("FAILED:", failures)
         sys.exit(1)
