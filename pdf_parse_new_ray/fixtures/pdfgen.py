@@ -1113,3 +1113,162 @@ def make_number_syntax_pdf() -> bytes:
     pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
     root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
     return b.build(root)
+
+
+def make_operator_fuzz_pdf(seed: int) -> bytes:
+    """Randomized text-operator torture page: interleaved Tm/Td/TD/T*/TL/
+    Tc/Tw/Tz/Ts state changes, Tj / TJ-with-kerning / ' / \" show ops,
+    multiple BT..ET blocks and occasional high-WinAnsi bytes — the
+    span-assembly + TextState surface (M8/M9/M12/M13) under adversarial
+    sequencing.  Deterministic per seed; expected text comes from the live
+    reference in the differential sweep."""
+    rng = random.Random(0xF022 + seed)
+    words = ["alpha", "beta", "gamma", "delta", "kappa", "omega",
+             "zig", "zag", "quux", "blot", "nine", "ten"]
+    hi = "é×÷±µ§¶«»¼½"
+
+    def _s() -> bytes:
+        w = rng.choice(words)
+        if rng.random() < 0.25:
+            w += rng.choice(hi)
+        return w.encode("cp1252")
+
+    def _n(lo: float, hi_: float, nd: int = 2) -> bytes:
+        return (b"%.*f" % (nd, rng.uniform(lo, hi_))).rstrip(b"0").rstrip(b".") or b"0"
+
+    ops: list[bytes] = []
+    y = 720.0
+    for _ in range(rng.randint(2, 4)):
+        ops.append(b"BT /F1 %s Tf" % _n(8, 16, 1))
+        ops.append(b"1 0 0 1 %s %s Tm" % (_n(40, 90), _n(y - 5, y)))
+        y -= rng.uniform(40, 90)
+        for _ in range(rng.randint(3, 10)):
+            r = rng.random()
+            if r < 0.18:
+                ops.append(b"%s %s Td" % (_n(-30, 120), _n(-25, 5)))
+            elif r < 0.28:
+                ops.append(b"%s %s TD" % (_n(-30, 120), _n(-25, 5)))
+            elif r < 0.36:
+                ops.append(b"%s TL" % _n(8, 24, 1))
+            elif r < 0.42:
+                ops.append(b"T*")
+            elif r < 0.50:
+                ops.append(b"%s Tc" % _n(-0.4, 2.5))
+            elif r < 0.58:
+                ops.append(b"%s Tw" % _n(-1, 6))
+            elif r < 0.64:
+                ops.append(b"%s Tz" % _n(40, 180, 1))
+            elif r < 0.70:
+                ops.append(b"%s Ts" % _n(-4, 6, 1))
+            show = rng.random()
+            if show < 0.45:
+                ops.append(b"(" + _s() + b") Tj")
+            elif show < 0.75:
+                parts: list[bytes] = []
+                for _ in range(rng.randint(2, 5)):
+                    parts.append(b"(" + _s() + b")")
+                    if rng.random() < 0.8:
+                        parts.append(_n(-900, 400, 1))
+                ops.append(b"[" + b" ".join(parts) + b"] TJ")
+            elif show < 0.9:
+                ops.append(b"(" + _s() + b") '")
+            else:
+                ops.append(b"%s %s (%s) \"" % (_n(0, 4), _n(-0.3, 1.5),
+                                               _s()))
+        ops.append(b"ET")
+    return _single_page_pdf(b"\n".join(ops))
+
+
+def make_state_fuzz_pdf(seed: int) -> bytes:
+    """Harder randomized torture: q/Q graphics-state nesting with shear/
+    translate cm, rotated text matrices, Tr render modes (including
+    invisible mode 3 — the reference still extracts it), Tz 0, THREE fonts
+    with different base encodings re-selected mid-block, and the page's
+    /Contents split across multiple streams (join semantics).
+    Deterministic per seed; expected text comes from the live reference in
+    the differential sweep."""
+    import math
+
+    rng = random.Random(0xBEEF + seed)
+    words = ["alpha", "beta", "gamma", "delta", "kap", "om", "zig", "zag"]
+
+    def _s() -> bytes:
+        w = rng.choice(words)
+        if rng.random() < 0.2:
+            w += "é×µ«"[rng.randrange(4)]
+        return w.encode("cp1252")
+
+    def _n(lo: float, hi: float, nd: int = 2) -> bytes:
+        return (b"%.*f" % (nd, rng.uniform(lo, hi))).rstrip(b"0").rstrip(b".") or b"0"
+
+    fonts = [b"/F1", b"/F2", b"/F3"]
+    ops: list[bytes] = []
+    depth = 0
+    y = 720.0
+    streams: list[bytes] = []
+    for _ in range(rng.randint(2, 5)):
+        r = rng.random()
+        if r < 0.25 and depth < 3:
+            ops.append(b"q")
+            depth += 1
+            ops.append(b"%s %s %s %s %s %s cm" % (
+                _n(0.7, 1.3), _n(-0.2, 0.2), _n(-0.2, 0.2), _n(0.7, 1.3),
+                _n(-20, 20), _n(-20, 20)))
+        elif r < 0.35 and depth > 0:
+            ops.append(b"Q")
+            depth -= 1
+        ops.append(b"BT %s %s Tf" % (rng.choice(fonts), _n(7, 15, 1)))
+        if rng.random() < 0.3:
+            th = rng.uniform(0, 6.283)
+            c_, s_ = math.cos(th), math.sin(th)
+            ops.append(b"%.3f %.3f %.3f %.3f %s %s Tm" % (
+                c_, s_, -s_, c_, _n(100, 400), _n(200, 600)))
+        else:
+            ops.append(b"1 0 0 1 %s %s Tm" % (_n(40, 90), _n(y - 5, y)))
+            y -= rng.uniform(30, 80)
+        if rng.random() < 0.35:
+            ops.append(b"%d Tr" % rng.choice([0, 1, 2, 3, 7]))
+        if rng.random() < 0.1:
+            ops.append(b"0 Tz")
+        for _ in range(rng.randint(2, 6)):
+            rr = rng.random()
+            if rr < 0.2:
+                ops.append(b"%s %s Td" % (_n(-20, 80), _n(-20, 4)))
+            elif rr < 0.3:
+                ops.append(b"%s TL" % _n(6, 20, 1))
+            elif rr < 0.36:
+                ops.append(b"T*")
+            elif rr < 0.44:
+                ops.append(b"%s Tc" % _n(-0.3, 2))
+            elif rr < 0.5:
+                ops.append(b"%s Tz" % _n(0, 160, 1))
+            if rng.random() < 0.5:
+                ops.append(b"(" + _s() + b") Tj")
+            else:
+                parts: list[bytes] = []
+                for _ in range(rng.randint(2, 4)):
+                    parts.append(b"(" + _s() + b")")
+                    parts.append(_n(-800, 300, 1))
+                ops.append(b"[" + b" ".join(parts) + b"] TJ")
+        ops.append(b"ET")
+        if rng.random() < 0.3:
+            streams.append(b"\n".join(ops))
+            ops = []
+    ops.extend(b"Q" for _ in range(depth))
+    streams.append(b"\n".join(ops))
+    b = PDFBuilder()
+    f1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+               b" /Encoding /WinAnsiEncoding >>")
+    f2 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman"
+               b" /Encoding /MacRomanEncoding >>")
+    f3 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    cns = [b.add_stream(b"", c, "flate") for c in streams]
+    pages_num = len(b.objects) + 2
+    contents = b"[" + b" ".join(b"%d 0 R" % c for c in cns) + b"]"
+    pn = b.add((f"<< /Type /Page /Parent {pages_num} 0 R "
+                f"/MediaBox [0 0 612 792] /Resources << /Font "
+                f"<< /F1 {f1} 0 R /F2 {f2} 0 R /F3 {f3} 0 R >> >> "
+                f"/Contents ").encode() + contents + b" >>")
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root)

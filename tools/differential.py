@@ -91,6 +91,12 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
         tag = (enc or "default").replace("Encoding", "").lower()
         specials.append((f"encsweep-{tag}-{bf.lower()}",
                          pdfgen.make_base_encoding_sweep_pdf(enc, bf)))
+    # randomized operator/state torture (validated at 120 seeds each when
+    # introduced; a rotating window keeps the sweep fast but fresh)
+    for k in range(6):
+        fz = n_seeds * 31 + k
+        specials.append((f"opfuzz-{fz}", pdfgen.make_operator_fuzz_pdf(fz)))
+        specials.append((f"statefuzz-{fz}", pdfgen.make_state_fuzz_pdf(fz)))
     for mode in ("rc4-40", "rc4-128", "aesv2", "aesv3"):
         specials.append((f"encrypted-{mode}", pdfgen.make_encrypted_pdf(mode)[0]))
     specials.append(("encrypted-aesv3-xstream",
