@@ -11,6 +11,7 @@ No code from the reference; PDF syntax per ISO 32000-1.
 from __future__ import annotations
 
 import random
+import re
 import zlib
 from typing import Optional
 
@@ -1272,3 +1273,105 @@ def make_state_fuzz_pdf(seed: int) -> bytes:
     pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
     root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
     return b.build(root)
+
+
+def make_objstm_pdf() -> tuple[bytes, str]:
+    """Font/page/pages/catalog packed into a /Type /ObjStm object stream,
+    addressed by TYPE-2 xref-stream entries (ISO 32000-1 §7.5.7-7.5.8;
+    reference ObjStm path: XRef.fetchCompressed) — the modern-writer layout
+    the classic builder never produces."""
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>")
+    page = (b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 1 0 R >> >> /Contents 6 0 R >>")
+    pages = b"<< /Type /Pages /Kids [2 0 R] /Count 1 >>"
+    catalog = b"<< /Type /Catalog /Pages 3 0 R >>"
+    inner = [(1, font), (2, page), (3, pages), (4, catalog)]
+    offsets, body = [], b""
+    for num, b_ in inner:
+        offsets.append((num, len(body)))
+        body += b_ + b"\n"
+    header = b" ".join(b"%d %d" % (n, o) for n, o in offsets) + b" "
+    stm_data = header + body
+    first = len(header)
+    objstm_payload = zlib.compress(stm_data)
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (packed in objstm) Tj ET"
+    cdata = zlib.compress(content)
+    out = bytearray(b"%PDF-1.5\n")
+    offs: dict[int, int] = {}
+
+    def emit(num: int, obody: bytes) -> None:
+        offs[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + obody + b"\nendobj\n")
+
+    emit(5, b"<< /Type /ObjStm /N 4 /First %d /Filter /FlateDecode"
+            b" /Length %d >>\nstream\n" % (first, len(objstm_payload))
+            + objstm_payload + b"\nendstream")
+    emit(6, b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(cdata)
+            + cdata + b"\nendstream")
+    xref_pos = len(out)
+    rows = bytearray()
+    rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+    for n in (1, 2, 3, 4):
+        rows += bytes([2]) + (5).to_bytes(4, "big") + (n - 1).to_bytes(2, "big")
+    rows += bytes([1]) + offs[5].to_bytes(4, "big") + (0).to_bytes(2, "big")
+    rows += bytes([1]) + offs[6].to_bytes(4, "big") + (0).to_bytes(2, "big")
+    rows += bytes([1]) + xref_pos.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    xdata = zlib.compress(bytes(rows))
+    out.extend(b"7 0 obj\n<< /Type /XRef /Size 8 /W [1 4 2] /Index [0 8]"
+               b" /Root 4 0 R /Filter /FlateDecode /Length %d >>\nstream\n"
+               % len(xdata) + xdata + b"\nendstream\nendobj\n")
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_pos)
+    return bytes(out), "\n\npacked in objstm"
+
+
+def make_incremental_update_pdf() -> tuple[bytes, str]:
+    """Classic incremental update: an appended body REPLACES the page's
+    content stream, the update xref carries /Prev to the original section
+    — newest-section-wins object resolution (ISO 32000-1 §7.5.6)."""
+    base, _ = make_text_pdf([["original line one", "original line two"]])
+    m = re.search(rb"(\d+) 0 obj\n<< /Type /Page .*?/Contents (\d+) 0 R", base)
+    page_num = int(m.group(1))
+    parent = int(re.search(rb"/Parent (\d+) 0 R", m.group(0)).group(1))
+    font = int(re.search(rb"/F1 (\d+) 0 R", base).group(1))
+    size = int(re.search(rb"/Size (\d+)", base).group(1))
+    prev_xref = int(re.search(rb"startxref\n(\d+)", base).group(1))
+    new_c = size
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (updated content) Tj ET"
+    cdata = zlib.compress(content)
+    out = bytearray(base)
+    offs: dict[int, int] = {}
+    offs[new_c] = len(out)
+    out.extend(b"%d 0 obj\n<< /Filter /FlateDecode /Length %d >>\nstream\n"
+               % (new_c, len(cdata)) + cdata + b"\nendstream\nendobj\n")
+    offs[page_num] = len(out)
+    out.extend(b"%d 0 obj\n<< /Type /Page /Parent %d 0 R"
+               b" /MediaBox [0 0 612 792] /Resources << /Font"
+               b" << /F1 %d 0 R >> >> /Contents %d 0 R >>\nendobj\n"
+               % (page_num, parent, font, new_c))
+    xref_pos = len(out)
+    out.extend(b"xref\n0 1\n0000000000 65535 f \n")
+    out.extend(b"%d 1\n%010d 00000 n \n" % (page_num, offs[page_num]))
+    out.extend(b"%d 1\n%010d 00000 n \n" % (new_c, offs[new_c]))
+    root = re.search(rb"/Root (\d+) 0 R", base).group(1)
+    out.extend(b"trailer\n<< /Size %d /Root %s 0 R /Prev %d >>\n"
+               b"startxref\n%d\n%%%%EOF\n"
+               % (new_c + 1, root, prev_xref, xref_pos))
+    return bytes(out), "\n\nupdated content"
+
+
+def make_bad_startxref_pdf() -> tuple[bytes, str]:
+    """startxref points past EOF — both engines must recover by scanning
+    for object headers (reference: XRef.indexObjects recovery)."""
+    base, _ = make_text_pdf([["recover me", "second line"]])
+    return (re.sub(rb"startxref\n\d+", b"startxref\n999999", base),
+            "\n\nrecover me\nsecond line")
+
+
+def make_shifted_header_pdf() -> tuple[bytes, str]:
+    """Garbage bytes BEFORE %PDF- : every xref offset in the file is now
+    stale by the prelude length; the reference tolerates it (stream.start
+    rebasing / recovery scan)."""
+    base, _ = make_text_pdf([["offset header doc"]])
+    return (b"%%junk prelude\n" + b"\x00" * 7 + b"\n" + base,
+            "\n\noffset header doc")

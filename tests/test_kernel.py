@@ -406,3 +406,17 @@ def test_number_syntax_tolerances():
     ends the number (12e == 12)."""
     text = parse_pdf(pdfgen.make_number_syntax_pdf())["text"]
     assert text == "\n\nA B CDE F\nG H"
+
+
+@pytest.mark.parametrize("maker", [
+    pdfgen.make_objstm_pdf,
+    pdfgen.make_incremental_update_pdf,
+    pdfgen.make_bad_startxref_pdf,
+    pdfgen.make_shifted_header_pdf,
+])
+def test_document_structure_variants(maker):
+    """ObjStm type-2 entries, incremental /Prev updates, startxref
+    recovery, shifted header — expected strings locked byte-exact vs the
+    live reference in the differential sweep."""
+    pdf, expected = maker()
+    assert parse_pdf(pdf)["text"] == expected

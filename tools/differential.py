@@ -77,6 +77,10 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
         ("cff-builtin-encoding", pdfgen.make_cff_builtin_encoding_pdf()[0]),
         ("tounicode-surrogate-pairs", pdfgen.make_surrogate_pair_pdf()),
         ("number-syntax", pdfgen.make_number_syntax_pdf()),
+        ("objstm-type2-xref", pdfgen.make_objstm_pdf()[0]),
+        ("incremental-update", pdfgen.make_incremental_update_pdf()[0]),
+        ("bad-startxref-recovery", pdfgen.make_bad_startxref_pdf()[0]),
+        ("shifted-header", pdfgen.make_shifted_header_pdf()[0]),
     ]
     # full 0x20-0xFF table sweeps: every Annex D base-encoding slot, the
     # Symbol/ZapfDingbats set-encoding defaults, the std-font alias map and
