@@ -1375,3 +1375,128 @@ def make_shifted_header_pdf() -> tuple[bytes, str]:
     base, _ = make_text_pdf([["offset header doc"]])
     return (b"%%junk prelude\n" + b"\x00" * 7 + b"\n" + base,
             "\n\noffset header doc")
+
+
+def make_tounicode_fuzz_pdf(seed: int) -> bytes:
+    """Randomized simple-font ToUnicode CMap: bfchar with 1-3-unit UTF-16
+    destinations, bfrange with incrementing (incl. astral base) and
+    array-destination forms, mapped + unmapped codes interleaved.
+    Deterministic per seed; oracle is the live reference in the sweep."""
+    rng = random.Random(0xCAFE + seed)
+    entries: list[str] = []
+    used: set[int] = set()
+    for _ in range(rng.randint(1, 6)):
+        c = rng.randint(0x21, 0x7E)
+        if c in used:
+            continue
+        used.add(c)
+        k = rng.randint(1, 3)
+        dst = "".join(chr(rng.choice(
+            [0x41 + rng.randrange(26), 0x3B1 + rng.randrange(20),
+             0x4E00 + rng.randrange(100)])) for _ in range(k))
+        entries.append(f"<{c:02X}> <{dst.encode('utf-16-be').hex().upper()}>")
+    bfchar = (f"{len(entries)} beginbfchar " + " ".join(entries)
+              + " endbfchar ") if entries else ""
+    ranges: list[str] = []
+    for _ in range(rng.randint(1, 3)):
+        lo = rng.randint(0x21, 0x70)
+        hi = lo + rng.randint(0, 6)
+        if any(lo <= u <= hi for u in used):
+            continue
+        used.update(range(lo, hi + 1))
+        if rng.random() < 0.5:
+            base = rng.choice([0x61, 0x391, 0x4E00, 0x1F600])
+            hexdst = (chr(base).encode("utf-16-be").hex().upper()
+                      if base > 0xFFFF else f"{base:04X}")
+            ranges.append(f"<{lo:02X}> <{hi:02X}> <{hexdst}>")
+        else:
+            arr = " ".join(
+                "<%s>" % "".join(chr(0x30A0 + rng.randrange(60))
+                                 for _ in range(rng.randint(1, 2))
+                                 ).encode("utf-16-be").hex().upper()
+                for _ in range(hi - lo + 1))
+            ranges.append(f"<{lo:02X}> <{hi:02X}> [{arr}]")
+    bfrange = (f"{len(ranges)} beginbfrange " + " ".join(ranges)
+               + " endbfrange ") if ranges else ""
+    tou = ("/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
+           "1 begincodespacerange <00> <FF> endcodespacerange "
+           + bfchar + bfrange + "endcmap end end").encode()
+    codes = sorted(used) + [0x7A, 0x20, 0x41]
+    rng.shuffle(codes)
+    s = b"".join(b"\\%03o" % c for c in codes[:25])
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (" + s + b") Tj ET"
+    b = PDFBuilder()
+    tn = b.add_stream(b"", tou, "flate")
+    fn = b.add(f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+               f" /Encoding /WinAnsiEncoding /ToUnicode {tn} 0 R >>".encode())
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R"
+               f" /MediaBox [0 0 612 792] /Resources << /Font"
+               f" << /F1 {fn} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root)
+
+
+def make_cid_tounicode_fuzz_pdf(seed: int) -> bytes:
+    """Randomized Identity-H composite-font ToUnicode: 2-byte codes, long
+    (multi-unit) bfrange destinations exercising the last-code-unit
+    increment, CJK/astral destinations.  Oracle: live reference."""
+    rng = random.Random(0xD1CE + seed)
+    entries: list[str] = []
+    used: set[int] = set()
+    for _ in range(rng.randint(2, 8)):
+        c = rng.randint(0x0021, 0x30FF)
+        if c in used:
+            continue
+        used.add(c)
+        k = rng.randint(1, 2)
+        dst = "".join(chr(rng.choice([0x41 + rng.randrange(26),
+                                      0x4E00 + rng.randrange(500)]))
+                      for _ in range(k))
+        entries.append(f"<{c:04X}> <{dst.encode('utf-16-be').hex().upper()}>")
+    bfchar = (f"{len(entries)} beginbfchar " + " ".join(entries)
+              + " endbfchar ")
+    ranges: list[str] = []
+    for _ in range(rng.randint(1, 3)):
+        lo = rng.randint(0x4000, 0x40F0)
+        hi = lo + rng.randint(0, 8)
+        if any(lo <= u <= hi for u in used):
+            continue
+        used.update(range(lo, hi + 1))
+        if rng.random() < 0.4:
+            dst = (chr(0x41 + rng.randrange(20))
+                   + chr(0x3042 + rng.randrange(40))
+                   ).encode("utf-16-be").hex().upper()
+        else:
+            dst = f"{rng.choice([0x61, 0x4E00]):04X}"
+        ranges.append(f"<{lo:04X}> <{hi:04X}> <{dst}>")
+    bfrange = (f"{len(ranges)} beginbfrange " + " ".join(ranges)
+               + " endbfrange ") if ranges else ""
+    tou = ("/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
+           "1 begincodespacerange <0000> <FFFF> endcodespacerange "
+           + bfchar + bfrange + "endcmap end end").encode()
+    codes = sorted(used)
+    rng.shuffle(codes)
+    hexstr = "".join(f"{c:04X}" for c in codes[:20])
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <" + hexstr.encode() + b"> Tj ET"
+    b = PDFBuilder()
+    tn = b.add_stream(b"", tou, "flate")
+    desc = b.add(b"<< /Type /FontDescriptor /FontName /Fake /Flags 4"
+                 b" /Ascent 880 /Descent -120 >>")
+    cidf = b.add(f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake"
+                 f" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+                 f" /Supplement 0 >> /FontDescriptor {desc} 0 R"
+                 f" /DW 1000 >>".encode())
+    fn = b.add(f"<< /Type /Font /Subtype /Type0 /BaseFont /Fake"
+               f" /Encoding /Identity-H /DescendantFonts [{cidf} 0 R]"
+               f" /ToUnicode {tn} 0 R >>".encode())
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R"
+               f" /MediaBox [0 0 612 792] /Resources << /Font"
+               f" << /F1 {fn} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root)

@@ -101,6 +101,11 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
         fz = n_seeds * 31 + k
         specials.append((f"opfuzz-{fz}", pdfgen.make_operator_fuzz_pdf(fz)))
         specials.append((f"statefuzz-{fz}", pdfgen.make_state_fuzz_pdf(fz)))
+        if k < 3:
+            specials.append((f"toufuzz-{fz}",
+                             pdfgen.make_tounicode_fuzz_pdf(fz)))
+            specials.append((f"cidtoufuzz-{fz}",
+                             pdfgen.make_cid_tounicode_fuzz_pdf(fz)))
     for mode in ("rc4-40", "rc4-128", "aesv2", "aesv3"):
         specials.append((f"encrypted-{mode}", pdfgen.make_encrypted_pdf(mode)[0]))
     specials.append(("encrypted-aesv3-xstream",
