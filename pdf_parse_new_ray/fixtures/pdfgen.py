@@ -1500,3 +1500,98 @@ def make_cid_tounicode_fuzz_pdf(seed: int) -> bytes:
     pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
     root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
     return b.build(root)
+
+
+def make_inherited_tree_pdf(rotate: int = 0) -> tuple[bytes, str]:
+    """Nested page tree with INHERITED attributes: leaf pages carry no
+    /Resources or /MediaBox — the intermediate Pages node holds Resources,
+    the root Pages holds MediaBox (ISO 32000-1 §7.7.3.4 inheritable
+    attributes; reference: Page.getInheritableProperty).  Optional /Rotate
+    on the second leaf."""
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>")
+    c1 = zlib.compress(b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (page one inherits) Tj ET")
+    c2 = zlib.compress(b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (page two inherits) Tj ET")
+    out = bytearray(b"%PDF-1.4\n")
+    offs: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offs[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    emit(1, font)
+    emit(2, b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(c1)
+            + c1 + b"\nendstream")
+    emit(3, b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(c2)
+            + c2 + b"\nendstream")
+    emit(4, b"<< /Type /Page /Parent 6 0 R /Contents 2 0 R >>")
+    rot = (b" /Rotate %d" % rotate) if rotate else b""
+    emit(5, b"<< /Type /Page /Parent 6 0 R /Contents 3 0 R" + rot + b" >>")
+    emit(6, b"<< /Type /Pages /Parent 7 0 R /Kids [4 0 R 5 0 R] /Count 2"
+            b" /Resources << /Font << /F1 1 0 R >> >> >>")
+    emit(7, b"<< /Type /Pages /Kids [6 0 R] /Count 2"
+            b" /MediaBox [0 0 612 792] >>")
+    emit(8, b"<< /Type /Catalog /Pages 7 0 R >>")
+    xref_pos = len(out)
+    n = 9
+    out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % n)
+    for i in range(1, n):
+        out.extend(b"%010d 00000 n \n" % offs[i])
+    out.extend(b"trailer\n<< /Size %d /Root 8 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+               % (n, xref_pos))
+    return bytes(out), "\n\npage one inherits\n\npage two inherits"
+
+
+def make_encrypted_objstm_pdf(mode: str) -> tuple[bytes, str]:
+    """Encrypted PDF whose page tree lives in an /ObjStm: the object
+    stream decrypts with ITS object key, while strings inside it are NOT
+    separately decrypted (ISO 32000-1 §7.6.3; reference: the
+    suppressEncryption path for ObjStm-contained objects)."""
+    enc = PDFEncryptor(mode, user_pw=b"")
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>")
+    page = (b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 1 0 R >> >> /Contents 6 0 R >>")
+    pages = b"<< /Type /Pages /Kids [2 0 R] /Count 1 >>"
+    catalog = b"<< /Type /Catalog /Pages 3 0 R /Lang (en-US) >>"
+    inner = [(1, font), (2, page), (3, pages), (4, catalog)]
+    offsets, body = [], b""
+    for num, b_ in inner:
+        offsets.append((num, len(body)))
+        body += b_ + b"\n"
+    header = b" ".join(b"%d %d" % (n, o) for n, o in offsets) + b" "
+    stm_data = header + body
+    first = len(header)
+    payload = enc.encrypt_stream(5, 0, zlib.compress(stm_data))
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (encrypted objstm text) Tj ET"
+    cdata = enc.encrypt_stream(6, 0, zlib.compress(content))
+    out = bytearray(b"%PDF-1.6\n")
+    offs: dict[int, int] = {}
+
+    def emit(num: int, obody: bytes) -> None:
+        offs[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + obody + b"\nendobj\n")
+
+    emit(5, b"<< /Type /ObjStm /N 4 /First %d /Filter /FlateDecode"
+            b" /Length %d >>\nstream\n" % (first, len(payload))
+            + payload + b"\nendstream")
+    emit(6, b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(cdata)
+            + cdata + b"\nendstream")
+    emit(8, enc.encrypt_dict_body())
+    xref_pos = len(out)
+    rows = bytearray()
+    rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+    for n in (1, 2, 3, 4):
+        rows += bytes([2]) + (5).to_bytes(4, "big") + (n - 1).to_bytes(2, "big")
+    rows += bytes([1]) + offs[5].to_bytes(4, "big") + (0).to_bytes(2, "big")
+    rows += bytes([1]) + offs[6].to_bytes(4, "big") + (0).to_bytes(2, "big")
+    rows += bytes([1]) + xref_pos.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    rows += bytes([1]) + offs[8].to_bytes(4, "big") + (0).to_bytes(2, "big")
+    xdata = zlib.compress(bytes(rows))
+    idhex = enc.id0.hex().encode()
+    out.extend(b"7 0 obj\n<< /Type /XRef /Size 9 /W [1 4 2] /Index [0 9]"
+               b" /Root 4 0 R /Encrypt 8 0 R /ID [<" + idhex + b"> <"
+               + idhex + b">] /Filter /FlateDecode /Length %d >>\nstream\n"
+               % len(xdata) + xdata + b"\nendstream\nendobj\n")
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_pos)
+    return bytes(out), "\n\nencrypted objstm text"

@@ -420,3 +420,14 @@ def test_document_structure_variants(maker):
     live reference in the differential sweep."""
     pdf, expected = maker()
     assert parse_pdf(pdf)["text"] == expected
+
+
+def test_inherited_page_tree_attributes():
+    pdf, expected = pdfgen.make_inherited_tree_pdf(90)
+    assert parse_pdf(pdf)["text"] == expected
+
+
+@pytest.mark.parametrize("mode", ["rc4-128", "aesv2", "aesv3"])
+def test_encrypted_objstm(mode):
+    pdf, expected = pdfgen.make_encrypted_objstm_pdf(mode)
+    assert parse_pdf(pdf)["text"] == expected

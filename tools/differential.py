@@ -81,6 +81,9 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
         ("incremental-update", pdfgen.make_incremental_update_pdf()[0]),
         ("bad-startxref-recovery", pdfgen.make_bad_startxref_pdf()[0]),
         ("shifted-header", pdfgen.make_shifted_header_pdf()[0]),
+        ("inherited-tree", pdfgen.make_inherited_tree_pdf()[0]),
+        ("inherited-tree-rot90", pdfgen.make_inherited_tree_pdf(90)[0]),
+        ("encrypted-objstm-aesv2", pdfgen.make_encrypted_objstm_pdf("aesv2")[0]),
     ]
     # full 0x20-0xFF table sweeps: every Annex D base-encoding slot, the
     # Symbol/ZapfDingbats set-encoding defaults, the std-font alias map and
