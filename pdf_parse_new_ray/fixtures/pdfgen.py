@@ -1595,3 +1595,52 @@ def make_encrypted_objstm_pdf(mode: str) -> tuple[bytes, str]:
                % len(xdata) + xdata + b"\nendstream\nendobj\n")
     out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_pos)
     return bytes(out), "\n\nencrypted objstm text"
+
+
+def make_embedded_cmap_pdf(wmode: int = 0,
+                           with_widths: bool = False) -> bytes:
+    """Type0 font whose /Encoding is an EMBEDDED CMap stream: mixed 1-byte
+    and 2-byte codespace ranges drive variable-length code segmentation
+    (readCharCode, build/pdf.worker.js:14488), cidrange maps codes to CIDs
+    (CID-keyed /W widths), optional /WMode 1.  Registered external CMaps
+    stay unsupported in BOTH engines (no cmap resource files ship).
+    Expected text locked vs the live reference in the sweep."""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+            b"begincmap\n/CIDSystemInfo << /Registry (Test) /Ordering"
+            b" (Custom) /Supplement 0 >> def\n/CMapName /Test-Custom def\n"
+            b"/CMapType 1 def\n"
+            + (b"/WMode 1 def\n" if wmode else b"")
+            + b"2 begincodespacerange\n<00> <7F>\n<8000> <FFFF>\n"
+            b"endcodespacerange\n2 begincidrange\n<41> <5A> 100\n"
+            b"<8001> <8005> 500\nendcidrange\nendcmap\n"
+            b"CMapName currentdict /CMap defineresource pop\nend\nend")
+    tou = (b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
+           b"2 begincodespacerange <00> <7F> <8000> <FFFF>"
+           b" endcodespacerange "
+           b"2 beginbfrange <41> <5A> <0061> <8001> <8005> <4E00>"
+           b" endbfrange endcmap end end")
+    b = PDFBuilder()
+    cmn = b.add_stream(b"/Type /CMap /CMapName /Test-Custom /CIDSystemInfo"
+                       b" << /Registry (Test) /Ordering (Custom)"
+                       b" /Supplement 0 >> ", cmap, "flate")
+    tn = b.add_stream(b"", tou, "flate")
+    desc = b.add(b"<< /Type /FontDescriptor /FontName /Fake /Flags 4"
+                 b" /Ascent 880 /Descent -120 >>")
+    w = b" /W [100 [450 460 470] 500 505 600]" if with_widths else b""
+    cidf = b.add(b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake"
+                 b" /CIDSystemInfo << /Registry (Test) /Ordering (Custom)"
+                 b" /Supplement 0 >> /FontDescriptor %d 0 R /DW 1000" % desc
+                 + w + b" >>")
+    fn = b.add(b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake"
+               b" /Encoding %d 0 R /DescendantFonts [%d 0 R]"
+               b" /ToUnicode %d 0 R >>" % (cmn, cidf, tn))
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <414243> Tj"
+               b" 1 0 0 1 72 650 Tm <80018002> Tj <4445> Tj ET")
+    cn = b.add_stream(b"", content, "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R"
+               f" /MediaBox [0 0 612 792] /Resources << /Font"
+               f" << /F1 {fn} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root)

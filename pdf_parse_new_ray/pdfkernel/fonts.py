@@ -476,8 +476,21 @@ class Font:
         self.cid_to_gid_identity = True
         enc = doc.resolve(self.font_dict.get("Encoding")) if hasattr(self, "font_dict") else None
         self.vertical = isinstance(enc, (Name, str)) and str(enc).endswith("-V")
-        # CIDSystemInfo-registered non-identity CMaps (external resources) are
-        # not available offline; Identity-H/V covers the fixtures + modern PDFs.
+        # /Encoding as an embedded CMap STREAM: variable-length codes +
+        # code→CID mapping (reference: CMapFactory.create on a BaseStream,
+        # pdf.worker.js:14761+).  CIDSystemInfo-REGISTERED non-identity
+        # CMaps are external resource files neither engine ships offline;
+        # Identity-H/V stays the fast default path.
+        self.cmap = None
+        if isinstance(enc, StreamObj):
+            from .cmap import EmbeddedCMap
+
+            try:
+                self.cmap = EmbeddedCMap.parse(enc.get_data(doc.resolve))
+                self.vertical = self.cmap.vertical or str(
+                    self.cmap.name).endswith("-V")
+            except PDFError:
+                self.cmap = None
         self._enc_table = None
         self._diff_names = {}
         self._enc_names_resolved = None
@@ -497,14 +510,26 @@ class Font:
         ap = glyphs.append
         mg = self._make_glyph
         if self.composite:
-            # 2-byte Identity mapping
-            for i in range(0, len(chars) - 1, 2):
-                code = (chars[i] << 8) | chars[i + 1]
-                g = cget(code)
-                ap(g if g is not None else mg(code))
-            if len(chars) % 2:  # dangling byte
-                g = cget(chars[-1])
-                ap(g if g is not None else mg(chars[-1]))
+            cmap = getattr(self, "cmap", None)
+            if cmap is not None:
+                # embedded-CMap codespace segmentation (charsToGlyphs with
+                # cMap.readCharCode, pdf.worker.js:29826-29837)
+                i, nn = 0, len(chars)
+                rcc = cmap.read_char_code
+                while i < nn:
+                    code, length = rcc(chars, i)
+                    i += length
+                    g = cget(code)
+                    ap(g if g is not None else mg(code))
+            else:
+                # 2-byte Identity mapping
+                for i in range(0, len(chars) - 1, 2):
+                    code = (chars[i] << 8) | chars[i + 1]
+                    g = cget(code)
+                    ap(g if g is not None else mg(code))
+                if len(chars) % 2:  # dangling byte
+                    g = cget(chars[-1])
+                    ap(g if g is not None else mg(chars[-1]))
         else:
             for b in chars:
                 g = cget(b)
@@ -546,7 +571,16 @@ class Font:
                 u = chr(code)
             except ValueError:
                 u = "�"
-        w = self.widths.get(code)
+        # widths are CID-keyed for composite fonts: widthCode goes through
+        # the CMap when it contains the charcode (_charToGlyph,
+        # pdf.worker.js:29760-29766)
+        width_code = code
+        cmap = getattr(self, "cmap", None)
+        if cmap is not None:
+            cid = cmap.lookup(code)
+            if cid is not None:
+                width_code = cid
+        w = self.widths.get(width_code)
         if w is None:
             w = self.default_width
         # missing-file Type1 empty-name rule (_charToGlyph,

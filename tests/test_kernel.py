@@ -431,3 +431,18 @@ def test_inherited_page_tree_attributes():
 def test_encrypted_objstm(mode):
     pdf, expected = pdfgen.make_encrypted_objstm_pdf(mode)
     assert parse_pdf(pdf)["text"] == expected
+
+
+def test_embedded_cmap_type0():
+    """Embedded CMap stream /Encoding: 1-byte codes inside the <00><7F>
+    codespace segment as single bytes (NOT Identity-H 2-byte pairs), CIDs
+    key the /W widths, /WMode 1 flags vertical."""
+    text = parse_pdf(pdfgen.make_embedded_cmap_pdf(with_widths=True))["text"]
+    assert text == "\n\nabc\n一丁de"
+    from pdf_parse_new_ray.pdfkernel.cmap import EmbeddedCMap
+    cm = EmbeddedCMap.parse(b"begincmap /WMode 1 def "
+                            b"1 begincodespacerange <00> <FF>"
+                            b" endcodespacerange "
+                            b"1 begincidchar <20> 7 endcidchar endcmap")
+    assert cm.vertical and cm.lookup(0x20) == 7 and cm.lookup(0x21) is None
+    assert cm.read_char_code(b"\x41", 0) == (0x41, 1)

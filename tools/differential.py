@@ -84,6 +84,9 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
         ("inherited-tree", pdfgen.make_inherited_tree_pdf()[0]),
         ("inherited-tree-rot90", pdfgen.make_inherited_tree_pdf(90)[0]),
         ("encrypted-objstm-aesv2", pdfgen.make_encrypted_objstm_pdf("aesv2")[0]),
+        ("embedded-cmap", pdfgen.make_embedded_cmap_pdf()),
+        ("embedded-cmap-widths", pdfgen.make_embedded_cmap_pdf(with_widths=True)),
+        ("embedded-cmap-wmode1", pdfgen.make_embedded_cmap_pdf(wmode=1)),
     ]
     # full 0x20-0xFF table sweeps: every Annex D base-encoding slot, the
     # Symbol/ZapfDingbats set-encoding defaults, the std-font alias map and
