@@ -1145,6 +1145,17 @@ def make_operator_fuzz_pdf(seed: int) -> bytes:
         y -= rng.uniform(40, 90)
         for _ in range(rng.randint(3, 10)):
             r = rng.random()
+            if rng.random() < 0.12:
+                # junk: unknown ops keep their args for later borrow;
+                # wrong-arity ops shed/borrow via nonProcessedArgs
+                junk = rng.random()
+                if junk < 0.4:
+                    ops.append(b"%s %s frobnicate" % (_n(-9, 9), _n(-9, 9)))
+                elif junk < 0.7:
+                    ops.append(b"%s %s %s Tm" % (_n(0.5, 2), _n(40, 90),
+                                                 _n(200, 700)))
+                else:
+                    ops.append(b"%s Td" % _n(-20, 20))
             if r < 0.18:
                 ops.append(b"%s %s Td" % (_n(-30, 120), _n(-25, 5)))
             elif r < 0.28:
@@ -1644,3 +1655,20 @@ def make_embedded_cmap_pdf(wmode: int = 0,
     pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
     root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
     return b.build(root)
+
+
+def make_malformed_ops_pdf() -> bytes:
+    """Operator-robustness batch: unknown operators with junk operands,
+    Tj before any Tf, wrong-arity Tm/Td, odd-nibble hex string, unbalanced
+    ET/BT nesting, empty TJ and TJ with stray names — every case verified
+    byte-exact vs the live reference (EvaluatorPreprocessor skip/arity
+    semantics)."""
+    content = (
+        b"ET BT /F1 12 Tf 1 0 0 1 72 700 Tm (A) Tj"
+        b" 3 7 frobnicate /X zork (B) Tj ET\n"
+        b"BT 1 0 0 1 72 650 Tm (orphan) Tj /F1 12 Tf (after) Tj ET\n"
+        b"BT /F1 12 Tf 0 0 1 72 600 Tm (C) Tj 5 Td (D) Tj"
+        b" 1 0 0 1 72 560 Tm (E) Tj ET\n"
+        b"BT /F1 12 Tf 1 0 0 1 72 520 Tm <48454C4C4F2> Tj"
+        b" [] TJ [(F) /Name (G) 50 (H)] TJ ET")
+    return _single_page_pdf(content)

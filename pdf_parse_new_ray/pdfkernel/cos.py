@@ -328,7 +328,9 @@ class Lexer:
             pos += 1
         self.pos = pos
         if len(digits) % 2:
-            digits.append("0")
+            # dangling nibble is DROPPED, not zero-padded: pdf.js
+            # getHexString only flushes complete digit pairs
+            digits.pop()
         return Token("str", bytes.fromhex("".join(digits)))
 
 

@@ -387,21 +387,28 @@ class TextExtractor:
 
         def get_current_text_transform():
             # specialised mat_mul(ctm, mat_mul(text_matrix, tsm)) with
-            # tsm = (fs*hscale, 0, 0, fs, 0, rise); identical arithmetic,
-            # ~half the multiplies, and an identity-ctm fast path.
+            # tsm = (fs*hscale, 0, 0, fs, 0, rise); the ±0.0 cross terms
+            # are KEPT (as precomputed m*0.0 products) so a NaN/Inf text
+            # matrix poisons every output slot exactly as the reference's
+            # full Util.transform does; identity-ctm fast path retained.
             # (Type3 bbox scaling: glyph bbox data not tracked; rare.)
             tm = ts.text_matrix
             fs = ts.font_size
             w = fs * ts.text_h_scale
             rise = ts.text_rise
-            p0 = tm[0] * w
-            p1 = tm[1] * w
-            p2 = tm[2] * fs
-            p3 = tm[3] * fs
-            p4 = tm[2] * rise + tm[4]
-            p5 = tm[3] * rise + tm[5]
+            z0, z1, z2, z3 = tm[0] * 0.0, tm[1] * 0.0, tm[2] * 0.0, tm[3] * 0.0
+            p0 = tm[0] * w + z2
+            p1 = tm[1] * w + z3
+            p2 = z0 + tm[2] * fs
+            p3 = z1 + tm[3] * fs
+            p4 = z0 + tm[2] * rise + tm[4]
+            p5 = z1 + tm[3] * rise + tm[5]
             c = ts.ctm
-            if c is IDENTITY:
+            s = p0 + p1 + p2 + p3 + p4 + p5
+            if c is IDENTITY and s - s == 0.0:
+                # identity-ctm shortcut is only valid for finite inners:
+                # the reference ALWAYS runs the outer Util.transform, whose
+                # 0*NaN cross terms poison every slot of a NaN transform
                 return (p0, p1, p2, p3, p4, p5)
             return (
                 c[0] * p0 + c[2] * p1, c[1] * p0 + c[3] * p1,
@@ -535,16 +542,20 @@ class TextExtractor:
             fs = ts.font_size
             w_ = fs * ts.text_h_scale
             rise = ts.text_rise
-            p0 = tm[0] * w_
-            p1 = tm[1] * w_
-            p2 = tm[2] * fs
-            p3 = tm[3] * fs
-            p4 = tm[2] * rise + tm[4]
-            p5 = tm[3] * rise + tm[5]
+            zz0, zz1, zz2, zz3 = tm[0] * 0.0, tm[1] * 0.0, tm[2] * 0.0, tm[3] * 0.0
+            p0 = tm[0] * w_ + zz2
+            p1 = tm[1] * w_ + zz3
+            p2 = zz0 + tm[2] * fs
+            p3 = zz1 + tm[3] * fs
+            p4 = zz0 + tm[2] * rise + tm[4]
+            p5 = zz1 + tm[3] * rise + tm[5]
             c = ts.ctm
-            if c is IDENTITY:
+            s_ = p0 + p1 + p2 + p3 + p4 + p5
+            if c is IDENTITY and s_ - s_ == 0.0:
                 c0, c1, c2, c3, pos_x, pos_y = p0, p1, p2, p3, p4, p5
             else:
+                # non-finite inners must take the full outer multiply: the
+                # reference's 0*NaN cross terms poison every slot
                 c0 = c[0] * p0 + c[2] * p1
                 c1 = c[1] * p0 + c[3] * p1
                 c2 = c[0] * p2 + c[2] * p3
@@ -673,6 +684,12 @@ class TextExtractor:
             base_char_spacing = ts.char_spacing
             word_spacing = ts.word_spacing
             h_scale = ts.text_h_scale
+            # the full translate is m[4] = m0*x + m2*y + m4 with one of
+            # x/y zero; the dropped cross term is ±0.0 for finite matrices
+            # but NaN for a poisoned one — precompute it so NaN/Inf
+            # matrices propagate exactly as the reference's full formula
+            z4h, z5h = tm[2] * 0.0, tm[3] * 0.0  # horizontal: y == 0
+            z4v, z5v = tm[0] * 0.0, tm[1] * 0.0  # vertical:  x == 0
             for i, glyph in enumerate(glyphs):
                 if glyph.is_format_mark:
                     continue
@@ -685,13 +702,13 @@ class TextExtractor:
                     if not vertical:
                         char_spacing += scaled_dim + word_spacing
                         dx = char_spacing * h_scale
-                        tm[4] = tm[0] * dx + tm[4]
-                        tm[5] = tm[1] * dx + tm[5]
+                        tm[4] = tm[0] * dx + z4h + tm[4]
+                        tm[5] = tm[1] * dx + z5h + tm[5]
                     else:
                         char_spacing += -scaled_dim + word_spacing
                         dy = -char_spacing
-                        tm[4] = tm[2] * dy + tm[4]
-                        tm[5] = tm[3] * dy + tm[5]
+                        tm[4] = z4v + tm[2] * dy + tm[4]
+                        tm[5] = z5v + tm[3] * dy + tm[5]
                     # save_last_char(" ") inlined
                     p = two_pos[0]
                     np_ = (p + 1) % 2
@@ -701,23 +718,23 @@ class TextExtractor:
                 if not glyph.is_diacritic and not compare_with_last_position(scaled_dim):
                     if not vertical:
                         dx = scaled_dim * h_scale
-                        tm[4] = tm[0] * dx + tm[4]
-                        tm[5] = tm[1] * dx + tm[5]
+                        tm[4] = tm[0] * dx + z4h + tm[4]
+                        tm[5] = tm[1] * dx + z5h + tm[5]
                     else:
-                        tm[4] = tm[2] * scaled_dim + tm[4]
-                        tm[5] = tm[3] * scaled_dim + tm[5]
+                        tm[4] = z4v + tm[2] * scaled_dim + tm[4]
+                        tm[5] = z5v + tm[3] * scaled_dim + tm[5]
                     continue
                 chunk = ensure_tci()
                 if glyph.is_diacritic:
                     scaled_dim = 0.0
                 if not vertical:
                     scaled_dim *= h_scale
-                    tm[4] = tm[0] * scaled_dim + tm[4]
-                    tm[5] = tm[1] * scaled_dim + tm[5]
+                    tm[4] = tm[0] * scaled_dim + z4h + tm[4]
+                    tm[5] = tm[1] * scaled_dim + z5h + tm[5]
                     chunk["width"] += scaled_dim
                 else:
-                    tm[4] = tm[2] * scaled_dim + tm[4]
-                    tm[5] = tm[3] * scaled_dim + tm[5]
+                    tm[4] = z4v + tm[2] * scaled_dim + tm[4]
+                    tm[5] = z5v + tm[3] * scaled_dim + tm[5]
                     scaled_dim = abs(scaled_dim)
                     chunk["height"] += scaled_dim
                 if scaled_dim:
@@ -735,18 +752,26 @@ class TextExtractor:
                 if char_spacing:
                     if not vertical:
                         dx = char_spacing * h_scale
-                        tm[4] = tm[0] * dx + tm[4]
-                        tm[5] = tm[1] * dx + tm[5]
+                        tm[4] = tm[0] * dx + z4h + tm[4]
+                        tm[5] = tm[1] * dx + z5h + tm[5]
                     else:
                         dy = -char_spacing
-                        tm[4] = tm[2] * dy + tm[4]
-                        tm[5] = tm[3] * dy + tm[5]
+                        tm[4] = z4v + tm[2] * dy + tm[4]
+                        tm[5] = z5v + tm[3] * dy + tm[5]
 
         # --- operator loop ----------------------------------------------
+        # argument machinery == EvaluatorPreprocessor.read
+        # (pdf.worker.js:38609-38658): surplus args shift off the FRONT
+        # into a persistent nonProcessedArgs buffer; a later arg-deficient
+        # op borrows them back (pop → unshift); still-deficient ops are
+        # skipped; an UNKNOWN command keeps its args accumulating; pushing
+        # a 34th arg aborts the whole page (FormatError).
         parser = Parser(content, 0, resolve=r, fast=True)
         args: list = []
+        non_processed: list = []
         xobjs = None
-        while True:
+        aborted = False
+        while not aborted:
             try:
                 obj = parser.parse_object()
             except PDFError:
@@ -755,10 +780,27 @@ class TextExtractor:
                 if obj.kind == "eof":
                     break
                 op = obj.value
+                spec = _OP_SPEC.get(op)
+                if spec is None:
+                    continue  # unknown command: args stay (":38616-38618")
+                num_args, variable = spec
+                if not variable:
+                    if len(args) != num_args:
+                        while len(args) > num_args:
+                            non_processed.append(args.pop(0))
+                        while len(args) < num_args and non_processed:
+                            args.insert(0, non_processed.pop())
+                    if len(args) < num_args:
+                        args = []
+                        continue  # skip arg-deficient op (":38642-38651")
             else:
                 args.append(obj)
-                if len(args) > 32:
-                    del args[: len(args) - 32]
+                if len(args) > 33:
+                    # pdf.js throws FormatError("Too many arguments"),
+                    # which stops the WHOLE evaluation (all nesting
+                    # levels) but keeps the items already emitted
+                    aborted = True
+                    break
                 continue
             try:
                 prev_state = ts
@@ -870,6 +912,8 @@ class TextExtractor:
                                           styles, view_box, include_marked_content,
                                           disable_normalization, keep_white_space,
                                           depth + 1, seen_styles, marked_level)
+                            except _FormatAbort:
+                                aborted = True  # stops every nesting level
                             except PDFError:
                                 pass
                 elif op == "gs" and args:
@@ -938,11 +982,75 @@ class TextExtractor:
             args = []
 
         flush_tci()
+        if aborted and depth > 0:
+            raise _FormatAbort("Too many arguments")
 
 
 def _sign(x: float) -> int:
     return (x > 0) - (x < 0)
 
 
+class _FormatAbort(Exception):
+    """FormatError analogue that must fail the PAGE: deliberately NOT a
+    PDFError so neither the per-operator absorb nor the Do-recursion
+    absorb swallows it — only the per-page absorb in api.parse_doc does
+    (matching pdf.js getTextContent rejecting on FormatError)."""
+
+
+# EvaluatorPreprocessor.opMap (pdf.worker.js:38530-38594): op →
+# (numArgs, variableArgs) for every known content-stream command — needed
+# even for non-text ops, because their surplus/deficit arg handling feeds
+# the shared nonProcessedArgs buffer.
+_OP_SPEC: dict[str, tuple[int, bool]] = {
+    "w": (1, False), "J": (1, False), "j": (1, False), "M": (1, False),
+    "d": (2, False), "ri": (1, False), "i": (1, False), "gs": (1, False),
+    "q": (0, False), "Q": (0, False), "cm": (6, False), "m": (2, False),
+    "l": (2, False), "c": (6, False), "v": (4, False), "y": (4, False),
+    "h": (0, False), "re": (4, False), "S": (0, False), "s": (0, False),
+    "f": (0, False), "F": (0, False), "f*": (0, False), "B": (0, False),
+    "B*": (0, False), "b": (0, False), "b*": (0, False), "n": (0, False),
+    "W": (0, False), "W*": (0, False), "BT": (0, False), "ET": (0, False),
+    "Tc": (1, False), "Tw": (1, False), "Tz": (1, False), "TL": (1, False),
+    "Tf": (2, False), "Tr": (1, False), "Ts": (1, False), "Td": (2, False),
+    "TD": (2, False), "Tm": (6, False), "T*": (0, False), "Tj": (1, False),
+    "TJ": (1, False), "'": (1, False), '"': (3, False), "d0": (2, False),
+    "d1": (6, False), "CS": (1, False), "cs": (1, False), "SC": (4, True),
+    "SCN": (33, True), "sc": (4, True), "scn": (33, True), "G": (1, False),
+    "g": (1, False), "RG": (3, False), "rg": (3, False), "K": (4, False),
+    "k": (4, False), "sh": (1, False), "BI": (0, False), "ID": (0, False),
+    "EI": (1, False), "Do": (1, False), "MP": (1, False), "DP": (2, False),
+    "BMC": (1, False), "BDC": (2, False), "EMC": (0, False),
+    "BX": (0, False), "EX": (0, False),
+}
+
+_JS_NUMERIC_RE = re.compile(
+    r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?\Z")
+
+
 def _num(v: Any) -> float:
-    return float(v) if isinstance(v, (int, float)) else 0.0
+    """JS arithmetic coercion for operator args: numbers pass, null → 0,
+    a PDF string converts per Number(str) (trimmed; '' → 0; decimal/hex/
+    Infinity forms; else NaN), anything else (Name, dict, Ref) → NaN —
+    matching what pdf.js handler arithmetic does to a borrowed or
+    misplaced operand."""
+    if isinstance(v, (int, float)):
+        return float(v)
+    if v is None:
+        return 0.0
+    if isinstance(v, bytes):
+        s = v.decode("latin-1").strip(" \t\n\r\f\v")
+        if not s:
+            return 0.0
+        if _JS_NUMERIC_RE.match(s):
+            return float(s)
+        try:
+            if s[:2] in ("0x", "0X"):
+                return float(int(s, 16))
+        except ValueError:
+            return math.nan
+        if s in ("Infinity", "+Infinity"):
+            return math.inf
+        if s == "-Infinity":
+            return -math.inf
+        return math.nan
+    return math.nan

@@ -446,3 +446,25 @@ def test_embedded_cmap_type0():
                             b"1 begincidchar <20> 7 endcidchar endcmap")
     assert cm.vertical and cm.lookup(0x20) == 7 and cm.lookup(0x21) is None
     assert cm.read_char_code(b"\x41", 0) == (0x41, 1)
+
+
+def test_malformed_operator_machinery():
+    """EvaluatorPreprocessor arg machinery (pdf.worker.js:38609-38658):
+    surplus args shift into a persistent buffer that later arg-deficient
+    ops borrow from (a borrowed /Name poisons the text matrix to NaN —
+    and the always-applied outer ctm multiply spreads NaN to every slot),
+    unknown commands keep their args, a dangling hex nibble is dropped.
+    Expected string locked byte-exact vs the live reference."""
+    text = parse_pdf(pdfgen.make_malformed_ops_pdf())["text"]
+    assert text == "\n\nAB\norphanafter C D E\nHELLOFGH"
+
+
+def test_too_many_args_aborts_page():
+    """Pushing a 34th operand throws FormatError in the reference, which
+    stops the evaluation at that point but KEEPS the items already
+    emitted — 'pre' survives, 'post' never shows (verified vs the live
+    reference)."""
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (pre) Tj " + \
+        b" ".join(b"%d" % i for i in range(40)) + b" Tj (post) Tj ET"
+    from pdf_parse_new_ray.fixtures.pdfgen import _single_page_pdf
+    assert parse_pdf(_single_page_pdf(content))["text"] == "\n\npre"

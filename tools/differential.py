@@ -84,6 +84,7 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
         ("inherited-tree", pdfgen.make_inherited_tree_pdf()[0]),
         ("inherited-tree-rot90", pdfgen.make_inherited_tree_pdf(90)[0]),
         ("encrypted-objstm-aesv2", pdfgen.make_encrypted_objstm_pdf("aesv2")[0]),
+        ("malformed-ops", pdfgen.make_malformed_ops_pdf()),
         ("embedded-cmap", pdfgen.make_embedded_cmap_pdf()),
         ("embedded-cmap-widths", pdfgen.make_embedded_cmap_pdf(with_widths=True)),
         ("embedded-cmap-wmode1", pdfgen.make_embedded_cmap_pdf(wmode=1)),
