@@ -97,6 +97,16 @@ def glyph_name_to_unicode(name: str) -> str:
         return ""
 
 
+@lru_cache(maxsize=256)
+def simple_font_to_unicode_cached(
+    names: tuple, base_encoding_name: Optional[str]
+) -> tuple:
+    """Memoized no-/Differences path: fonts overwhelmingly reuse the same
+    (default table, base name) pair across documents, and the 256-slot
+    build is pure."""
+    return tuple(simple_font_to_unicode(names, base_encoding_name))
+
+
 def simple_font_to_unicode(
     names: Sequence[str],
     base_encoding_name: Optional[str] = None,

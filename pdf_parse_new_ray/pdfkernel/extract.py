@@ -222,7 +222,7 @@ class TextState:
     __slots__ = (
         "ctm", "font_name", "font_size", "loaded_name", "font", "font_matrix",
         "text_matrix", "text_line_matrix", "char_spacing", "word_spacing",
-        "leading", "text_h_scale", "text_rise",
+        "leading", "text_h_scale", "text_rise", "nan_risk",
     )
 
     def __init__(self) -> None:
@@ -239,6 +239,26 @@ class TextState:
         self.leading = 0.0
         self.text_h_scale = 1.0
         self.text_rise = 0.0
+        self.nan_risk = False
+
+    def refresh_nan_risk(self) -> None:
+        """Sticky flag routing the transform math to the exact (cross-term
+        + always-outer-ctm) formulas when any state value is non-finite.
+        Refreshed after every state-mutating operator; a finite state with
+        finite per-glyph increments stays finite within a run, so the hot
+        paths only test the flag.  (A finite overflow of this SUM flags
+        risk spuriously — the exact path is then merely slower, never
+        wrong.)"""
+        m = self.text_matrix
+        l = self.text_line_matrix
+        c = self.ctm
+        s = (m[0] + m[1] + m[2] + m[3] + m[4] + m[5]
+             + l[0] + l[1] + l[2] + l[3] + l[4] + l[5]
+             + c[0] + c[1] + c[2] + c[3] + c[4] + c[5]
+             + self.font_size + self.char_spacing + self.word_spacing
+             + self.leading + self.text_h_scale + self.text_rise
+             + self.font_matrix[0])
+        self.nan_risk = (s - s) != 0.0
 
     def set_text_matrix(self, a, b, c, d, e, f) -> None:
         self.text_matrix = [a, b, c, d, e, f]
@@ -396,20 +416,28 @@ class TextExtractor:
             fs = ts.font_size
             w = fs * ts.text_h_scale
             rise = ts.text_rise
-            z0, z1, z2, z3 = tm[0] * 0.0, tm[1] * 0.0, tm[2] * 0.0, tm[3] * 0.0
-            p0 = tm[0] * w + z2
-            p1 = tm[1] * w + z3
-            p2 = z0 + tm[2] * fs
-            p3 = z1 + tm[3] * fs
-            p4 = z0 + tm[2] * rise + tm[4]
-            p5 = z1 + tm[3] * rise + tm[5]
             c = ts.ctm
-            s = p0 + p1 + p2 + p3 + p4 + p5
-            if c is IDENTITY and s - s == 0.0:
-                # identity-ctm shortcut is only valid for finite inners:
-                # the reference ALWAYS runs the outer Util.transform, whose
-                # 0*NaN cross terms poison every slot of a NaN transform
-                return (p0, p1, p2, p3, p4, p5)
+            if not ts.nan_risk:
+                p0 = tm[0] * w
+                p1 = tm[1] * w
+                p2 = tm[2] * fs
+                p3 = tm[3] * fs
+                p4 = tm[2] * rise + tm[4]
+                p5 = tm[3] * rise + tm[5]
+                if c is IDENTITY:
+                    return (p0, p1, p2, p3, p4, p5)
+            else:
+                # exact slow path: keep the ±0.0 cross terms AND the outer
+                # ctm multiply (even identity) so a NaN/Inf matrix poisons
+                # every slot exactly like the reference's Util.transform
+                z0, z1, z2, z3 = (tm[0] * 0.0, tm[1] * 0.0,
+                                  tm[2] * 0.0, tm[3] * 0.0)
+                p0 = tm[0] * w + z2
+                p1 = tm[1] * w + z3
+                p2 = z0 + tm[2] * fs
+                p3 = z1 + tm[3] * fs
+                p4 = z0 + tm[2] * rise + tm[4]
+                p5 = z1 + tm[3] * rise + tm[5]
             return (
                 c[0] * p0 + c[2] * p1, c[1] * p0 + c[3] * p1,
                 c[0] * p2 + c[2] * p3, c[1] * p2 + c[3] * p3,
@@ -542,20 +570,35 @@ class TextExtractor:
             fs = ts.font_size
             w_ = fs * ts.text_h_scale
             rise = ts.text_rise
-            zz0, zz1, zz2, zz3 = tm[0] * 0.0, tm[1] * 0.0, tm[2] * 0.0, tm[3] * 0.0
-            p0 = tm[0] * w_ + zz2
-            p1 = tm[1] * w_ + zz3
-            p2 = zz0 + tm[2] * fs
-            p3 = zz1 + tm[3] * fs
-            p4 = zz0 + tm[2] * rise + tm[4]
-            p5 = zz1 + tm[3] * rise + tm[5]
             c = ts.ctm
-            s_ = p0 + p1 + p2 + p3 + p4 + p5
-            if c is IDENTITY and s_ - s_ == 0.0:
-                c0, c1, c2, c3, pos_x, pos_y = p0, p1, p2, p3, p4, p5
+            if not ts.nan_risk:
+                p0 = tm[0] * w_
+                p1 = tm[1] * w_
+                p2 = tm[2] * fs
+                p3 = tm[3] * fs
+                p4 = tm[2] * rise + tm[4]
+                p5 = tm[3] * rise + tm[5]
+                if c is IDENTITY:
+                    c0, c1, c2, c3, pos_x, pos_y = p0, p1, p2, p3, p4, p5
+                else:
+                    c0 = c[0] * p0 + c[2] * p1
+                    c1 = c[1] * p0 + c[3] * p1
+                    c2 = c[0] * p2 + c[2] * p3
+                    c3 = c[1] * p2 + c[3] * p3
+                    pos_x = c[0] * p4 + c[2] * p5 + c[4]
+                    pos_y = c[1] * p4 + c[3] * p5 + c[5]
             else:
-                # non-finite inners must take the full outer multiply: the
-                # reference's 0*NaN cross terms poison every slot
+                # non-finite state takes the exact formula — ±0.0 cross
+                # terms + the always-applied outer multiply, so NaN poisons
+                # every slot like the reference's Util.transform
+                zz0, zz1, zz2, zz3 = (tm[0] * 0.0, tm[1] * 0.0,
+                                      tm[2] * 0.0, tm[3] * 0.0)
+                p0 = tm[0] * w_ + zz2
+                p1 = tm[1] * w_ + zz3
+                p2 = zz0 + tm[2] * fs
+                p3 = zz1 + tm[3] * fs
+                p4 = zz0 + tm[2] * rise + tm[4]
+                p5 = zz1 + tm[3] * rise + tm[5]
                 c0 = c[0] * p0 + c[2] * p1
                 c1 = c[1] * p0 + c[3] * p1
                 c2 = c[0] * p2 + c[2] * p3
@@ -771,6 +814,7 @@ class TextExtractor:
         non_processed: list = []
         xobjs = None
         aborted = False
+        spec_get = _OP_SPEC.get
         while not aborted:
             try:
                 obj = parser.parse_object()
@@ -780,7 +824,7 @@ class TextExtractor:
                 if obj.kind == "eof":
                     break
                 op = obj.value
-                spec = _OP_SPEC.get(op)
+                spec = spec_get(op)
                 if spec is None:
                     continue  # unknown command: args stay (":38616-38618")
                 num_args, variable = spec
@@ -906,6 +950,7 @@ class TextExtractor:
                             matrix = r(xobj.dict.get("Matrix"))
                             if isinstance(matrix, list) and len(matrix) == 6:
                                 sub_state.ctm = mat_mul(sub_state.ctm, tuple(_num(r(v)) for v in matrix))
+                                sub_state.refresh_nan_risk()
                             sub_res = r(xobj.dict.get("Resources")) or resources
                             try:
                                 self._run(xobj.get_data(r), sub_res, sub_state, items,
@@ -979,6 +1024,8 @@ class TextExtractor:
                         items.append({"type": "endMarkedContent"})
             except (PDFError, ValueError, TypeError, IndexError, OverflowError, ZeroDivisionError):
                 pass  # absorb per-operator errors (pdf.js ignoreErrors analogue)
+            if op in _STATE_NAN_OPS:
+                ts.refresh_nan_risk()
             args = []
 
         flush_tci()
@@ -1022,6 +1069,14 @@ _OP_SPEC: dict[str, tuple[int, bool]] = {
     "BMC": (1, False), "BDC": (2, False), "EMC": (0, False),
     "BX": (0, False), "EX": (0, False),
 }
+
+# operators whose handlers write TextState numeric fields — the sticky
+# nan_risk flag refreshes here, once per op, instead of per glyph / per
+# transform call
+_STATE_NAN_OPS = frozenset(
+    ("Tf", "Ts", "Tz", "TL", "Td", "TD", "T*", "Tm", "Tc", "Tw",
+     "BT", "'", '\"', "cm", "gs")
+)
 
 _JS_NUMERIC_RE = re.compile(
     r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?\Z")

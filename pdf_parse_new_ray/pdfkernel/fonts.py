@@ -21,6 +21,7 @@ from .encodings import (
     encoding_table,
     glyph_name_to_unicode,
     simple_font_to_unicode,
+    simple_font_to_unicode_cached,
 )
 
 FONT_IDENTITY_MATRIX = (0.001, 0.0, 0.0, 0.001, 0.0, 0.0)
@@ -280,16 +281,20 @@ class Font:
         # resolved per-code glyph names: differences first, then the default
         # table — the lookup _charToGlyph performs for the missing-file
         # Type1 empty-name rule (pdf.worker.js:29779-29786)
-        self._enc_names_resolved = [
-            diffs.get(c, default_names[c]) for c in range(256)
-        ]
-        # merged names for _simpleFontToUnicode (its own differences loop
-        # skips only '.notdef', pdf.worker.js:37248-37253)
-        merged = list(default_names)
-        for code, gname in diffs.items():
-            if 0 <= code < 256 and gname != ".notdef":
-                merged[code] = gname
-        table = simple_font_to_unicode(merged, base_name)
+        if diffs:
+            self._enc_names_resolved = [
+                diffs.get(c, default_names[c]) for c in range(256)
+            ]
+            # merged names for _simpleFontToUnicode (its own differences
+            # loop skips only '.notdef', pdf.worker.js:37248-37253)
+            merged = list(default_names)
+            for code, gname in diffs.items():
+                if 0 <= code < 256 and gname != ".notdef":
+                    merged[code] = gname
+            table = simple_font_to_unicode(merged, base_name)
+        else:
+            self._enc_names_resolved = default_names  # read-only tuple
+            table = simple_font_to_unicode_cached(default_names, base_name)
         # builtin font-program encoding: Type1 cleartext /Encoding or CFF
         # (FontFile3) Charset+Encoding — the reference's builtInEncoding
         builtin = self._parse_builtin_font_encoding(doc, desc)
@@ -311,6 +316,8 @@ class Font:
         # amend) or a per-code /Differences entry; an included /ToUnicode
         # suppresses the amend entirely (hasIncludedToUnicodeMap guard).
         if builtin is not None and not has_included_tounicode:
+            if isinstance(table, tuple):
+                table = list(table)
             for code, gname in builtin.items():
                 if 0 <= code < 256:
                     if has_encoding and (base_name is not None
@@ -328,17 +335,22 @@ class Font:
         # outside the AFM table gets NO width (defaultWidth 0), which is
         # what suppresses inter-item space insertion for such glyphs.
         if not has_widths_array:
-            gw, self.default_width = _base_font_metrics(self.base_font)
-            w2: dict[int, float] = {}
-            for c in range(256):
-                gname = diffs.get(c)
-                if gname is not None and gw.get(gname):
-                    w2[c] = gw[gname]
-                    continue
-                gn = default_names[c]
-                if gn and gw.get(gn):
-                    w2[c] = gw[gn]
-            self.widths = w2
+            if diffs:
+                gw, self.default_width = _base_font_metrics(self.base_font)
+                w2: dict[int, float] = {}
+                for c in range(256):
+                    gname = diffs.get(c)
+                    if gname is not None and gw.get(gname):
+                        w2[c] = gw[gname]
+                        continue
+                    gn = default_names[c]
+                    if gn and gw.get(gn):
+                        w2[c] = gw[gn]
+                self.widths = w2
+            else:
+                # memoized shared dict — read-only after build
+                self.widths, self.default_width = _std14_charcode_widths(
+                    self.base_font, enc_name)
 
     def _set_symbolic(self, doc, desc) -> None:
         flags = doc.resolve(desc.get("Flags")) if isinstance(desc, dict) else None
@@ -610,3 +622,20 @@ def _base_font_metrics(name: str) -> tuple[dict[str, float], float]:
     if isinstance(gw, float):
         return {}, gw
     return gw, 0.0
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=256)
+def _std14_charcode_widths(base_font: str, enc_name: str):
+    """Memoized buildCharCodeToWidth for the no-/Differences case; the
+    returned dict is shared across Font instances and never mutated."""
+    gw, default = _base_font_metrics(base_font)
+    names = encoding_names(enc_name)
+    w2 = {}
+    for c in range(256):
+        gn = names[c]
+        if gn and gw.get(gn):
+            w2[c] = gw[gn]
+    return w2, default
