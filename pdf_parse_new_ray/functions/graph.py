@@ -163,6 +163,15 @@ def g_pagerank_copurchase(sf_dir: str) -> pd.DataFrame:
 
 TRIANGLE_BROADCAST_NODES = 5_000_000
 
+# below this many distinct oriented edges the sorted edge-key array
+# (8 B/edge — 20M edges = 160 MB) broadcasts via ray.put and wedge
+# closure is counted INSIDE the per-source-bucket group function
+# (searchsorted membership, one int64 partial per bucket), eliminating
+# the wedge-table materialization + wkey cogroup entirely; above it the
+# classic MR wedge-join (emit wedges, cogroup with edges) is the scale
+# path — the same broadcast-vs-cogroup duality as functions/joins.py
+TRIANGLE_BROADCAST_EDGES = 20_000_000
+
 
 def g_triangle_count(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     """Exact triangle count of the co-purchase graph (distinct part
@@ -315,6 +324,48 @@ def g_triangle_count(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
         oriented = withdb.map_batches(orient, batch_format="pyarrow")
 
     oriented = oriented.materialize()
+
+    if n_edges <= TRIANGLE_BROADCAST_EDGES:
+        # broadcast closure path: one sorted int64 key per oriented edge
+        # (src*2^32+dst); each __sb group emits wedges per shift-k and
+        # counts membership hits immediately — constant memory per k,
+        # no wedge row ever leaves the worker
+        ek_parts = oriented.map_batches(
+            lambda t: pa.table({"k": pc.add(
+                pc.multiply(t["src"], pa.scalar(1 << 32, pa.int64())),
+                t["dst"])}),
+            batch_format="pyarrow").to_pandas()
+        ekeys = np.sort(ek_parts["k"].to_numpy().astype(np.int64))
+        ek_ref = ray.put(ekeys)
+
+        def wedge_close(g: pa.Table) -> pa.Table:
+            ek = ray.get(ek_ref)
+            if len(ek) == 0:
+                return pa.table({"tri": pa.array([0], pa.int64())})
+            order = pc.sort_indices(g, sort_keys=[("src", "ascending"),
+                                                  ("dst_rank", "ascending")])
+            g = g.take(order)
+            s = g.column("src").to_numpy(zero_copy_only=False)
+            d = g.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(s)
+            total = 0
+            k = 1
+            while True:
+                same = s[:-k] == s[k:] if k < n else np.zeros(0, bool)
+                if not same.any():
+                    break
+                wk = d[:-k][same] * (1 << 32) + d[k:][same]
+                idx = np.searchsorted(ek, wk)
+                idx[idx == len(ek)] = 0
+                total += int((ek[idx] == wk).sum())
+                k += 1
+            return pa.table({"tri": pa.array([total], pa.int64())})
+
+        tri = oriented.groupby("__sb").map_groups(
+            wedge_close, batch_format="pyarrow").sum("tri")
+        return pd.DataFrame({"n_nodes": [int(n_nodes)],
+                             "n_edges": [int(n_edges)],
+                             "n_triangles": [int(tri or 0)]})
 
     def wedges(g: pa.Table) -> pa.Table:
         order = pc.sort_indices(g, sort_keys=[("src", "ascending"),

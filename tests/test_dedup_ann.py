@@ -1700,6 +1700,11 @@ def test_triangle_count_cogroup_path_matches_broadcast(ray_session,
     forced = graph.g_triangle_count(sf)
     pd.testing.assert_frame_equal(base, forced)
     assert int(base["n_triangles"].iloc[0]) > 0  # non-trivial input
+    # and the MR wedge-join scale path (edge broadcast gate at 0) must
+    # reproduce the broadcast-closure count too
+    monkeypatch.setattr(graph, "TRIANGLE_BROADCAST_EDGES", 0)
+    wedge_join = graph.g_triangle_count(sf)
+    pd.testing.assert_frame_equal(base, wedge_join)
 
 
 def test_pca_power_iteration_matches_naive(ray_session):
