@@ -697,14 +697,20 @@ class _KmeansPartial:
     """One Lloyd half-step per batch: assign each (unit-normalized)
     vector to its max-dot centroid, emit per-cluster partials
     (count, float64 component sums packed as bytes, inertia partial).
-    Centroids arrive by ray.put once per ITERATION — never per batch."""
+    Centroids arrive by ray.put once per ITERATION — never per batch.
+    Used as a plain pickled INSTANCE (task pool, ref resolved lazily on
+    the worker) — per-iteration actor-pool spin-up dominated the short
+    iterations this runs."""
 
     def __init__(self, cents_ref):
-        c = (ray.get(cents_ref)
-             if isinstance(cents_ref, ray.ObjectRef) else cents_ref)
-        self.cents = c  # (k, d) float64, unit rows
+        self._ref = cents_ref
+        self.cents = None  # resolved on first batch, node-local ray.get
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if self.cents is None:
+            c = self._ref
+            self.cents = (ray.get(c)
+                          if isinstance(c, ray.ObjectRef) else c)
         if t.num_rows == 0:
             return pa.table({"cluster": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64()),
@@ -760,11 +766,14 @@ def e_kmeans_train(sf_dir: str, k: int = KMEANS_K,
     cents = _kmeans_init(sf_dir, k)
     d = cents.shape[1]
     stats = None
+    # read + decode the embedding column ONCE; iterations re-stream the
+    # materialized blocks from the object store (Ray spills if the table
+    # outgrows it) instead of re-reading parquet per iteration
+    emb_ds = _emb(sf_dir, ["embedding"]).materialize()
     for _ in range(n_iters):
         ref = ray.put(cents)
-        parts = _emb(sf_dir, ["embedding"]).map_batches(
-            _KmeansPartial, fn_constructor_kwargs={"cents_ref": ref},
-            batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+        parts = emb_ds.map_batches(
+            _KmeansPartial(ref), batch_format="pyarrow", batch_size=4096,
         ).take_all()
         # content-sort -> deterministic float64 accumulation order
         parts.sort(key=lambda r: (r["cluster"], r["n"], r["s"]))
@@ -800,14 +809,19 @@ PCA_ITERS = 20
 class _PcaPartial:
     """One power-iteration half-step per batch: emit the d-vector
     partial (X - mean)^T ((X - mean) @ v) plus the batch's Rayleigh
-    numerator — (mean, v) broadcast once per iteration via ray.put."""
+    numerator — (mean, v) broadcast once per iteration via ray.put.
+    Plain pickled instance (task pool, lazy ref resolve) — see
+    _KmeansPartial."""
 
     def __init__(self, state_ref):
-        self.mean, self.v = (ray.get(state_ref)
-                             if isinstance(state_ref, ray.ObjectRef)
-                             else state_ref)
+        self._ref = state_ref
+        self.mean = self.v = None
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if self.v is None:
+            s = self._ref
+            self.mean, self.v = (ray.get(s)
+                                 if isinstance(s, ray.ObjectRef) else s)
         if t.num_rows == 0:
             return pa.table({"s": pa.array([], pa.binary()),
                              "num": pa.array([], pa.float64()),
@@ -850,7 +864,10 @@ def e_pca_power_iteration(sf_dir: str,
                                        pa.binary()),
                          "n": pa.array([tt.num_rows], pa.int64())})
 
-    parts = _emb(sf_dir, ["embedding"]).map_batches(
+    # read + decode ONCE; the 21 passes below re-stream materialized
+    # blocks from the object store instead of re-reading parquet
+    emb_ds = _emb(sf_dir, ["embedding"]).materialize()
+    parts = emb_ds.map_batches(
         mean_partial, batch_format="pyarrow", batch_size=4096).take_all()
     parts.sort(key=lambda r: r["s"])
     total = np.zeros(d)
@@ -865,10 +882,9 @@ def e_pca_power_iteration(sf_dir: str,
     eig = 0.0
     for _ in range(n_iters):
         ref = ray.put((mean, v))
-        parts = _emb(sf_dir, ["embedding"]).map_batches(
-            _PcaPartial, fn_constructor_kwargs={"state_ref": ref},
-            batch_format="pyarrow", batch_size=4096,
-            concurrency=(1, 8)).take_all()
+        parts = emb_ds.map_batches(
+            _PcaPartial(ref), batch_format="pyarrow",
+            batch_size=4096).take_all()
         parts.sort(key=lambda r: r["s"])
         s = np.zeros(d)
         num = 0.0
