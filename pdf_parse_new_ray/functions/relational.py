@@ -1588,10 +1588,14 @@ def q_bloom_semi_join(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
     bloom_ref = ray.put(bloom)
 
     class BloomPrune:
+        # plain pickled instance (task pool, lazy node-local ref resolve):
+        # the only state is one ray.get, not worth actor-pool spin-up
         def __init__(self):
-            self.bits = ray.get(bloom_ref)
+            self.bits = None
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if self.bits is None:
+                self.bits = ray.get(bloom_ref)
             keys = t.column("l_orderkey").combine_chunks() \
                 .to_numpy(zero_copy_only=False)
             pos = _bloom_positions(keys)
@@ -1610,7 +1614,7 @@ def q_bloom_semi_join(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
 
     cand = _rp(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"]) \
-        .map_batches(BloomPrune, batch_format="pyarrow", concurrency=(1, 8))
+        .map_batches(BloomPrune(), batch_format="pyarrow")
 
     def post(t: pa.Table) -> pa.Table:  # map-side combine inside cogroup
         g = t.group_by("l_orderkey").aggregate(
