@@ -1672,3 +1672,93 @@ def make_malformed_ops_pdf() -> bytes:
         b"BT /F1 12 Tf 1 0 0 1 72 520 Tm <48454C4C4F2> Tj"
         b" [] TJ [(F) /Name (G) 50 (H)] TJ ET")
     return _single_page_pdf(content)
+
+
+def make_xmp_metadata_pdf(variant: str = "rich") -> bytes:
+    """Catalog /Metadata XMP stream fixtures for the full-surface
+    differential (reference: catalog metadata getter + MetadataParser,
+    build/pdf.worker.js:42421,39732).  Variants:
+
+    - ``rich``       mixed-case tags (lowercasing), dc:title Alt,
+                     dc:creator Seq, dc:subject Bag, entities, CDATA,
+                     comments, xpacket PIs, a second rdf:Description,
+                     self-closed entry, duplicate key overwrite
+    - ``utf16repair`` the octal-escaped UTF-16BE producer bug _repair fixes
+    - ``malformed``  unclosed element -> empty map, metadata object kept
+    - ``invalid-utf8`` stream bytes not UTF-8 -> metadata null
+    - ``direct-dict`` /Metadata not an indirect Ref -> metadata null
+    - ``wrong-type`` stream without /Type /Metadata -> metadata null
+    """
+    if variant == "rich":
+        xml = (b'<?xpacket begin="\xef\xbb\xbf" id="W5M0MpCehiHzreSzNTczkc9d"?>\n'
+               b'<x:xmpmeta xmlns:x="adobe:ns:meta/">\n'
+               b'<!-- a comment -->\n'
+               b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
+               b'<rdf:Description rdf:about="" xmlns:dc="http://purl.org/dc/elements/1.1/">\n'
+               b'<dc:Title><rdf:Alt><rdf:li xml:lang="x-default">T&amp;T '
+               b'&#x41;&#66;</rdf:li></rdf:Alt></dc:Title>\n'
+               b'<dc:creator><rdf:Seq><rdf:li>Alpha One</rdf:li>'
+               b'<rdf:li> Beta  Two </rdf:li></rdf:Seq></dc:creator>\n'
+               b'<dc:subject><rdf:Bag><rdf:li>k1</rdf:li><rdf:li>k2</rdf:li>'
+               b'</rdf:Bag></dc:subject>\n'
+               b'<dc:format>application/pdf</dc:format>\n'
+               b'<pdfaid:Part xmlns:pdfaid="http://www.aiim.org/pdfa/ns/id/"/>\n'
+               b'</rdf:Description>\n'
+               b'<rdf:Description rdf:about="" xmlns:xmp="http://ns.adobe.com/xap/1.0/">\n'
+               b'<xmp:CreateDate><![CDATA[2009-04-01T16:39:25-07:00]]></xmp:CreateDate>\n'
+               b'<xmp:CreatorTool>gen &unknown; tool</xmp:CreatorTool>\n'
+               b'<dc:format xmlns:dc="http://purl.org/dc/elements/1.1/">overwritten/fmt</dc:format>\n'
+               b'</rdf:Description>\n'
+               b'</rdf:RDF>\n</x:xmpmeta>\n<?xpacket end="w"?>')
+    elif variant == "utf16repair":
+        # the legacy bug: an element value serialized as ">\376\377" +
+        # backslash-octal UTF-16BE bytes; the raw '<' from "\000<" ABORTS
+        # the capture mid-value in both engines (parse error, empty map)
+        xml = (b'<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+               b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+               b'<rdf:Description xmlns:xmp="http://ns.adobe.com/xap/1.0/">'
+               b'<xmp:BadValue>\\376\\377\\000T\\000e\\000<\\000s\\000t\\000&amp;'
+               b'\\004\\020</xmp:BadValue>'
+               b'</rdf:Description></rdf:RDF></x:xmpmeta>')
+    elif variant == "utf16repair-clean":
+        # same producer bug, repairable payload: "Te&st" + U+0410 — the
+        # _repair path must yield a parsed value (escaped & and non-ASCII
+        # entity encoding both exercised)
+        xml = (b'<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+               b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+               b'<rdf:Description xmlns:xmp="http://ns.adobe.com/xap/1.0/">'
+               b'<xmp:BadValue>\\376\\377\\000T\\000e\\000&amp;\\000s\\000t'
+               b'\\004\\020</xmp:BadValue>'
+               b'</rdf:Description></rdf:RDF></x:xmpmeta>')
+    elif variant == "malformed":
+        xml = (b'<x:xmpmeta><rdf:RDF>'
+               b'<rdf:Description><dc:title>never closed'
+               b'</rdf:RDF></x:xmpmeta>')
+    elif variant == "invalid-utf8":
+        xml = b'<x:xmpmeta>\xff\xfe broken</x:xmpmeta>'
+    elif variant in ("direct-dict", "wrong-type"):
+        xml = (b'<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+               b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+               b'<rdf:Description xmlns:dc="http://purl.org/dc/elements/1.1/">'
+               b'<dc:format>application/pdf</dc:format>'
+               b'</rdf:Description></rdf:RDF></x:xmpmeta>')
+    else:
+        raise ValueError(variant)
+
+    b = PDFBuilder()
+    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    cn = b.add_stream(b"", b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (xmp fixture) Tj ET", "flate")
+    type_entry = (b"/Type /Metadata /Subtype /XML "
+                  if variant != "wrong-type" else b"/Subtype /XML ")
+    md = b.add(b"<< " + type_entry + b"/Length " + str(len(xml)).encode()
+               + b" >>\nstream\n" + xml + b"\nendstream")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 {font} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    if variant == "direct-dict":
+        # inline stream objects can't live inside a dict; emulate the
+        # non-Ref case with a direct NAME value (still "not a Ref")
+        root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R /Metadata /NotARef >>".encode())
+    else:
+        root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R /Metadata {md} 0 R >>".encode())
+    return b.build(root)

@@ -66,7 +66,9 @@ def parse_doc(
     extractor: Optional[TextExtractor] = None,
 ) -> dict:
     info = doc.document_info()
-    metadata = doc.metadata_xml()
+    # parity: r.metadata is the parsed Metadata object (get/getAll/
+    # getRaw/has) or None — lib/pdf-parse.js:96 metaData.metadata
+    metadata = doc.metadata_obj()
     pages = doc.pages()
     numpages = doc.num_pages
     counter = numpages if max_pages <= 0 else min(max_pages, numpages)

@@ -128,20 +128,28 @@ class PDFDocument:
         first = True
         while pos is not None and pos not in seen:
             seen.add(pos)
-            if pos < 0 or pos >= len(self.data):
-                raise PDFError("xref offset out of range")
-            lx = Lexer(self.data, pos)
-            tok = lx.next_token()
-            if tok.kind == "op" and tok.value == "xref":
-                trailer = self._read_xref_table(lx)
-            else:
-                trailer = self._read_xref_stream(pos)
+            try:
+                if pos < 0 or pos >= len(self.data):
+                    raise PDFError("xref offset out of range")
+                lx = Lexer(self.data, pos)
+                tok = lx.next_token()
+                if tok.kind == "op" and tok.value == "xref":
+                    trailer = self._read_xref_table(lx)
+                else:
+                    trailer = self._read_xref_stream(pos)
+            except PDFError:
+                if first:
+                    raise
+                # parity: a broken OLDER section is absorbed (pdf.js
+                # readXRef catch) — newest entries already landed
+                break
             if first:
+                # parity: the NEWEST trailer dict is THE trailer — keys
+                # never merge across /Prev (pdf.js topDict,
+                # build/pdf.worker.js:58542-58603); older sections only
+                # contribute xref entries (first-writer-wins)
                 self.trailer = dict(trailer)
                 first = False
-            else:
-                for k, v in trailer.items():
-                    self.trailer.setdefault(k, v)
             # hybrid-reference files: /XRefStm points at an xref stream with
             # entries that override the table's free markers
             xrefstm = trailer.get("XRefStm")
@@ -151,6 +159,8 @@ class PDFDocument:
                 except PDFError:
                     pass
             prev = trailer.get("Prev")
+            if isinstance(prev, Ref):  # pdf.js tolerates a Ref here
+                prev = prev.num
             pos = prev if isinstance(prev, int) else None
 
     def _read_xref_table(self, lx: Lexer) -> dict:
@@ -486,12 +496,40 @@ class PDFDocument:
                 info["Custom"] = custom
         return info
 
-    def metadata_xml(self) -> Optional[str]:
+    def metadata_obj(self):
+        """Parsed XMP metadata — parity with the reference catalog getter
+        (build/pdf.worker.js:42421-42446): the catalog's RAW /Metadata
+        entry must be an indirect Ref; the fetched object must be a
+        stream with /Type /Metadata /Subtype /XML; bytes decode as STRICT
+        UTF-8 (stringToUTF8String throws on invalid sequences); any
+        failure anywhere — including MetadataParser's own throw edges —
+        absorbs to None.  (EncryptMetadata=false suppression happens in
+        the security handler's Type gate, crypto.decrypt_object.)"""
+        from .xmp import parse_xmp
+
         try:
             root = self.resolve(self.trailer.get("Root")) or {}
-            md = self.resolve(root.get("Metadata"))
-            if isinstance(md, StreamObj):
-                return md.get_data(self.resolve).decode("utf-8", "replace")
-        except PDFError:
-            pass
-        return None
+            ref = root.get("Metadata") if isinstance(root, dict) else None
+            if not isinstance(ref, Ref):
+                return None
+            md = self.resolve(ref)
+            if not isinstance(md, StreamObj) or not isinstance(md.dict, dict):
+                return None
+            t = self.resolve(md.dict.get("Type"))
+            st = self.resolve(md.dict.get("Subtype"))
+            if not (isinstance(t, Name) and str(t) == "Metadata"
+                    and isinstance(st, Name) and str(st) == "XML"):
+                return None
+            data = md.get_data(self.resolve).decode("utf-8")  # strict
+            if not data:
+                return None
+            return parse_xmp(data)
+        except Exception:  # noqa: BLE001 — reference absorbs to null
+            return None
+
+    def metadata_xml(self) -> Optional[str]:
+        """Raw (repaired) XMP serialization for the Arrow metadata column
+        — Metadata.getRaw() of the parsed object, None when the document
+        has no valid metadata stream."""
+        m = self.metadata_obj()
+        return m.get_raw() if m is not None else None

@@ -17,17 +17,26 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-RUNNER = "/tmp/refdump/diff_run_ref.js"
+RUNNER = "/tmp/refdump/diff_run_ref_full.js"
+# full-surface dump: text PLUS numpages/numrender/info/metadata —
+# the complete pdf-parse return value is the oracle, not just text
 RUNNER_SRC = (
     "const fs=require('fs');"
     "const PDF=require('/root/reference/lib/pdf-parse.js');"
     "(async()=>{const d=fs.readFileSync(process.argv[2]);"
-    "const r=await PDF(d,{});fs.writeFileSync(process.argv[3],r.text);})()"
+    "const r=await PDF(d,{});"
+    "fs.writeFileSync(process.argv[3],JSON.stringify({text:r.text,"
+    "numpages:r.numpages,numrender:r.numrender,"
+    "info:r.info===undefined?null:r.info,"
+    "metadata:r.metadata?r.metadata.getAll():null,"
+    "metadata_raw:r.metadata?r.metadata.getRaw():null}));})()"
     ".catch(e=>{console.error(e);process.exit(1);});"
 )
 
 
-def ref_text(pdf: bytes) -> str:
+def ref_full(pdf: bytes) -> dict:
+    import json
+
     os.makedirs(os.path.dirname(RUNNER), exist_ok=True)
     if not os.path.exists(RUNNER):
         with open(RUNNER, "w") as f:
@@ -35,18 +44,40 @@ def ref_text(pdf: bytes) -> str:
     with tempfile.NamedTemporaryFile(suffix=".pdf", delete=False) as f:
         f.write(pdf)
         pdf_path = f.name
-    out_path = pdf_path + ".txt"
+    out_path = pdf_path + ".json"
     try:
         subprocess.run(["node", RUNNER, pdf_path, out_path],
                        check=True, capture_output=True, timeout=300)
         with open(out_path, encoding="utf-8") as f:
-            return f.read()
+            return json.load(f)
     finally:
         for p in (pdf_path, out_path):
             try:
                 os.unlink(p)
             except OSError:
                 pass
+
+
+def ours_full(parse_pdf, pdf: bytes) -> dict:
+    r = parse_pdf(pdf)
+    m = r["metadata"]
+    return {
+        "text": r["text"],
+        "numpages": r["numpages"],
+        "numrender": r["numrender"],
+        "info": r["info"],
+        "metadata": m.get_all() if m is not None else None,
+        "metadata_raw": m.get_raw() if m is not None else None,
+    }
+
+
+def full_mismatch(ours: dict, ref: dict) -> str:
+    """'' when equal; else the first differing field."""
+    for k in ("text", "numpages", "numrender", "info",
+              "metadata", "metadata_raw"):
+        if ours[k] != ref[k]:
+            return k
+    return ""
 
 
 def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
@@ -117,6 +148,11 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
         specials.append((f"encrypted-{mode}", pdfgen.make_encrypted_pdf(mode)[0]))
     specials.append(("encrypted-aesv3-xstream",
                      pdfgen.make_encrypted_pdf("aesv3", use_xref_stream=True)[0]))
+    for variant in ("rich", "utf16repair", "utf16repair-clean",
+                    "malformed", "invalid-utf8",
+                    "direct-dict", "wrong-type"):
+        specials.append((f"xmp-{variant}",
+                         pdfgen.make_xmp_metadata_pdf(variant)))
     return cases + specials
 
 
@@ -128,14 +164,18 @@ def main() -> None:
     n_ok = 0
     failures = []
     for name, pdf in cases:
-        ours = parse_pdf(pdf)["text"]
-        theirs = ref_text(pdf)
-        if ours == theirs:
+        ours = ours_full(parse_pdf, pdf)
+        theirs = ref_full(pdf)
+        field = full_mismatch(ours, theirs)
+        if not field:
             n_ok += 1
         else:
             failures.append(name)
-            print(f"MISMATCH {name}: ours={ours[:80]!r} ref={theirs[:80]!r}")
-    print(f"{n_ok}/{len(cases)} byte-exact vs live reference "
+            print(f"MISMATCH {name} [{field}]: "
+                  f"ours={str(ours[field])[:100]!r} "
+                  f"ref={str(theirs[field])[:100]!r}")
+    print(f"{n_ok}/{len(cases)} full-surface-exact (text+numpages+info+"
+          f"metadata) vs live reference "
           f"({sum(1 for n, _ in cases if 'encrypted' in n or n.endswith('-enc'))} encrypted)")
     if failures:
         print("FAILED:", failures)
