@@ -1762,3 +1762,254 @@ def make_xmp_metadata_pdf(variant: str = "rich") -> bytes:
     else:
         root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R /Metadata {md} 0 R >>".encode())
     return b.build(root)
+
+
+def make_split_contents_pdf(variant: str = "midtoken") -> bytes:
+    """/Contents arrays exercising StreamsSequenceStream's RAW
+    no-separator concatenation (build/pdf.worker.js:7869):
+
+    - ``midtoken``: a string literal AND a number split across stream
+      boundaries rejoin seamlessly
+    - ``nows``: adjacent operators without trailing whitespace merge
+      into one unknown token at the seam ("ETBT")
+    - ``broken``: a failing sub-stream (bad Flate bytes) and a non-stream
+      array entry are both skipped; surrounding streams still evaluate
+      (_onSubStreamError with ignoreErrors=true, :58941)
+    """
+    if variant == "midtoken":
+        streams = [(b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (hel", None),
+                   (b"lo split) Tj 1 0 0 1 72 6", None),
+                   (b"50 Tm (second) Tj ET", None)]
+    elif variant == "nows":
+        streams = [(b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (a) Tj ET", None),
+                   (b"BT /F1 12 Tf 1 0 0 1 72 650 Tm (b) Tj ET\n", None),
+                   (b"BT /F1 12 Tf 1 0 0 1 72 600 Tm (c) Tj ET", None)]
+    elif variant == "broken":
+        streams = [(b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (before) Tj ET\n", None),
+                   ("BROKEN", None),
+                   (b"BT /F1 12 Tf 1 0 0 1 72 650 Tm (after) Tj ET", None)]
+    else:
+        raise ValueError(variant)
+    b = PDFBuilder()
+    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    cns = []
+    for data, _ in streams:
+        if data == "BROKEN":
+            # declared FlateDecode, garbage bytes -> decode error -> skipped
+            cns.append(b.add(b"<< /Filter /FlateDecode /Length 9 >>\nstream\nnotflate!\nendstream"))
+        else:
+            cns.append(b.add_stream(b"", data, "flate"))
+    if variant == "broken":
+        # plus a non-stream entry in the /Contents array (skipped too)
+        nonstream = b.add(b"<< /NotA /Stream >>")
+        cns.insert(2, nonstream)
+    pages_num = len(b.objects) + 2
+    contents = b"[" + b" ".join(b"%d 0 R" % c for c in cns) + b"]"
+    pn = b.add((f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font} 0 R >> >> /Contents ").encode()
+               + contents + b" >>")
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root)
+
+
+def make_string_syntax_pdf() -> bytes:
+    """String-literal / hex-string lexer torture (reference Lexer
+    getString/getHexString): octal escapes (1-3 digits, overflow wrap,
+    digit-after-escape), backslash line continuations (LF/CR/CRLF), raw
+    EOLs inside literals (normalized to \\n), unknown escapes dropping
+    the backslash, nested balanced parens, hex strings with interior
+    whitespace and an odd trailing nibble.  Expected text comes from the
+    live reference in the sweep."""
+    content = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm "
+        b"(\\101\\102\\103 \\12 \\0623 \\377) Tj "          # ABC, \n, 23, y-umlaut-ish byte
+        b"1 0 0 1 72 680 Tm (cont\\\ninued c\\\r\\nont2 c\\\ront3) Tj "
+        b"1 0 0 1 72 660 Tm (raw\nlf raw\rcr raw\r\ncrlf) Tj "
+        b"1 0 0 1 72 640 Tm (unk\\qesc \\(lit\\) (nested (deep)) done) Tj "
+        b"1 0 0 1 72 620 Tm <4 86\t56C6C 6\nF2> Tj "        # HelLo-ish with ws + odd nibble
+        b"ET")
+    return _single_page_pdf(content)
+
+
+def make_filter_cascade_pdf() -> bytes:
+    """Filter pipelines on CONTENT streams: [/ASCII85Decode /FlateDecode]
+    cascade, abbreviation names (/AHx /Fl /RL /A85), RunLength, and a
+    PNG-predictor /DecodeParms Flate stream — each page one variant; the
+    reference's decode chain (build/pdf.worker.js Parser.filter) is the
+    oracle."""
+    import base64
+
+    def a85(data: bytes) -> bytes:
+        return base64.a85encode(data) + b"~>"
+
+    def rle(data: bytes) -> bytes:
+        # simple literal-run RunLength encoding (no repeats needed)
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            n = min(128, len(data) - i)
+            out.append(n - 1)
+            out += data[i:i + n]
+            i += n
+        out.append(128)
+        return bytes(out)
+
+    def png_predict(data: bytes, columns: int) -> bytes:
+        # PNG Up predictor (filter type 2) rows over the byte stream
+        out = bytearray()
+        prev = bytes(columns)
+        for i in range(0, len(data), columns):
+            row = data[i:i + columns]
+            row = row + bytes(columns - len(row))  # zero-pad last row
+            out.append(2)
+            out += bytes((row[j] - prev[j]) & 0xFF for j in range(columns))
+            prev = row
+        return bytes(out)
+
+    texts = [b"cascade a85+flate", b"abbrev names", b"runlength page",
+             b"predictor page"]
+    contents = [b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (%s) Tj ET" % t
+                for t in texts]
+    b = PDFBuilder()
+    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    cns = []
+    # page 1: [/ASCII85Decode /FlateDecode]
+    enc = a85(zlib.compress(contents[0]))
+    cns.append(b.add(b"<< /Filter [/ASCII85Decode /FlateDecode] /Length %d >>\nstream\n" % len(enc) + enc + b"\nendstream"))
+    # page 2: [/AHx /Fl] abbreviations
+    enc = zlib.compress(contents[1]).hex().encode() + b">"
+    cns.append(b.add(b"<< /Filter [/AHx /Fl] /Length %d >>\nstream\n" % len(enc) + enc + b"\nendstream"))
+    # page 3: [/A85 /RL]
+    enc = a85(rle(contents[2]))
+    cns.append(b.add(b"<< /Filter [/A85 /RL] /Length %d >>\nstream\n" % len(enc) + enc + b"\nendstream"))
+    # page 4: FlateDecode with PNG Up predictor, Columns 16
+    cols = 16
+    enc = zlib.compress(png_predict(contents[3], cols))
+    cns.append(b.add(b"<< /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns %d >> /Length %d >>\nstream\n" % (cols, len(enc)) + enc + b"\nendstream"))
+    pages_num = len(b.objects) + len(cns) + 1
+    pns = []
+    for cn in cns:
+        pns.append(b.add((f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] "
+                          f"/Resources << /Font << /F1 {font} 0 R >> >> /Contents {cn} 0 R >>").encode()))
+    kids = b"[" + b" ".join(b"%d 0 R" % p for p in pns) + b"]"
+    pgs = b.add(b"<< /Type /Pages /Kids " + kids + b" /Count %d >>" % len(pns))
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root)
+
+
+def make_hybrid_xref_pdf(variant: str = "omitted") -> bytes:
+    """Hybrid-reference file (ISO 32000-1 §7.5.8.4): a classic xref table
+    whose trailer carries /XRefStm pointing at an xref STREAM holding the
+    real offsets for the page+contents objects.
+
+    - ``omitted``: the table's subsections SKIP the hidden objects, so
+      the stream's gap-fill entries resolve them (text extracts)
+    - ``free-markers``: the table marks them free — and since free
+      entries are stored first-writer-wins, they BLOCK the stream's
+      offsets (pdf.js readXRefTable :58229): the page comes back empty
+      in BOTH engines
+    """
+    b = PDFBuilder()
+    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    cn = b.add_stream(b"", b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (hybrid xref works) Tj ET", "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add(f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 {font} 0 R >> >> /Contents {cn} 0 R >>".encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+
+    # lay out objects manually: body, xref STREAM (real offsets for the
+    # page+contents objects), classic TABLE marking those objects free
+    out = bytearray(b"%PDF-1.5\n")
+    offs: dict[int, int] = {}
+    for i, body in enumerate(b.objects, start=1):
+        offs[i] = len(out)
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    n_objs = len(b.objects)
+    xstm_num = n_objs + 1
+    # xref stream covers 0..xstm_num; hidden objects (cn, pn) get their
+    # true offsets here, everything else mirrors the table
+    w1, w2, w3 = 1, 4, 2
+    rows = bytearray()
+    entries = {0: (0, 0, 65535)}
+    for i in range(1, n_objs + 1):
+        entries[i] = (1, offs[i], 0)
+    xstm_off = len(out)
+    entries[xstm_num] = (1, xstm_off, 0)
+    for i in range(0, xstm_num + 1):
+        t, o, g = entries[i]
+        rows += bytes([t]) + o.to_bytes(w2, "big") + g.to_bytes(w3, "big")
+    xdata = zlib.compress(bytes(rows))
+    out += b"%d 0 obj\n" % xstm_num
+    out += (b"<< /Type /XRef /Size %d /W [%d %d %d] /Root %d 0 R "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n"
+            % (xstm_num + 1, w1, w2, w3, len(b.objects), len(xdata)))
+    out += xdata + b"\nendstream\nendobj\n"
+    # classic table; catalog/pages/font present so table-only readers
+    # still see a skeleton
+    table_pos = len(out)
+    hidden = {cn, pn}
+    if variant == "free-markers":
+        out += b"xref\n0 %d\n" % (n_objs + 1)
+        out += b"0000000000 65535 f \n"
+        for i in range(1, n_objs + 1):
+            if i in hidden:
+                out += b"0000000000 65535 f \n"
+            else:
+                out += b"%010d 00000 n \n" % offs[i]
+    else:  # omitted: contiguous subsections that skip the hidden objects
+        out += b"xref\n"
+        runs: list[list[int]] = []
+        for i in range(0, n_objs + 1):
+            if i in hidden:
+                continue
+            if runs and runs[-1][0] + runs[-1][1] == i:
+                runs[-1][1] += 1
+            else:
+                runs.append([i, 1])
+        for start, count in runs:
+            out += b"%d %d\n" % (start, count)
+            for i in range(start, start + count):
+                if i == 0:
+                    out += b"0000000000 65535 f \n"
+                else:
+                    out += b"%010d 00000 n \n" % offs[i]
+    out += (b"trailer\n<< /Size %d /Root %d 0 R /XRefStm %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n"
+            % (n_objs + 1, len(b.objects), xstm_off, table_pos))
+    return bytes(out)
+
+
+def make_knowncmd_pdf() -> bytes:
+    """Glued operator runs exercising the Lexer knownCommands boundary
+    rule (build/pdf.worker.js:14295-14307 with EvaluatorPreprocessor's
+    opMap, :38598): "ETq" lexes as ET + q, "QBT" as Q + BT, "BMCq" as
+    BMC + q (the null "BM" intermediate keeps it whole), "falseTj"
+    as the keyword false + Tj, "nullTj" as null + Tj, and an over-long
+    (>128 chars) junk command aborts the page (FormatError)."""
+    content = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (one) Tj ETq 2 0 0 2 10 10 cm "
+        b"QBT /F1 12 Tf 1 0 0 1 72 650 Tm (two) Tj ET "
+        b"/Tag BMCq QBT /F1 12 Tf 1 0 0 1 72 600 Tm (three) Tj ET EMC "
+        b"BT /F1 12 Tf 1 0 0 1 72 550 Tm falseTj (four) Tj nullTj "
+        b"(five) Tj ET")
+    return _single_page_pdf(content)
+
+
+def make_longcmd_pdf() -> bytes:
+    """A >128-char command token in page 2's content stream: pdf.js
+    throws FormatError ("Command token too long"), failing that page
+    while page 1 still extracts (per-page absorb)."""
+    b = PDFBuilder()
+    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    c1 = b.add_stream(b"", b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (ok page) Tj ET", "flate")
+    c2 = b.add_stream(b"", b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (gone) Tj ET "
+                      + b"Z" * 140 + b" BT (tail) Tj ET", "flate")
+    pages_num = len(b.objects) + 3
+    p1 = b.add((f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font} 0 R >> >> /Contents {c1} 0 R >>").encode())
+    p2 = b.add((f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font} 0 R >> >> /Contents {c2} 0 R >>").encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{p1} 0 R {p2} 0 R] /Count 2 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root)

@@ -20,6 +20,14 @@ class PDFError(Exception):
     parse rejection, test/03-invalid-default.js)."""
 
 
+class FormatError(PDFError):
+    """pdf.js FormatError analogue for lexer-level structural violations
+    (e.g. a >128-char command token, build/pdf.worker.js:14301-14303).
+    Subclasses PDFError so document-parse recovery paths absorb it like
+    the reference's generic readXRef catch; the content-stream operator
+    loop converts it to a page abort instead of a quiet stop."""
+
+
 class Name(str):
     """A PDF name object (/Foo).  Subclasses str for ergonomic dict keys."""
 
@@ -93,9 +101,39 @@ class Lexer:
     delimiters, keyword/operator tokens.
     """
 
-    def __init__(self, data: bytes, pos: int = 0):
+    def __init__(self, data: bytes, pos: int = 0, known_commands=None):
         self.data = data
         self.pos = pos
+        # content-stream op set (pdf.js Lexer knownCommands, passed only
+        # by EvaluatorPreprocessor — build/pdf.worker.js:38598); None for
+        # object/xref/cmap lexing, exactly like the reference
+        self.known_commands = known_commands
+
+    def _kw_end(self, data: bytes, start: int, end: int) -> int:
+        """pdf.js Lexer.getObj command-token boundary rules
+        (build/pdf.worker.js:14287-14307): a non-printable first byte
+        followed by a printable one is a lone 1-byte command; with
+        knownCommands the token stops at the first offset where the
+        accumulated string IS a known command and its one-char extension
+        is NOT (opMap's explicit null intermediates — BM/BD/true/fa…/
+        nu… — count as known via the `!== undefined` test, :38590-38594);
+        a command longer than 128 chars is a FormatError."""
+        c = data[start]
+        if (c < 0x20 or c > 0x7F) and start + 1 < len(data):
+            if 0x20 <= data[start + 1] <= 0x7F:
+                return start + 1
+        kc = self.known_commands
+        if kc is not None and data[start:end] not in kc:
+            known = data[start:start + 1] in kc
+            i = start + 1
+            while i < end:
+                if known and data[start:i + 1] not in kc:
+                    return i
+                i += 1
+                known = data[start:i] in kc
+        if end - start > 128:
+            raise FormatError(f"Command token too long: {end - start}")
+        return end
 
     def _skip_ws(self) -> None:
         data, n = self.data, len(self.data)
@@ -156,6 +194,8 @@ class Lexer:
             pos += 1
         if pos == start:  # defensive: lone delimiter byte
             pos += 1
+        else:
+            pos = self._kw_end(data, start, pos)
         self.pos = pos
         kw = data[start:pos].decode("latin-1")
         if kw == "true":
@@ -446,7 +486,13 @@ class FastLexer(Lexer):
             self.pos = pos + 1
             return Token("op", data[pos:pos + 1].decode("latin-1"))
         raw = m.group()
-        self.pos = m.end()
+        end = m.end()
+        kc = self.known_commands
+        if ((kc is not None and raw not in kc)
+                or len(raw) > 128 or c < 0x20 or c > 0x7F):
+            end = self._kw_end(data, pos, end)
+            raw = data[pos:end]
+        self.pos = end
         tok = _OP_TOKEN_CACHE.get(raw)
         if tok is not None:
             return tok
@@ -471,8 +517,9 @@ class Parser:
     top-level structures while absorbing in-content oddities.
     ``fast=True`` swaps in the regex-dispatch FastLexer (same behavior)."""
 
-    def __init__(self, data: bytes, pos: int = 0, resolve=None, fast: bool = False):
-        self.lexer = (FastLexer if fast else Lexer)(data, pos)
+    def __init__(self, data: bytes, pos: int = 0, resolve=None, fast: bool = False,
+                 known_commands=None):
+        self.lexer = (FastLexer if fast else Lexer)(data, pos, known_commands)
         self.resolve = resolve
         # 2-slot lookahead (never more is needed for `num gen R|obj`);
         # slot attributes avoid per-token list append/pop churn in the

@@ -184,9 +184,19 @@ class PDFDocument:
                 if not m:
                     raise PDFError("malformed xref entry")
                 off, gen, typ = int(m.group(1)), int(m.group(2)), m.group(3)
+                if i == 0 and typ == b"f" and start == 1:
+                    # pdf.js off-by-one repair: a subsection declared at 1
+                    # whose first entry is free really starts at 0
+                    start = 0
                 num = start + i
-                if typ == b"n" and num not in self.xref:
-                    self.xref[num] = ("n", off, gen)
+                # parity: FREE entries are stored too and BLOCK later
+                # sections' entries for the same object — first writer
+                # wins for every type (pdf.js readXRefTable :58229; this
+                # is what makes a hybrid file's /XRefStm lose to the
+                # table's free markers)
+                if num not in self.xref:
+                    self.xref[num] = (("n", off, gen) if typ == b"n"
+                                      else ("f", off, gen))
                 pos += m.end()
             lx.pos = pos
         p = Parser(data, lx.pos, resolve=self.resolve, fast=True)
@@ -245,10 +255,16 @@ class PDFDocument:
                 num = start + i
                 if num in self.xref:
                     continue
-                if typ == 1:
+                if typ == 0:
+                    # parity: stream free entries block later sections too
+                    self.xref[num] = ("f", f2, f3)
+                elif typ == 1:
                     self.xref[num] = ("n", f2, f3)
                 elif typ == 2:
                     self.xref[num] = ("c", f2, f3)
+                else:
+                    # pdf.js: invalid type aborts the section (FormatError)
+                    raise PDFError(f"invalid XRef entry type {typ}")
         return sd
 
     def _recover_xref(self) -> None:
@@ -299,6 +315,10 @@ class PDFDocument:
             return self._cache[key]
         entry = self.xref.get(ref.num)
         if entry is None:
+            return None
+        if entry[0] == "f" or entry[1] == 0:
+            # pdf.js getEntry: a free entry or a zero offset/container is
+            # null — never scan-recovered (build/pdf.worker.js:58612-58618)
             return None
         if entry[0] == "n":
             obj = self._fetch_at(ref.num, entry[1])
@@ -415,8 +435,14 @@ class PDFDocument:
         return out
 
     def page_content(self, page: dict) -> bytes:
-        """Concatenated decoded content streams of a page (spec: multiple
-        /Contents streams are joined with a whitespace byte)."""
+        """Concatenated decoded content streams of a page — RAW
+        concatenation with NO separator byte, exactly like the
+        reference's StreamsSequenceStream (build/pdf.worker.js:7869): a
+        token split across two /Contents streams rejoins seamlessly, and
+        adjacent operators without trailing whitespace merge into one
+        (unknown) token.  A failing or non-stream sub-stream is skipped,
+        the rest still evaluate (_onSubStreamError with the default
+        ignoreErrors=true, :58941-58947)."""
         contents = self.resolve(page.get("Contents"))
         if contents is None:
             return b""
@@ -425,10 +451,13 @@ class PDFDocument:
         if isinstance(contents, list):
             parts = []
             for c in contents:
-                c = self.resolve(c)
-                if isinstance(c, StreamObj):
-                    parts.append(c.get_data(self.resolve))
-            return b"\n".join(parts)
+                try:
+                    c = self.resolve(c)
+                    if isinstance(c, StreamObj):
+                        parts.append(c.get_data(self.resolve))
+                except Exception:  # noqa: BLE001 — per-substream absorb
+                    continue
+            return b"".join(parts)
         return b""
 
     def page_view(self, page: dict) -> list[float]:

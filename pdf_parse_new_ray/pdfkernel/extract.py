@@ -18,7 +18,7 @@ import re
 import unicodedata
 from typing import Any, Callable, Optional
 
-from .cos import Name, Parser, PDFError, Ref, StreamObj, Token
+from .cos import FormatError, Name, Parser, PDFError, Ref, StreamObj, Token
 from .fonts import FONT_IDENTITY_MATRIX, Font, Glyph
 
 IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
@@ -809,7 +809,8 @@ class TextExtractor:
         # op borrows them back (pop → unshift); still-deficient ops are
         # skipped; an UNKNOWN command keeps its args accumulating; pushing
         # a 34th arg aborts the whole page (FormatError).
-        parser = Parser(content, 0, resolve=r, fast=True)
+        parser = Parser(content, 0, resolve=r, fast=True,
+                        known_commands=_KNOWN_COMMANDS)
         args: list = []
         non_processed: list = []
         xobjs = None
@@ -818,6 +819,10 @@ class TextExtractor:
         while not aborted:
             try:
                 obj = parser.parse_object()
+            except FormatError as e:
+                # pdf.js FormatError (>128-char command) fails the PAGE,
+                # not just this stream's tail
+                raise _FormatAbort(str(e)) from None
             except PDFError:
                 break
             if isinstance(obj, Token):
@@ -1069,6 +1074,14 @@ _OP_SPEC: dict[str, tuple[int, bool]] = {
     "BMC": (1, False), "BDC": (2, False), "EMC": (0, False),
     "BX": (0, False), "EX": (0, False),
 }
+
+# Lexer knownCommands for content streams (pdf.worker.js:38598): the
+# opMap keys PLUS its explicit null intermediates (:38590-38594) that
+# keep BMC/BDC (prefix B known) and the false/null keywords (prefixes
+# f/n known) from splitting at a shorter known command
+_KNOWN_COMMANDS = frozenset(k.encode("latin-1") for k in _OP_SPEC) | frozenset(
+    (b"BM", b"BD", b"true", b"fa", b"fal", b"fals", b"false",
+     b"nu", b"nul", b"null"))
 
 # operators whose handlers write TextState numeric fields — the sticky
 # nan_risk flag refreshes here, once per op, instead of per glyph / per

@@ -153,6 +153,16 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
                     "direct-dict", "wrong-type"):
         specials.append((f"xmp-{variant}",
                          pdfgen.make_xmp_metadata_pdf(variant)))
+    for variant in ("midtoken", "nows", "broken"):
+        specials.append((f"split-contents-{variant}",
+                         pdfgen.make_split_contents_pdf(variant)))
+    specials.append(("string-syntax", pdfgen.make_string_syntax_pdf()))
+    specials.append(("filter-cascade", pdfgen.make_filter_cascade_pdf()))
+    for variant in ("omitted", "free-markers"):
+        specials.append((f"hybrid-xref-{variant}",
+                         pdfgen.make_hybrid_xref_pdf(variant)))
+    specials.append(("knowncmd-split", pdfgen.make_knowncmd_pdf()))
+    specials.append(("longcmd-abort", pdfgen.make_longcmd_pdf()))
     return cases + specials
 
 
