@@ -543,6 +543,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": relational.q15_top_supplier,
         "q17_small_qty_revenue": relational.q17_small_qty_revenue,
         "q19_disjunct_revenue": relational.q19_disjunct_revenue,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q9_product_type_profit": relational.q9_product_type_profit,
+        "q11_important_parts": relational.q11_important_parts,
+        "q16_supplier_cnt": relational.q16_supplier_cnt,
+        "q20_dominant_suppliers": relational.q20_dominant_suppliers,
+        "q22_idle_rich_customers": relational.q22_idle_rich_customers,
         "q_histogram_quantiles": relational.q_histogram_quantiles,
         "q_copurchase_pairs": relational.q_copurchase_pairs,
         "q_decile_stats": relational.q_decile_stats,
@@ -2159,6 +2165,125 @@ def oracle_sql() -> dict[str, str]:
                 f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
                 f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
                 for b, slo, shi, qlo, qhi in relational.Q19_TERMS)}
+        """,
+        "q2_min_cost_supplier": f"""
+            WITH cand AS (
+                SELECT p_partkey FROM part
+                WHERE p_type = '{relational.Q2_TYPE}'
+                  AND p_size BETWEEN {relational.Q2_SIZE_LO}
+                                 AND {relational.Q2_SIZE_HI}),
+            eu AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                WHERE n_regionkey = {relational.Q2_REGION_KEY}),
+            cost AS (
+                SELECT l_partkey, l_suppkey,
+                       MIN(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS cents
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM cand)
+                  AND l_suppkey IN (SELECT s_suppkey FROM eu)
+                GROUP BY 1, 2),
+            best AS (
+                SELECT *, MIN(cents) OVER (PARTITION BY l_partkey) AS m
+                FROM cost)
+            SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+                   b.l_partkey AS p_partkey,
+                   CAST(b.cents AS DOUBLE) / 100.0 AS supply_cost
+            FROM best b JOIN eu ON eu.s_suppkey = b.l_suppkey
+            WHERE b.cents = b.m
+            ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p_partkey
+        """,
+        "q9_product_type_profit": f"""
+            SELECT n_name AS nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))
+                            - CAST(l_quantity AS BIGINT)
+                              * CAST(round(p_retailprice * 100) AS BIGINT)
+                              * 100) AS DOUBLE) / 10000.0 AS sum_profit
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+                     AND p_type = '{relational.Q9_TYPE}'
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            GROUP BY 1, 2
+            ORDER BY nation, ship_year DESC
+        """,
+        "q11_important_parts": f"""
+            WITH v AS (
+                SELECT l_partkey,
+                       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100)
+                                         AS BIGINT))) AS s
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+                WHERE n_regionkey = {relational.Q11_REGION_KEY}
+                GROUP BY 1)
+            SELECT l_partkey, ((s + 50) // 100) / 100.0 AS value
+            FROM v
+            WHERE s * (SELECT count(*) FROM v)
+                  > {relational.Q11_MULT} * (SELECT SUM(s) FROM v)
+            ORDER BY value DESC, l_partkey
+        """,
+        "q16_supplier_cnt": f"""
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> '{relational.Q16_EX_BRAND}'
+              AND p_type <> '{relational.Q16_EX_TYPE}'
+              AND p_size IN {relational.Q16_SIZES}
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier
+                  WHERE s_acctbal < {relational.Q16_EXCL_BAL})
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q20_dominant_suppliers": f"""
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       SUM(CAST(l_quantity AS BIGINT)) AS q
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                         AND p_type = '{relational.Q20_TYPE}'
+                GROUP BY 1, 2),
+            tot AS (SELECT l_partkey, SUM(q) AS tq, COUNT(*) AS ns
+                    FROM ps GROUP BY 1)
+            SELECT DISTINCT s_suppkey, s_name
+            FROM ps JOIN tot USING (l_partkey)
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE n_regionkey = {relational.Q20_REGION_KEY}
+              AND q * ns > {relational.Q20_MULT} * tq
+            ORDER BY s_suppkey
+        """,
+        "q22_idle_rich_customers": f"""
+            WITH ns AS (
+                SELECT n_nationkey, n_name FROM nation
+                WHERE n_regionkey IN {relational.Q22_REGION_KEYS}),
+            avgc AS (
+                SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+                       COUNT(*) AS n
+                FROM customer JOIN ns ON n_nationkey = c_nationkey
+                WHERE c_acctbal > 0),
+            cand AS (
+                SELECT c_custkey, n_name,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer JOIN ns ON n_nationkey = c_nationkey
+                WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+                      * (SELECT n FROM avgc) > (SELECT s FROM avgc))
+            SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(cents) AS DOUBLE) / 100.0 AS totacctbal
+            FROM cand
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '{relational.Q22_RECENT}')
+            GROUP BY n_name
+            ORDER BY n_name
         """,
         "q_kmv_distinct": f"""
             WITH h AS (

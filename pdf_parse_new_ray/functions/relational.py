@@ -4217,3 +4217,815 @@ def q_cube_revenue(sf_dir: str) -> pd.DataFrame:
         out["l_linestatus"] != CUBE_ALL, None)
     return out.sort_values(["l_returnflag", "l_linestatus"],
                            na_position="last").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 (adapted): min-cost supplier per part within a region.  The test
+# schema has no partsupp, so "supply cost" is the minimum observed lineitem
+# price (exact integer cents) per (part, supplier) pair — ref analogue:
+# SmartPDFParser's argmin-over-strategies rule scan (lib/SmartPDFParser.js:
+# 362-440) generalized to a distributed argmin-per-key join.
+# ---------------------------------------------------------------------------
+
+Q2_TYPE = "STANDARD"
+Q2_SIZE_LO, Q2_SIZE_HI = 10, 30
+Q2_REGION_KEY = 3          # EUROPE
+
+
+def _nation_table(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq_
+
+    return pq_.read_table(f"{sf_dir}/nation.parquet")
+
+
+def q2_min_cost_supplier(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """For every STANDARD part of size 10-30, the EUROPE supplier(s) tied
+    at the minimum observed price.  Plan: batch-partial min per (partkey,
+    suppkey) pair, size-gated part/supplier attachment (broadcast key
+    arrays under BROADCAST_DIM_ROWS, else attach_value cogroups), ONE
+    partkey-bucketed shuffle finalizes pair minima AND the per-part argmin
+    in the same task (partkeys are bucket-exclusive, so the in-bucket min
+    is global).  Winners are bounded by the candidate-part count; names
+    attach via semi-filtered dimension reads, never a full driver pull."""
+    import pyarrow.parquet as pq_
+
+    from .joins import _bucket_of, attach_value, rename_agg
+
+    nat = _nation_table(sf_dir)
+    eu_nk = pc.cast(nat.filter(pc.equal(nat["n_regionkey"],
+                                        pa.scalar(Q2_REGION_KEY, pa.int32())))
+                    .column("n_nationkey"), pa.int64()).combine_chunks()
+    n_names = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
+
+    part_src = _rp(sf_dir, "part", ["p_partkey", "p_type", "p_size"])
+    supp_src = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    part_small = part_src.count() <= BROADCAST_DIM_ROWS
+    supp_small = supp_src.count() <= BROADCAST_DIM_ROWS
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey",
+                                  "l_extendedprice"])
+
+    def _part_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(
+            pc.equal(t["p_type"], Q2_TYPE),
+            pc.and_(pc.greater_equal(t["p_size"],
+                                     pa.scalar(Q2_SIZE_LO, pa.int32())),
+                    pc.less_equal(t["p_size"],
+                                  pa.scalar(Q2_SIZE_HI, pa.int32())))))
+
+    cand_keys = eu_keys = None
+    if part_small:
+        pt = _part_filter(pq_.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type",
+                                               "p_size"]))
+        cand_keys = pt.column("p_partkey").combine_chunks()
+    if supp_small:
+        st = pq_.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        st = st.filter(pc.is_in(pc.cast(st["s_nationkey"], pa.int64()),
+                                value_set=eu_nk))
+        eu_keys = st.column("s_suppkey").combine_chunks()
+    bref = ray.put((cand_keys, eu_keys))
+
+    class PairMin:
+        def __init__(self, ref):
+            self.cand, self.eu = (ray.get(ref)
+                                  if isinstance(ref, ray.ObjectRef) else ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self.cand is not None:
+                t = t.filter(pc.is_in(t["l_partkey"], value_set=self.cand))
+            if self.eu is not None:
+                t = t.filter(pc.is_in(t["l_suppkey"], value_set=self.eu))
+            cents = pc.cast(pc.round(pc.multiply(
+                t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+            g = pa.table({"l_partkey": t["l_partkey"],
+                          "l_suppkey": t["l_suppkey"], "cents": cents}) \
+                .group_by(["l_partkey", "l_suppkey"]) \
+                .aggregate([("cents", "min")])
+            return rename_agg(g, {"cents_min": "cents"},
+                              ["l_partkey", "l_suppkey", "cents"])
+
+    pairs = li.map_batches(PairMin, fn_constructor_kwargs={"ref": bref},
+                           batch_format="pyarrow", batch_size=65536,
+                           concurrency=(1, 8))
+    pair_cols = [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+                 ("cents", pa.int64())]
+    if not part_small:
+        # scale path: candidate flag attaches by cogroup (inner-join
+        # semantics drop non-candidate parts for free)
+        def cand_flags(t: pa.Table) -> pa.Table:
+            f = _part_filter(t)
+            return pa.table({
+                "doc_id": f["p_partkey"],
+                "value": pa.array(np.ones(f.num_rows, np.int64))})
+
+        flags = part_src.map_batches(cand_flags, batch_format="pyarrow")
+        pairs = attach_value(pairs.materialize(), flags, "l_partkey",
+                             "__c", pa.int64(), pair_cols,
+                             post=lambda t: t.drop_columns(["__c"]))
+    if not supp_small:
+        nks = supp_src.map_batches(
+            lambda t: pa.table({
+                "doc_id": t["s_suppkey"],
+                "value": pc.cast(t["s_nationkey"], pa.int64())}),
+            batch_format="pyarrow")
+
+        def keep_eu(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["__nk"],
+                                     value_set=eu_nk)).drop_columns(["__nk"])
+
+        pairs = attach_value(pairs.materialize(), nks, "l_suppkey",
+                             "__nk", pa.int64(), pair_cols, post=keep_eu)
+
+    def add_bk(t: pa.Table) -> pa.Table:
+        return t.append_column("__bk", _bucket_of(t["l_partkey"], n_buckets))
+
+    def bucket_argmin(g: pa.Table) -> pa.Table:
+        empty = pa.table({"l_partkey": pa.array([], pa.int64()),
+                          "l_suppkey": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        f = g.group_by(["l_partkey", "l_suppkey"]) \
+            .aggregate([("cents", "min")])
+        f = rename_agg(f, {"cents_min": "cents"},
+                       ["l_partkey", "l_suppkey", "cents"])
+        pm = f.group_by("l_partkey").aggregate([("cents", "min")])
+        pm = rename_agg(pm, {"cents_min": "pmin"}, ["l_partkey", "pmin"])
+        idx = pc.index_in(f["l_partkey"],
+                          value_set=pm["l_partkey"].combine_chunks())
+        keep = pc.equal(f["cents"],
+                        pc.take(pm["pmin"].combine_chunks(), idx))
+        return f.filter(keep)
+
+    win = pairs.map_batches(add_bk, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(
+            lambda g: bucket_argmin(g.drop_columns(["__bk"])),
+            batch_format="pyarrow").to_pandas()
+    if win.empty:
+        return pd.DataFrame({"s_acctbal": pd.Series(dtype="float64"),
+                             "s_name": pd.Series(dtype="object"),
+                             "n_name": pd.Series(dtype="object"),
+                             "p_partkey": pd.Series(dtype="int64"),
+                             "supply_cost": pd.Series(dtype="float64")})
+
+    skeys = pa.array(sorted(set(win["l_suppkey"])), pa.int64())
+    sup = _rp(sf_dir, "supplier",
+              ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]) \
+        .map_batches(lambda t: t.filter(pc.is_in(t["s_suppkey"],
+                                                 value_set=skeys)),
+                     batch_format="pyarrow").to_pandas()
+    sup["n_name"] = sup["s_nationkey"].map(n_names)
+    out = win.rename(columns={"l_suppkey": "s_suppkey",
+                              "l_partkey": "p_partkey"}) \
+        .merge(sup.drop(columns=["s_nationkey"]), on="s_suppkey", how="left")
+    out["supply_cost"] = out["cents"].astype("int64") / 100.0
+    out = out[["s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost"]]
+    return out.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 (adapted): profit by supplier nation and ship year.  No partsupp
+# in this schema, so unit cost is the part's retail price; all money stays
+# in exact integer 10^-4-dollar sub-units until one final IEEE division
+# (identical on both engines, sign-safe — DuckDB's // truncates negatives
+# where Python floors, so the (s+50)//100 convention is avoided here).
+# ---------------------------------------------------------------------------
+
+Q9_TYPE = "ECONOMY"
+
+
+def q9_product_type_profit(sf_dir: str) -> pd.DataFrame:
+    """sum(rev_sub - qty*retail_cents*100) per (supplier nation, ship
+    year).  Group cardinality is tiny (25 nations x ~7 years) so partials
+    collapse in-batch and ONE small groupby merges them; the part and
+    supplier sides are size-gated (broadcast arrays under
+    BROADCAST_DIM_ROWS, else attach_value cogroups with in-bucket
+    re-partials, shrinking before each exchange)."""
+    import pyarrow.parquet as pq_
+
+    from .joins import attach_value, rename_agg
+
+    nat = _nation_table(sf_dir)
+    n_names = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
+
+    part_src = _rp(sf_dir, "part", ["p_partkey", "p_type", "p_retailprice"])
+    supp_src = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    part_small = part_src.count() <= BROADCAST_DIM_ROWS
+    supp_small = supp_src.count() <= BROADCAST_DIM_ROWS
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity",
+                                  "l_extendedprice", "l_discount",
+                                  "l_shipdate"])
+
+    if part_small and supp_small:
+        pt = pq_.read_table(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_type", "p_retailprice"])
+        pt = pt.filter(pc.equal(pt["p_type"], Q9_TYPE))
+        pkeys = pt.column("p_partkey").combine_chunks()
+        rc = pc.cast(pc.round(pc.multiply(pt["p_retailprice"],
+                                          pa.scalar(100.0))),
+                     pa.int64()).combine_chunks()
+        st = pq_.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        skeys = st.column("s_suppkey").combine_chunks()
+        snk = pc.cast(st["s_nationkey"], pa.int64()).combine_chunks()
+        bref = ray.put((pkeys, rc, skeys, snk))
+
+        class Q9Partial:
+            def __init__(self, ref):
+                self.pk, self.rc, self.sk, self.nk = (
+                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                idx = pc.index_in(t["l_partkey"], value_set=self.pk)
+                hit = pc.is_valid(idx)
+                t = t.filter(hit)
+                rc = pc.take(self.rc, idx.filter(hit))
+                cost = pc.multiply(pc.multiply(
+                    pc.cast(t["l_quantity"], pa.int64()), rc),
+                    pa.scalar(100, pa.int64()))
+                amt = pc.subtract(_rev_subcents(t), cost)
+                nk = pc.take(self.nk, pc.index_in(t["l_suppkey"],
+                                                  value_set=self.sk))
+                yr = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
+                g = pa.table({"nk": nk, "ship_year": yr, "amt": amt}) \
+                    .group_by(["nk", "ship_year"]).aggregate([("amt", "sum")])
+                return rename_agg(g, {"amt_sum": "amt"},
+                                  ["nk", "ship_year", "amt"])
+
+        partials = li.map_batches(Q9Partial,
+                                  fn_constructor_kwargs={"ref": bref},
+                                  batch_format="pyarrow", batch_size=65536,
+                                  concurrency=(1, 8))
+    else:
+        # scale path: two cogroup attaches, each post-hook re-partials so
+        # only slim aggregate rows ride every exchange
+        def pair_partial(t: pa.Table) -> pa.Table:
+            yr = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
+            g = pa.table({"l_partkey": t["l_partkey"],
+                          "l_suppkey": t["l_suppkey"], "ship_year": yr,
+                          "rev": _rev_subcents(t),
+                          "qty": pc.cast(t["l_quantity"], pa.int64())}) \
+                .group_by(["l_partkey", "l_suppkey", "ship_year"]) \
+                .aggregate([("rev", "sum"), ("qty", "sum")])
+            return rename_agg(g, {"rev_sum": "rev", "qty_sum": "qty"},
+                              ["l_partkey", "l_suppkey", "ship_year",
+                               "rev", "qty"])
+
+        def part_vals(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.equal(t["p_type"], Q9_TYPE))
+            return pa.table({
+                "doc_id": f["p_partkey"],
+                "value": pc.cast(pc.round(pc.multiply(
+                    f["p_retailprice"], pa.scalar(100.0))), pa.int64())})
+
+        def amount_group(t: pa.Table) -> pa.Table:
+            amt = pc.subtract(t["rev"], pc.multiply(pc.multiply(
+                t["qty"], t["rc"]), pa.scalar(100, pa.int64())))
+            g = pa.table({"l_suppkey": t["l_suppkey"],
+                          "ship_year": t["ship_year"], "amt": amt}) \
+                .group_by(["l_suppkey", "ship_year"]) \
+                .aggregate([("amt", "sum")])
+            return rename_agg(g, {"amt_sum": "amt"},
+                              ["l_suppkey", "ship_year", "amt"])
+
+        rows = li.map_batches(pair_partial, batch_format="pyarrow",
+                              batch_size=65536)
+        mid = attach_value(
+            rows.materialize(),
+            part_src.map_batches(part_vals, batch_format="pyarrow"),
+            "l_partkey", "rc", pa.int64(),
+            [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("ship_year", pa.int64()), ("rev", pa.int64()),
+             ("qty", pa.int64())],
+            post=amount_group)
+
+        def nk_group(t: pa.Table) -> pa.Table:
+            g = t.group_by(["nk", "ship_year"]).aggregate([("amt", "sum")])
+            return rename_agg(g, {"amt_sum": "amt"},
+                              ["nk", "ship_year", "amt"])
+
+        partials = attach_value(
+            mid.materialize(),
+            supp_src.map_batches(
+                lambda t: pa.table({
+                    "doc_id": t["s_suppkey"],
+                    "value": pc.cast(t["s_nationkey"], pa.int64())}),
+                batch_format="pyarrow"),
+            "l_suppkey", "nk", pa.int64(),
+            [("l_suppkey", pa.int64()), ("ship_year", pa.int64()),
+             ("amt", pa.int64())],
+            post=nk_group)
+
+    out = partials.groupby(["nk", "ship_year"]) \
+        .aggregate(Sum("amt", alias_name="amt")).to_pandas()
+    out["nation"] = out["nk"].map(n_names)
+    out["sum_profit"] = out["amt"].astype("int64") / 10000.0
+    out = out[["nation", "ship_year", "sum_profit"]]
+    out["ship_year"] = out["ship_year"].astype("int64")
+    return out.sort_values(["nation", "ship_year"],
+                           ascending=[True, False]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 (adapted): parts whose region-supplied value exceeds a multiple
+# of the mean part value — the global-scalar HAVING shape.
+# ---------------------------------------------------------------------------
+
+Q11_REGION_KEY = 0         # AFRICA
+Q11_MULT = 2               # keep parts with value > 2x the mean part value
+
+
+def q11_important_parts(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
+    """Per-part value of AFRICA-supplied lineitems, keeping parts with
+    value*N > MULT*total (exact int64 cross-multiplication — never a
+    float mean).  Plan: batch partials -> ONE partkey-bucketed shuffle
+    finalizes per-part sums -> the filter scalar pair (total, N) comes
+    from a driver-side sum/count of the SMALL finals dataset -> a second
+    streaming pass filters.  Supplier side size-gated like q2/q9."""
+    from .joins import _bucket_of, attach_value, rename_agg
+
+    nat = _nation_table(sf_dir)
+    reg_nk = pc.cast(nat.filter(pc.equal(
+        nat["n_regionkey"], pa.scalar(Q11_REGION_KEY, pa.int32())))
+        .column("n_nationkey"), pa.int64()).combine_chunks()
+
+    supp_src = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp_small = supp_src.count() <= BROADCAST_DIM_ROWS
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    if supp_small:
+        import pyarrow.parquet as pq_
+
+        st = pq_.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        st = st.filter(pc.is_in(pc.cast(st["s_nationkey"], pa.int64()),
+                                value_set=reg_nk))
+        keys = st.column("s_suppkey").combine_chunks()
+        bref = ray.put(keys)
+
+        class ValPartial:
+            def __init__(self, ref):
+                self.keys = (ray.get(ref)
+                             if isinstance(ref, ray.ObjectRef) else ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                t = t.filter(pc.is_in(t["l_suppkey"], value_set=self.keys))
+                g = pa.table({"l_partkey": t["l_partkey"],
+                              "sub": _rev_subcents(t)}) \
+                    .group_by("l_partkey").aggregate([("sub", "sum")])
+                return rename_agg(g, {"sub_sum": "sub"},
+                                  ["l_partkey", "sub"])
+
+        rows = li.map_batches(ValPartial, fn_constructor_kwargs={"ref": bref},
+                              batch_format="pyarrow", batch_size=65536,
+                              concurrency=(1, 8))
+    else:
+        def pair_partial(t: pa.Table) -> pa.Table:
+            g = pa.table({"l_partkey": t["l_partkey"],
+                          "l_suppkey": t["l_suppkey"],
+                          "sub": _rev_subcents(t)}) \
+                .group_by(["l_partkey", "l_suppkey"]) \
+                .aggregate([("sub", "sum")])
+            return rename_agg(g, {"sub_sum": "sub"},
+                              ["l_partkey", "l_suppkey", "sub"])
+
+        def keep_region(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t["nk"], value_set=reg_nk))
+            g = t.group_by("l_partkey").aggregate([("sub", "sum")])
+            return rename_agg(g, {"sub_sum": "sub"}, ["l_partkey", "sub"])
+
+        rows = attach_value(
+            li.map_batches(pair_partial, batch_format="pyarrow",
+                           batch_size=65536).materialize(),
+            supp_src.map_batches(
+                lambda t: pa.table({
+                    "doc_id": t["s_suppkey"],
+                    "value": pc.cast(t["s_nationkey"], pa.int64())}),
+                batch_format="pyarrow"),
+            "l_suppkey", "nk", pa.int64(),
+            [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("sub", pa.int64())],
+            post=keep_region)
+
+    def add_bk(t: pa.Table) -> pa.Table:
+        return t.append_column("__bk", _bucket_of(t["l_partkey"], n_buckets))
+
+    def bucket_final(g: pa.Table) -> pa.Table:
+        f = g.group_by("l_partkey").aggregate([("sub", "sum")])
+        return rename_agg(f, {"sub_sum": "sub"}, ["l_partkey", "sub"])
+
+    finals = rows.map_batches(add_bk, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(
+            lambda g: bucket_final(g.drop_columns(["__bk"])),
+            batch_format="pyarrow").materialize()
+    total = int(finals.sum("sub") or 0)
+    nparts = finals.count()
+    if nparts == 0:
+        return pd.DataFrame({"l_partkey": pd.Series(dtype="int64"),
+                             "value": pd.Series(dtype="float64")})
+
+    def keep(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(t["sub"], pa.scalar(nparts, pa.int64()))
+        return t.filter(pc.greater(
+            lhs, pa.scalar(Q11_MULT * total, pa.int64())))
+
+    out = finals.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"l_partkey": pd.Series(dtype="int64"),
+                             "value": pd.Series(dtype="float64")})
+    out["value"] = _sub_to_dollars(out["sub"].astype("int64"))
+    out = out[["l_partkey", "value"]]
+    return out.sort_values(["value", "l_partkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 (adapted): distinct-supplier census per part attribute group,
+# with a supplier exclusion list (NOT IN) — lineitem is the part<->supplier
+# link table.  Part attributes ride the exchange as ONE encoded int64.
+# ---------------------------------------------------------------------------
+
+Q16_EX_BRAND = "Brand#15"
+Q16_EX_TYPE = "PROMO"
+Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+Q16_EXCL_BAL = 1000.0      # suppliers below this acctbal are excluded
+Q16_TYPES = ("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+
+
+def _q16_encode(t: pa.Table) -> pa.Table:
+    """(p_brand, p_type, p_size) -> one int64: ((brand_no*8)+type_idx)*64
+    + size.  Vectorized, no global state — both gate paths share it."""
+    keep = pc.and_(pc.and_(
+        pc.not_equal(t["p_brand"], Q16_EX_BRAND),
+        pc.not_equal(t["p_type"], Q16_EX_TYPE)),
+        pc.is_in(t["p_size"], value_set=pa.array(Q16_SIZES, pa.int32())))
+    f = t.filter(keep)
+    brand_no = pc.cast(pc.utf8_slice_codeunits(f["p_brand"], 6, 99),
+                       pa.int64())
+    tidx = pc.cast(pc.index_in(f["p_type"],
+                               value_set=pa.array(Q16_TYPES)), pa.int64())
+    enc = pc.add(pc.multiply(pc.add(pc.multiply(
+        brand_no, pa.scalar(8, pa.int64())), tidx),
+        pa.scalar(64, pa.int64())), pc.cast(f["p_size"], pa.int64()))
+    return pa.table({"doc_id": f["p_partkey"], "value": enc})
+
+
+def q16_supplier_cnt(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """COUNT(DISTINCT suppkey) per (brand, type, size): batch-local pair
+    dedupe -> size-gated part-attr attach (broadcast arrays / cogroup)
+    and supplier exclusion (broadcast set / 0-1 flag cogroup over ALL
+    suppliers, filtered ==0 — attach-and-drop can't express NOT IN) ->
+    ONE enc-bucketed shuffle where in-bucket distinct is global (enc is
+    bucket-exclusive).  Attr strings decode on the driver from the
+    bounded group table."""
+    import pyarrow.parquet as pq_
+
+    from .joins import _bucket_of, attach_value, rename_agg
+
+    part_src = _rp(sf_dir, "part", ["p_partkey", "p_brand", "p_type",
+                                    "p_size"])
+    supp_src = _rp(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    part_small = part_src.count() <= BROADCAST_DIM_ROWS
+    supp_small = supp_src.count() <= BROADCAST_DIM_ROWS
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    enc_keys = enc_vals = excl = None
+    if part_small:
+        et = _q16_encode(pq_.read_table(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_type", "p_size"]))
+        enc_keys = et.column("doc_id").combine_chunks()
+        enc_vals = et.column("value").combine_chunks()
+    if supp_small:
+        st = pq_.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_acctbal"])
+        excl = st.filter(pc.less(st["s_acctbal"],
+                                 pa.scalar(Q16_EXCL_BAL))) \
+            .column("s_suppkey").combine_chunks()
+    bref = ray.put((enc_keys, enc_vals, excl))
+
+    class PairEnc:
+        def __init__(self, ref):
+            self.ek, self.ev, self.excl = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            g = t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+            if self.excl is not None:
+                g = g.filter(pc.invert(pc.coalesce(
+                    pc.is_in(g["l_suppkey"], value_set=self.excl),
+                    pa.scalar(False))))
+            if self.ek is not None:
+                idx = pc.index_in(g["l_partkey"], value_set=self.ek)
+                hit = pc.is_valid(idx)
+                g = g.filter(hit)
+                enc = pc.take(self.ev, idx.filter(hit))
+                g = pa.table({"enc": enc, "l_suppkey": g["l_suppkey"]}) \
+                    .group_by(["enc", "l_suppkey"]).aggregate([])
+                return g.select(["enc", "l_suppkey"])
+            return g.select(["l_partkey", "l_suppkey"])
+
+    pairs = li.map_batches(PairEnc, fn_constructor_kwargs={"ref": bref},
+                           batch_format="pyarrow", batch_size=65536,
+                           concurrency=(1, 8))
+    if not part_small:
+        enc_ds = part_src.map_batches(_q16_encode, batch_format="pyarrow")
+
+        def re_dedupe(t: pa.Table) -> pa.Table:
+            return t.group_by(["enc", "l_suppkey"]).aggregate([]) \
+                .select(["enc", "l_suppkey"])
+
+        pairs = attach_value(pairs.materialize(), enc_ds, "l_partkey",
+                             "enc", pa.int64(),
+                             [("l_partkey", pa.int64()),
+                              ("l_suppkey", pa.int64())],
+                             post=lambda t: re_dedupe(
+                                 t.drop_columns(["l_partkey"])))
+    if not supp_small:
+        flags = supp_src.map_batches(
+            lambda t: pa.table({
+                "doc_id": t["s_suppkey"],
+                "value": pc.cast(pc.less(t["s_acctbal"],
+                                         pa.scalar(Q16_EXCL_BAL)),
+                                 pa.int64())}),
+            batch_format="pyarrow")
+
+        def drop_excluded(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["xf"], pa.scalar(0, pa.int64()))) \
+                .drop_columns(["xf"])
+
+        pairs = attach_value(pairs.materialize(), flags, "l_suppkey",
+                             "xf", pa.int64(),
+                             [("enc", pa.int64()),
+                              ("l_suppkey", pa.int64())],
+                             post=drop_excluded)
+
+    def add_bk(t: pa.Table) -> pa.Table:
+        return t.append_column("__bk", _bucket_of(t["enc"], n_buckets))
+
+    def bucket_count(g: pa.Table) -> pa.Table:
+        d = g.group_by(["enc", "l_suppkey"]).aggregate([])
+        f = d.group_by("enc").aggregate([("l_suppkey", "count")])
+        return rename_agg(f, {"l_suppkey_count": "supplier_cnt"},
+                          ["enc", "supplier_cnt"])
+
+    out = pairs.map_batches(add_bk, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(
+            lambda g: bucket_count(g.drop_columns(["__bk"])),
+            batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "p_brand": pd.Series(dtype="object"),
+            "p_type": pd.Series(dtype="object"),
+            "p_size": pd.Series(dtype="int32"),
+            "supplier_cnt": pd.Series(dtype="int64")})
+    enc = out["enc"].astype("int64")
+    out["p_size"] = (enc % 64).astype("int32")
+    rest = enc // 64
+    out["p_type"] = (rest % 8).map(dict(enumerate(Q16_TYPES)))
+    out["p_brand"] = (rest // 8).map(lambda b: f"Brand#{b}")
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out = out[["p_brand", "p_type", "p_size", "supplier_cnt"]]
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 (adapted): dominant suppliers — suppliers in a region that
+# shipped more than MULT x the average supplier's quantity of some SMALL
+# part.  Scale-invariant threshold (q*ns > MULT*tot), exact int64.
+# ---------------------------------------------------------------------------
+
+Q20_TYPE = "SMALL"
+Q20_REGION_KEY = 1         # AMERICA
+Q20_MULT = 2
+
+
+def q20_dominant_suppliers(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """Per-(part, supplier) quantity sums and the per-part total + supplier
+    count finalize in the SAME partkey-bucketed task (partkeys are
+    bucket-exclusive); dominance is the exact cross-multiplication
+    q*ns > MULT*tot.  Each bucket forwards only its DISTINCT dominant
+    suppkeys; the driver merge is bounded by the supplier count.  The
+    region/name attach is a semi-filtered dimension read of the winners."""
+    import pyarrow.parquet as pq_
+
+    from .joins import _bucket_of, attach_value, rename_agg
+
+    nat = _nation_table(sf_dir)
+    reg_nk = pc.cast(nat.filter(pc.equal(
+        nat["n_regionkey"], pa.scalar(Q20_REGION_KEY, pa.int32())))
+        .column("n_nationkey"), pa.int64()).combine_chunks()
+
+    part_src = _rp(sf_dir, "part", ["p_partkey", "p_type"])
+    part_small = part_src.count() <= BROADCAST_DIM_ROWS
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+    cand = None
+    if part_small:
+        pt = pq_.read_table(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_type"])
+        cand = pt.filter(pc.equal(pt["p_type"], Q20_TYPE)) \
+            .column("p_partkey").combine_chunks()
+    bref = ray.put(cand)
+
+    class QtyPairs:
+        def __init__(self, ref):
+            self.cand = (ray.get(ref)
+                         if isinstance(ref, ray.ObjectRef) else ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self.cand is not None:
+                t = t.filter(pc.is_in(t["l_partkey"], value_set=self.cand))
+            g = pa.table({"l_partkey": t["l_partkey"],
+                          "l_suppkey": t["l_suppkey"],
+                          "q": pc.cast(t["l_quantity"], pa.int64())}) \
+                .group_by(["l_partkey", "l_suppkey"]) \
+                .aggregate([("q", "sum")])
+            return rename_agg(g, {"q_sum": "q"},
+                              ["l_partkey", "l_suppkey", "q"])
+
+    pairs = li.map_batches(QtyPairs, fn_constructor_kwargs={"ref": bref},
+                           batch_format="pyarrow", batch_size=65536,
+                           concurrency=(1, 8))
+    if not part_small:
+        def cand_flags(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.equal(t["p_type"], Q20_TYPE))
+            return pa.table({
+                "doc_id": f["p_partkey"],
+                "value": pa.array(np.ones(f.num_rows, np.int64))})
+
+        pairs = attach_value(
+            pairs.materialize(),
+            part_src.map_batches(cand_flags, batch_format="pyarrow"),
+            "l_partkey", "__c", pa.int64(),
+            [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("q", pa.int64())],
+            post=lambda t: t.drop_columns(["__c"]))
+
+    def add_bk(t: pa.Table) -> pa.Table:
+        return t.append_column("__bk", _bucket_of(t["l_partkey"], n_buckets))
+
+    def bucket_dominant(g: pa.Table) -> pa.Table:
+        empty = pa.table({"l_suppkey": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        f = g.group_by(["l_partkey", "l_suppkey"]).aggregate([("q", "sum")])
+        f = rename_agg(f, {"q_sum": "q"}, ["l_partkey", "l_suppkey", "q"])
+        tot = f.group_by("l_partkey").aggregate([("q", "sum"),
+                                                 ("q", "count")])
+        tot = rename_agg(tot, {"q_sum": "tq", "q_count": "ns"},
+                         ["l_partkey", "tq", "ns"])
+        idx = pc.index_in(f["l_partkey"],
+                          value_set=tot["l_partkey"].combine_chunks())
+        tq = pc.take(tot["tq"].combine_chunks(), idx)
+        ns = pc.take(tot["ns"].combine_chunks(), idx)
+        keep = pc.greater(pc.multiply(f["q"].combine_chunks(), ns),
+                          pc.multiply(tq, pa.scalar(Q20_MULT, pa.int64())))
+        win = f.filter(keep)
+        return pa.table({"l_suppkey": pc.unique(
+            win["l_suppkey"].combine_chunks())})
+
+    win = pairs.map_batches(add_bk, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(
+            lambda g: bucket_dominant(g.drop_columns(["__bk"])),
+            batch_format="pyarrow").to_pandas()
+    if win.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "s_name": pd.Series(dtype="object")})
+    skeys = pa.array(sorted(set(win["l_suppkey"])), pa.int64())
+    sup = _rp(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]) \
+        .map_batches(
+            lambda t: t.filter(pc.and_(
+                pc.is_in(t["s_suppkey"], value_set=skeys),
+                pc.is_in(pc.cast(t["s_nationkey"], pa.int64()),
+                         value_set=reg_nk))),
+            batch_format="pyarrow").to_pandas()
+    if sup.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "s_name": pd.Series(dtype="object")})
+    out = sup[["s_suppkey", "s_name"]]
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 (adapted): idle rich customers — above-average balances with no
+# RECENT order, per nation.  Global scalar pass + anti-join cogroup.
+# ---------------------------------------------------------------------------
+
+Q22_REGION_KEYS = (0, 2)   # AFRICA + ASIA
+Q22_RECENT = "2000-01-01"  # customers with no order on/after this date
+
+
+def q22_idle_rich_customers(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """Customers in AFRICA/ASIA whose balance beats the positive-balance
+    average (exact: cents*N > sum_cents) and who placed no order since
+    Q22_RECENT.  Pass 1 reduces customer batches to (sum_cents, count)
+    partials (driver merges <= n_blocks rows); pass 2 is the
+    q_customers_without_orders union-cogroup anti-join on custkey, with
+    per-bucket partial (nation -> count, sum) folds so only 25-ish rows
+    per bucket reach the driver."""
+    from .joins import _bucket_of, rename_agg
+
+    nat = _nation_table(sf_dir)
+    reg_nk = pc.cast(nat.filter(pc.is_in(
+        nat["n_regionkey"],
+        value_set=pa.array(Q22_REGION_KEYS, pa.int32())))
+        .column("n_nationkey"), pa.int64()).combine_chunks()
+    n_names = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
+    cutoff = pa.scalar(pd.Timestamp(Q22_RECENT))
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def in_region(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                                 value_set=reg_nk))
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        t = in_region(t)
+        t = t.filter(pc.greater(t["c_acctbal"], pa.scalar(0.0)))
+        cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"],
+                                             pa.scalar(100.0))), pa.int64())
+        s = pc.sum(cents)
+        return pa.table({"s": pa.array([int(s.as_py() or 0)], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    scal = cust.map_batches(avg_partial, batch_format="pyarrow",
+                            batch_size=65536).to_pandas()
+    sum_cents, cnt = int(scal["s"].sum()), int(scal["n"].sum())
+    if cnt == 0:
+        return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                             "numcust": pd.Series(dtype="int64"),
+                             "totacctbal": pd.Series(dtype="float64")})
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        t = in_region(t)
+        cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"],
+                                             pa.scalar(100.0))), pa.int64())
+        keep = pc.greater(pc.multiply(cents, pa.scalar(cnt, pa.int64())),
+                          pa.scalar(sum_cents, pa.int64()))
+        t = t.filter(keep)
+        cents = cents.filter(keep)
+        return pa.table({
+            "key": t["c_custkey"],
+            "nk": pc.cast(t["c_nationkey"], pa.int64()),
+            "cents": cents,
+            "is_cust": pa.array([True] * t.num_rows, pa.bool_()),
+            "__bk": _bucket_of(t["c_custkey"], n_buckets)})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"], cutoff))
+        keys = pc.unique(t["o_custkey"].combine_chunks())
+        n = len(keys)
+        return pa.table({
+            "key": keys,
+            "nk": pa.nulls(n, pa.int64()),
+            "cents": pa.nulls(n, pa.int64()),
+            "is_cust": pa.array([False] * n, pa.bool_()),
+            "__bk": _bucket_of(keys, n_buckets)})
+
+    def anti_fold(g: pa.Table) -> pa.Table:
+        is_cust = g["is_cust"]
+        custs = g.filter(is_cust)
+        okeys = g.filter(pc.invert(is_cust))["key"].combine_chunks()
+        empty = pa.table({"nk": pa.array([], pa.int64()),
+                          "numcust": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+        if custs.num_rows == 0:
+            return empty
+        miss = pc.invert(pc.coalesce(
+            pc.is_in(custs["key"], value_set=okeys), pa.scalar(False)))
+        keep = custs.filter(miss)
+        if keep.num_rows == 0:
+            return empty
+        f = pa.table({"nk": keep["nk"], "numcust": pa.array(
+            np.ones(keep.num_rows, np.int64)), "cents": keep["cents"]}) \
+            .group_by("nk").aggregate([("numcust", "sum"),
+                                       ("cents", "sum")])
+        return rename_agg(f, {"numcust_sum": "numcust",
+                              "cents_sum": "cents"},
+                          ["nk", "numcust", "cents"])
+
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    folds = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")) \
+        .groupby("__bk").map_groups(anti_fold,
+                                    batch_format="pyarrow").to_pandas()
+    if folds.empty:
+        return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                             "numcust": pd.Series(dtype="int64"),
+                             "totacctbal": pd.Series(dtype="float64")})
+    out = folds.groupby("nk", as_index=False).sum()
+    out["n_name"] = out["nk"].astype("int64").map(n_names)
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = out["cents"].astype("int64") / 100.0
+    out = out[["n_name", "numcust", "totacctbal"]]
+    return out.sort_values("n_name").reset_index(drop=True)

@@ -1745,3 +1745,43 @@ def test_pca_power_iteration_matches_naive(ray_session):
     # true top eigenvalue) plus substantial alignment
     assert out["eigenvalue"].iloc[0] >= 0.95 * vals[-1]
     assert abs(float(np.abs(top @ w))) > 0.9
+
+
+def test_tpch_q2_q9_q11_q16_q20_q22_oracled(ray_session, monkeypatch):
+    """The adapted TPC-H tail (argmin-per-key join, multi-attach profit
+    rollup, global-scalar HAVING, distinct-count with NOT-IN exclusion,
+    dominance ratio semi-join, global-avg + anti-join) equals the DuckDB
+    oracles exactly at sf0.001 — on the broadcast paths AND with the
+    bucketed-cogroup scale paths forced (BROADCAST_DIM_ROWS = 0)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from pdf_parse_new_ray.functions import relational
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("region", "nation", "part", "supplier", "orders",
+              "lineitem", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    sqls = entry.oracle_sql()
+    names = ("q2_min_cost_supplier", "q9_product_type_profit",
+             "q11_important_parts", "q16_supplier_cnt",
+             "q20_dominant_suppliers", "q22_idle_rich_customers")
+    base = {}
+    for name in names:
+        out = getattr(relational, name)(sf)
+        ora = con.execute(sqls[name]).fetchdf()
+        assert len(out) > 0, name
+        pd.testing.assert_frame_equal(
+            out.sort_index(axis=1).reset_index(drop=True),
+            ora.sort_index(axis=1).reset_index(drop=True),
+            check_dtype=False), name
+        base[name] = out
+    # scale paths must reproduce the broadcast results bit-for-bit
+    monkeypatch.setattr(relational, "BROADCAST_DIM_ROWS", 0)
+    for name in ("q2_min_cost_supplier", "q9_product_type_profit",
+                 "q11_important_parts", "q16_supplier_cnt",
+                 "q20_dominant_suppliers"):
+        pd.testing.assert_frame_equal(base[name],
+                                      getattr(relational, name)(sf)), name
