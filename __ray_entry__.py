@@ -548,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": relational.q11_important_parts,
         "q16_supplier_cnt": relational.q16_supplier_cnt,
         "q20_dominant_suppliers": relational.q20_dominant_suppliers,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "q22_idle_rich_customers": relational.q22_idle_rich_customers,
         "q_histogram_quantiles": relational.q_histogram_quantiles,
         "q_copurchase_pairs": relational.q_copurchase_pairs,
@@ -2259,6 +2260,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_regionkey = {relational.Q20_REGION_KEY}
               AND q * ns > {relational.Q20_MULT} * tq
             ORDER BY s_suppkey
+        """,
+        "q21_waiting_suppliers": f"""
+            WITH os AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CASE WHEN l_returnflag = 'R'
+                                THEN 1 ELSE 0 END) AS ret
+                FROM lineitem GROUP BY 1, 2),
+            stats AS (
+                SELECT l_orderkey, COUNT(*) AS ns, SUM(ret) AS nr
+                FROM os GROUP BY 1)
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM os JOIN stats USING (l_orderkey)
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE ret = 1 AND ns >= 2 AND nr = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT {relational.Q21_TOP_K}
         """,
         "q22_idle_rich_customers": f"""
             WITH ns AS (

@@ -5029,3 +5029,99 @@ def q22_idle_rich_customers(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
     out["totacctbal"] = out["cents"].astype("int64") / 100.0
     out = out[["n_name", "numcust", "totacctbal"]]
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 (adapted): suppliers who were the ONLY supplier with a returned
+# line on a multi-supplier order — EXISTS + NOT-EXISTS over the fact table
+# itself.  No commit/receipt dates in this schema; l_returnflag='R' is the
+# "kept waiting" marker (same flag q10 uses).
+# ---------------------------------------------------------------------------
+
+Q21_TOP_K = 20
+
+
+def q21_waiting_suppliers(sf_dir: str, n_buckets: int = 256,
+                          k: int = Q21_TOP_K) -> pd.DataFrame:
+    """Batch partials collapse lineitems to (orderkey, suppkey,
+    returned?) pairs; ONE orderkey-bucketed shuffle resolves both
+    quantifiers in-task (orderkeys are bucket-exclusive): an order
+    credits its supplier iff it has >=2 distinct suppliers and exactly
+    one of them returned.  Per-bucket per-supplier partial counts then
+    ride the q_top_suppliers attach (suppkey cogroup + in-bucket final
+    sum + exact per-bucket top-k); the driver merges k x buckets rows."""
+    from .joins import _bucket_of, attach_value, rename_agg
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                                  "l_returnflag"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        ret = pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())
+        g = pa.table({"l_orderkey": t["l_orderkey"],
+                      "l_suppkey": t["l_suppkey"], "ret": ret}) \
+            .group_by(["l_orderkey", "l_suppkey"]) \
+            .aggregate([("ret", "max")])
+        g = rename_agg(g, {"ret_max": "ret"},
+                       ["l_orderkey", "l_suppkey", "ret"])
+        return g.append_column("__bk", _bucket_of(g["l_orderkey"],
+                                                  n_buckets))
+
+    def bucket_credit(g: pa.Table) -> pa.Table:
+        empty = pa.table({"l_suppkey": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        f = g.group_by(["l_orderkey", "l_suppkey"]) \
+            .aggregate([("ret", "max")])
+        f = rename_agg(f, {"ret_max": "ret"},
+                       ["l_orderkey", "l_suppkey", "ret"])
+        st = f.group_by("l_orderkey").aggregate([("ret", "sum"),
+                                                 ("ret", "count")])
+        st = rename_agg(st, {"ret_sum": "nr", "ret_count": "ns"},
+                        ["l_orderkey", "nr", "ns"])
+        idx = pc.index_in(f["l_orderkey"],
+                          value_set=st["l_orderkey"].combine_chunks())
+        nr = pc.take(st["nr"].combine_chunks(), idx)
+        ns = pc.take(st["ns"].combine_chunks(), idx)
+        one = pa.scalar(1, pa.int64())
+        keep = pc.and_(pc.equal(f["ret"].combine_chunks(), one),
+                       pc.and_(pc.greater_equal(
+                           ns, pa.scalar(2, pa.int64())),
+                           pc.equal(nr, one)))
+        win = f.filter(keep)
+        if win.num_rows == 0:
+            return empty
+        c = pa.table({"l_suppkey": win["l_suppkey"], "cnt": pa.array(
+            np.ones(win.num_rows, np.int64))}) \
+            .group_by("l_suppkey").aggregate([("cnt", "sum")])
+        return rename_agg(c, {"cnt_sum": "cnt"}, ["l_suppkey", "cnt"])
+
+    partials = li.map_batches(pair_partial, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("__bk").map_groups(
+            lambda g: bucket_credit(g.drop_columns(["__bk"])),
+            batch_format="pyarrow")
+
+    names = _rp(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda t: pa.table({"doc_id": t["s_suppkey"],
+                            "value": t["s_name"]}),
+        batch_format="pyarrow")
+
+    def post(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_suppkey", "s_name"]).aggregate([("cnt", "sum")])
+        g = rename_agg(g, {"cnt_sum": "numwait"}, ["s_name", "numwait"])
+        order = pc.sort_indices(g, sort_keys=[("numwait", "descending"),
+                                              ("s_name", "ascending")])
+        return g.take(order.slice(0, k))
+
+    out = attach_value(
+        partials, names, "l_suppkey", "s_name", pa.string(),
+        [("l_suppkey", pa.int64()), ("cnt", pa.int64())],
+        post=post).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"s_name": pd.Series(dtype="object"),
+                             "numwait": pd.Series(dtype="int64")})
+    out["numwait"] = out["numwait"].astype("int64")
+    return out.sort_values(["numwait", "s_name"],
+                           ascending=[False, True]).head(k) \
+        .reset_index(drop=True)

@@ -1767,7 +1767,8 @@ def test_tpch_q2_q9_q11_q16_q20_q22_oracled(ray_session, monkeypatch):
     sqls = entry.oracle_sql()
     names = ("q2_min_cost_supplier", "q9_product_type_profit",
              "q11_important_parts", "q16_supplier_cnt",
-             "q20_dominant_suppliers", "q22_idle_rich_customers")
+             "q20_dominant_suppliers", "q21_waiting_suppliers",
+             "q22_idle_rich_customers")
     base = {}
     for name in names:
         out = getattr(relational, name)(sf)
