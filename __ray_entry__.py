@@ -33,6 +33,47 @@ def _corpus_for(sf_dir: str) -> str:
     return corpus_dir_for(sf)
 
 
+def _extract_summary_rows(base: str):
+    """Run the interleaved extraction over a corpus dir and reduce each
+    doc to a deterministic summary row (value-hash stable)."""
+    import hashlib
+
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+
+    docs = extract_documents(
+        f"{base}/documents_interleaved", f"{base}/media",
+        out_dir=None, n_partitions=16,
+    ).take_all()
+    rows = []
+    for d in docs:
+        spans = sorted(d["spans"], key=lambda s: s["offset"])
+        joined = "\x00".join(f"{s['kind']}|{s['media_ref']}|{s['text']}" for s in spans)
+        rows.append({
+            "doc_id": d["doc_id"],
+            "n_spans": int(d["n_spans"]),
+            "numpages": int(d["numpages"]),
+            "n_errors": int(d["n_errors"]),
+            "content_md5": hashlib.md5(joined.encode("utf-8")).hexdigest(),
+        })
+    return rows
+
+
+def _extract_html_mixed(sf_dir: str):
+    """Boilerplate-strip surface (north_rule: HTML + DOM heuristics):
+    the SAME interleaved pipeline over a mixed pdf+html corpus — html
+    media spans carry jusText-style main-content text after extraction.
+    Correctness gate: tests/test_html.py pins span-sequence equality vs
+    the generator oracle on both join paths."""
+    import pandas as pd
+
+    from pdf_parse_new_ray.fixtures.corpus import html_corpus_dir_for
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.001
+    rows = _extract_summary_rows(html_corpus_dir_for(sf))
+    return pd.DataFrame(sorted(rows, key=lambda r: r["doc_id"]))
+
+
 def _extract_corpus(sf_dir: str):
     """Flagship pipeline: interleaved docs + media → extracted docs.
     Returns a deterministic per-doc summary (span lists summarized so the
@@ -626,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_triangle_count": graph.g_triangle_count,
         # extraction (flagship; north-rule pipeline)
         "x_extract_corpus": _extract_corpus,
+        "x_extract_html_mixed": _extract_html_mixed,
         "x_extract_media": _extract_media,
         "x_extract_metadata": _extract_metadata,
         "x_extract_titles_render": _extract_media_titles,

@@ -52,6 +52,7 @@ def generate_corpus(
     skew_doc_every: int = 97,
     skew_pages: int = 120,
     shard_rows: int = 2000,
+    html_frac: float = 0.0,
 ) -> dict:
     """Write documents_interleaved/, media/, oracle_docs/ parquet shards.
 
@@ -113,8 +114,22 @@ def generate_corpus(
             offset += 1
         for p in range(n_pdf):
             reuse = media_expected and rng.random() < 0.10 and not is_skew
+            as_html = (html_frac > 0 and not is_skew and not reuse
+                       and rng.random() < html_frac)
             if reuse:
                 mref = rng.choice(sorted(media_expected))
+                kind = "html" if mref.startswith("html-") else "pdf"
+            elif as_html:
+                # html media span (north_rule: boilerplate-strip surface);
+                # ground truth comes from the GENERATOR's planted blocks
+                mref = f"html-{media_seq:06d}"
+                media_seq += 1
+                from .htmlgen import make_seeded_html
+
+                blob, expected, _title = make_seeded_html(seed * 1_000_003 + media_seq)
+                media_rows.append({"media_ref": mref, "bytes": blob, "numpages": 1})
+                media_expected[mref] = expected
+                kind = "html"
             else:
                 mref = f"pdf-{media_seq:06d}"
                 media_seq += 1
@@ -123,7 +138,8 @@ def generate_corpus(
                     pdf_seed, n_pages=skew_pages if is_skew else None)
                 media_rows.append({"media_ref": mref, "bytes": pdf, "numpages": npages})
                 media_expected[mref] = expected
-            spans.append({"kind": "pdf", "text": "", "media_ref": mref, "offset": offset})
+                kind = "pdf"
+            spans.append({"kind": kind, "text": "", "media_ref": mref, "offset": offset})
             offset += 1
             for _ in range(rng.randint(0, 2)):
                 spans.append({"kind": "text", "text": " ".join(random_lines(rng, 1)),
@@ -131,7 +147,8 @@ def generate_corpus(
                 offset += 1
 
         oracle_spans = [
-            dict(s, text=media_expected[s["media_ref"]]) if s["kind"] == "pdf" else dict(s)
+            dict(s, text=media_expected[s["media_ref"]])
+            if s["kind"] in ("pdf", "html") else dict(s)
             for s in spans
         ]
         stored = spans[:]
@@ -172,4 +189,28 @@ def corpus_dir_for(sf: float, base: str = "/tmp/graft_corpus") -> str:
         generate_corpus(out, n_docs=n_docs, seed=42)
         with open(marker, "w") as f:
             f.write(CORPUS_VERSION)
+    return out
+
+
+HTML_CORPUS_VERSION = "h1"  # mixed pdf+html interleaved corpus
+
+
+def html_corpus_dir_for(sf: float, base: str = "/tmp/graft_corpus_html") -> str:
+    """Mixed-media corpus (~35% of media spans are HTML pages, rest PDF)
+    for the boilerplate-strip extraction surface; cached independently of
+    the PDF bench corpus so bench numbers stay comparable across rounds."""
+    n_docs = max(50, int(200_000 * sf))
+    out = os.path.join(base, f"sf{sf:g}")
+    marker = os.path.join(out, "_SUCCESS")
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if current != HTML_CORPUS_VERSION:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        generate_corpus(out, n_docs=n_docs, seed=4242, html_frac=0.35)
+        with open(marker, "w") as f:
+            f.write(HTML_CORPUS_VERSION)
     return out

@@ -129,19 +129,23 @@ class _AttachAssembleDocs:
             spans_col = spans_col.combine_chunks()
         flat = spans_col.flatten()
         kind = flat.field("kind")
+        # media spans (pdf or html) attach extracted text; doc-level
+        # numpages counts only pdf pages (html is a single logical page
+        # outside the reference's numpages semantics)
         is_pdf = pc.equal(kind, "pdf")
+        is_media = pc.or_(is_pdf, pc.equal(kind, "html"))
         idx = pc.index_in(flat.field("media_ref"), value_set=self._refs)
         picked_text = pc.take(self._text, idx)
         picked_np = pc.take(self._numpages, idx)
         picked_err = pc.take(self._error, idx)
         empty = pa.scalar("", pa.string())
-        text_out = pc.if_else(is_pdf, pc.coalesce(picked_text, empty),
+        text_out = pc.if_else(is_media, pc.coalesce(picked_text, empty),
                               pc.coalesce(flat.field("text"), empty))
         np_out = pc.if_else(is_pdf, pc.coalesce(picked_np, pa.scalar(0, pa.int32())),
                             pa.scalar(0, pa.int32()))
-        not_found = pc.and_(is_pdf, pc.is_null(idx))
+        not_found = pc.and_(is_media, pc.is_null(idx))
         err_out = pc.if_else(not_found, pa.scalar("media_ref not found", pa.string()),
-                             pc.if_else(is_pdf, picked_err, pa.scalar(None, pa.string())))
+                             pc.if_else(is_media, picked_err, pa.scalar(None, pa.string())))
         # offset-keyed sort WITHIN each doc's list (north rule): stable
         # because parent indices are the major key
         parents = pc.list_parent_indices(spans_col)
@@ -514,8 +518,9 @@ def extract_documents(
                                             else max(16, cpus * 4)))
     if done:
         # resume: only extract media still referenced by remaining docs
-        ref_ds = docs.map_batches(_explode_with_partition(n_partitions),
-                                  batch_format="pyarrow").filter(expr="kind == 'pdf'")
+        ref_ds = docs.map_batches(
+            _explode_with_partition(n_partitions),
+            batch_format="pyarrow").filter(expr="kind == 'pdf' or kind == 'html'")
         needed_refs = set(ref_ds.unique("media_ref") or [])
         ref_arr = pa.array(sorted(needed_refs), pa.string())
         media = media.map_batches(
@@ -622,6 +627,7 @@ def extract_documents(
                 "is_media": pa.array([True] * n, pa.bool_()),
                 "media_ref": refs,
                 "doc_id": pa.nulls(n, pa.string()),
+                "kind": pa.nulls(n, pa.string()),
                 "offset": pa.nulls(n, pa.int32()),
                 "part": pa.nulls(n, pa.int32()),
                 "chunk_text": t.column("chunk_text"),
@@ -632,7 +638,8 @@ def extract_documents(
             })
 
         def _tag_spans(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(t.column("kind"), "pdf"))
+            t = t.filter(pc.is_in(t.column("kind"),
+                                  value_set=pa.array(["pdf", "html"])))
             refs = t.column("media_ref").combine_chunks()
             n = t.num_rows
             return pa.table({
@@ -640,6 +647,7 @@ def extract_documents(
                 "is_media": pa.array([False] * n, pa.bool_()),
                 "media_ref": refs,
                 "doc_id": t.column("doc_id"),
+                "kind": t.column("kind"),
                 "offset": t.column("offset"),
                 "part": t.column("part"),
                 "chunk_text": pa.nulls(n, pa.string()),
@@ -667,7 +675,7 @@ def extract_documents(
             n = span_side.num_rows
             return pa.table({
                 "doc_id": span_side.column("doc_id"),
-                "kind": pa.array(["pdf"] * n, pa.string()),
+                "kind": span_side.column("kind"),
                 "text": pc.coalesce(pc.take(lookup.column("text"), idx), empty),
                 "media_ref": span_side.column("media_ref"),
                 "offset": span_side.column("offset"),

@@ -21,6 +21,7 @@ from typing import Callable, Optional
 
 import pyarrow as pa
 
+from ..htmlkernel import HtmlDocument, looks_like_html
 from ..pdfkernel import PDFDocument, PDFError, TextExtractor
 from ..pdfkernel.api import render_page_text
 
@@ -72,8 +73,18 @@ class PdfExtractor:
         # here — one Python bytes per parsed doc, nothing on cache hits.
         # Round 1 to_pylist()'d the whole bytes column every batch (judge
         # finding: memory traffic halves the raw scaling headroom).
-        doc = PDFDocument(blob_col[row].as_py())
-        ext = TextExtractor(doc)
+        data = blob_col[row].as_py()
+        if looks_like_html(data):
+            # interleaved corpora carry html media next to pdf (north_rule:
+            # "HTML boilerplate strip ... DOM heuristics"); the sniff is
+            # conservative — a blob with a %PDF header in its first KB
+            # always takes the PDF kernel, so malformed PDFs keep surfacing
+            # the PDF error row
+            doc: object = HtmlDocument(data)
+            ext = None  # signals the html branch in __call__
+        else:
+            doc = PDFDocument(data)
+            ext = TextExtractor(doc)
         self._cache[media_ref] = (doc, ext)
         self.metrics["docs_parsed"] += 1
         if len(self._cache) > self._cache_size:
@@ -96,6 +107,12 @@ class PdfExtractor:
         for i, (ref, p0, p1, _nc) in enumerate(zip(refs, starts, ends, chunks)):
             try:
                 doc, ext = self._get_doc(ref, blob_col, i)
+                if ext is None:  # HTML media: one logical page, main
+                    # content only (htmlkernel), no page separators
+                    out_text.append(doc.main_text if p0 == 0 else "")
+                    out_pages.append(1)
+                    out_err.append(None)
+                    continue
                 numpages = doc.num_pages
                 counter = numpages if self._max_pages <= 0 else min(self._max_pages, numpages)
                 pages = doc.pages()

@@ -25,6 +25,14 @@ def small_corpus():
     return corpus_dir_for(0.001)
 
 
+@pytest.fixture(scope="session")
+def html_corpus():
+    """Seeded mixed pdf+html sf0.001 corpus under /tmp (cached)."""
+    from pdf_parse_new_ray.fixtures.corpus import html_corpus_dir_for
+
+    return html_corpus_dir_for(0.001)
+
+
 REF_DATA = "/root/reference/test/data"
 REF_OUT = "/tmp/refdump/pytest-ref"
 
