@@ -31,47 +31,69 @@ PAGERANK_ITERS = 10
 PAGERANK_BROADCAST_VERTICES = 5_000_000
 
 
+def _vertex_census(edges: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """Distributed (node, deg) vertex set of a (src, dst) edge Dataset —
+    out-degree per node, deg=0 for sink-only nodes.  Per-batch endpoint
+    partials (Arrow group_by) merge through ONE node-bucketed cogroup;
+    the vertex table never lands on the driver."""
+    from .joins import _bucket_of, rename_agg
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        src = t.column("src").combine_chunks()
+        dst = t.column("dst").combine_chunks()
+        tt = pa.table({
+            "node": pa.concat_arrays([src, dst]),
+            "deg": pa.array(np.concatenate([
+                np.ones(len(src), np.int64),
+                np.zeros(len(dst), np.int64)])),
+        })
+        g = tt.group_by("node").aggregate([("deg", "sum")])
+        g = rename_agg(g, {"deg_sum": "deg"}, ["node", "deg"])
+        return g.append_column("__vb", _bucket_of(g["node"], n_buckets))
+
+    def deg_merge(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__vb"]).group_by("node").aggregate(
+            [("deg", "sum")])
+        return rename_agg(t, {"deg_sum": "deg"}, ["node", "deg"])
+
+    return edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("__vb").map_groups(deg_merge, batch_format="pyarrow")
+
+
 def pagerank_edges(edges: rd.Dataset, damping: float = PAGERANK_DAMPING,
-                   n_iters: int = PAGERANK_ITERS) -> pd.DataFrame:
+                   n_iters: int = PAGERANK_ITERS, top_k: int | None = None,
+                   force_cogroup: bool = False) -> pd.DataFrame:
     """PageRank over a directed edge Dataset with int64 columns
     (src, dst) — duplicate edges count as parallel edges.  Returns
-    (node, rank), rank mass summing to 1 over all nodes.
+    (node, rank) sorted by node, rank mass summing to 1 over all nodes
+    (``top_k`` instead returns the k highest-rank rows, rank-major).
 
-    Per iteration: ONE pass over the (never re-shuffled) edge blocks —
-    each batch looks up src ranks from the broadcast rank map and emits
-    per-batch PARTIAL dst sums via an Arrow group_by; the partials merge
-    into the next rank vector with a driver-side sum bounded by the
-    vertex count.  Dangling-node mass (nodes with no out-edges)
-    redistributes uniformly, keeping total mass exactly 1 like the
-    textbook formulation."""
+    Two paths on the shared distributed vertex census, the repo-wide
+    broadcast-vs-cogroup duality (functions/joins.py):
+
+    * under ``PAGERANK_BROADCAST_VERTICES``: per iteration ONE pass over
+      the (never re-shuffled) edge blocks — each batch looks up src
+      ranks from the broadcast rank map and emits per-batch PARTIAL dst
+      sums via an Arrow group_by; the partials merge into the next rank
+      vector with a driver-side sum bounded by the vertex count.
+    * over the gate (or ``force_cogroup``): vertex state never touches
+      the driver — ``_pagerank_cogroup`` below.
+
+    Dangling-node mass (nodes with no out-edges) redistributes
+    uniformly, keeping total mass exactly 1 like the textbook
+    formulation."""
     edges = edges.materialize()
-
-    def degrees(t: pa.Table) -> pa.Table:
-        g = t.group_by("src").aggregate([("src", "count")])
-        return g.rename_columns(
-            ["deg" if c == "src_count" else "node" for c in g.column_names])
-
-    deg = edges.map_batches(degrees, batch_format="pyarrow").to_pandas() \
-        .groupby("node", as_index=False)["deg"].sum()
-
-    def dsts(t: pa.Table) -> pa.Table:
-        u = pc.unique(t.column("dst").combine_chunks())
-        return pa.table({"node": u})
-
-    dst_nodes = edges.map_batches(dsts, batch_format="pyarrow") \
-        .to_pandas()["node"].unique()
-    nodes = np.union1d(deg["node"].to_numpy(), dst_nodes).astype(np.int64)
-    n = len(nodes)
+    vs = _vertex_census(edges).materialize()
+    n = int(vs.count())
     if n == 0:
         return pd.DataFrame({"node": pd.Series(dtype="int64"),
                              "rank": pd.Series(dtype="float64")})
-    if n > PAGERANK_BROADCAST_VERTICES:  # pragma: no cover — corpus scale
-        raise NotImplementedError(
-            "vertex state exceeds the broadcast gate; the cogroup-attach "
-            "iteration (joins.attach_value per round) is the scale path")
-    out_deg = np.zeros(n, np.float64)
-    idx = np.searchsorted(nodes, deg["node"].to_numpy())
-    out_deg[idx] = deg["deg"].to_numpy().astype(np.float64)
+    if force_cogroup or n > PAGERANK_BROADCAST_VERTICES:
+        return _pagerank_cogroup(edges, vs, n, damping, n_iters, top_k)
+    deg = vs.to_pandas()
+    order = np.argsort(deg["node"].to_numpy())
+    nodes = deg["node"].to_numpy().astype(np.int64)[order]
+    out_deg = deg["deg"].to_numpy().astype(np.float64)[order]
     rank = np.full(n, 1.0 / n)
 
     def contribs_for(rank_ref):
@@ -101,7 +123,156 @@ def pagerank_edges(edges: rd.Dataset, damping: float = PAGERANK_DAMPING,
         dangling = float(rank[out_deg == 0].sum())
         rank = ((1.0 - damping) / n
                 + damping * (incoming + dangling / n))
-    return pd.DataFrame({"node": nodes, "rank": rank})
+    out = pd.DataFrame({"node": nodes, "rank": rank})
+    if top_k is not None:
+        out = out.sort_values(["rank", "node"], ascending=[False, True]) \
+            .head(top_k).reset_index(drop=True)
+    return out
+
+
+PAGERANK_COGROUP_BUCKETS = 256
+
+
+def _pagerank_cogroup(edges: rd.Dataset, vs: rd.Dataset, n: int,
+                      damping: float, n_iters: int,
+                      top_k: int | None) -> pd.DataFrame:
+    """Over-gate PageRank: vertex state lives in a bucketed Dataset
+    (node, deg, rank) and NEVER lands on the driver.  Per iteration:
+
+      1. dangling mass — per-block float partials over the vertex state
+         folded to ONE driver scalar (the only driver-side value).
+      2. shares (node -> rank/deg for deg>0; every edge src has deg>=1
+         so inner-join attach semantics lose nothing) attach to the edge
+         relation by ONE src-bucketed cogroup (joins.attach_value) whose
+         ``post`` hook collapses each bucket to per-dst partial sums —
+         contribution rows leaving a bucket are bounded by the bucket's
+         distinct dst count, not its edge count.
+      3. the partials cogroup with the vertex state on a node bucket;
+         inside each bucket an Arrow group_by folds the partials and a
+         vectorized index_in probe writes the new rank vector.
+
+    Two bucket shuffles per iteration — the edge relation re-shuffles
+    each round (Ray Data groupby cannot pin a prior partitioning; a
+    raw-actor edge shard would save it at the cost of leaving the
+    Dataset model).  Partial-sum order varies with partitioning, so
+    results are float-stable only to ~1e-12 (same contract as the
+    broadcast path's np.allclose pytest lock).
+
+    ``top_k`` finalizes with per-block local top-k + a k×blocks driver
+    merge; without it the full (node, rank) frame is pulled — callers
+    over the gate should always pass top_k or consume the state
+    upstream."""
+    from .joins import _bucket_of, attach_value, rename_agg
+
+    n_buckets = PAGERANK_COGROUP_BUCKETS
+    base = (1.0 - damping) / n
+    # bound the vertex-state block count: the per-iteration cogroup emits
+    # one block per group/partition, so without this cap block count
+    # GROWS geometrically across iterations (union doubles it, the
+    # shuffle keeps it) and per-task overhead dominates by iteration ~6
+    # (measured: 2 iterations fine, 10 never finish).  ~2M vertex rows
+    # (= ~50 MB of (node, deg, rank)) per block.
+    state_blocks = max(4, min(1024, n // 2_000_000 + 1))
+
+    vs = vs.map_batches(
+        lambda t: t.append_column(
+            "rank", pa.array(np.full(t.num_rows, 1.0 / n))),
+        batch_format="pyarrow").repartition(state_blocks).materialize()
+
+    def dang_partial(t: pa.Table) -> pa.Table:
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([float(r[d == 0].sum())])})
+
+    def share_rows(t: pa.Table) -> pa.Table:
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        keep = d > 0
+        return pa.table({
+            "doc_id": pa.array(
+                t.column("node").to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "value": pa.array(r[keep] / d[keep], pa.float64()),
+        })
+
+    def post(tbl: pa.Table) -> pa.Table:
+        g = pa.table({"dst": tbl["dst"], "w": tbl["share"]}) \
+            .group_by("dst").aggregate([("w", "sum")])
+        return rename_agg(g, {"w_sum": "w"}, ["dst", "w"])
+
+    state_names = ["node", "deg", "rank", "__w", "__vb"]
+
+    def tag_vs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"], "deg": t["deg"], "rank": t["rank"],
+            "__w": pa.nulls(t.num_rows, pa.float64()),
+            "__vb": _bucket_of(t["node"], n_buckets),
+        }).select(state_names)
+
+    def tag_parts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["dst"],
+            "deg": pa.nulls(t.num_rows, pa.int64()),
+            "rank": pa.nulls(t.num_rows, pa.float64()),
+            "__w": t["w"],
+            "__vb": _bucket_of(t["dst"], n_buckets),
+        }).select(state_names)
+
+    def new_state_for(dangling: float):
+        def new_state(g: pa.Table) -> pa.Table:
+            is_v = pc.is_valid(g.column("deg"))
+            verts = g.filter(is_v)
+            parts = g.filter(pc.invert(is_v))
+            if verts.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "deg": pa.array([], pa.int64()),
+                                 "rank": pa.array([], pa.float64())})
+            incoming = np.zeros(verts.num_rows, np.float64)
+            if parts.num_rows:
+                agg = pa.table({"node": parts["node"], "w": parts["__w"]}) \
+                    .group_by("node").aggregate([("w", "sum")])
+                idx = pc.index_in(
+                    verts.column("node"),
+                    value_set=agg.column("node").combine_chunks())
+                hit = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+                incoming[hit] = agg.column("w_sum").to_numpy(
+                    zero_copy_only=False)[
+                        idx.to_numpy(zero_copy_only=False)[hit]]
+            rank_new = base + damping * (incoming + dangling / n)
+            return pa.table({"node": verts["node"], "deg": verts["deg"],
+                             "rank": pa.array(rank_new, pa.float64())})
+
+        return new_state
+
+    for _ in range(n_iters):
+        dangling = float(
+            vs.map_batches(dang_partial, batch_format="pyarrow")
+            .sum("m") or 0.0)
+        shares = vs.map_batches(share_rows, batch_format="pyarrow")
+        partials = attach_value(
+            edges, shares, "src", "share", pa.float64(),
+            [("src", pa.int64()), ("dst", pa.int64())],
+            n_buckets=n_buckets, post=post)
+        vs = vs.map_batches(tag_vs, batch_format="pyarrow") \
+            .union(partials.map_batches(tag_parts, batch_format="pyarrow")) \
+            .groupby("__vb") \
+            .map_groups(new_state_for(dangling), batch_format="pyarrow") \
+            .repartition(state_blocks).materialize()
+
+    if top_k is not None:
+        def local_topk(t: pa.Table) -> pa.Table:
+            order = pc.sort_indices(
+                t, sort_keys=[("rank", "descending"),
+                              ("node", "ascending")])
+            return t.take(order.slice(0, top_k)).select(["node", "rank"])
+
+        cand = vs.map_batches(local_topk, batch_format="pyarrow") \
+            .to_pandas()
+        return cand.sort_values(["rank", "node"],
+                                ascending=[False, True]) \
+            .head(top_k).reset_index(drop=True)
+    return vs.to_pandas().sort_values("node").reset_index(drop=True) \
+        .drop(columns=["deg"])
 
 
 def g_pagerank_copurchase(sf_dir: str) -> pd.DataFrame:

@@ -1543,6 +1543,38 @@ def test_pagerank_matches_naive(ray_session, tmp_path):
     assert list(got["node"]) == nodes
 
 
+def test_pagerank_cogroup_scale_path_matches_broadcast(ray_session, tmp_path):
+    """The over-gate cogroup iteration (vertex state never on the driver)
+    produces the same ranks as the broadcast path on the same edges, and
+    its per-block top-k merge returns the same top rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf_parse_new_ray.functions.graph import pagerank_edges
+
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 40, 300).astype(np.int64)
+    dst = rng.randint(0, 50, 300).astype(np.int64)  # nodes 40-49 dangle
+    keep = src != dst
+    pq.write_table(pa.table({"src": pa.array(src[keep], pa.int64()),
+                             "dst": pa.array(dst[keep], pa.int64())}),
+                   str(tmp_path / "edges.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "edges.parquet"))
+    bc = pagerank_edges(ds)
+    cg = pagerank_edges(ds, force_cogroup=True)
+    assert list(cg["node"]) == list(bc["node"])
+    assert np.allclose(cg["rank"].to_numpy(), bc["rank"].to_numpy(),
+                       atol=1e-12)
+    assert abs(cg["rank"].sum() - 1.0) < 1e-9
+    top = pagerank_edges(ds, force_cogroup=True, top_k=5)
+    want = bc.sort_values(["rank", "node"], ascending=[False, True]) \
+        .head(5).reset_index(drop=True)
+    assert list(top["node"]) == list(want["node"])
+    assert np.allclose(top["rank"].to_numpy(), want["rank"].to_numpy(),
+                       atol=1e-12)
+
+
 def test_pagerank_copurchase_runs(ray_session):
     from pdf_parse_new_ray.functions.graph import g_pagerank_copurchase
 
