@@ -197,6 +197,28 @@ def _media_features_mixed(sf_dir: str):
     return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
 
 
+def _audio_features(sf_dir: str):
+    """Sample-level audio features over the mixed media table's WAV rows
+    through the REAL PCM payload decoder (rms/peak/zero-cross/clipping —
+    stages/multimodal.AudioFeatureExtractor); non-WAV rows absorb to
+    decoded=False so the stage contract is exercised on every modality."""
+    import re as _re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_parse_new_ray.fixtures.media_mixed import mixed_media_dir_for
+    from pdf_parse_new_ray.stages.multimodal import AudioFeatureExtractor
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
+    rows = rd.read_parquet(base, columns=["media_ref", "bytes"]).map_batches(
+        AudioFeatureExtractor, concurrency=(1, 4), batch_size=16,
+        batch_format="pyarrow",
+    ).take_all()
+    return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
+
+
 def _extract_media_titles(sf_dir: str):
     """Custom page_render hook through the distributed pipeline: the
     'module:function' contract (reference pagerenderModule, index.d.ts:32),
@@ -676,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # real; compressed audio/video stubbed)
         "m_media_features": _media_features,
         "m_media_features_mixed": _media_features_mixed,
+        "m_audio_features": _audio_features,
         "m_pdf_images": _pdf_images,
         "m_image_phash": _image_phash,
         "m_phash_dup_groups": _phash_dup_groups,

@@ -153,6 +153,70 @@ def wav_duration(data: bytes) -> float:
     return data_size / byte_rate
 
 
+def decode_wav_pcm(data: bytes,
+                   max_samples: int = 1 << 26) -> tuple[int, int, int,
+                                                        "np.ndarray"]:
+    """REAL RIFF/WAVE payload decode — integer PCM (8-bit unsigned,
+    16/24/32-bit signed little-endian, format tag 1) and IEEE float
+    (32/64-bit, format tag 3) need no codec library.  Returns
+    (sample_rate, channels, bits, samples) with samples float64 in
+    [-1, 1], shape (n_frames, channels).  ``max_samples`` caps total
+    decoded samples (frames x channels) so one pathological blob can't
+    blow a worker's heap; compressed format tags raise CodecError (those
+    genuinely need external codecs and stay stubbed per the brief)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise CodecError("not a WAV")
+    pos = 12
+    fmt = None
+    payload = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if cid == b"fmt ":
+            if size < 16 or pos + 24 > len(data):
+                raise CodecError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", data[pos + 8:pos + 24])
+        elif cid == b"data":
+            payload = data[pos + 8:pos + 8 + size]
+            if len(payload) < size:
+                raise CodecError("truncated data chunk")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or payload is None:
+        raise CodecError("missing fmt/data chunk")
+    tag, nch, rate, _brate, _align, bits = fmt
+    if nch < 1 or rate < 1:
+        raise CodecError("bad fmt values")
+    if tag == 1 and bits in (8, 16, 24, 32):
+        width = bits // 8
+        n = len(payload) // (width * nch)
+        if n * nch > max_samples:
+            raise CodecError("sample cap exceeded")
+        raw = payload[:n * nch * width]
+        if bits == 8:
+            x = np.frombuffer(raw, np.uint8).astype(np.float64)
+            x = (x - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+        else:  # 24-bit: widen to int32 via zero-padded LSB, sign intact
+            b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+            quad = np.zeros((len(b), 4), np.uint8)
+            quad[:, 1:] = b
+            x = quad.view("<i4").ravel().astype(np.float64) / 2147483648.0
+    elif tag == 3 and bits in (32, 64):
+        width = bits // 8
+        n = len(payload) // (width * nch)
+        if n * nch > max_samples:
+            raise CodecError("sample cap exceeded")
+        raw = payload[:n * nch * width]
+        x = np.frombuffer(raw, "<f4" if bits == 32 else "<f8") \
+            .astype(np.float64)
+    else:
+        raise CodecError(f"unsupported WAV format tag={tag} bits={bits}")
+    return rate, nch, bits, x.reshape(-1, nch)
+
+
 def _gif_lzw(data: bytes, min_code_size: int, max_pixels: int) -> bytes:
     """GIF variable-code-width LZW (LSB-first packing, 3..12-bit codes,
     clear/end codes, 4096-entry table cap)."""

@@ -323,6 +323,90 @@ class PdfImageExtractor:
         })
 
 
+class AudioFeatureExtractor:
+    """Actor-pool stage: WAV blobs → sample-level signal features through
+    the REAL PCM decoder (stages/codecs.decode_wav_pcm — integer PCM and
+    IEEE-float payloads, no codec library).  Per blob: sample_rate,
+    channels, bits, n_frames, duration_s, rms, peak, zero-crossing rate
+    (mean over channels) and clipped-sample fraction (|x| ≥ full scale).
+    Non-WAV and undecodable blobs absorb to decoded=False rows — the
+    stage never fails a task.  Small batch sizes at scale (payload-heavy
+    column); all per-blob math is one vectorized numpy pass."""
+
+    def __init__(self, max_samples: int = 1 << 26):
+        self._max_samples = max_samples
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .codecs import decode_wav_pcm
+
+        refs = batch.column("media_ref").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        cols = {k: [] for k in ("media_type", "sample_rate", "channels",
+                                "bits", "n_frames", "duration_s", "rms",
+                                "peak", "zero_cross_rate", "clipped_frac",
+                                "decoded", "error")}
+        for blob in blobs:
+            blob = blob or b""
+            kind = sniff_media_type(blob)
+            cols["media_type"].append(kind)
+            try:
+                if kind != "wav":
+                    raise ValueError("not a WAV container")
+                rate, nch, bits, x = decode_wav_pcm(
+                    blob, max_samples=self._max_samples)
+                n = x.shape[0]
+                if n:
+                    rms = float(np.sqrt((x * x).mean()))
+                    peak = float(np.abs(x).max())
+                    zc = float((np.signbit(x[1:]) !=
+                                np.signbit(x[:-1])).mean()) if n > 1 else 0.0
+                    clipped = float((np.abs(x) >= 1.0).mean())
+                else:
+                    rms = peak = zc = clipped = 0.0
+                cols["sample_rate"].append(rate)
+                cols["channels"].append(nch)
+                cols["bits"].append(bits)
+                cols["n_frames"].append(n)
+                cols["duration_s"].append(round(n / rate, 6))
+                cols["rms"].append(round(rms, 9))
+                cols["peak"].append(round(peak, 9))
+                cols["zero_cross_rate"].append(round(zc, 9))
+                cols["clipped_frac"].append(round(clipped, 9))
+                cols["decoded"].append(True)
+                cols["error"].append(None)
+            except Exception as e:  # noqa: BLE001 — absorb-to-error
+                cols["sample_rate"].append(-1)
+                cols["channels"].append(-1)
+                cols["bits"].append(-1)
+                cols["n_frames"].append(-1)
+                cols["duration_s"].append(-1.0)
+                cols["rms"].append(-1.0)
+                cols["peak"].append(-1.0)
+                cols["zero_cross_rate"].append(-1.0)
+                cols["clipped_frac"].append(-1.0)
+                cols["decoded"].append(False)
+                cols["error"].append(None if kind != "wav"
+                                     else f"{type(e).__name__}: {e}")
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "media_type": pa.array(cols["media_type"], pa.string()),
+            "sample_rate": pa.array(cols["sample_rate"], pa.int32()),
+            "channels": pa.array(cols["channels"], pa.int32()),
+            "bits": pa.array(cols["bits"], pa.int32()),
+            "n_frames": pa.array(cols["n_frames"], pa.int64()),
+            "duration_s": pa.array(cols["duration_s"], pa.float64()),
+            "rms": pa.array(cols["rms"], pa.float64()),
+            "peak": pa.array(cols["peak"], pa.float64()),
+            "zero_cross_rate": pa.array(cols["zero_cross_rate"],
+                                        pa.float64()),
+            "clipped_frac": pa.array(cols["clipped_frac"], pa.float64()),
+            "decoded": pa.array(cols["decoded"], pa.bool_()),
+            "error": pa.array(cols["error"], pa.string()),
+        })
+
+
 # ---------------------------------------------------------------------------
 # Perceptual image hashing (content features over the real decoders)
 # ---------------------------------------------------------------------------

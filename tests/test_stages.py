@@ -286,3 +286,123 @@ def test_compact_partitions_preserves_rows(tmp_path):
     assert merged.num_rows == orig.num_rows
     assert merged.column("doc_id").to_pylist() == \
         orig.column("doc_id").to_pylist()  # ascending-partition order
+
+
+def _wav16(samples, rate=8000, nch=1):
+    """Minimal 16-bit PCM WAV encoder for test fixtures."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * 2 * nch, 2 * nch, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_wav_pcm_formats():
+    """Real PCM payload decode: 16-bit values normalize exactly, 8-bit
+    is offset-binary, 24-bit keeps sign, float32 passes through, stereo
+    shapes (n, 2), and compressed tags / truncation raise CodecError."""
+    import struct
+
+    import numpy as np
+
+    from pdf_parse_new_ray.stages.codecs import CodecError, decode_wav_pcm
+
+    rate, nch, bits, x = decode_wav_pcm(_wav16([0, 16384, -32768, 32767]))
+    assert (rate, nch, bits) == (8000, 1, 16)
+    assert np.allclose(x.ravel(), [0.0, 0.5, -1.0, 32767 / 32768])
+
+    # 8-bit unsigned: 0x80 is zero, 0x00 is -1.0
+    fmt = struct.pack("<HHIIHH", 1, 1, 1000, 1000, 1, 8)
+    body = (b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 3) + bytes([0x80, 0x00, 0xFF]))
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    _, _, b8, x8 = decode_wav_pcm(blob)
+    assert b8 == 8 and np.allclose(x8.ravel(), [0.0, -1.0, 127 / 128])
+
+    # 24-bit signed: 0x800000 (LE 00 00 80) is -1.0
+    fmt = struct.pack("<HHIIHH", 1, 1, 1000, 3000, 3, 24)
+    pcm = bytes([0, 0, 0x80, 0xFF, 0xFF, 0x7F])
+    body = (b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    _, _, b24, x24 = decode_wav_pcm(blob)
+    assert b24 == 24
+    assert np.allclose(x24.ravel(), [-1.0, (2**23 - 1) / 2**23])
+
+    # float32 (format tag 3), stereo
+    f = np.array([0.25, -0.5, 1.0, 0.0], "<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 2, 1000, 8000, 8, 32)
+    body = (b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(f)) + f)
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    _, ch, _, xf = decode_wav_pcm(blob)
+    assert ch == 2 and xf.shape == (2, 2)
+    assert np.allclose(xf, [[0.25, -0.5], [1.0, 0.0]])
+
+    import pytest as _pytest
+
+    with _pytest.raises(CodecError):  # compressed tag stays honest
+        fmt = struct.pack("<HHIIHH", 85, 1, 1000, 1000, 1, 0)  # MP3-in-WAV
+        body = (b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", 0) + b"")
+        decode_wav_pcm(b"RIFF" + struct.pack("<I", 4 + len(body))
+                       + b"WAVE" + body)
+    with _pytest.raises(CodecError):
+        decode_wav_pcm(_wav16([1, 2, 3])[:30])  # truncated data chunk
+
+
+def test_audio_feature_stage_known_signals(ray_session):
+    """AudioFeatureExtractor over planted signals: a full-scale
+    alternating square (zc rate 1, half its samples at -1.0 so
+    clipped_frac 0.5), digital silence (rms/zc 0), and a 0.5-amplitude
+    sine (rms ~0.3536); non-WAV and corrupt-WAV rows absorb to
+    decoded=False without failing the task."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_parse_new_ray.stages.multimodal import AudioFeatureExtractor
+
+    square = _wav16([32767, -32768] * 500)
+    silence = _wav16([0] * 1000)
+    t = np.arange(4000)
+    sine = _wav16(np.round(16384 * np.sin(2 * np.pi * 440 * t / 8000)))
+    rows = pa.table({
+        "media_ref": ["sq", "si", "sn", "txt", "bad"],
+        "bytes": [square, silence, sine, b"not audio",
+                  _wav16([1, 2, 3])[:30]],
+    })
+    out = rd.from_arrow(rows).map_batches(
+        AudioFeatureExtractor, concurrency=1, batch_size=8,
+        batch_format="pyarrow").to_pandas().set_index("media_ref")
+    sq = out.loc["sq"]
+    assert sq["decoded"] and sq["sample_rate"] == 8000
+    assert sq["n_frames"] == 1000 and abs(sq["duration_s"] - 0.125) < 1e-9
+    assert abs(sq["zero_cross_rate"] - 1.0) < 1e-9
+    assert abs(sq["clipped_frac"] - 0.5) < 1e-9
+    assert abs(sq["peak"] - 1.0) < 1e-9
+    si = out.loc["si"]
+    assert si["decoded"] and si["rms"] == 0.0 and si["zero_cross_rate"] == 0.0
+    sn = out.loc["sn"]
+    assert sn["decoded"] and abs(sn["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(sn["peak"] - 0.5) < 1e-3
+    assert not out.loc["txt"]["decoded"] and out.loc["txt"]["error"] is None
+    bad = out.loc["bad"]
+    assert not bad["decoded"] and "CodecError" in bad["error"]
+
+
+def test_audio_features_query_runs(ray_session):
+    """m_audio_features over the mixed media table: every WAV row
+    decodes with duration matching the header-arithmetic decoder; all
+    non-WAV rows absorb."""
+    import __ray_entry__ as entry
+
+    out = entry.queries()["m_audio_features"]("/root/testdata/sf0.001")
+    wav = out[out["media_type"] == "wav"]
+    assert len(wav) > 0 and wav["decoded"].all()
+    assert (wav["rms"] >= 0).all() and (wav["peak"] <= 1.0).all()
+    assert not out[out["media_type"] != "wav"]["decoded"].any()
