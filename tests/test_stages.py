@@ -406,3 +406,29 @@ def test_audio_features_query_runs(ray_session):
     assert len(wav) > 0 and wav["decoded"].all()
     assert (wav["rms"] >= 0).all() and (wav["peak"] <= 1.0).all()
     assert not out[out["media_type"] != "wav"]["decoded"].any()
+
+
+def test_lance_layout_detection_and_fallback(tmp_path):
+    """A Lance-format dataset directory routes to read_lance, which in
+    this container (no `lance` package) raises the documented ImportError
+    rather than silently misreading it as parquet; plain directories fall
+    through to the parquet reader."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from pdf_parse_new_ray.sources.interleaved import _is_lance, read_table
+
+    lance_dir = tmp_path / "docs.lance-style"
+    (lance_dir / "_versions").mkdir(parents=True)
+    assert _is_lance(str(lance_dir)) and _is_lance("/data/t.lance")
+    with _pytest.raises(ImportError, match="lance"):
+        read_table(str(lance_dir))
+
+    pq_dir = tmp_path / "plain"
+    pq_dir.mkdir()
+    pq.write_table(pa.table({"doc_id": ["a"], "n": [1]}),
+                   str(pq_dir / "part-0.parquet"))
+    assert not _is_lance(str(pq_dir))
+    out = read_table(str(pq_dir), columns=["doc_id"])
+    assert out.take_all() == [{"doc_id": "a"}]
