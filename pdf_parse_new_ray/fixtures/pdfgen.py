@@ -2013,3 +2013,105 @@ def make_longcmd_pdf() -> bytes:
     pgs = b.add(f"<< /Type /Pages /Kids [{p1} 0 R {p2} 0 R] /Count 2 >>".encode())
     root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
     return b.build(root)
+
+
+def make_linearized_pdf(variant: str = "valid") -> bytes:
+    """Linearized ("fast web view") layout exercising pdf.js's
+    Linearization.create + the startXRef linearized branch
+    (build/pdf.worker.js:14338-14385, :59432-59446, numPages :59501):
+    object 1 is the linearization dict, the FIRST-page xref table sits
+    right after its ``endobj`` (where the endobj-scan branch lands) and
+    resolves the content to "LINEAR FRONT"; the tail ``startxref``
+    points at a SECOND table whose entry for the content object picks an
+    incremental-update copy saying "LINEAR TAIL".  A linearization-aware
+    engine must extract FRONT; any invalid parameter must absorb to
+    not-linearized and extract TAIL:
+
+    - ``valid``: /L == stream length, N matches the page tree -> FRONT
+    - ``n-overcount``: valid but /N 2 with a 1-page tree -> numpages 2,
+      the missing page absorbs to an empty render ("\\n\\n" tail)
+    - ``l-mismatch``: /L off by one -> TAIL (create() throws, absorbed)
+    - ``bad-hints``: /H has 1 element -> TAIL
+    - ``zero``: /Linearized 0 -> TAIL (first-gate null)
+    """
+    n_pages_decl = 2 if variant == "n-overcount" else 1
+
+    def assemble(lin_l: int, lin_t: int) -> bytes:
+        out = bytearray(b"%PDF-1.4\n")
+        linz = 0 if variant == "zero" else 1
+        hints = b"[35]" if variant == "bad-hints" else b"[35 120]"
+        out += (b"1 0 obj\n<< /Linearized %d /L %010d /H %s /O 4 /E 700 "
+                b"/N %d /T %010d >>\nendobj\n"
+                % (linz, lin_l, hints, n_pages_decl, lin_t))
+        front_xref = len(out)
+        offs: dict[int, int] = {1: 9}
+
+        def table(entry5: int, all_offs: dict[int, int]) -> bytes:
+            t = bytearray(b"xref\n0 7\n0000000000 65535 f \n")
+            for i in range(1, 7):
+                o = entry5 if i == 5 else all_offs.get(i, 0)
+                t += b"%010d 00000 n \n" % o
+            t += b"trailer\n<< /Size 7 /Root 2 0 R >>\n"
+            return bytes(t)
+
+        # first pass uses zero offsets; the caller loops until stable
+        out += table(offs.get(5, 0), offs)
+        body = {
+            2: b"<< /Type /Catalog /Pages 3 0 R >>",
+            3: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            4: (b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 6 0 R >> >> /Contents 5 0 R >>"),
+            5: None,  # content, added below
+            6: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding /WinAnsiEncoding >>"),
+        }
+        front = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (LINEAR FRONT) Tj ET"
+        tail = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (LINEAR TAIL) Tj ET"
+        for num in (2, 3, 4, 5, 6):
+            offs[num] = len(out)
+            if num == 5:
+                out += (b"5 0 obj\n<< /Length %d >>\nstream\n" % len(front)
+                        + front + b"\nendstream\nendobj\n")
+            else:
+                out += b"%d 0 obj\n" % num + body[num] + b"\nendobj\n"
+        tail5 = len(out)
+        out += (b"5 0 obj\n<< /Length %d >>\nstream\n" % len(tail)
+                + tail + b"\nendstream\nendobj\n")
+        tail_xref = len(out)
+        out += table(tail5, offs)
+        out += b"startxref\n%d\n%%%%EOF\n" % tail_xref
+        # patch the two xref tables with the real offsets (fixed-width
+        # entries keep every position stable)
+        final = bytearray(out)
+        front_tbl = table(offs[5], offs)
+        final[front_xref:front_xref + len(front_tbl)] = front_tbl
+        tail_tbl = table(tail5, offs)
+        final[tail_xref:tail_xref + len(tail_tbl)] = tail_tbl
+        return bytes(final), front_xref, tail_xref
+
+    blob, _, lin_t = assemble(0, 0)
+    want_l = len(blob) + (1 if variant == "l-mismatch" else 0)
+    blob, _, _ = assemble(want_l, lin_t)
+    # re-assembling with real L/T keeps length fixed (fixed-width fields)
+    assert len(blob) == want_l - (1 if variant == "l-mismatch" else 0)
+    return blob
+
+
+def make_count_lie_pdf(count: int) -> bytes:
+    """Non-linearized page tree whose catalog /Count LIES (pdf.js
+    checkLastPage, build/pdf.worker.js:59988-60055): an over-count (> 1)
+    fails the last-page fetch and self-heals to the actual tree size via
+    getAllPageDicts; /Count 0 is accepted as-is (numPages <= 1 returns
+    early) and renders nothing."""
+    b = PDFBuilder()
+    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                 b"/Encoding /WinAnsiEncoding >>")
+    cn = b.add_stream(b"", b"BT /F1 12 Tf 1 0 0 1 72 700 Tm "
+                      b"(count lie page) Tj ET", "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add((f"<< /Type /Page /Parent {pages_num} 0 R "
+                f"/MediaBox [0 0 612 792] /Resources << /Font "
+                f"<< /F1 {font} 0 R >> >> /Contents {cn} 0 R >>").encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count {count} >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    return b.build(root)

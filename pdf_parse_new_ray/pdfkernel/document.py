@@ -49,6 +49,7 @@ class PDFDocument:
         self.xref: dict[int, tuple] = {}  # num -> ('n', offset, gen) | ('c', stm_num, idx)
         self.trailer: dict = {}
         self.version = self._parse_header()
+        self.linearization = self._parse_linearization()
         try:
             self._parse_xref()
         except PDFError:
@@ -104,15 +105,93 @@ class PDFDocument:
 
     # -- header ---------------------------------------------------------
     def _parse_header(self) -> str:
-        # tolerate leading junk and spaces inside the version (test/05)
+        # tolerate leading junk and spaces inside the version (test/05);
+        # the header position is the stream base pdf.js rebases to
+        # (checkHeader's stream.moveStart(), build/pdf.worker.js:59478-59485)
         head = self.data[:1024]
         m = re.search(rb"%PDF-\s*(\d+)\s*\.\s*(\d+)", head)
         if not m:
             raise PDFError("not a PDF: missing %PDF header")
+        self._hdr_base = m.start()
         return f"{m.group(1).decode()}.{m.group(2).decode()}"
+
+    # -- linearization ----------------------------------------------------
+    def _parse_linearization(self) -> Optional[dict]:
+        """pdf.js Linearization.create parity (build/pdf.worker.js:
+        14338-14385, getter absorb :59420-59431): the FIRST object at the
+        stream base must be `int int obj <<dict>>` with numeric
+        /Linearized > 0 to be a candidate; then /L must equal the stream
+        length (file length minus the header base) and /H (2- or 4-array
+        of positive ints), /O /E /N /T (positive ints, /P >= 0 optional)
+        must all validate — ANY failure absorbs to not-linearized (the
+        getter logs and nulls; refs inside the dict throw on the
+        xref-less parser there, same outcome)."""
+        base = self._hdr_base
+        try:
+            p = Parser(self.data, base, fast=True)
+            o1 = p.parse_object()
+            o2 = p.parse_object()
+            t = p._peek(0)
+            if not (isinstance(o1, int) and isinstance(o2, int)
+                    and t.kind == "op" and t.value == "obj"):
+                return None
+            p._next()
+            lind = p.parse_object()
+        except PDFError:
+            return None
+        if not isinstance(lind, dict):
+            return None
+        linz = lind.get("Linearized")
+        if isinstance(linz, bool) or not isinstance(linz, (int, float)) \
+                or not linz > 0:
+            return None
+
+        def gint(name: str, allow_zero: bool = False) -> int:
+            v = lind.get(name)
+            if isinstance(v, int) and not isinstance(v, bool) \
+                    and (v >= 0 if allow_zero else v > 0):
+                return v
+            raise PDFError(f"invalid linearization {name}")
+
+        try:
+            length = gint("L")
+            if length != len(self.data) - base:
+                raise PDFError("linearization L != stream length")
+            hints = lind.get("H")
+            if not (isinstance(hints, list) and len(hints) in (2, 4)
+                    and all(isinstance(h, int) and not isinstance(h, bool)
+                            and h > 0 for h in hints)):
+                raise PDFError("invalid linearization hints")
+            return {
+                "length": length,
+                "hints": hints,
+                "object_number_first": gint("O"),
+                "end_first": gint("E"),
+                "num_pages": gint("N"),
+                "main_xref_entries_offset": gint("T"),
+                "page_first": gint("P", True) if "P" in lind else 0,
+            }
+        except PDFError:
+            return None
 
     # -- xref -----------------------------------------------------------
     def _find_startxref(self) -> int:
+        # linearized branch (pdf.js get startXRef, build/pdf.worker.js:
+        # 59432-59446): a VALID linearization switches resolution to
+        # scan-past-the-first-`endobj` — the first-page xref section sits
+        # right behind the linearization object.  The scan window is the
+        # first 1024 bytes from the stream base (find()'s default limit),
+        # whitespace after `endobj` is 0x20/0x09/0x0a/0x0d only.
+        if self.linearization is not None:
+            idx = self.data.find(b"endobj", self._hdr_base,
+                                 self._hdr_base + 1024)
+            if idx != -1:
+                pos = idx + 6
+                n = len(self.data)
+                while pos < n and self.data[pos] in (0x20, 0x09, 0x0A, 0x0D):
+                    pos += 1
+                return pos
+            return 0  # pdf.js leaves startXRef 0 -> parse fails -> recovery
         tail = self.data[-_MAX_STARTXREF_SCAN:]
         idx = tail.rfind(b"startxref")
         if idx == -1:
@@ -392,13 +471,33 @@ class PDFDocument:
     # -- page tree ------------------------------------------------------
     @property
     def num_pages(self) -> int:
-        root = self.resolve(self.trailer["Root"])
-        pages = self.resolve(root.get("Pages")) if isinstance(root, dict) else None
-        if isinstance(pages, dict):
-            count = self.resolve(pages.get("Count"))
-            if isinstance(count, int) and count >= 0:
-                return count
-        return len(self.pages())
+        # parity with pdf.js numPages + checkLastPage (build/pdf.worker.js
+        # :59501-59511, :59988-60055): a linearized document's count comes
+        # from the linearization dict's /N, else the catalog /Count; a
+        # declared count > 1 is then VERIFIED by loading the last page —
+        # on failure the actual page-tree size wins (getAllPageDicts →
+        # setActualNumPages), absorbing to 1 if the tree itself is broken.
+        # A count that UNDER-reports the tree is kept (the last-page fetch
+        # succeeds, pdf.js never re-counts).
+        if self.linearization is not None:
+            n: Optional[int] = self.linearization["num_pages"]
+        else:
+            root = self.resolve(self.trailer["Root"])
+            pages = self.resolve(root.get("Pages")) if isinstance(root, dict) else None
+            n = None
+            if isinstance(pages, dict):
+                count = self.resolve(pages.get("Count"))
+                if isinstance(count, int) and count >= 0:
+                    n = count
+        if n is not None and n <= 1:
+            return n
+        try:
+            actual = len(self.pages())
+        except PDFError:
+            return 1  # getAllPageDicts failure -> setActualNumPages(1)
+        if n is None:
+            return actual
+        return n if actual >= n else actual
 
     def pages(self) -> list[dict]:
         """Flattened page dicts in document order, inherited attrs applied."""
@@ -480,7 +579,7 @@ class PDFDocument:
             # parity: pdf.js reports the security handler's filter name
             # (CipherTransformFactory.filterName → documentInfo)
             "EncryptFilterName": "Standard" if self._crypt is not None else None,
-            "IsLinearized": False,
+            "IsLinearized": self.linearization is not None,
             "IsAcroFormPresent": False,
             "IsXFAPresent": False,
             "IsCollectionPresent": False,

@@ -1,0 +1,62 @@
+"""Linearized ("fast web view") document parity.
+
+Expected values locked against the LIVE reference engine via
+tools/differential.py's full-surface runner (all variants + the
+count-lie cases verified exact at introduction; they stay in the
+sweep).  Reference semantics: Linearization.create
+build/pdf.worker.js:14338-14385, the startXRef linearized branch
+:59432-59446, numPages :59501-59511, checkLastPage self-heal
+:59988-60055.
+"""
+
+from pdf_parse_new_ray.fixtures import pdfgen
+from pdf_parse_new_ray.pdfkernel import parse_pdf
+
+
+def test_valid_linearized_uses_front_xref():
+    """A valid linearization dict switches startxref resolution to the
+    first-page xref right after the first endobj — the tail startxref
+    (which points at the incremental TAIL copy) is ignored."""
+    r = parse_pdf(pdfgen.make_linearized_pdf("valid"))
+    assert r["text"] == "\n\nLINEAR FRONT"
+    assert r["numpages"] == 1
+    assert r["info"]["IsLinearized"] is True
+
+
+def test_linearized_n_overcount_self_heals():
+    """numPages comes from the linearization /N — but checkLastPage
+    verifies it: /N 2 over a 1-page tree fails the last-page fetch and
+    self-heals to the actual tree size (no phantom empty page)."""
+    r = parse_pdf(pdfgen.make_linearized_pdf("n-overcount"))
+    assert r["text"] == "\n\nLINEAR FRONT"
+    assert r["numpages"] == 1 and r["numrender"] == 1
+
+
+def test_invalid_linearization_absorbs_to_tail_path():
+    """Any invalid parameter (L != stream length, bad /H, /Linearized 0)
+    absorbs to not-linearized: the tail startxref wins and the
+    incremental TAIL copy of the content object is extracted."""
+    for variant in ("l-mismatch", "bad-hints", "zero"):
+        r = parse_pdf(pdfgen.make_linearized_pdf(variant))
+        assert r["text"] == "\n\nLINEAR TAIL", variant
+        assert r["info"]["IsLinearized"] is False, variant
+
+
+def test_count_lie_self_heal_and_zero():
+    """Non-linearized checkLastPage: /Count 3 over a 1-page tree heals
+    to 1; /Count 0 is accepted as-is (numPages <= 1) and renders
+    nothing."""
+    r3 = parse_pdf(pdfgen.make_count_lie_pdf(3))
+    assert r3["numpages"] == 1 and r3["text"] == "\n\ncount lie page"
+    r0 = parse_pdf(pdfgen.make_count_lie_pdf(0))
+    assert r0["numpages"] == 0 and r0["text"] == ""
+
+
+def test_reference_04_valid_is_linearized():
+    """The reference's own 04-valid.pdf is a real linearized file: the
+    flag must surface and the front-xref path must still extract the
+    same five pages."""
+    data = open("/root/reference/test/data/04-valid.pdf", "rb").read()
+    r = parse_pdf(data)
+    assert r["info"]["IsLinearized"] is True
+    assert r["numpages"] == 5

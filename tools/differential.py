@@ -163,6 +163,13 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
                          pdfgen.make_hybrid_xref_pdf(variant)))
     specials.append(("knowncmd-split", pdfgen.make_knowncmd_pdf()))
     specials.append(("longcmd-abort", pdfgen.make_longcmd_pdf()))
+    for variant in ("valid", "n-overcount", "l-mismatch", "bad-hints",
+                    "zero"):
+        specials.append((f"linearized-{variant}",
+                         pdfgen.make_linearized_pdf(variant)))
+    for count in (3, 0):
+        specials.append((f"count-lie-{count}",
+                         pdfgen.make_count_lie_pdf(count)))
     return cases + specials
 
 
