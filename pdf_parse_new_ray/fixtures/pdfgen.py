@@ -2115,3 +2115,23 @@ def make_count_lie_pdf(count: int) -> bytes:
     pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count {count} >>".encode())
     root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
     return b.build(root)
+
+
+def make_catalog_version_pdf(catver: str | None) -> bytes:
+    """Catalog /Version override probe (pdf.js get version
+    :59774-59776 + catalog getter :42369-42378): a Name matching
+    /^[1-9]\\.\\d$/ overrides the %PDF header version in
+    documentInfo.PDFFormatVersion; anything else keeps the header's."""
+    b = PDFBuilder()
+    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                 b"/Encoding /WinAnsiEncoding >>")
+    cn = b.add_stream(b"", b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (ver) Tj ET",
+                      "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add((f"<< /Type /Page /Parent {pages_num} 0 R "
+                f"/MediaBox [0 0 612 792] /Resources << /Font "
+                f"<< /F1 {font} 0 R >> >> /Contents {cn} 0 R >>").encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    extra = f" /Version /{catver}" if catver else ""
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R{extra} >>".encode())
+    return b.build(root)

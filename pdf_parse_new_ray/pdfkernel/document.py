@@ -587,6 +587,13 @@ class PDFDocument:
         }
         try:
             root = self.resolve(self.trailer.get("Root")) or {}
+            # parity: a catalog /Version NAME matching /^[1-9]\.\d$/
+            # overrides the header version (pdf.js get version
+            # :59774-59776, catalog getter :42369-42378); PDF strings
+            # (bytes here) don't qualify — Name instanceof check
+            catver = self.resolve(root.get("Version"))
+            if isinstance(catver, str) and re.fullmatch(r"[1-9]\.\d", catver):
+                info["PDFFormatVersion"] = catver
             lang = self.resolve(root.get("Lang"))
             if isinstance(lang, bytes):
                 info["Language"] = _pdfdoc_decode(lang)

@@ -60,3 +60,17 @@ def test_reference_04_valid_is_linearized():
     r = parse_pdf(data)
     assert r["info"]["IsLinearized"] is True
     assert r["numpages"] == 5
+
+
+def test_catalog_version_override():
+    """A catalog /Version NAME matching ^[1-9].\\d$ overrides the header
+    version in PDFFormatVersion; malformed names keep the header's
+    (locked vs the live reference in the sweep's catver-* cases)."""
+    assert parse_pdf(pdfgen.make_catalog_version_pdf("1.7"))["info"][
+        "PDFFormatVersion"] == "1.7"
+    assert parse_pdf(pdfgen.make_catalog_version_pdf("9.9"))["info"][
+        "PDFFormatVersion"] == "9.9"
+    assert parse_pdf(pdfgen.make_catalog_version_pdf("1.10"))["info"][
+        "PDFFormatVersion"] == "1.4"
+    assert parse_pdf(pdfgen.make_catalog_version_pdf(None))["info"][
+        "PDFFormatVersion"] == "1.4"

@@ -170,6 +170,9 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
     for count in (3, 0):
         specials.append((f"count-lie-{count}",
                          pdfgen.make_count_lie_pdf(count)))
+    for cv in ("1.7", "1.10"):
+        specials.append((f"catver-{cv}",
+                         pdfgen.make_catalog_version_pdf(cv)))
     return cases + specials
 
 
