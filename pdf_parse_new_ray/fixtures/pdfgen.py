@@ -2135,3 +2135,57 @@ def make_catalog_version_pdf(catver: str | None) -> bytes:
     extra = f" /Version /{catver}" if catver else ""
     root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R{extra} >>".encode())
     return b.build(root)
+
+
+def make_forminfo_pdf(variant: str) -> bytes:
+    """documentInfo form/collection flag probes (pdf.js formInfo
+    build/pdf.worker.js:59762-59806, _hasOnlyDocumentSignatures
+    :59513-59536, collection/acroForm getters requiring NON-EMPTY
+    dicts): empty-acroform, fields (text field -> AcroForm true),
+    sig-visible (signature with a real /Rect -> AcroForm AND
+    Signatures), sig-invisible-only (all-zero /Rect document signature
+    -> Signatures true but AcroForm FALSE), xfa-array /
+    xfa-empty-array, collection / collection-empty."""
+    b = PDFBuilder()
+    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                 b"/Encoding /WinAnsiEncoding >>")
+    cn = b.add_stream(b"", b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (forms) Tj ET",
+                      "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add((f"<< /Type /Page /Parent {pages_num} 0 R "
+                f"/MediaBox [0 0 612 792] /Resources << /Font "
+                f"<< /F1 {font} 0 R >> >> /Contents {cn} 0 R >>").encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    extra = ""
+    if variant == "empty-acroform":
+        extra = " /AcroForm << >>"
+    elif variant == "fields":
+        fld = b.add(b"<< /FT /Tx /T (name1) /Rect [0 0 100 20] >>")
+        af = b.add(f"<< /Fields [{fld} 0 R] >>".encode())
+        extra = f" /AcroForm {af} 0 R"
+    elif variant == "sig-visible":
+        fld = b.add(b"<< /FT /Sig /T (s1) /Rect [10 10 100 40] >>")
+        af = b.add(f"<< /Fields [{fld} 0 R] /SigFlags 3 >>".encode())
+        extra = f" /AcroForm {af} 0 R"
+    elif variant == "sig-invisible-only":
+        fld = b.add(b"<< /FT /Sig /T (s1) /Rect [0 0 0 0] >>")
+        af = b.add(f"<< /Fields [{fld} 0 R] /SigFlags 3 >>".encode())
+        extra = f" /AcroForm {af} 0 R"
+    elif variant == "xfa-array":
+        xs = b.add_stream(b"", b"<xdp:xdp/>", "flate")
+        af = b.add(f"<< /Fields [] /XFA [(template) {xs} 0 R] >>".encode())
+        extra = f" /AcroForm {af} 0 R"
+    elif variant == "xfa-empty-array":
+        af = b.add(b"<< /Fields [] /XFA [] >>")
+        extra = f" /AcroForm {af} 0 R"
+    elif variant == "collection":
+        extra = " /Collection << /Type /Collection >>"
+    elif variant == "collection-empty":
+        extra = " /Collection << >>"
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R{extra} >>".encode())
+    return b.build(root)
+
+
+FORMINFO_VARIANTS = ("empty-acroform", "fields", "sig-visible",
+                     "sig-invisible-only", "xfa-array", "xfa-empty-array",
+                     "collection", "collection-empty")

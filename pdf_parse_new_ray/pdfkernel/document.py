@@ -567,6 +567,36 @@ class PDFDocument:
         y0, y1 = sorted((box[1], box[3]))
         return [x0, y0, x1, y1]
 
+    def _has_only_document_signatures(self, fields, depth: int = 0) -> bool:
+        """pdf.js Catalog._hasOnlyDocumentSignatures (build/pdf.worker.js
+        :59513-59536): every field is an invisible (/Rect all-zero)
+        signature (/FT /Sig), recursing through /Kids with a depth cap of
+        10 (over-cap returns False)."""
+        if not isinstance(fields, list):
+            return False
+        for f in fields:
+            field = self.resolve(f)
+            if not isinstance(field, dict):
+                return False
+            if "Kids" in field:
+                # pdf.js mutates the shared depth param inside every(),
+                # so the count accumulates ACROSS siblings too
+                depth += 1
+                if depth > 10:
+                    return False
+                if not self._has_only_document_signatures(
+                        self.resolve(field.get("Kids")), depth):
+                    return False
+                continue
+            ft = self.resolve(field.get("FT"))
+            rect = self.resolve(field.get("Rect"))
+            invisible = isinstance(rect, list) and all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                and v == 0 for v in rect)
+            if not (ft == "Sig" and invisible):
+                return False
+        return True
+
     # -- metadata -------------------------------------------------------
     _INFO_STR = ("Title", "Author", "Subject", "Keywords", "Creator", "Producer", "CreationDate", "ModDate")
 
@@ -597,12 +627,39 @@ class PDFDocument:
             lang = self.resolve(root.get("Lang"))
             if isinstance(lang, bytes):
                 info["Language"] = _pdfdoc_decode(lang)
+            # parity with pdf.js formInfo (build/pdf.worker.js
+            # :59762-59806): the AcroForm/Collection getters require a
+            # NON-EMPTY dict; IsAcroFormPresent needs a non-empty /Fields
+            # array AND not only-invisible-document-signatures;
+            # IsXFAPresent needs a non-empty array or non-empty stream;
+            # IsSignaturesPresent is /SigFlags bit 0 (JS ToNumber'd)
             acro = self.resolve(root.get("AcroForm"))
-            if isinstance(acro, dict):
-                info["IsAcroFormPresent"] = True
-                if self.resolve(acro.get("XFA")):
-                    info["IsXFAPresent"] = True
-            if self.resolve(root.get("Collection")) is not None:
+            if isinstance(acro, dict) and len(acro) > 0:
+                fields = self.resolve(acro.get("Fields"))
+                has_fields = isinstance(fields, list) and len(fields) > 0
+                xfa = self.resolve(acro.get("XFA"))
+                info["IsXFAPresent"] = (
+                    (isinstance(xfa, list) and len(xfa) > 0)
+                    or (isinstance(xfa, StreamObj) and len(xfa.raw) > 0))
+                sig = self.resolve(acro.get("SigFlags"))
+                if isinstance(sig, bool):
+                    sig = int(sig)
+                elif isinstance(sig, bytes):  # JS string coercion
+                    try:
+                        sig = int(float(sig))
+                    except ValueError:
+                        sig = 0
+                elif isinstance(sig, float):
+                    sig = int(sig)  # ToInt32 truncates toward zero
+                elif not isinstance(sig, int):
+                    sig = 0
+                has_sigs = bool(sig & 1)
+                only_doc_sigs = has_sigs and \
+                    self._has_only_document_signatures(fields)
+                info["IsAcroFormPresent"] = has_fields and not only_doc_sigs
+                info["IsSignaturesPresent"] = has_sigs
+            coll = self.resolve(root.get("Collection"))
+            if isinstance(coll, dict) and len(coll) > 0:
                 info["IsCollectionPresent"] = True
         except PDFError:
             pass

@@ -74,3 +74,24 @@ def test_catalog_version_override():
         "PDFFormatVersion"] == "1.4"
     assert parse_pdf(pdfgen.make_catalog_version_pdf(None))["info"][
         "PDFFormatVersion"] == "1.4"
+
+
+def test_forminfo_flags():
+    """documentInfo form flags, locked vs the live reference (sweep
+    forminfo-* cases): empty AcroForm dicts don't count; a text field
+    sets IsAcroFormPresent; an invisible-only document signature sets
+    IsSignaturesPresent WITHOUT IsAcroFormPresent; XFA needs a non-empty
+    array; Collection needs a non-empty dict."""
+    def flags(v):
+        i = parse_pdf(pdfgen.make_forminfo_pdf(v))["info"]
+        return (i["IsAcroFormPresent"], i["IsXFAPresent"],
+                i["IsSignaturesPresent"], i["IsCollectionPresent"])
+
+    assert flags("empty-acroform") == (False, False, False, False)
+    assert flags("fields") == (True, False, False, False)
+    assert flags("sig-visible") == (True, False, True, False)
+    assert flags("sig-invisible-only") == (False, False, True, False)
+    assert flags("xfa-array") == (False, True, False, False)
+    assert flags("xfa-empty-array") == (False, False, False, False)
+    assert flags("collection") == (False, False, False, True)
+    assert flags("collection-empty") == (False, False, False, False)

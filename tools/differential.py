@@ -173,6 +173,9 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
     for cv in ("1.7", "1.10"):
         specials.append((f"catver-{cv}",
                          pdfgen.make_catalog_version_pdf(cv)))
+    for variant in pdfgen.FORMINFO_VARIANTS:
+        specials.append((f"forminfo-{variant}",
+                         pdfgen.make_forminfo_pdf(variant)))
     return cases + specials
 
 
