@@ -2189,3 +2189,34 @@ def make_forminfo_pdf(variant: str) -> bytes:
 FORMINFO_VARIANTS = ("empty-acroform", "fields", "sig-visible",
                      "sig-invisible-only", "xfa-array", "xfa-empty-array",
                      "collection", "collection-empty")
+
+
+INFO_TYPED_VARIANTS = {
+    "trapped-custom": b"<< /Title (T) /Trapped /True /MyNum 7 /MyReal 2.5 "
+                      b"/MyBool true /MyName /NmVal /MyStr (sv) >>",
+    "wrongtype-std": b"<< /Title 5 /Author (A) /Subject /NotAString "
+                     b"/Producer true >>",
+    "trapped-bad": b"<< /Trapped (True) /Trapped2 /Unknown >>",
+    "custom-bad": b"<< /Arr [1 2] /Dct << /a 1 >> /Good (ok) >>",
+}
+
+
+def make_info_typed_pdf(variant: str) -> bytes:
+    """Info-dictionary type-gate probes (pdf.js documentInfo key loop,
+    build/pdf.worker.js:59830-59877): standard keys accept strings ONLY
+    (wrong-typed keys skipped, never coerced), /Trapped accepts a Name
+    only, custom keys accept string/number/boolean/Name and drop
+    arrays/dicts."""
+    b = PDFBuilder()
+    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                 b"/Encoding /WinAnsiEncoding >>")
+    cn = b.add_stream(b"", b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (info) Tj ET",
+                      "flate")
+    pages_num = len(b.objects) + 2
+    pn = b.add((f"<< /Type /Page /Parent {pages_num} 0 R "
+                f"/MediaBox [0 0 612 792] /Resources << /Font "
+                f"<< /F1 {font} 0 R >> >> /Contents {cn} 0 R >>").encode())
+    pgs = b.add(f"<< /Type /Pages /Kids [{pn} 0 R] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode())
+    inum = b.add(INFO_TYPED_VARIANTS[variant])
+    return b.build(root, info_num=inum)

@@ -668,6 +668,12 @@ class PDFDocument:
         except PDFError:
             src = None
         if isinstance(src, dict):
+            # parity with the documentInfo key loop (build/pdf.worker.js
+            # :59830-59877): standard keys accept PDF STRINGS only (a
+            # Name is not a string there — wrong-typed keys are SKIPPED,
+            # never coerced); /Trapped accepts a Name only (serialized as
+            # its {name} object); custom keys accept string/number/
+            # boolean/Name, anything else is dropped with a warn
             custom: dict[str, Any] = {}
             for k, v in src.items():
                 v = self.resolve(v)
@@ -675,15 +681,16 @@ class PDFDocument:
                 if key in self._INFO_STR:
                     if isinstance(v, bytes):
                         info[key] = _pdfdoc_decode(v)
-                    elif isinstance(v, (Name, str)):
-                        info[key] = str(v)
                 elif key == "Trapped":
-                    info["Trapped"] = {"name": str(v)} if isinstance(v, (Name, str)) else None
+                    if isinstance(v, Name):
+                        info["Trapped"] = {"name": str(v)}
                 else:
                     if isinstance(v, bytes):
                         custom[key] = _pdfdoc_decode(v)
-                    elif isinstance(v, (bool, int, float, str)):
-                        custom[key] = str(v) if isinstance(v, Name) else v
+                    elif isinstance(v, Name):
+                        custom[key] = {"name": str(v)}
+                    elif isinstance(v, (bool, int, float)):
+                        custom[key] = v
             if custom:
                 info["Custom"] = custom
         return info

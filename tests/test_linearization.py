@@ -95,3 +95,22 @@ def test_forminfo_flags():
     assert flags("xfa-empty-array") == (False, False, False, False)
     assert flags("collection") == (False, False, False, True)
     assert flags("collection-empty") == (False, False, False, False)
+
+
+def test_info_dict_type_gates():
+    """Info-dict type gates, locked vs the live reference (sweep
+    infotyped-* cases): wrong-typed standard keys are skipped (never
+    coerced), /Trapped must be a Name and serializes as {name}, custom
+    Names keep the {name} shape, arrays/dicts are dropped."""
+    i = parse_pdf(pdfgen.make_info_typed_pdf("trapped-custom"))["info"]
+    assert i["Title"] == "T" and i["Trapped"] == {"name": "True"}
+    assert i["Custom"] == {"MyNum": 7, "MyReal": 2.5, "MyBool": True,
+                           "MyName": {"name": "NmVal"}, "MyStr": "sv"}
+    i = parse_pdf(pdfgen.make_info_typed_pdf("wrongtype-std"))["info"]
+    assert i["Author"] == "A"
+    assert "Title" not in i and "Subject" not in i and "Producer" not in i
+    i = parse_pdf(pdfgen.make_info_typed_pdf("trapped-bad"))["info"]
+    assert "Trapped" not in i
+    assert i["Custom"] == {"Trapped2": {"name": "Unknown"}}
+    i = parse_pdf(pdfgen.make_info_typed_pdf("custom-bad"))["info"]
+    assert i["Custom"] == {"Good": "ok"}

@@ -176,6 +176,9 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
     for variant in pdfgen.FORMINFO_VARIANTS:
         specials.append((f"forminfo-{variant}",
                          pdfgen.make_forminfo_pdf(variant)))
+    for variant in pdfgen.INFO_TYPED_VARIANTS:
+        specials.append((f"infotyped-{variant}",
+                         pdfgen.make_info_typed_pdf(variant)))
     return cases + specials
 
 
