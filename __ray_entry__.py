@@ -417,34 +417,25 @@ def _phash_neardup_pairs(sf_dir: str):
         hs = np.array([int(x, 16) for x in t.column("phash").to_pylist()],
                       dtype=np.uint64)
         n = len(hs)
-        out_r, out_b, out_v, out_h = [], [], [], []
+        out_r, out_k, out_h = [], [], []
         for b in range(_PHASH_BANDS):
             v = (hs >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            # fine bucket key = band * 2^16 + band value (disjoint per band)
             out_r.extend(refs)
-            out_b.extend([b] * n)
-            out_v.extend(v.tolist())
+            out_k.append((np.uint64(b) << np.uint64(16)) + v)
             out_h.extend(hs.tolist())
+        key = np.concatenate(out_k) if out_k else np.array([], np.uint64)
+        with np.errstate(over="ignore"):
+            coarse = ((key * np.uint64(0x9E3779B97F4A7C15))
+                      >> np.uint64(56)).astype(np.int32)
         return pa.table({
             "media_ref": pa.array(out_r, pa.string()),
-            "band": pa.array(out_b, pa.int32()),
-            "val": pa.array(out_v, pa.int32()),
+            "bucket": pa.array(key, pa.uint64()),
             "phash": pa.array(out_h, pa.uint64()),
+            "__bk": pa.array(coarse, pa.int32()),
         })
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(g, sort_keys=[("media_ref", "ascending")])
-        g = g.take(order)
-        refs = g.column("media_ref").to_pylist()
-        hs = g.column("phash").to_numpy(zero_copy_only=False)
-        n = len(refs)
-        if n < 2:
-            return pa.table({"ref_a": pa.array([], pa.string()),
-                             "ref_b": pa.array([], pa.string()),
-                             "hamming": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(n, 1)
-        x = hs[ia] ^ hs[ib]
+    def _popcount64(x: np.ndarray) -> np.ndarray:
         ham = np.zeros(len(x), np.int64)
         for s in range(8):  # byte-wise popcount via unpackbits
             ham += np.unpackbits(
@@ -452,21 +443,90 @@ def _phash_neardup_pairs(sf_dir: str):
                 .astype(np.uint8)[:, None], axis=1) \
                 .sum(1, dtype=np.int64)  # uint8.sum() would promote to
             # uint64, and int64 += uint64 upcasts to float64
+        return ham
+
+    empty_pairs = pa.table({"ref_a": pa.array([], pa.string()),
+                            "ref_b": pa.array([], pa.string()),
+                            "hamming": pa.array([], pa.int64()),
+                            "capped": pa.array([], pa.bool_())})
+
+    def bucket_pairs_multi(g: pa.Table) -> pa.Table:
+        """One Python call per COARSE bucket walks every fine (band, value)
+        bucket as a sorted segment — the functions.dedup._bucket_pairs_multi
+        dispatch shape.  Hot fine buckets (one shared 16-bit band value
+        across a degenerate corpus slice — e.g. solid-color thumbnails)
+        emit star pairs against the bucket's min ref instead of O(n²) triu
+        rows, flagged `capped` (cap = dedup.BUCKET_PAIR_CAP)."""
+        from pdf_parse_new_ray.functions.dedup import BUCKET_PAIR_CAP
+
+        if g.num_rows == 0:
+            return empty_pairs
+        key = g.column("bucket").to_numpy(zero_copy_only=False).astype(np.uint64)
+        refs = np.asarray(g.column("media_ref").to_pylist(), dtype=object)
+        hs = g.column("phash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        _, codes = np.unique(refs, return_inverse=True)  # order-preserving ids
+        order = np.lexsort((codes, key))
+        key, refs, hs, codes = key[order], refs[order], hs[order], codes[order]
+        new_seg = np.ones(len(key), dtype=bool)
+        new_seg[1:] = key[1:] != key[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        seg_start = np.flatnonzero(new_seg)
+        sizes = np.diff(np.append(seg_start, len(key)))
+        ia_parts: list[np.ndarray] = []
+        ib_parts: list[np.ndarray] = []
+        cap_parts: list[np.ndarray] = []
+        row_idx = np.arange(len(key))
+        hot = sizes > BUCKET_PAIR_CAP
+        if hot.any():
+            m = hot[seg_id] & ~new_seg
+            ia_parts.append(seg_start[seg_id[m]])
+            ib_parts.append(row_idx[m])
+            cap_parts.append(np.ones(int(m.sum()), dtype=bool))
+        cool = (~hot) & (sizes >= 2)
+        if cool.any():
+            rows = cool[seg_id]
+            ridx, cseg = row_idx[rows], seg_id[rows]
+            for k in range(1, int(sizes[cool].max())):
+                same = cseg[:-k] == cseg[k:]
+                if not same.any():
+                    break
+                ia_parts.append(ridx[:-k][same])
+                ib_parts.append(ridx[k:][same])
+                cap_parts.append(np.zeros(int(same.sum()), dtype=bool))
+        if not ia_parts:
+            return empty_pairs
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        capped = np.concatenate(cap_parts)
+        ham = _popcount64(hs[ia] ^ hs[ib])
         keep = (ham <= PHASH_NEARDUP_MAX_HAMMING) & (ham > 0)
         return pa.table({
-            "ref_a": pa.array([refs[i] for i in ia[keep]], pa.string()),
-            "ref_b": pa.array([refs[j] for j in ib[keep]], pa.string()),
+            "ref_a": pa.array(refs[ia[keep]], pa.string()),
+            "ref_b": pa.array(refs[ib[keep]], pa.string()),
             "hamming": pa.array(ham[keep], pa.int64()),
+            "capped": pa.array(capped[keep]),
         })
 
+    from ray.data.aggregate import Max, Min
+
+    # multi-band collisions dedupe DISTRIBUTED on the pair key (hamming is
+    # identical across bands for the same pair; Min is a formality) — the
+    # driver only ever sees the final near-dup pairs
     df = hashes.map_batches(bands, batch_format="pyarrow") \
-        .groupby(["band", "val"]).map_groups(
-            bucket_pairs, batch_format="pyarrow").to_pandas()
+        .groupby("__bk").map_groups(bucket_pairs_multi, batch_format="pyarrow") \
+        .groupby(["ref_a", "ref_b"]).aggregate(
+            Min("hamming", alias_name="hamming"),
+            Max("capped", alias_name="capped")).to_pandas()
     if df.empty:
         return pd.DataFrame({"ref_a": pd.Series(dtype="object"),
                              "ref_b": pd.Series(dtype="object"),
                              "hamming": pd.Series(dtype="int64")})
-    df = df.drop_duplicates(["ref_a", "ref_b"])  # multi-band collisions
+    n_capped = int(df["capped"].sum())
+    if n_capped:
+        print(f"m_phash_neardup_pairs: {n_capped} pairs from capped hot bands "
+              f"(star fallback)")
+    df = df.drop(columns=["capped"])
+    df["hamming"] = df["hamming"].astype("int64")
     return df.sort_values(["ref_a", "ref_b"]).reset_index(drop=True)
 
 

@@ -2182,13 +2182,60 @@ def make_forminfo_pdf(variant: str) -> bytes:
         extra = " /Collection << /Type /Collection >>"
     elif variant == "collection-empty":
         extra = " /Collection << >>"
+    elif variant.startswith("sig-str-"):
+        # /SigFlags as a PDF STRING: JS computes `sigFlags & 1` which is
+        # ToNumber → ToInt32 — '(0x3)' counts (hex → 3, bit 0 set) while
+        # '(inf)' (NaN in JS), '(Infinity)' and '(1e999)' (±inf → 0) do
+        # not; a Python int(float(s)) would crash with OverflowError on
+        # the infinity spellings (ADVICE r3)
+        lit = {"sig-str-inf": "inf", "sig-str-infinity": "Infinity",
+               "sig-str-hex": "0x3", "sig-str-1e999": "1e999"}[variant]
+        fld = b.add(b"<< /FT /Sig /T (s1) /Rect [10 10 100 40] >>")
+        af = b.add(f"<< /Fields [{fld} 0 R] /SigFlags ({lit}) >>".encode())
+        extra = f" /AcroForm {af} 0 R"
     root = b.add(f"<< /Type /Catalog /Pages {pgs} 0 R{extra} >>".encode())
     return b.build(root)
 
 
 FORMINFO_VARIANTS = ("empty-acroform", "fields", "sig-visible",
                      "sig-invisible-only", "xfa-array", "xfa-empty-array",
-                     "collection", "collection-empty")
+                     "collection", "collection-empty",
+                     "sig-str-inf", "sig-str-infinity", "sig-str-hex",
+                     "sig-str-1e999")
+
+
+def make_broken_kid_pdf() -> bytes:
+    """checkLastPage parity probe (ADVICE r3): a nested page tree whose
+    interior node carries a truthful /Count but one BROKEN kid (ref to a
+    missing object).  pdf.js keeps the declared count of 3 — checkLastPage
+    fetches only page index 2, and the /Count skip never touches the
+    broken sibling — and renders page 2 as "" (per-page absorb) while
+    pages 1 and 3 extract normally.  A full-tree flatten heals the count
+    to 2 and mis-maps page 3's text onto page 2."""
+    b = PDFBuilder()
+    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                 b"/Encoding /WinAnsiEncoding >>")
+    c1 = b.add_stream(b"", b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (alpha page) Tj ET",
+                      "flate")
+    c3 = b.add_stream(b"", b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (gamma page) Tj ET",
+                      "flate")
+    # forward numbering: p1, p3, interior, root Pages, catalog
+    n0 = len(b.objects)
+    interior = n0 + 3
+    root_pages = n0 + 4
+    missing = 90                      # object number never emitted
+    p1 = b.add((f"<< /Type /Page /Parent {interior} 0 R "
+                f"/MediaBox [0 0 612 792] /Resources << /Font "
+                f"<< /F1 {font} 0 R >> >> /Contents {c1} 0 R >>").encode())
+    p3 = b.add((f"<< /Type /Page /Parent {root_pages} 0 R "
+                f"/MediaBox [0 0 612 792] /Resources << /Font "
+                f"<< /F1 {font} 0 R >> >> /Contents {c3} 0 R >>").encode())
+    b.add((f"<< /Type /Pages /Parent {root_pages} 0 R "
+           f"/Kids [{p1} 0 R {missing} 0 R] /Count 2 >>").encode())
+    b.add((f"<< /Type /Pages /Kids [{interior} 0 R {p3} 0 R] "
+           f"/Count 3 >>").encode())
+    root = b.add(f"<< /Type /Catalog /Pages {root_pages} 0 R >>".encode())
+    return b.build(root)
 
 
 INFO_TYPED_VARIANTS = {

@@ -202,11 +202,31 @@ class MinHasher:
         return vals.min(axis=0)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        sigs = [self.signature(x).tobytes()
-                for x in t.column("text").to_pylist()]
+        """Batched signatures: gram hashes for the WHOLE batch concatenate
+        into one (G, 1) column, the 64 permutations apply in a single
+        broadcast, and per-doc minima fall out of one np.minimum.reduceat
+        over the doc offsets — bit-identical to per-doc `signature()`
+        (test_dedup.py::test_minhash_batched_signatures) without a numpy
+        round-trip per document."""
+        texts = t.column("text").to_pylist()
+        counts = np.empty(len(texts), dtype=np.int64)
+        parts: list[np.ndarray] = []
+        for i, x in enumerate(texts):
+            sh = self.shingles(x)
+            counts[i] = len(sh)
+            if sh:
+                parts.append(np.fromiter(sh, dtype=np.uint64, count=len(sh)))
+        sigs = np.full((len(texts), self.n_perm), _MERSENNE, dtype=np.uint64)
+        nz = counts > 0
+        if parts:
+            h = np.concatenate(parts)[:, None]                   # (G, 1)
+            vals = (h * self.a[None, :] + self.b[None, :]) % _MERSENNE
+            offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(counts[nz][:-1], out=offsets[1:])
+            sigs[nz] = np.minimum.reduceat(vals, offsets, axis=0)
         return pa.table({
             "doc_id": t.column("doc_id"),
-            "sig": pa.array(sigs, pa.binary()),
+            "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
         })
 
 
@@ -240,7 +260,10 @@ BUCKET_PAIR_CAP = 256
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
     """Within one LSH bucket: emit candidate (a < b) pairs.  Hot buckets
-    (usually exact-duplicate floods) degrade to star pairs + capped flag."""
+    (usually exact-duplicate floods) degrade to star pairs + capped flag.
+    LEGACY dispatch (one Python call per distinct bucket key) — kept only
+    as the semantic reference for the forced-path comparison test; the
+    live plan is `_bucket_pairs_multi` below."""
     empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                       "capped": pa.array([], pa.bool_())})
     uniq = sorted(set(group.column("doc_id").to_pylist()))
@@ -261,6 +284,95 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
         "b": pa.array(ids[bi], pa.int64()),
         "capped": pa.array(np.zeros(len(ai), dtype=bool)),
     })
+
+
+# LSH bucket keys are near-uniform 64-bit hashes; at corpus scale the
+# number of DISTINCT keys grows linearly with docs (×bands) and most are
+# singletons, so a groupby(bucket).map_groups pays one Python interpreter
+# dispatch per key doing nothing.  Route rows through this many COARSE
+# buckets instead and walk every fine bucket inside one vectorized call.
+N_COARSE_BUCKETS = 256
+
+
+def _coarse_bucket(t: pa.Table) -> pa.Table:
+    """Append `__bk` = fibonacci-mixed top bits of the fine bucket key, so
+    the coarse shuffle stays balanced even when the fine keyspace is small
+    (the embedding LSH uses table_idx*2^planes + code < 2^10)."""
+    b = t.column("bucket").to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        k = ((b * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)).astype(np.int32)
+    return t.append_column("__bk", pa.array(k % N_COARSE_BUCKETS, pa.int32()))
+
+
+def _bucket_pairs_multi(group: pa.Table) -> pa.Table:
+    """Vectorized multi-bucket pair emission: ONE Python call per coarse
+    bucket (256 total across the whole corpus) that walks every fine LSH
+    bucket inside it as sorted segments.  Emits exactly the pair set of
+    mapping `_bucket_pairs` over each distinct `bucket`
+    (test_dedup.py::test_lsh_dispatch_equivalence forces both paths):
+    per-segment (a < b) triu pairs via shift-k masks for cool buckets,
+    star pairs against the segment's min doc_id past BUCKET_PAIR_CAP."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "capped": pa.array([], pa.bool_())})
+    if group.num_rows == 0:
+        return empty
+    bk = group.column("bucket").to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, bk))
+    bk, ids = bk[order], ids[order]
+    # a doc can land in one bucket through several bands: unique (bucket, doc)
+    keep = np.ones(len(bk), dtype=bool)
+    keep[1:] = (bk[1:] != bk[:-1]) | (ids[1:] != ids[:-1])
+    bk, ids = bk[keep], ids[keep]
+    new_seg = np.ones(len(bk), dtype=bool)
+    new_seg[1:] = bk[1:] != bk[:-1]
+    seg_id = np.cumsum(new_seg) - 1
+    seg_start = np.flatnonzero(new_seg)
+    sizes = np.diff(np.append(seg_start, len(bk)))
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    hot = sizes > BUCKET_PAIR_CAP
+    if hot.any():
+        m = hot[seg_id] & ~new_seg          # hot-segment members, sans root
+        out_a.append(ids[seg_start[seg_id[m]]])
+        out_b.append(ids[m])
+        out_c.append(np.ones(int(m.sum()), dtype=bool))
+    cool = (~hot) & (sizes >= 2)
+    if cool.any():
+        rows = cool[seg_id]
+        cids, cseg = ids[rows], seg_id[rows]
+        for k in range(1, int(sizes[cool].max())):
+            same = cseg[:-k] == cseg[k:]
+            if not same.any():
+                break  # no segment has > k members left → no pairs at k+1
+            out_a.append(cids[:-k][same])
+            out_b.append(cids[k:][same])
+            out_c.append(np.zeros(int(same.sum()), dtype=bool))
+    if not out_a:
+        return empty
+    return pa.table({
+        "a": pa.array(np.concatenate(out_a), pa.int64()),
+        "b": pa.array(np.concatenate(out_b), pa.int64()),
+        "capped": pa.array(np.concatenate(out_c)),
+    })
+
+
+def lsh_pairs(bands: rd.Dataset, *, legacy: bool = False) -> rd.Dataset:
+    """Shared LSH pair stage: bands(doc_id:int64, bucket:uint64) → deduped
+    (a, b, capped) candidate pairs.  `legacy=True` forces the per-fine-
+    bucket dispatch (test-only semantic reference)."""
+    from ray.data.aggregate import Max
+
+    if legacy:
+        pairs = bands.groupby("bucket").map_groups(
+            _bucket_pairs, batch_format="pyarrow")
+    else:
+        pairs = bands.map_batches(_coarse_bucket, batch_format="pyarrow") \
+            .groupby("__bk").map_groups(_bucket_pairs_multi, batch_format="pyarrow")
+    # a pair can surface from several bands: dedupe with a tiny keyed groupby
+    # (16-byte rows), keeping capped=True if any band capped it
+    return pairs.groupby(["a", "b"]).aggregate(Max("capped", alias_name="capped"))
 
 
 from .joins import attach_value as _attach_value  # shared cogroup attach
@@ -285,12 +397,7 @@ def _candidate_pairs(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset]:
     sigs = _docs(sf_dir).map_batches(_minhash_batch, batch_format="pyarrow",
                                      batch_size=256)
     bands = sigs.map_batches(_band_rows, batch_format="pyarrow")
-    pairs = bands.groupby("bucket").map_groups(_bucket_pairs, batch_format="pyarrow")
-    # a pair can surface from several bands: dedupe with a tiny keyed groupby
-    # (16-byte rows), keeping capped=True if any band capped it
-    from ray.data.aggregate import Max
-
-    pairs = pairs.groupby(["a", "b"]).aggregate(Max("capped", alias_name="capped"))
+    pairs = lsh_pairs(bands)
     # materialize both: (a) signatures are ~64x smaller than the text, and
     # both attach passes need them — recomputing the corpus text scan twice
     # would cost more than spilling sig blocks; (b) chaining two
@@ -612,11 +719,7 @@ def _embedding_neardup_lsh(sf_dir: str, threshold: float,
         })
 
     bands = emb.map_batches(bucket_rows, batch_format="pyarrow", batch_size=4096)
-    pairs = bands.groupby("bucket").map_groups(_bucket_pairs, batch_format="pyarrow")
-    from ray.data.aggregate import Max
-
-    pairs = pairs.groupby(["a", "b"]).aggregate(
-        Max("capped", alias_name="capped")).materialize()
+    pairs = lsh_pairs(bands).materialize()
     n_pairs = pairs.count()
     empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                           "id_b": pd.Series(dtype="int64"),

@@ -29,6 +29,10 @@ PAGERANK_ITERS = 10
 # above this many vertices the per-iteration rank attach must cogroup
 # instead of broadcast (same role as relational.BROADCAST_DIM_ROWS)
 PAGERANK_BROADCAST_VERTICES = 5_000_000
+# broadcast path: pre-merge per-block dst partials through a coarse bucket
+# shuffle before the driver pull once the vertex count makes the
+# vertices × blocks transfer material
+PAGERANK_PREMERGE_VERTICES = 100_000
 
 
 def _vertex_census(edges: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
@@ -110,12 +114,36 @@ def pagerank_edges(edges: rd.Dataset, damping: float = PAGERANK_DAMPING,
 
         return contribs
 
+    def dst_bucket(t: pa.Table) -> pa.Table:
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bk = ((d * np.uint64(0x9E3779B97F4A7C15))
+                  >> np.uint64(58)).astype(np.int32)
+        return t.append_column("__db", pa.array(bk, pa.int32()))
+
+    def dst_merge(g: pa.Table) -> pa.Table:
+        out = g.select(["dst", "w"]).group_by("dst").aggregate([("w", "sum")])
+        return out.rename_columns(
+            ["w" if c == "w_sum" else c for c in out.column_names])
+
+    # driver transfer of per-block partials is vertices × blocks rows; past
+    # this vertex count a 64-way coarse dst-bucket merge (16-byte shuffle
+    # rows) folds them to ≤ vertices rows before they reach the driver.
+    # Below it the transfer is trivially small and the per-iteration
+    # shuffle would be pure overhead — same size-gated-plan convention as
+    # the extraction join and d_minhash_pairs.
+    premerge = n > PAGERANK_PREMERGE_VERTICES
+
     for _ in range(n_iters):
         share = np.divide(rank, out_deg, out=np.zeros_like(rank),
                           where=out_deg > 0)
         rank_ref = ray.put((nodes, share))
-        part = edges.map_batches(contribs_for(rank_ref),
-                                 batch_format="pyarrow").to_pandas()
+        part_ds = edges.map_batches(contribs_for(rank_ref),
+                                    batch_format="pyarrow")
+        if premerge:
+            part_ds = part_ds.map_batches(dst_bucket, batch_format="pyarrow") \
+                .groupby("__db").map_groups(dst_merge, batch_format="pyarrow")
+        part = part_ds.to_pandas()
         agg = part.groupby("dst", as_index=False)["w"].sum()
         incoming = np.zeros(n, np.float64)
         incoming[np.searchsorted(nodes, agg["dst"].to_numpy())] = \

@@ -75,13 +75,21 @@ def parse_doc(
     ext = extractor or TextExtractor(doc)
     render = page_render or (lambda tc: render_page_text(tc))
 
+    # pdf.js getPage(i) is a per-index tree descent; when the flatten is
+    # CONSISTENT with numpages the list IS that order (fast path).  A tree
+    # whose flatten under-counts (broken interior sibling, truthful
+    # /Count — ADVICE r3) falls back to the targeted descent per page so
+    # only the broken page absorbs to "".
+    consistent = len(pages) >= numpages
+
     lo = max(1, first_page)
     hi = min(counter, last_page if last_page is not None else counter)
     text = ""
     rendered = 0
     for i in range(lo, hi + 1):
         try:
-            tc = ext.get_text_content(pages[i - 1])
+            page = pages[i - 1] if consistent else doc._page_dict_at(i - 1)
+            tc = ext.get_text_content(page)
             page_text = render(tc)
         except Exception:
             page_text = ""  # per-page absorb (lib/pdf-parse.js:131-133)
@@ -110,12 +118,11 @@ def extract_page_texts(doc: PDFDocument, page_indices: list[int],
                        page_render: Optional[PageRender] = None) -> list[str]:
     """Extract specific 0-based pages; errors absorb to '' per page."""
     ext = extractor or TextExtractor(doc)
-    pages = doc.pages()
     render = page_render or (lambda tc: render_page_text(tc))
     out = []
     for idx in page_indices:
         try:
-            out.append(render(ext.get_text_content(pages[idx])))
+            out.append(render(ext.get_text_content(doc.get_page(idx))))
         except Exception:
             out.append("")
     return out

@@ -9,6 +9,7 @@ header-with-space tolerance (test/05-versions-space-default.js).
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Any, Optional
 
@@ -27,6 +28,41 @@ def _pdfdoc_decode(b: bytes) -> str:
     if b[:3] == b"\xef\xbb\xbf":
         return b[3:].decode("utf-8", "replace")
     return b.decode("latin-1")
+
+
+def _js_tonumber(txt: str) -> float:
+    """ECMAScript ToNumber for a string: trimmed; '' → 0; exact
+    'Infinity' (±) only; 0x/0o/0b radix prefixes (unsigned only); else
+    decimal; anything else → NaN.  Python float() differs on every one
+    of those edges ('inf'/'nan'/'infinity' accepted, hex rejected,
+    underscores accepted), so each is spelled out."""
+    t = txt.strip()
+    if t == "":
+        return 0.0
+    low = t.lower()
+    if low.startswith(("0x", "0o", "0b")) and len(t) > 2:
+        try:
+            return float(int(t, 0))
+        except ValueError:
+            return float("nan")
+    core = t[1:] if t[0] in "+-" else t
+    if core == "Infinity":
+        return float("-inf") if t[0] == "-" else float("inf")
+    if core.lower() in ("inf", "infinity", "nan") or "_" in t:
+        return float("nan")
+    try:
+        return float(t)
+    except ValueError:
+        return float("nan")
+
+
+def _js_toint32(v: float) -> int:
+    """ECMAScript ToInt32: NaN/±Infinity → 0, truncate toward zero,
+    wrap mod 2^32 into the signed range."""
+    if math.isnan(v) or math.isinf(v):
+        return 0
+    i = int(v) & 0xFFFFFFFF
+    return i - 0x100000000 if i >= 0x80000000 else i
 
 
 class PDFDocument:
@@ -491,13 +527,89 @@ class PDFDocument:
                     n = count
         if n is not None and n <= 1:
             return n
+        if n is not None:
+            # fast path: an already-flattened consistent tree proves the
+            # last page exists without a second descent
+            if self._pages is not None and len(self._pages) >= n:
+                return n
+            # checkLastPage fetches ONLY page n-1 (getPage(numPages-1)):
+            # a targeted /Count-skipping descent that never touches
+            # sibling subtrees, so a broken interior page (e.g. a
+            # decryption failure) does NOT invalidate a truthful count
+            # the way a full-tree flatten would (ADVICE r3).
+            try:
+                self._page_dict_at(n - 1)
+                return n
+            except PDFError:
+                pass
         try:
             actual = len(self.pages())
         except PDFError:
             return 1  # getAllPageDicts failure -> setActualNumPages(1)
-        if n is None:
-            return actual
-        return n if actual >= n else actual
+        return actual
+
+    def _page_dict_at(self, idx: int) -> dict:
+        """Targeted page-tree descent to page index ``idx`` mirroring
+        pdf.js Catalog.getPageDict (build/pdf.worker.js catalog): interior
+        /Pages nodes whose /Count places the target beyond them are
+        skipped WITHOUT resolving their kids, so failures confined to a
+        sibling subtree never surface.  Raises PDFError when the index
+        cannot be reached."""
+        root = self.resolve(self.trailer["Root"])
+        pages = self.resolve(root.get("Pages")) if isinstance(root, dict) else None
+        if not isinstance(pages, dict):
+            raise PDFError("bad page tree")
+        INHERIT = ("Resources", "MediaBox", "CropBox", "Rotate")
+        remaining = idx
+        stack: list[tuple[Any, bool, dict]] = [(pages, True, {})]
+        visited = 0
+        while stack:
+            visited += 1
+            if visited > 65536:
+                raise PDFError("page tree too large")
+            raw, is_root, inherited = stack.pop()
+            node = self.resolve(raw)
+            if not isinstance(node, dict):
+                raise PDFError("bad page tree node")
+            t = str(node.get("Type", ""))
+            kids = self.resolve(node.get("Kids"))
+            if t == "Page" or (t != "Pages" and kids is None):
+                if remaining == 0:
+                    page = dict(node)
+                    for k, v in inherited.items():
+                        page.setdefault(k, v)
+                    return page
+                remaining -= 1
+                continue
+            if not is_root:
+                cnt = self.resolve(node.get("Count"))
+                if isinstance(cnt, int) and 0 <= cnt <= remaining:
+                    remaining -= cnt   # whole subtree lies before target
+                    continue
+            if not isinstance(kids, list):
+                raise PDFError("bad kids")
+            inh = dict(inherited)
+            for k in INHERIT:
+                if k in node:
+                    inh[k] = node[k]
+            for kid in reversed(kids):
+                stack.append((kid, False, inh))
+        raise PDFError("page index out of range")
+
+    def get_page(self, idx: int) -> dict:
+        """Page dict at 0-based ``idx`` with pdf.js getPage semantics: the
+        flattened tree when it is consistent with num_pages, else the
+        targeted /Count-skipping descent — so a failure confined to one
+        subtree costs only THAT page (absorbed per-page by the caller),
+        never the whole document."""
+        pages: Optional[list[dict]] = None
+        try:
+            pages = self.pages()
+        except PDFError:
+            pages = None
+        if pages is not None and len(pages) >= self.num_pages:
+            return pages[idx]
+        return self._page_dict_at(idx)
 
     def pages(self) -> list[dict]:
         """Flattened page dicts in document order, inherited attrs applied."""
@@ -644,13 +756,13 @@ class PDFDocument:
                 sig = self.resolve(acro.get("SigFlags"))
                 if isinstance(sig, bool):
                     sig = int(sig)
-                elif isinstance(sig, bytes):  # JS string coercion
-                    try:
-                        sig = int(float(sig))
-                    except ValueError:
-                        sig = 0
+                elif isinstance(sig, bytes):
+                    # JS `sigFlags & 1` on a string = ToNumber → ToInt32
+                    # ('0x3'→3, 'Infinity'/'inf'/'1e999'/garbage→0 — a
+                    # crafted (inf) used to escape as OverflowError)
+                    sig = _js_toint32(_js_tonumber(sig.decode("latin-1")))
                 elif isinstance(sig, float):
-                    sig = int(sig)  # ToInt32 truncates toward zero
+                    sig = _js_toint32(sig)  # ToInt32: NaN/±inf→0, truncate
                 elif not isinstance(sig, int):
                     sig = 0
                 has_sigs = bool(sig & 1)

@@ -1818,3 +1818,85 @@ def test_tpch_q2_q9_q11_q16_q20_q22_oracled(ray_session, monkeypatch):
                  "q20_dominant_suppliers"):
         pd.testing.assert_frame_equal(base[name],
                                       getattr(relational, name)(sf)), name
+
+
+def test_lsh_dispatch_equivalence(ray_session):
+    """The 256-way coarse-bucket vectorized pair walk (_bucket_pairs_multi)
+    emits EXACTLY the pair set of the legacy per-fine-bucket dispatch,
+    including hot-bucket star-capping and the multi-band Max(capped)
+    merge (VERDICT r3 'done' criterion for the LSH dispatch rewrite)."""
+    import ray.data as rd
+
+    from pdf_parse_new_ray.functions import dedup
+
+    rng = np.random.RandomState(3)
+    doc_ids: list[int] = []
+    buckets: list[int] = []
+    hot_n = dedup.BUCKET_PAIR_CAP + 20
+    doc_ids += list(range(hot_n))
+    buckets += [111] * hot_n
+    next_id = hot_n
+    for bk, size in [(500, 2), (501, 3), (502, 7), (503, 1), (504, 1),
+                     (505, 17), (506, 1)]:
+        doc_ids += list(range(next_id, next_id + size))
+        buckets += [bk] * size
+        next_id += size
+    # docs 0,1 ALSO meet in a cool bucket: the (0,1) pair must surface
+    # capped=True (hot bucket) via Max over both bands
+    doc_ids += [0, 1]
+    buckets += [777, 777]
+    # random sprinkle incl. repeated (bucket, doc) rows
+    doc_ids += rng.randint(0, next_id, 300).tolist()
+    buckets += rng.randint(0, 60, 300).tolist()
+    bands = rd.from_arrow(pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "bucket": pa.array(np.asarray(buckets, np.uint64), pa.uint64()),
+    })).repartition(7)
+    new = dedup.lsh_pairs(bands).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    old = dedup.lsh_pairs(bands, legacy=True).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(new, old)
+    assert new["capped"].any() and (~new["capped"]).any()
+    assert ((new["a"] == 0) & (new["b"] == 1) & new["capped"]).any()
+
+
+def test_minhash_batched_signatures():
+    """The batched reduceat signature path is bit-identical to the
+    per-doc signature() reference on empty/short/long/repetitive texts
+    (VERDICT r3 'done' criterion for the signature vectorization)."""
+    from pdf_parse_new_ray.functions.dedup import MinHasher
+
+    mh = MinHasher()
+    texts = ["", "one", "two words", "three word doc",
+             "the quick brown fox jumps over the lazy dog repeatedly",
+             "a b c a b c a b c", ("word salad " * 300).strip(), None]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = mh(t)
+    for i, txt in enumerate(texts):
+        want = mh.signature(txt or "").tobytes()
+        assert out.column("sig")[i].as_py() == want, i
+
+
+def test_pagerank_broadcast_premerge_matches(ray_session, tmp_path, monkeypatch):
+    """The size-gated coarse dst-bucket pre-merge (forced by dropping the
+    vertex gate to 0) leaves broadcast-path ranks unchanged to 1e-12."""
+    import ray.data as rd
+
+    from pdf_parse_new_ray.functions import graph
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 30, 200).astype(np.int64)
+    dst = rng.randint(0, 35, 200).astype(np.int64)
+    keep = src != dst
+    pq.write_table(pa.table({"src": pa.array(src[keep], pa.int64()),
+                             "dst": pa.array(dst[keep], pa.int64())}),
+                   str(tmp_path / "edges.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "edges.parquet"))
+    plain = graph.pagerank_edges(ds)
+    monkeypatch.setattr(graph, "PAGERANK_PREMERGE_VERTICES", 0)
+    merged = graph.pagerank_edges(ds)
+    assert list(merged["node"]) == list(plain["node"])
+    assert np.allclose(merged["rank"].to_numpy(), plain["rank"].to_numpy(),
+                       atol=1e-12)

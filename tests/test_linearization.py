@@ -97,6 +97,34 @@ def test_forminfo_flags():
     assert flags("collection-empty") == (False, False, False, False)
 
 
+def test_sigflags_string_tonumber():
+    """JS `sigFlags & 1` on a PDF STRING is ToNumber → ToInt32, locked vs
+    the live reference (sweep forminfo-sig-str-* cases): '(0x3)' counts
+    (hex → 3), '(inf)' is NaN in JS, '(Infinity)'/'(1e999)' are ±inf and
+    ToInt32 to 0 — none may crash (a naive int(float(s)) raises
+    OverflowError on the infinity spellings — ADVICE r3)."""
+    def sigs(v):
+        return parse_pdf(pdfgen.make_forminfo_pdf(v))["info"][
+            "IsSignaturesPresent"]
+
+    assert sigs("sig-str-hex") is True
+    assert sigs("sig-str-inf") is False
+    assert sigs("sig-str-infinity") is False
+    assert sigs("sig-str-1e999") is False
+
+
+def test_broken_interior_kid_keeps_declared_count():
+    """checkLastPage parity (ADVICE r3, sweep broken-kid case): a truthful
+    /Count 3 survives a broken interior kid because only page n-1 is
+    fetched (the /Count skip never resolves the broken sibling); page 2
+    absorbs to "" per-page while pages 1 and 3 extract — a full-tree
+    flatten would heal numpages to 2 and shift gamma onto page 2."""
+    r = parse_pdf(pdfgen.make_broken_kid_pdf())
+    assert r["numpages"] == 3
+    assert r["numrender"] == 3
+    assert r["text"] == "\n\nalpha page\n\n\n\ngamma page"
+
+
 def test_info_dict_type_gates():
     """Info-dict type gates, locked vs the live reference (sweep
     infotyped-* cases): wrong-typed standard keys are skipped (never

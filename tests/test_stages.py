@@ -432,3 +432,56 @@ def test_lance_layout_detection_and_fallback(tmp_path):
     assert not _is_lance(str(pq_dir))
     out = read_table(str(pq_dir), columns=["doc_id"])
     assert out.take_all() == [{"doc_id": "a"}]
+
+
+def test_phash_hot_band_star_cap(ray_session, tmp_path, monkeypatch):
+    """A degenerate corpus slice where 260+ images share THREE of the four
+    16-bit bands (flips confined to one band) must NOT emit O(n²) pairs:
+    the hot band buckets star-cap against the min ref (VERDICT r3 'done'
+    criterion for m_phash_neardup_pairs), while hamming stays exact."""
+    from itertools import combinations
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+    from pdf_parse_new_ray.fixtures.media_mixed import _make_png
+    from pdf_parse_new_ray.functions.dedup import BUCKET_PAIR_CAP
+    from pdf_parse_new_ray.stages.multimodal import ahash64
+
+    rng = np.random.default_rng(9)
+    grid = (rng.integers(0, 2, (8, 8)) * 255).astype(np.uint8)
+
+    def render(g):
+        px = np.repeat(np.repeat(g, 8, 0), 8, 1)
+        return np.stack([px] * 3, -1)
+
+    n_var = BUCKET_PAIR_CAP + 4
+    tris = list(combinations(range(16), 3))[:n_var]
+    refs, blobs = ["img000"], [_make_png(render(grid))]
+    h0 = ahash64(render(grid))
+    for j, tri in enumerate(tris, start=1):
+        g = grid.copy()
+        for c in tri:            # cells 0..15 = grid rows 0-1 = ONE band
+            r, col = divmod(c, 8)
+            g[r, col] = 255 - g[r, col]
+        if j == 1:               # premise: exactly 3 bits, all in one band
+            hx = ahash64(render(g)) ^ h0
+            assert bin(hx).count("1") == 3
+            assert hx >> 48 != 0 and hx & ((1 << 48) - 1) == 0
+        refs.append(f"img{j:03d}")
+        blobs.append(_make_png(render(g)))
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    pq.write_table(pa.table({"media_ref": refs, "bytes": blobs}),
+                   str(media_dir / "part.parquet"))
+    monkeypatch.setattr(
+        "pdf_parse_new_ray.fixtures.media_mixed.mixed_media_dir_for",
+        lambda sf: str(media_dir))
+    out = entry._phash_neardup_pairs("/root/testdata/sf0.001")
+    n = len(refs)
+    assert n > BUCKET_PAIR_CAP
+    assert len(out) == n - 1               # star pairs, not n*(n-1)/2
+    assert set(out["ref_a"]) == {"img000"}
+    assert (out["hamming"] == 3).all()

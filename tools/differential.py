@@ -179,6 +179,7 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
     for variant in pdfgen.INFO_TYPED_VARIANTS:
         specials.append((f"infotyped-{variant}",
                          pdfgen.make_info_typed_pdf(variant)))
+    specials.append(("broken-kid", pdfgen.make_broken_kid_pdf()))
     return cases + specials
 
 
