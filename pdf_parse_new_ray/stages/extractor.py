@@ -15,9 +15,12 @@ Used as:
 from __future__ import annotations
 
 import hashlib
+import logging
 import time
 from collections import OrderedDict
 from typing import Callable, Optional
+
+_LOG = logging.getLogger("pdf_parse_new_ray.extract")
 
 import pyarrow as pa
 
@@ -50,11 +53,15 @@ class PdfExtractor:
     """
 
     def __init__(self, doc_cache_size: int = 8, page_render=None, max_pages: int = 0,
-                 progress: Optional[str] = None):
+                 progress: Optional[str] = None, verbosity: int = 0):
         self._cache: "OrderedDict[str, tuple[PDFDocument, TextExtractor]]" = OrderedDict()
         self._cache_size = doc_cache_size
         self._page_render = _resolve_page_render(page_render)
         self._max_pages = max_pages
+        # reference verbosityLevel knob (lib/pdf-parse.js:51, index.d.ts:35):
+        # 0 = errors only (silent absorb), 1 = warn on absorbed doc errors,
+        # 5 = info per absorbed page — the pdf.js verbosity scale
+        self._verbosity = verbosity
         # name of a state.progress actor to post per-batch increments to
         # (the reference's onProgress/onChunkComplete surface, distributed)
         self._progress = progress
@@ -115,14 +122,25 @@ class PdfExtractor:
                     continue
                 numpages = doc.num_pages
                 counter = numpages if self._max_pages <= 0 else min(self._max_pages, numpages)
-                pages = doc.pages()
+                try:
+                    pages = doc.pages()
+                except PDFError:
+                    pages = None
+                # pdf.js getPage-per-index parity (see api.parse_doc): when
+                # the flatten under-counts a truthful /Count (broken
+                # interior sibling), fall back to the targeted descent so
+                # only the broken pages absorb
+                consistent = pages is not None and len(pages) >= numpages
                 hi = min(p1, counter)
                 texts = []
-                for i in range(p0, hi):  # 0-based [p0, hi)
+                for pi in range(p0, hi):  # 0-based [p0, hi)
                     try:
-                        texts.append(render(ext.get_text_content(pages[i])))
+                        page = pages[pi] if consistent else doc._page_dict_at(pi)
+                        texts.append(render(ext.get_text_content(page)))
                     except Exception:
                         texts.append("")  # M3 page-error absorb
+                        if self._verbosity >= 5:
+                            _LOG.info("page %d of %s absorbed to ''", pi, ref)
                 # reference sequential-join parity: every page contributes a
                 # LEADING '\n\n' (lib/pdf-parse.js:129-135), so chunk texts
                 # concatenate directly in page order
@@ -134,6 +152,8 @@ class PdfExtractor:
                 out_pages.append(0)
                 out_err.append(f"{type(e).__name__}: {e}")
                 self.metrics["errors"] += 1
+                if self._verbosity >= 1:
+                    _LOG.warning("media %s parse failed: %s", ref, e)
         batch_pages = sum(max(0, min(p1, pg) - p0) for p0, p1, pg in zip(starts, ends, out_pages))
         self.metrics["pages"] += batch_pages
         if self._progress:
@@ -175,17 +195,18 @@ _TASK_EXTRACTORS: dict = {}
 
 
 def make_extract_task(page_render=None, max_pages: int = 0,
-                      progress: Optional[str] = None):
+                      progress: Optional[str] = None, verbosity: int = 0):
     if page_render is not None and not isinstance(page_render, str):
         raise ValueError("task-mode extraction needs page_render=None or 'module:fn'")
-    key = (page_render, max_pages, progress)
+    key = (page_render, max_pages, progress, verbosity)
 
     def extract_batch(batch: pa.Table) -> pa.Table:
         ex = _TASK_EXTRACTORS.get(key)
         if ex is None:
             ex = _TASK_EXTRACTORS[key] = PdfExtractor(page_render=page_render,
                                                       max_pages=max_pages,
-                                                      progress=progress)
+                                                      progress=progress,
+                                                      verbosity=verbosity)
         return ex(batch)
 
     return extract_batch

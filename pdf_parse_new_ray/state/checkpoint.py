@@ -20,6 +20,7 @@ import hashlib
 import json
 import os
 import time
+import uuid
 from typing import Optional
 
 import pyarrow as pa
@@ -84,6 +85,30 @@ def ensure_manifest(out_dir: str, meta: dict) -> dict:
     return meta
 
 
+def update_manifest(out_dir: str, **extra) -> dict:
+    """Merge extra keys into the run manifest (atomic rewrite).  Used to
+    record measured gate stats (extracted rows/bytes) so a RE-RUN can
+    pre-size its physical plan without re-materializing the chunk
+    dataset."""
+    path = manifest_path(out_dir)
+    with open(path) as f:
+        meta = json.load(f)
+    meta.update(extra)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+    return meta
+
+
+def manifest(out_dir: str) -> dict:
+    try:
+        with open(manifest_path(out_dir)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def completed_partitions(out_dir: str) -> set[int]:
     d = lineage_dir(out_dir)
     if not os.path.isdir(d):
@@ -132,13 +157,78 @@ def write_partition(out_dir: str, k: int, table: pa.Table, metrics: dict) -> dic
     return rec
 
 
+def write_fragment(out_dir: str, k: int, run_id: str, table: pa.Table) -> str:
+    """Streaming-write mode: append one fragment file to part=<k> under a
+    run-unique name.  Fragments become part of the committed output ONLY
+    when commit_partitions() later writes a lineage record listing them —
+    a crashed run leaves orphan fragments that every reader ignores (the
+    classic write-fragments/commit-at-end layout).  Returns the fragment
+    file name."""
+    part_dir = os.path.join(out_dir, f"part={k}")
+    os.makedirs(part_dir, exist_ok=True)
+    name = f"frag-{run_id}-{uuid.uuid4().hex[:12]}.parquet"
+    path = os.path.join(part_dir, name)
+    pq.write_table(table, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return name
+
+
+def commit_partitions(out_dir: str, run_id: str,
+                      metrics_by_part: dict[int, dict]) -> list[dict]:
+    """Commit a streaming-write run: for each partition, list THIS run's
+    fragments and write the lineage record (atomic rename) marking it
+    complete.  The driver-side tail of the fragment layout — O(partitions)
+    work, independent of data volume."""
+    os.makedirs(lineage_dir(out_dir), exist_ok=True)
+    recs = []
+    for k in sorted(metrics_by_part):
+        m = dict(metrics_by_part[k])
+        part_dir = os.path.join(out_dir, f"part={k}")
+        files = sorted(
+            f for f in (os.listdir(part_dir) if os.path.isdir(part_dir) else [])
+            if f.startswith(f"frag-{run_id}-") and f.endswith(".parquet"))
+        rec = {
+            "partition": k,
+            "status": "complete",
+            "rows": int(m.pop("rows", m.get("n_docs", 0))),
+            "bytes": sum(os.path.getsize(os.path.join(part_dir, f))
+                         for f in files),
+            "files": files,
+            "content_hash": m.pop("content_hash", ""),
+            "completed_at": time.time(),
+            **m,
+        }
+        lpath = os.path.join(lineage_dir(out_dir), f"part-{k}.json")
+        with open(lpath + ".tmp", "w") as f:
+            json.dump(rec, f)
+        os.replace(lpath + ".tmp", lpath)
+        recs.append(rec)
+    return recs
+
+
+def partition_files(out_dir: str, k: int) -> list[str]:
+    """Data files of a COMPLETED partition: the lineage 'files' list for
+    fragment-layout partitions, else the classic single data.parquet."""
+    lpath = os.path.join(lineage_dir(out_dir), f"part-{k}.json")
+    try:
+        with open(lpath) as f:
+            rec = json.load(f)
+        files = rec.get("files")
+    except (OSError, ValueError):
+        files = None
+    part_dir = os.path.join(out_dir, f"part={k}")
+    if files:
+        return [os.path.join(part_dir, f) for f in files]
+    p = os.path.join(part_dir, "data.parquet")
+    return [p] if os.path.exists(p) else []
+
+
 def read_output(out_dir: str) -> pa.Table:
     """Read back all completed partitions (driver-side convenience for
     tests/small results)."""
     parts = []
     for k in sorted(completed_partitions(out_dir)):
-        p = os.path.join(out_dir, f"part={k}", "data.parquet")
-        if os.path.exists(p):
+        for p in partition_files(out_dir, k):
             parts.append(pq.read_table(p))
     if not parts:
         raise FileNotFoundError(f"no completed partitions under {out_dir}")
@@ -182,12 +272,12 @@ def compact_partitions(out_dir: str, target_bytes: int = 64 * 1024 * 1024,
         group, group_bytes = [], 0
 
     for k in done:
-        p = os.path.join(out_dir, f"part={k}", "data.parquet")
-        if not os.path.exists(p):
+        files = partition_files(out_dir, k)
+        if not files:
             continue
-        t = pq.read_table(p)
+        t = pa.concat_tables([pq.read_table(p) for p in files])
         rows_in += t.num_rows
-        sz = os.path.getsize(p)
+        sz = sum(os.path.getsize(p) for p in files)
         if group and group_bytes + sz > target_bytes:
             flush()
         group.append(t)

@@ -360,3 +360,58 @@ def test_curation_funnel_composition(ray_session):
     again = entrymod.queries()["x_curation_funnel"](
         "/root/testdata/sf0.001")
     assert list(again["n_docs"]) == list(out["n_docs"])
+
+
+def test_streaming_fragments_commit_and_presize(ray_session, small_corpus, tmp_path):
+    """The broadcast write path streams fragment files (no output groupby):
+    lineage lists exactly the committing run's fragments, orphan fragments
+    from a crashed run are invisible to readers, and the measured gate
+    stats land in the manifest so a re-run pre-sizes its plan without the
+    chunk materialize barrier (VERDICT r3 item 3)."""
+    import glob
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+    from pdf_parse_new_ray.state import checkpoint as ckpt
+
+    out = str(tmp_path / "out")
+    extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=out, n_partitions=4,
+    ).take_all()
+    base = ckpt.read_output(out)
+
+    # fragment layout: lineage lists the data files, none named data.parquet
+    with open(os.path.join(out, "_lineage", "part-0.json")) as f:
+        rec = json.load(f)
+    assert rec["files"] and all(fn.startswith("frag-") for fn in rec["files"])
+    assert rec["rows"] > 0 and rec["n_spans"] > 0 and rec["content_hash"]
+
+    # orphan fragment from a "crashed" run: readers must ignore it
+    orphan = os.path.join(out, "part=0", "frag-deadbeef-000000000000.parquet")
+    pq.write_table(base.slice(0, 1), orphan)
+    again = ckpt.read_output(out)
+    assert again.num_rows == base.num_rows
+
+    # gate stats recorded -> a fresh store re-run can pre-size the plan
+    mf = ckpt.manifest(out)
+    assert mf["gate_rows"] > 0 and mf["gate_bytes"] > 0
+
+    # pre-sized re-run over a NEW store seeded with the same gate stats:
+    # identical output through the lazy-chunk plan
+    out2 = str(tmp_path / "out2")
+    ckpt.ensure_manifest(out2, {
+        "docs_path": f"{small_corpus}/documents_interleaved",
+        "media_path": f"{small_corpus}/media", "n_partitions": 4})
+    ckpt.update_manifest(out2, gate_rows=mf["gate_rows"],
+                         gate_bytes=mf["gate_bytes"])
+    extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=out2, n_partitions=4,
+    ).take_all()
+    a = base.sort_by("doc_id").to_pylist()
+    b = ckpt.read_output(out2).sort_by("doc_id").to_pylist()
+    assert a == b

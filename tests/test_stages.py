@@ -485,3 +485,25 @@ def test_phash_hot_band_star_cap(ray_session, tmp_path, monkeypatch):
     assert len(out) == n - 1               # star pairs, not n*(n-1)/2
     assert set(out["ref_a"]) == {"img000"}
     assert (out["hamming"] == 3).all()
+
+
+def test_lance_dispatch_passes_path_and_columns(tmp_path, monkeypatch):
+    """Stub-module injection (VERDICT r3 item 8): a Lance-format dataset
+    routes to ray.data.read_lance with the path and `columns=` reaching
+    it UNCHANGED — proven without the lance package by swapping in a
+    recording stub."""
+    from pdf_parse_new_ray.sources import interleaved
+
+    lance_dir = tmp_path / "docs.lance"
+    (lance_dir / "_versions").mkdir(parents=True)
+    calls = []
+    sentinel = object()
+
+    def fake_read_lance(path, columns=None, **kw):
+        calls.append((path, columns))
+        return sentinel
+
+    monkeypatch.setattr(interleaved.rd, "read_lance", fake_read_lance)
+    out = interleaved.read_table(str(lance_dir), columns=["doc_id", "spans"])
+    assert out is sentinel
+    assert calls == [(str(lance_dir), ["doc_id", "spans"])]

@@ -67,15 +67,12 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> str:
         return "VALUES: " + str(e).splitlines()[-1][:160]
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    import ray
-
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+def run_checks(sf_dir: str, only: set[str] | None = None,
+               verbose: bool = True) -> tuple[int, int, list[str]]:
+    """Run every queries() entry vs its oracle on sf_dir using the
+    CALLER's Ray session.  Returns (n_ok, n_bad, failure lines) — the
+    importable core of the driver-gate mimic, also exercised end-to-end
+    by the slow pytest node test_all_oracles_green."""
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -90,6 +87,7 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     n_ok = n_bad = 0
+    failures: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -97,7 +95,9 @@ def main() -> None:
         try:
             mine = to_pandas(fn(sf_dir))
         except Exception as e:  # noqa: BLE001
-            print(f"{name}: RAY ERROR {type(e).__name__}: {e}")
+            failures.append(f"{name}: RAY ERROR {type(e).__name__}: {e}")
+            if verbose:
+                print(failures[-1])
             n_bad += 1
             continue
         dt = time.time() - t0
@@ -105,7 +105,9 @@ def main() -> None:
             try:
                 oracle = con.execute(oracles[name]).fetchdf()
             except Exception as e:  # noqa: BLE001
-                print(f"{name}: ORACLE ERROR {e}")
+                failures.append(f"{name}: ORACLE ERROR {e}")
+                if verbose:
+                    print(failures[-1])
                 n_bad += 1
                 continue
             verdict = compare(name, mine, oracle)
@@ -114,7 +116,23 @@ def main() -> None:
         ok = verdict == "OK" or verdict.startswith("rows-only")
         n_ok += ok
         n_bad += not ok
-        print(f"{name}: {verdict}  [{dt:.1f}s]")
+        if not ok:
+            failures.append(f"{name}: {verdict}")
+        if verbose:
+            print(f"{name}: {verdict}  [{dt:.1f}s]")
+    return n_ok, n_bad, failures
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    n_ok, n_bad, _ = run_checks(sf_dir, only)
     print(f"\n{n_ok} ok, {n_bad} bad")
     ray.shutdown()
 
