@@ -47,6 +47,11 @@ class ExtractionConfig:
     join_strategy: str = "auto"  # auto | broadcast | hash
     concurrency: Optional[tuple] = None
     resume: bool = True
+    # reference verbosityLevel (lib/pdf-parse.js:51, index.d.ts:35) mapped
+    # onto the pdf.js scale: 0 errors-only (silent absorb), 1 warnings per
+    # absorbed doc error, 5 infos per absorbed page — emitted through the
+    # 'pdf_parse_new_ray.extract' logger on every extract worker
+    verbosity: int = 0
 
     def for_cluster(self, cpus: int, avg_doc_bytes: int = 64 * 1024) -> "ExtractionConfig":
         """Adapt the shape knobs to a cluster size + corpus density —

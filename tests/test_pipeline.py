@@ -415,3 +415,28 @@ def test_streaming_fragments_commit_and_presize(ray_session, small_corpus, tmp_p
     a = base.sort_by("doc_id").to_pylist()
     b = ckpt.read_output(out2).sort_by("doc_id").to_pylist()
     assert a == b
+
+
+def test_verbosity_logs_absorbed_errors(ray_session, tmp_path, caplog):
+    """verbosity=1 (reference verbosityLevel scale) warns per absorbed
+    doc-level error through the pdf_parse_new_ray.extract logger; the
+    default 0 stays silent.  Exercised in-process via PdfExtractor."""
+    import logging
+
+    import pyarrow as pa
+
+    from pdf_parse_new_ray.stages.extractor import PdfExtractor
+
+    batch = pa.table({
+        "media_ref": pa.array(["bad-blob"], pa.string()),
+        "bytes": pa.array([b"not a pdf at all"], pa.binary()),
+        "page_start": pa.array([0], pa.int32()),
+        "page_end": pa.array([1], pa.int32()),
+        "n_chunks": pa.array([1], pa.int32()),
+    })
+    with caplog.at_level(logging.WARNING, logger="pdf_parse_new_ray.extract"):
+        out = PdfExtractor(verbosity=0)(batch)
+        assert out.column("error")[0].as_py()
+        assert not caplog.records
+        PdfExtractor(verbosity=1)(batch)
+        assert any("bad-blob" in r.message for r in caplog.records)
