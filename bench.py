@@ -162,6 +162,10 @@ def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
     bench_queries["g_triangle_count"] = graph.g_triangle_count
     bench_queries["e_kmeans_train"] = ann.e_kmeans_train
     bench_queries["d_semdedup"] = dedup.d_semdedup
+    # force the LSH scale path (the r4 coarse-bucket dispatch) regardless
+    # of the brute gate, so the bench tracks the at-scale plan
+    bench_queries["d_embedding_neardup_lsh"] = (
+        lambda sf: dedup.d_embedding_neardup(sf, method="lsh"))
     for name, fn in bench_queries.items():
         t0 = time.time()
         try:
