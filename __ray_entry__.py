@@ -332,6 +332,54 @@ def _image_phash(sf_dir: str):
     return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
 
 
+def _image_resize(sf_dir: str):
+    """Resize step of a multimodal pipeline (brief: 'decode /
+    feature-extract / resize ... as actor-pool map_batches stages'):
+    every decodable image in the mixed media table resampled to 16x16 by
+    exact integer area means and re-encoded PNG
+    (stages/multimodal.ImageResizer).  The driver sees dims + a pixel
+    digest, never the payloads."""
+    import re as _re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_parse_new_ray.fixtures.media_mixed import mixed_media_dir_for
+    from pdf_parse_new_ray.stages.multimodal import ImageResizer
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
+    rows = rd.read_parquet(base, columns=["media_ref", "bytes"]).map_batches(
+        ImageResizer, fn_constructor_kwargs={"height": 16, "width": 16},
+        concurrency=(1, 4), batch_size=16, batch_format="pyarrow",
+    ).drop_columns(["resized_png"]).take_all()
+    return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
+
+
+def _video_frame_sample(sf_dir: str):
+    """Frame-sample step of a multimodal pipeline: every raw-DIB AVI in
+    the mixed media table fans out to one row per sampled frame (stride
+    3) with per-frame perceptual hashes — REAL pixels, no codec library
+    (stages/multimodal.VideoFrameSampler); compressed video (MJPG/mp4)
+    absorbs to decoded=False rows, honestly stubbed per the brief."""
+    import re as _re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_parse_new_ray.fixtures.media_mixed import mixed_media_dir_for
+    from pdf_parse_new_ray.stages.multimodal import VideoFrameSampler
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
+    rows = rd.read_parquet(base, columns=["media_ref", "bytes"]).map_batches(
+        VideoFrameSampler, fn_constructor_kwargs={"stride": 3, "max_frames": 8},
+        concurrency=(1, 4), batch_size=16, batch_format="pyarrow",
+    ).take_all()
+    return pd.DataFrame(
+        sorted(rows, key=lambda r: (r["media_ref"], r["frame_index"])))
+
+
 def _phash_dup_groups(sf_dir: str, n_buckets: int = 64):
     """Image near-dup groups: identical perceptual fingerprints across
     different blobs (byte-level dups are caught upstream by sha256 —
@@ -761,6 +809,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_audio_features": _audio_features,
         "m_pdf_images": _pdf_images,
         "m_image_phash": _image_phash,
+        "m_image_resize": _image_resize,
+        "m_video_frame_sample": _video_frame_sample,
         "m_phash_dup_groups": _phash_dup_groups,
         "m_phash_neardup_pairs": _phash_neardup_pairs,
         # composition: extract -> dedup in one streaming lineage

@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-MIXED_VERSION = "v7"  # v5: +JPEG2000; v6: +image PDFs; v7: +AVI
+MIXED_VERSION = "v8"  # v6: +image PDFs; v7: +AVI; v8: +raw/MJPG video AVIs
 
 
 def _make_wav(seconds: float, rate: int = 1000) -> bytes:
@@ -127,6 +127,42 @@ def _make_avi(duration_s: float, fps: int = 25) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _make_avi_rgb(frames: "np.ndarray", fps: int = 25,
+                  compressed: bool = False) -> bytes:
+    """AVI with a REAL uncompressed 24-bit DIB video stream: (N, h, w, 3)
+    RGB frames become bottom-up padded BGR '00db' movi chunks (the layout
+    decode_avi_frames samples).  ``compressed=True`` instead emits '00dc'
+    chunks + a nonzero biCompression — the honest-stub path."""
+    n, h, w, _ = frames.shape
+    usec = int(1e6 / fps)
+    avih = struct.pack("<14I", usec, 0, 0, 0, n, 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + (b"MJPG" if compressed else b"DIB ")
+            + struct.pack("<IHHIIIIIIIi4h", 0, 0, 0, 0, 1, fps, 0, n,
+                          0, 10000, -1, 0, 0, w, h))
+    comp = 0x47504A4D if compressed else 0  # 'MJPG'
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, comp,
+                       ((w * 3 + 3) & ~3) * h, 0, 0, 0, 0)
+    strl = (b"strh" + struct.pack("<I", len(strh)) + strh
+            + b"strf" + struct.pack("<I", len(strf)) + strf)
+    strl_list = b"LIST" + struct.pack("<I", 4 + len(strl)) + b"strl" + strl
+    hdrl = (b"avih" + struct.pack("<I", len(avih)) + avih + strl_list)
+    hdrl_list = b"LIST" + struct.pack("<I", 4 + len(hdrl)) + b"hdrl" + hdrl
+    row_bytes = (w * 3 + 3) & ~3
+    movi = b"movi"
+    cc = b"00dc" if compressed else b"00db"
+    for f in frames:
+        bgr = f[:, :, ::-1]          # RGB → BGR
+        rows = np.zeros((h, row_bytes), np.uint8)
+        rows[:, :w * 3] = bgr.reshape(h, w * 3)
+        payload = rows[::-1].tobytes()  # bottom-up
+        movi += cc + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            movi += b"\x00"
+    movi_list = b"LIST" + struct.pack("<I", len(movi)) + movi
+    body = b"AVI " + hdrl_list + movi_list
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _make_mp4(duration_s: float, timescale: int = 1000) -> bytes:
     mvhd = bytes([0, 0, 0, 0]) + struct.pack(">II", 0, 0) \
         + struct.pack(">II", timescale, int(duration_s * timescale)) + b"\x00" * 80
@@ -145,7 +181,7 @@ def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
     for i in range(n_rows):
         kind = ("jpeg", "jpeg_progressive", "png", "gif", "wav", "pdf",
                 "tiff_g4", "mp3", "mp4", "jbig2", "jp2", "pdf_images",
-                "avi", "junk")[i % 14]
+                "avi", "junk", "avi_rgb", "avi_mjpg")[i % 16]
         h = int(rng.randint(8, 40))
         w = int(rng.randint(8, 40))
         if kind == "jpeg":
@@ -192,6 +228,11 @@ def generate_mixed_media(out_dir: str, n_rows: int, seed: int = 42) -> None:
             blob = make_images_pdf(seed=i)[0]
         elif kind == "avi":
             blob = _make_avi(float(rng.randint(1, 300)) / 10.0)
+        elif kind in ("avi_rgb", "avi_mjpg"):
+            frames = rng.randint(0, 256, (int(rng.randint(4, 12)), h, w, 3)) \
+                .astype(np.uint8)
+            blob = _make_avi_rgb(frames, fps=int(rng.randint(5, 30)),
+                                 compressed=(kind == "avi_mjpg"))
         else:
             blob = bytes(rng.randint(0, 256, 64).astype(np.uint8))
         refs.append(f"mixed-{i:06d}")

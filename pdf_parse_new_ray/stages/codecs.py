@@ -568,3 +568,129 @@ def avi_duration(data: bytes) -> float:
             return usec_per_frame * total_frames / 1e6
         pos += 8 + size + (size & 1)
     raise ValueError("no avih header found")
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Minimal PNG encoder (8-bit gray or RGB, filter 0, one IDAT) — the
+    output side of the resize stage; round-trips through decode_png."""
+    px = np.ascontiguousarray(px.astype(np.uint8))
+    if px.ndim == 2:
+        color_type, h, w = 0, px.shape[0], px.shape[1]
+        rows = px
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color_type, h, w = 2, px.shape[0], px.shape[1]
+        rows = px.reshape(h, w * 3)
+    else:
+        raise CodecError("encode_png supports (h,w) gray or (h,w,3) RGB")
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), rows], axis=1).tobytes()
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def area_mean_resize(px: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Integer area-mean downsample/resample to (th, tw) — the ahash64
+    integral-image trick generalized to an arbitrary grid, exact block
+    means (floor division) when the factors divide, deterministic across
+    platforms (no float kernels)."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+        squeeze = True
+    else:
+        squeeze = False
+    h, w, c = px.shape
+    if th <= 0 or tw <= 0:
+        raise CodecError("bad resize target")
+    if h < th or w < tw:  # upscale: nearest (area mean needs >=1 px cells)
+        yi = (np.arange(th) * h) // th
+        xi = (np.arange(tw) * w) // tw
+        out = px[yi[:, None], xi[None, :], :]
+        return out[..., 0] if squeeze else out
+    ys = (np.arange(th + 1) * h) // th
+    xs = (np.arange(tw + 1) * w) // tw
+    cs = np.zeros((h + 1, w + 1, c), np.int64)
+    cs[1:, 1:, :] = px.astype(np.int64).cumsum(0).cumsum(1)
+    sums = (cs[ys[1:, None], xs[None, 1:], :] - cs[ys[:-1, None], xs[None, 1:], :]
+            - cs[ys[1:, None], xs[None, :-1], :] + cs[ys[:-1, None], xs[None, :-1], :])
+    areas = ((ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :])[..., None]
+    out = (sums // areas).astype(np.uint8)
+    return out[..., 0] if squeeze else out
+
+
+def decode_avi_frames(data: bytes, stride: int = 1, max_frames: int = 64,
+                      max_pixels: int = 1 << 24):
+    """AVI raw-video frame sampler: parses avih + the vids stream's
+    BITMAPINFOHEADER and decodes every ``stride``-th UNCOMPRESSED
+    (BI_RGB 24-bit DIB, '00db') frame from the movi list — bottom-up
+    padded BGR rows → (h, w, 3) RGB.  Compressed streams ('00dc' chunks
+    or biCompression != 0) raise CodecError: frame sampling of encoded
+    video needs a codec this container doesn't ship, so the stage
+    absorbs those to decoded=False rather than faking pixels.
+
+    Returns (fps, total_frames, [(frame_index, rgb_array), ...])."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise CodecError("not an AVI file")
+    pos, n = 12, len(data)
+    usec_per_frame = total_frames = 0
+    bw = bh = bits = comp = None
+    movi = None
+    while pos + 8 <= n:
+        fourcc = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        if fourcc == b"LIST":
+            ltype = data[pos + 8:pos + 12]
+            if ltype in (b"hdrl", b"strl"):
+                pos += 12  # descend
+                continue
+            if ltype == b"movi":
+                movi = (pos + 12, pos + 8 + size)
+                pos += 8 + size + (size & 1)
+                continue
+        elif fourcc == b"avih":
+            usec_per_frame, = struct.unpack_from("<I", data, pos + 8)
+            total_frames, = struct.unpack_from("<I", data, pos + 24)
+        elif fourcc == b"strf" and bw is None and size >= 40:
+            (_bisize, bw, bh, _planes, bits, comp) = struct.unpack_from(
+                "<IiiHHI", data, pos + 8)
+        pos += 8 + size + (size & 1)
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    if movi is None:
+        raise CodecError("no movi list (metadata-only AVI)")
+    if bw is None:
+        raise CodecError("no video stream format")
+    if comp != 0 or bits != 24:
+        raise CodecError(f"compressed/unsupported video (biCompression={comp}, "
+                         f"biBitCount={bits})")
+    bottom_up = bh > 0
+    bh = abs(bh)
+    if bw * bh > max_pixels:
+        raise CodecError("frame too large")
+    row_bytes = (bw * 3 + 3) & ~3
+    frames = []
+    idx = 0
+    pos, end = movi
+    while pos + 8 <= end and len(frames) < max_frames:
+        cc = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        if cc[2:4] == b"dc":
+            raise CodecError("compressed video chunk")
+        if cc[2:4] == b"db":
+            if idx % stride == 0:
+                buf = data[pos + 8:pos + 8 + size]
+                if len(buf) < row_bytes * bh:
+                    raise CodecError("truncated frame")
+                arr = np.frombuffer(buf[:row_bytes * bh], np.uint8) \
+                    .reshape(bh, row_bytes)[:, :bw * 3].reshape(bh, bw, 3)
+                if bottom_up:
+                    arr = arr[::-1]
+                frames.append((idx, arr[:, :, ::-1].copy()))  # BGR → RGB
+            idx += 1
+        pos += 8 + size + (size & 1)
+    return fps, total_frames, frames

@@ -454,6 +454,35 @@ def ahash64(px) -> int:
     return int(np.packbits(bits.ravel()).view(">u8")[0])
 
 
+def build_image_decoders() -> dict:
+    """media_type → blob-to-pixel-array decoder over the REAL kernel
+    codec set (JPEG incl. progressive, PNG, GIF, TIFF, JPEG2000, JBIG2).
+    Built once per actor (__init__ state), shared by the phash and
+    resize stages."""
+    from ..pdfkernel.jbig2 import decode_jbig2_file
+    from ..pdfkernel.jpeg import decode_jpeg
+    from ..pdfkernel.jpx import decode_jpx
+    from .codecs import decode_gif, decode_png, decode_tiff
+
+    def img4(fn):
+        return lambda b: fn(b)[3]
+
+    def jb2(b):
+        import numpy as np
+
+        packed, w, h = decode_jbig2_file(b, max_pixels=1 << 22)
+        bits = np.unpackbits(
+            np.frombuffer(packed, np.uint8).reshape(h, -1),
+            axis=1)[:, :w]
+        return (1 - bits).astype(np.uint8) * 255  # 1 = black in T.88
+
+    return {
+        "jpeg": img4(decode_jpeg), "png": img4(decode_png),
+        "gif": img4(decode_gif), "tiff": img4(decode_tiff),
+        "jp2": decode_jpx, "jbig2": jb2,
+    }
+
+
 class ImagePHasher:
     """Actor-pool stage: image blobs → 64-bit perceptual fingerprints
     through the REAL kernel decoders (JPEG incl. progressive, PNG, GIF,
@@ -463,28 +492,7 @@ class ImagePHasher:
     resolved decoder table built once per actor."""
 
     def __init__(self):
-        from ..pdfkernel.jbig2 import decode_jbig2_file
-        from ..pdfkernel.jpeg import decode_jpeg
-        from ..pdfkernel.jpx import decode_jpx
-        from .codecs import decode_gif, decode_png, decode_tiff
-
-        def img4(fn):
-            return lambda b: fn(b)[3]
-
-        def jb2(b):
-            import numpy as np
-
-            packed, w, h = decode_jbig2_file(b, max_pixels=1 << 22)
-            bits = np.unpackbits(
-                np.frombuffer(packed, np.uint8).reshape(h, -1),
-                axis=1)[:, :w]
-            return (1 - bits).astype(np.uint8) * 255  # 1 = black in T.88
-
-        self._decode = {
-            "jpeg": img4(decode_jpeg), "png": img4(decode_png),
-            "gif": img4(decode_gif), "tiff": img4(decode_tiff),
-            "jp2": decode_jpx, "jbig2": jb2,
-        }
+        self._decode = build_image_decoders()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
@@ -515,4 +523,129 @@ class ImagePHasher:
             "phash": pa.array(ph, pa.string()),
             "decoded": pa.array(dec, pa.bool_()),
             "error": pa.array(err, pa.string()),
+        })
+
+
+class ImageResizer:
+    """Actor-pool stage: image blobs → resized image blobs (brief: the
+    'resize' step of a multimodal training-data pipeline as a real
+    map_batches stage, not a stub).  Decode through the kernel codec set
+    (build_image_decoders), integer area-mean resample to (height,
+    width) — exact block means, bit-identical across platforms — and
+    re-encode as PNG.  Non-image / undecodable blobs absorb to
+    decoded=False rows; the stage never fails a task.  Small batches at
+    scale: output payloads are bounded by height*width*3 per row."""
+
+    def __init__(self, height: int = 64, width: int = 64):
+        self._decode = build_image_decoders()
+        self._h, self._w = int(height), int(width)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        from .codecs import area_mean_resize, encode_png
+
+        refs = batch.column("media_ref").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        mt, wi, hi, out_png, digest, dec, err = [], [], [], [], [], [], []
+        for blob in blobs:
+            blob = blob or b""
+            kind = sniff_media_type(blob)
+            mt.append(kind)
+            fn = self._decode.get(kind)
+            if fn is None:
+                wi.append(0); hi.append(0); out_png.append(None)
+                digest.append(None); dec.append(False); err.append(None)
+                continue
+            try:
+                px = fn(blob)
+                h0, w0 = px.shape[0], px.shape[1]
+                small = area_mean_resize(px, self._h, self._w)
+                wi.append(w0); hi.append(h0)
+                out_png.append(encode_png(small))
+                digest.append(hashlib.sha256(small.tobytes()).hexdigest()[:16])
+                dec.append(True); err.append(None)
+            except Exception as e:  # noqa: BLE001 — absorb-to-error
+                wi.append(0); hi.append(0); out_png.append(None)
+                digest.append(None); dec.append(False)
+                err.append(f"{type(e).__name__}: {e}")
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "media_type": pa.array(mt, pa.string()),
+            "w_in": pa.array(wi, pa.int32()),
+            "h_in": pa.array(hi, pa.int32()),
+            "w_out": pa.array([self._w] * len(refs), pa.int32()),
+            "h_out": pa.array([self._h] * len(refs), pa.int32()),
+            "resized_png": pa.array(out_png, pa.binary()),
+            "pixel_digest": pa.array(digest, pa.string()),
+            "decoded": pa.array(dec, pa.bool_()),
+            "error": pa.array(err, pa.string()),
+        })
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: video blobs → one row per SAMPLED frame (brief:
+    the 'frame-sample' step).  Uncompressed 24-bit DIB AVI streams
+    decode for REAL (codecs.decode_avi_frames) and each sampled frame
+    emits its perceptual hash + timestamp; compressed video ('00dc' /
+    biCompression != 0 / mp4 / ogg) absorbs to ONE decoded=False row —
+    frame-accurate sampling of encoded video needs a codec this
+    container doesn't ship, so the stage surfaces that honestly instead
+    of faking pixels (the Ray-side plumbing — schema, batch sizing,
+    actor state, per-frame fan-out — is identical either way)."""
+
+    def __init__(self, stride: int = 5, max_frames: int = 16):
+        self._stride = max(1, int(stride))
+        self._max = max(1, int(max_frames))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .codecs import CodecError, decode_avi_frames
+
+        refs = batch.column("media_ref").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        rows = {"media_ref": [], "media_type": [], "frame_index": [],
+                "ts_s": [], "w": [], "h": [], "phash": [],
+                "decoded": [], "error": []}
+
+        def emit(ref, kind, fi, ts, w, h, ph, dec, err):
+            rows["media_ref"].append(ref)
+            rows["media_type"].append(kind)
+            rows["frame_index"].append(fi)
+            rows["ts_s"].append(ts)
+            rows["w"].append(w)
+            rows["h"].append(h)
+            rows["phash"].append(ph)
+            rows["decoded"].append(dec)
+            rows["error"].append(err)
+
+        for ref, blob in zip(refs, blobs):
+            blob = blob or b""
+            kind = sniff_media_type(blob)
+            if kind != "avi":
+                emit(ref, kind, -1, None, 0, 0, None, False,
+                     None if kind in ("mp4", "ogg", "avi")
+                     else "not a video container")
+                continue
+            try:
+                fps, _total, frames = decode_avi_frames(
+                    blob, stride=self._stride, max_frames=self._max)
+                if not frames:
+                    raise CodecError("no frames")
+                for fi, arr in frames:
+                    emit(ref, kind, fi, (fi / fps) if fps else None,
+                         arr.shape[1], arr.shape[0],
+                         f"{ahash64(arr):016x}", True, None)
+            except Exception as e:  # noqa: BLE001 — absorb-to-error
+                emit(ref, kind, -1, None, 0, 0, None, False,
+                     f"{type(e).__name__}: {e}")
+        return pa.table({
+            "media_ref": pa.array(rows["media_ref"], pa.string()),
+            "media_type": pa.array(rows["media_type"], pa.string()),
+            "frame_index": pa.array(rows["frame_index"], pa.int32()),
+            "ts_s": pa.array(rows["ts_s"], pa.float64()),
+            "w": pa.array(rows["w"], pa.int32()),
+            "h": pa.array(rows["h"], pa.int32()),
+            "phash": pa.array(rows["phash"], pa.string()),
+            "decoded": pa.array(rows["decoded"], pa.bool_()),
+            "error": pa.array(rows["error"], pa.string()),
         })

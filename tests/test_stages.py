@@ -507,3 +507,66 @@ def test_lance_dispatch_passes_path_and_columns(tmp_path, monkeypatch):
     out = interleaved.read_table(str(lance_dir), columns=["doc_id", "spans"])
     assert out is sentinel
     assert calls == [(str(lance_dir), ["doc_id", "spans"])]
+
+
+def test_avi_frame_roundtrip_and_resize_exact():
+    """decode_avi_frames recovers the EXACT planted RGB frames (bottom-up
+    padded BGR DIB layout), stride sampling picks the right indices, a
+    compressed ('00dc'/MJPG) stream raises CodecError; area_mean_resize
+    equals integer block means exactly and round-trips through
+    encode_png/decode_png."""
+    import numpy as np
+    import pytest
+
+    from pdf_parse_new_ray.fixtures.media_mixed import _make_avi_rgb
+    from pdf_parse_new_ray.stages.codecs import (CodecError, area_mean_resize,
+                                                 decode_avi_frames, decode_png,
+                                                 encode_png)
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (7, 10, 13, 3)).astype(np.uint8)  # odd w: row padding
+    blob = _make_avi_rgb(frames, fps=10)
+    fps, total, got = decode_avi_frames(blob, stride=3)
+    assert (fps, total) == (10.0, 7)
+    assert [i for i, _ in got] == [0, 3, 6]
+    for i, arr in got:
+        assert np.array_equal(arr, frames[i]), i
+    with pytest.raises(CodecError):
+        decode_avi_frames(_make_avi_rgb(frames, compressed=True))
+
+    img = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    small = area_mean_resize(img, 8, 12)
+    want = img.astype(np.int64).reshape(8, 4, 12, 4, 3).sum((1, 3)) // 16
+    assert np.array_equal(small, want.astype(np.uint8))
+    h, w, c, px = decode_png(encode_png(small))
+    assert (h, w, c) == (8, 12, 3) and np.array_equal(px, small)
+    gray = area_mean_resize(img[..., 0], 8, 12)
+    assert np.array_equal(
+        gray, (img[..., 0].astype(np.int64).reshape(8, 4, 12, 4).sum((1, 3)) // 16)
+        .astype(np.uint8))
+
+
+def test_video_frame_sample_and_resize_queries(ray_session):
+    """m_video_frame_sample: raw-DIB AVIs fan out to per-frame rows with
+    real per-frame hashes; MJPG/metadata-only AVIs and mp4 absorb to
+    decoded=False.  m_image_resize: every decodable image row carries a
+    digest + dims; undecodable rows absorb."""
+    import __ray_entry__ as entry
+
+    vf = entry._video_frame_sample("/root/testdata/sf0.001")
+    raw = vf[vf["decoded"]]
+    assert len(raw) > 0
+    assert (raw.groupby("media_ref")["frame_index"].count() > 1).any()
+    assert raw["phash"].str.len().eq(16).all()
+    assert (raw["frame_index"] % 3 == 0).all()   # stride honored
+    comp = vf[(vf["media_type"] == "avi") & (~vf["decoded"])]
+    assert len(comp) > 0                          # MJPG + metadata-only AVIs
+    assert (vf[vf["media_type"] == "mp4"]["decoded"] == False).all()  # noqa: E712
+
+    rz = entry._image_resize("/root/testdata/sf0.001")
+    ok = rz[rz["decoded"]]
+    assert len(ok) > 0
+    assert (ok["w_out"] == 16).all() and (ok["h_out"] == 16).all()
+    assert ok["pixel_digest"].str.len().eq(16).all()
+    assert set(ok["media_type"]) >= {"png", "jpeg", "gif"}
+    assert (~rz[rz["media_type"] == "junk"]["decoded"]).all()
