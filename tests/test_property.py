@@ -129,3 +129,41 @@ def test_winnowing_window_min_matches_naive(n, seed):
     want = np.array([hs[i:i + w].min() for i in range(n - w + 1)],
                     np.uint64)
     assert np.array_equal(got, want)
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 25), st.integers(0, 5)),
+                     max_size=250),
+       cap=st.integers(2, 7))
+@_settings
+def test_bucket_pairs_multi_equivalence(rows, cap):
+    """Property: the vectorized multi-bucket segment walk emits EXACTLY
+    the pair multiset of mapping the legacy per-bucket _bucket_pairs over
+    each distinct key, after the Max(capped) pair merge — across random
+    bucket shapes and a small forced cap so star fallbacks are common."""
+    from unittest import mock
+
+    import pyarrow as pa
+
+    from pdf_parse_new_ray.functions import dedup
+
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+        "bucket": pa.array([b for _, b in rows], pa.uint64()),
+    })
+
+    def merged(pairs_tbl):
+        out = {}
+        for a, b, c in zip(pairs_tbl.column("a").to_pylist(),
+                           pairs_tbl.column("b").to_pylist(),
+                           pairs_tbl.column("capped").to_pylist()):
+            out[(a, b)] = out.get((a, b), False) or c
+        return out
+
+    with mock.patch.object(dedup, "BUCKET_PAIR_CAP", cap):
+        multi = merged(dedup._bucket_pairs_multi(t))
+        legacy = {}
+        for bk in set(b for _, b in rows):
+            sub = t.filter(pa.compute.equal(t.column("bucket"), bk))
+            for k, v in merged(dedup._bucket_pairs(sub)).items():
+                legacy[k] = legacy.get(k, False) or v
+    assert multi == legacy
