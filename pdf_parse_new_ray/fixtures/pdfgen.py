@@ -2238,6 +2238,36 @@ def make_broken_kid_pdf() -> bytes:
     return b.build(root)
 
 
+def make_broken_kid_inherited_pdf() -> bytes:
+    """make_broken_kid_pdf variant where /Resources and /MediaBox live on
+    the ROOT Pages node only: the targeted getPage descent must apply
+    tree inheritance for pages 1 and 3 to extract at all (exercises
+    _page_dict_at's inherited-attribute accumulation against the live
+    reference)."""
+    b = PDFBuilder()
+    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                 b"/Encoding /WinAnsiEncoding >>")
+    c1 = b.add_stream(b"", b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (alpha page) Tj ET",
+                      "flate")
+    c3 = b.add_stream(b"", b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (gamma page) Tj ET",
+                      "flate")
+    n0 = len(b.objects)
+    interior = n0 + 3
+    root_pages = n0 + 4
+    missing = 90
+    p1 = b.add((f"<< /Type /Page /Parent {interior} 0 R "
+                f"/Contents {c1} 0 R >>").encode())
+    p3 = b.add((f"<< /Type /Page /Parent {root_pages} 0 R "
+                f"/Contents {c3} 0 R >>").encode())
+    b.add((f"<< /Type /Pages /Parent {root_pages} 0 R "
+           f"/Kids [{p1} 0 R {missing} 0 R] /Count 2 >>").encode())
+    b.add((f"<< /Type /Pages /Kids [{interior} 0 R {p3} 0 R] /Count 3 "
+           f"/MediaBox [0 0 612 792] /Resources << /Font "
+           f"<< /F1 {font} 0 R >> >> >>").encode())
+    root = b.add(f"<< /Type /Catalog /Pages {root_pages} 0 R >>".encode())
+    return b.build(root)
+
+
 INFO_TYPED_VARIANTS = {
     "trapped-custom": b"<< /Title (T) /Trapped /True /MyNum 7 /MyReal 2.5 "
                       b"/MyBool true /MyName /NmVal /MyStr (sv) >>",

@@ -123,6 +123,11 @@ def test_broken_interior_kid_keeps_declared_count():
     assert r["numpages"] == 3
     assert r["numrender"] == 3
     assert r["text"] == "\n\nalpha page\n\n\n\ngamma page"
+    # inherited-resources variant: the descent must accumulate /Resources
+    # and /MediaBox from the root Pages node (sweep broken-kid-inherited)
+    r = parse_pdf(pdfgen.make_broken_kid_inherited_pdf())
+    assert r["numpages"] == 3
+    assert r["text"] == "\n\nalpha page\n\n\n\ngamma page"
 
 
 def test_info_dict_type_gates():

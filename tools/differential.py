@@ -180,6 +180,8 @@ def build_cases(n_seeds: int) -> list[tuple[str, bytes]]:
         specials.append((f"infotyped-{variant}",
                          pdfgen.make_info_typed_pdf(variant)))
     specials.append(("broken-kid", pdfgen.make_broken_kid_pdf()))
+    specials.append(("broken-kid-inherited",
+                     pdfgen.make_broken_kid_inherited_pdf()))
     return cases + specials
 
 
