@@ -371,6 +371,10 @@ TRIANGLE_BROADCAST_NODES = 5_000_000
 # path — the same broadcast-vs-cogroup duality as functions/joins.py
 TRIANGLE_BROADCAST_EDGES = 20_000_000
 
+# per-worker-process cache of the broadcast (node, rank) arrays for the
+# task-mode orient map (resolved once per worker, not per batch)
+_TASK_RANK_CACHE: dict = {}
+
 
 def g_triangle_count(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     """Exact triangle count of the co-purchase graph (distinct part
@@ -441,17 +445,26 @@ def g_triangle_count(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
         .materialize()
     n_edges = edges.count()
 
+    # degree census: per-batch Arrow partials merged through ONE
+    # node-bucketed map_groups — the _vertex_census plan.  (A Ray-native
+    # groupby(node).aggregate(Sum) here measured 5.0 s of the 12 s wall
+    # at sf0.1: one accumulator per node, the per-key-aggregate
+    # anti-pattern the repo removed everywhere else.)
     def deg_partial(t: pa.Table) -> pa.Table:
         nodes = pa.concat_arrays([t["a"].combine_chunks(),
                                   t["b"].combine_chunks()])
         g = pa.table({"node": nodes}).group_by("node") \
             .aggregate([("node", "count")])
-        return rename_agg(g, {"node_count": "deg"}, ["node", "deg"])
+        g = rename_agg(g, {"node_count": "deg"}, ["node", "deg"])
+        return g.append_column("__vb", _bucket_of(g["node"], 64))
 
-    from ray.data.aggregate import Sum as _Sum
+    def deg_merge(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__vb"]).group_by("node").aggregate(
+            [("deg", "sum")])
+        return rename_agg(t, {"deg_sum": "deg"}, ["node", "deg"])
 
     deg_ds = edges.map_batches(deg_partial, batch_format="pyarrow") \
-        .groupby("node").aggregate(_Sum("deg", alias_name="deg")) \
+        .groupby("__vb").map_groups(deg_merge, batch_format="pyarrow") \
         .materialize()
     n_nodes = deg_ds.count()
 
@@ -467,30 +480,31 @@ def g_triangle_count(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
         rk = rank_key(deg["deg"].to_numpy()[o], nid)
         ref = ray.put((nid, rk))
 
-        class Orient:
-            def __init__(self, ref):
-                self.nid, self.rk = (ray.get(ref)
-                                     if isinstance(ref, ray.ObjectRef)
-                                     else ref)
+        # task-mode orient: a trivially vectorized map doesn't warrant an
+        # actor pool (spin-up + an 8-actor cap measured ~3.0 s of the 12 s
+        # wall); the broadcast (nid, rk) pair resolves once per worker
+        # process via the module cache — zero-copy plasma view per ray.get
+        def orient_bc(t: pa.Table) -> pa.Table:
+            ent = _TASK_RANK_CACHE.get(ref.hex())
+            if ent is None:
+                _TASK_RANK_CACHE.clear()
+                ent = _TASK_RANK_CACHE[ref.hex()] = ray.get(ref)
+            nid_w, rk_w = ent
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            ra = rk_w[np.searchsorted(nid_w, a)]
+            rb = rk_w[np.searchsorted(nid_w, b)]
+            src = np.where(ra < rb, a, b)
+            dst = np.where(ra < rb, b, a)
+            dstr = np.where(ra < rb, rb, ra)
+            out = pa.table({
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "dst_rank": pa.array(dstr, pa.int64())})
+            return out.append_column(
+                "__sb", _bucket_of(out["src"], n_buckets))
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                a = t.column("a").to_numpy(zero_copy_only=False)
-                b = t.column("b").to_numpy(zero_copy_only=False)
-                ra = self.rk[np.searchsorted(self.nid, a)]
-                rb = self.rk[np.searchsorted(self.nid, b)]
-                src = np.where(ra < rb, a, b)
-                dst = np.where(ra < rb, b, a)
-                dstr = np.where(ra < rb, rb, ra)
-                out = pa.table({
-                    "src": pa.array(src, pa.int64()),
-                    "dst": pa.array(dst, pa.int64()),
-                    "dst_rank": pa.array(dstr, pa.int64())})
-                return out.append_column(
-                    "__sb", _bucket_of(out["src"], n_buckets))
-
-        oriented = edges.map_batches(
-            Orient, fn_constructor_kwargs={"ref": ref},
-            batch_format="pyarrow", concurrency=(1, 8))
+        oriented = edges.map_batches(orient_bc, batch_format="pyarrow")
     else:
         # scale path: degree attaches by two cogroups (deg_a then deg_b);
         # the degree table never lands on the driver
