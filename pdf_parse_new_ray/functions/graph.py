@@ -87,6 +87,17 @@ def pagerank_edges(edges: rd.Dataset, damping: float = PAGERANK_DAMPING,
     uniformly, keeping total mass exactly 1 like the textbook
     formulation."""
     edges = edges.materialize()
+    # normalize the edge block count ONCE before the iteration loop: an
+    # upstream bucketed groupby leaves one tiny block per bucket (256),
+    # and every one of the n_iters passes then pays per-block task
+    # overhead plus a vertices x blocks partial pull — one coalesce
+    # amortizes over all iterations
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    if edges.num_blocks() > cpus * 4:
+        edges = edges.repartition(cpus * 2).materialize()
     vs = _vertex_census(edges).materialize()
     n = int(vs.count())
     if n == 0:
