@@ -710,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_pair_revenue": relational.q7_nation_pair_revenue,
         "q8_market_share": relational.q8_market_share,
         "q10_returned_revenue": relational.q10_returned_revenue,
+        "q12_ship_priority": relational.q12_ship_priority,
         "q14_promo_share": relational.q14_promo_share,
         "q15_top_supplier": relational.q15_top_supplier,
         "q17_small_qty_revenue": relational.q17_small_qty_revenue,
@@ -2274,6 +2275,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             ORDER BY r.sub DESC, c.c_custkey
             LIMIT {relational.Q10_TOP_K}
+        """,
+        "q12_ship_priority": f"""
+            WITH classed AS (
+                SELECT CASE
+                         WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              <= {relational.Q12_FAST_DAYS} THEN 'FAST'
+                         WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              <= {relational.Q12_MEDIUM_DAYS} THEN 'MEDIUM'
+                         ELSE 'SLOW' END AS delay_class,
+                       o.o_orderpriority AS prio
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_shipdate >= TIMESTAMP '{relational.Q12_YEAR}-01-01'
+                  AND l.l_shipdate <  TIMESTAMP '{relational.Q12_YEAR + 1}-01-01')
+            SELECT delay_class,
+                   CAST(SUM(CASE WHEN prio IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN prio IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM classed GROUP BY delay_class ORDER BY delay_class
         """,
         "q14_promo_share": f"""
             WITH rev AS (

@@ -3090,6 +3090,136 @@ def q14_promo_share(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_month").reset_index(drop=True)
 
 
+Q12_YEAR = 1996
+Q12_FAST_DAYS = 30           # delay <= 30 days  -> 'FAST'
+Q12_MEDIUM_DAYS = 90         # delay <= 90 days  -> 'MEDIUM', else 'SLOW'
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_ship_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 adapted to this schema (no l_shipmode / commit / receipt
+    dates): lines shipped in Q12_YEAR are classed by shipping DELAY
+    (l_shipdate - o_orderdate: FAST <= 30 d, MEDIUM <= 90 d, else SLOW —
+    the l_shipmode stand-in), counting high-priority (1-URGENT / 2-HIGH)
+    vs low-priority order lines per class.  Reference essence preserved:
+    lineitem x orders join + the CASE-sum pair + group on the line class
+    (ref lib has no relational ops; TPC-H spec Q12).
+
+    Ray plan: orders is size-gated.  Under BROADCAST_DIM_ROWS the per-order
+    attrs ship ONCE via ray.put as (orderkey array, packed int64) where
+    packed = orderdate_epoch_days * 2 + is_high — one probe per batch, each
+    batch collapses to <= 3 cells before any exchange, driver merges 3-row
+    partials (ZERO shuffles).  Over the gate the same packed attr rides ONE
+    orderkey-bucketed cogroup (attach_value post hook collapses each bucket
+    to <= 3 cells), so the exchange carries per-(orderkey, ship_day) partial
+    counts, never raw lines."""
+    import pyarrow.parquet as pq_
+
+    from .joins import attach_value, rename_agg
+
+    lo = pa.scalar(pd.Timestamp(f"{Q12_YEAR}-01-01"))
+    hi = pa.scalar(pd.Timestamp(f"{Q12_YEAR + 1}-01-01"))
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    ord_src = _rp(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                     "o_orderpriority"])
+
+    day_us = 86_400_000_000
+
+    def _packed_attrs(keys: pa.Array, odate: pa.Array,
+                      prio: pa.Array) -> tuple[pa.Array, pa.Array]:
+        days = pc.divide(pc.cast(odate, pa.int64()), pa.scalar(day_us))
+        is_high = pc.cast(pc.is_in(prio, value_set=pa.array(Q12_HIGH)),
+                          pa.int64())
+        packed = pc.add(pc.multiply(days, pa.scalar(2, pa.int64())), is_high)
+        return keys, packed
+
+    def _cells_from(ship_days: pa.Array, packed: pa.Array,
+                    weight: pa.Array | None = None) -> pa.Table:
+        odays = pc.divide(packed, pa.scalar(2, pa.int64()))
+        is_high = pc.bit_wise_and(packed, pa.scalar(1, pa.int64()))
+        delay = pc.subtract(ship_days, odays)
+        klass = pc.if_else(
+            pc.less_equal(delay, pa.scalar(Q12_FAST_DAYS, pa.int64())),
+            pa.scalar("FAST"),
+            pc.if_else(pc.less_equal(
+                delay, pa.scalar(Q12_MEDIUM_DAYS, pa.int64())),
+                pa.scalar("MEDIUM"), pa.scalar("SLOW")))
+        n = weight if weight is not None \
+            else pa.array(np.ones(len(ship_days), np.int64))
+        g = pa.table({"delay_class": klass, "is_high": is_high, "n": n}) \
+            .group_by(["delay_class", "is_high"]).aggregate([("n", "sum")])
+        return rename_agg(g, {"n_sum": "n"}, ["delay_class", "is_high", "n"])
+
+    if ord_src.count() <= BROADCAST_DIM_ROWS:
+        ot = pq_.read_table(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_orderdate",
+                                     "o_orderpriority"])
+        keys, packed = _packed_attrs(ot["o_orderkey"].combine_chunks(),
+                                     ot["o_orderdate"].combine_chunks(),
+                                     ot["o_orderpriority"].combine_chunks())
+        ref = ray.put((keys, packed))
+
+        class DelayPartial:
+            def __init__(self, ref):
+                self.keys, self.packed = (
+                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                                     pc.less(t["l_shipdate"], hi)))
+                pk = pc.take(self.packed, pc.index_in(
+                    t["l_orderkey"], value_set=self.keys))
+                sd = pc.divide(pc.cast(t["l_shipdate"], pa.int64()),
+                               pa.scalar(day_us))
+                return _cells_from(sd, pk)
+
+        cells = li.map_batches(
+            DelayPartial, fn_constructor_kwargs={"ref": ref},
+            batch_format="pyarrow", batch_size=65536,
+            concurrency=(1, 8)).to_pandas()
+    else:
+        def keyed_partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                                 pc.less(t["l_shipdate"], hi)))
+            g = pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "ship_day": pc.divide(pc.cast(t["l_shipdate"], pa.int64()),
+                                      pa.scalar(day_us))}) \
+                .group_by(["l_orderkey", "ship_day"]) \
+                .aggregate([([], "count_all")])
+            return rename_agg(g, {"count_all": "n"},
+                              ["l_orderkey", "ship_day", "n"])
+
+        attrs = ord_src.map_batches(
+            lambda t: pa.table(dict(zip(
+                ("doc_id", "value"),
+                _packed_attrs(t["o_orderkey"], t["o_orderdate"],
+                              t["o_orderpriority"])))),
+            batch_format="pyarrow")
+
+        def combine_cells(t: pa.Table) -> pa.Table:
+            return _cells_from(t["ship_day"], t["packed"], weight=t["n"])
+
+        cells = attach_value(
+            li.map_batches(keyed_partial, batch_format="pyarrow",
+                           batch_size=65536).materialize(),
+            attrs, "l_orderkey", "packed", pa.int64(),
+            [("l_orderkey", pa.int64()), ("ship_day", pa.int64()),
+             ("n", pa.int64())],
+            post=combine_cells).to_pandas()
+
+    agg = cells.groupby(["delay_class", "is_high"], as_index=False) \
+        .agg(n=("n", "sum"))
+    hi_c = agg[agg["is_high"] == 1].set_index("delay_class")["n"]
+    lo_c = agg[agg["is_high"] == 0].set_index("delay_class")["n"]
+    classes = sorted(set(agg["delay_class"]))
+    out = pd.DataFrame({
+        "delay_class": classes,
+        "high_line_count": [int(hi_c.get(c, 0)) for c in classes],
+        "low_line_count": [int(lo_c.get(c, 0)) for c in classes]})
+    return out.reset_index(drop=True)
+
+
 Q15_DATE_LO = "1996-01-01"
 Q15_DATE_HI = "1996-04-01"   # exclusive
 

@@ -1620,12 +1620,15 @@ def test_tpch_tail_cogroup_paths_match_broadcast(ray_session, monkeypatch):
     sf = "/root/testdata/sf0.001"
     base = {
         "q8": relational.q8_market_share(sf),
+        "q12": relational.q12_ship_priority(sf),
         "q14": relational.q14_promo_share(sf),
         "q17": relational.q17_small_qty_revenue(sf),
         "q19": relational.q19_disjunct_revenue(sf),
     }
     monkeypatch.setattr(relational, "BROADCAST_DIM_ROWS", 0)
     pd.testing.assert_frame_equal(base["q8"], relational.q8_market_share(sf))
+    pd.testing.assert_frame_equal(base["q12"],
+                                  relational.q12_ship_priority(sf))
     pd.testing.assert_frame_equal(base["q14"], relational.q14_promo_share(sf))
     pd.testing.assert_frame_equal(base["q17"],
                                   relational.q17_small_qty_revenue(sf))
