@@ -26,6 +26,37 @@ def rename_agg(t: pa.Table, mapping: dict[str, str],
     return t.select(order) if order else t
 
 
+_BCAST_CACHE: dict = {}
+
+
+def broadcast_map(ds: rd.Dataset, fn, ref, **mb_kwargs) -> rd.Dataset:
+    """Task-mode ``map_batches`` over a broadcast object: ``fn(batch,
+    state)`` where ``state = ray.get(ref)`` resolves ONCE per worker
+    process through a module cache (a local-object-store ``ray.get`` is a
+    zero-copy plasma view).  Replaces a ``(1, N)``-actor pool for trivially
+    vectorized per-batch probes — the pool's spin-up dominates bench-scale
+    wall time (g_triangle_count measured its 8-actor orient pool at ~3.0 s
+    of a 12 s run) and its cap starves wide hosts, while task mode rides
+    every core the scheduler owns with identical per-batch work."""
+    import ray
+
+    multi = isinstance(ref, (tuple, list))
+    key = "+".join(r.hex() if r is not None else "-" for r in ref) \
+        if multi else ref.hex()
+
+    def _apply(t: pa.Table) -> pa.Table:
+        state = _BCAST_CACHE.get(key)
+        if state is None:
+            _BCAST_CACHE.clear()  # one live broadcast per worker: bounded
+            state = _BCAST_CACHE[key] = (
+                tuple(ray.get(r) if r is not None else None for r in ref)
+                if multi else ray.get(ref))
+        return fn(t, state)
+
+    mb_kwargs.setdefault("batch_format", "pyarrow")
+    return ds.map_batches(_apply, **mb_kwargs)
+
+
 def _bucket_of(keys: pa.ChunkedArray, n_buckets: int) -> pa.Array:
     """Low-bits hash bucket for int64 keys (n_buckets is a power of two)."""
     import pyarrow.compute as pc

@@ -289,19 +289,17 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         lookup_ref = ray.put((ct.column("c_custkey").combine_chunks(),
                               ct.column("c_nationkey").cast(pa.int64()).combine_chunks()))
 
-        class NationCombine:
-            def __init__(self, ref):
-                self.keys, self.nations = (
-                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+        def nation_combine(t: pa.Table, state) -> pa.Table:
+            keys, nations = state
+            idx = pc.index_in(t["o_custkey"], value_set=keys)
+            nk = pc.take(nations, idx)
+            return combine_nation(pa.table({"c_nationkey": nk,
+                                            "rev": t["rev"]}))
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                idx = pc.index_in(t["o_custkey"], value_set=self.keys)
-                nk = pc.take(self.nations, idx)
-                return combine_nation(pa.table({"c_nationkey": nk, "rev": t["rev"]}))
+        from .joins import broadcast_map
 
-        part_nat = by_cust.map_batches(
-            NationCombine, fn_constructor_kwargs={"ref": lookup_ref},
-            batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+        part_nat = broadcast_map(by_cust, nation_combine,
+                                 lookup_ref).to_pandas()
     else:
         cust = cust_src.map_batches(
             lambda t: pa.table({"doc_id": t["c_custkey"],
@@ -486,22 +484,19 @@ def q_customer_nation_balance(sf_dir: str) -> pd.DataFrame:
     nref = ray.put((nt.column("n_nationkey").combine_chunks(),
                     nt.column("n_name").combine_chunks()))
 
-    class AttachNation:
-        def __init__(self, ref):
-            # broadcast Arrow key/name arrays; probe is vectorized
-            # index_in/take (a per-row dict .get loop was the round-2
-            # judge's perf finding here)
-            self.keys, self.names = (
-                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+    # broadcast Arrow key/name arrays; probe is vectorized index_in/take
+    # (a per-row dict .get loop was the round-2 judge's perf finding here)
+    def attach_nation(t: pa.Table, state) -> pa.Table:
+        keys, names = state
+        idx = pc.index_in(t["c_nationkey"], value_set=keys)
+        return pa.table({"n_name": pc.take(names, idx),
+                         "c_acctbal": t["c_acctbal"]})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t["c_nationkey"], value_set=self.keys)
-            return pa.table({"n_name": pc.take(self.names, idx),
-                             "c_acctbal": t["c_acctbal"]})
+    from .joins import broadcast_map
 
-    out = _rp(sf_dir, "customer", ["c_nationkey", "c_acctbal"]) \
-        .map_batches(AttachNation, fn_constructor_kwargs={"ref": nref},
-                     batch_format="pyarrow", concurrency=(1, 4)) \
+    out = broadcast_map(
+        _rp(sf_dir, "customer", ["c_nationkey", "c_acctbal"]),
+        attach_nation, nref) \
         .groupby("n_name").aggregate(
             Count(alias_name="n_customers"),
             Sum("c_acctbal", alias_name="total_balance"),
@@ -2203,39 +2198,35 @@ def q7_nation_pair_revenue(sf_dir: str) -> pd.DataFrame:
     lo = pa.scalar(pd.Timestamp(f"{Q7_YEARS[0]}-01-01"))
     hi = pa.scalar(pd.Timestamp(f"{Q7_YEARS[-1]}-12-31"))
 
-    class RevPartial:
-        def __init__(self, ref):
-            self.keys, self.nations = (
-                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+    def rev_partial(t: pa.Table, state) -> pa.Table:
+        keys, nations = state
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                       pc.less_equal(t["l_shipdate"], hi))
+        t = t.filter(keep)
+        # exact integer sub-cents (price_cents x discount_percent) so
+        # partial-sum order can never flip the rounded result — the
+        # same money convention as q_bloom_semi_join
+        cents = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            t["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        snk = pc.take(nations,
+                      pc.index_in(t["l_suppkey"], value_set=keys))
+        g = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "supp_nk": snk,
+            "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "rev": rev,
+        }).group_by(["l_orderkey", "supp_nk", "l_year"]) \
+          .aggregate([("rev", "sum")])
+        return rename_agg(g, {"rev_sum": "rev"},
+                          ["l_orderkey", "supp_nk", "l_year", "rev"])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keep = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
-                           pc.less_equal(t["l_shipdate"], hi))
-            t = t.filter(keep)
-            # exact integer sub-cents (price_cents x discount_percent) so
-            # partial-sum order can never flip the rounded result — the
-            # same money convention as q_bloom_semi_join
-            cents = pc.cast(pc.round(pc.multiply(
-                t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
-            disc = pc.cast(pc.round(pc.multiply(
-                t["l_discount"], pa.scalar(100.0))), pa.int64())
-            rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
-                                                 disc))
-            snk = pc.take(self.nations,
-                          pc.index_in(t["l_suppkey"], value_set=self.keys))
-            g = pa.table({
-                "l_orderkey": t["l_orderkey"],
-                "supp_nk": snk,
-                "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
-                "rev": rev,
-            }).group_by(["l_orderkey", "supp_nk", "l_year"]) \
-              .aggregate([("rev", "sum")])
-            return rename_agg(g, {"rev_sum": "rev"},
-                              ["l_orderkey", "supp_nk", "l_year", "rev"])
+    from .joins import broadcast_map
 
-    partials = li.map_batches(
-        RevPartial, fn_constructor_kwargs={"ref": sup_ref},
-        batch_format="pyarrow", batch_size=65536, concurrency=(1, 8))
+    partials = broadcast_map(li, rev_partial, sup_ref, batch_size=65536)
 
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
         lambda t: pa.table({"doc_id": t["o_orderkey"],
@@ -2268,22 +2259,15 @@ def q7_nation_pair_revenue(sf_dir: str) -> pd.DataFrame:
                               ct.column("c_nationkey").cast(pa.int64())
                                 .combine_chunks()))
 
-        class PairCombine:
-            def __init__(self, ref):
-                self.keys, self.nations = (
-                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+        def pair_combine(t: pa.Table, state) -> pa.Table:
+            keys, nations = state
+            cnk = pc.take(nations,
+                          pc.index_in(t["o_custkey"], value_set=keys))
+            return combine_pair(pa.table({
+                "supp_nk": t["supp_nk"], "cust_nk": cnk,
+                "l_year": t["l_year"], "rev": t["rev"]}))
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                cnk = pc.take(self.nations,
-                              pc.index_in(t["o_custkey"],
-                                          value_set=self.keys))
-                return combine_pair(pa.table({
-                    "supp_nk": t["supp_nk"], "cust_nk": cnk,
-                    "l_year": t["l_year"], "rev": t["rev"]}))
-
-        part = by_cust.map_batches(
-            PairCombine, fn_constructor_kwargs={"ref": lookup_ref},
-            batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+        part = broadcast_map(by_cust, pair_combine, lookup_ref).to_pandas()
     else:
         cust = cust_src.map_batches(
             lambda t: pa.table({"doc_id": t["c_custkey"],
@@ -2738,32 +2722,24 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
                "l_extendedprice", "l_discount"]
     li = _rp(sf_dir, "lineitem", li_cols)
 
-    class PromoSuppPartial:
-        def __init__(self, sup_ref, promo_ref):
-            self.skeys, self.snk = (
-                ray.get(sup_ref) if isinstance(sup_ref, ray.ObjectRef)
-                else sup_ref)
-            self.promo = (ray.get(promo_ref)
-                          if isinstance(promo_ref, ray.ObjectRef)
-                          else promo_ref)
+    from .joins import broadcast_map
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self.promo is not None:
-                t = t.filter(pc.is_in(t["l_partkey"], value_set=self.promo))
-            sub = _rev_subcents(t)
-            snk = pc.take(self.snk,
-                          pc.index_in(t["l_suppkey"], value_set=self.skeys))
-            g = pa.table({"l_orderkey": t["l_orderkey"], "supp_nk": snk,
-                          "sub": sub}) \
-                .group_by(["l_orderkey", "supp_nk"]) \
-                .aggregate([("sub", "sum")])
-            return rename_agg(g, {"sub_sum": "sub"},
-                              ["l_orderkey", "supp_nk", "sub"])
+    def promo_supp_partial(t: pa.Table, state) -> pa.Table:
+        (skeys, snk_arr), promo = state
+        if promo is not None:
+            t = t.filter(pc.is_in(t["l_partkey"], value_set=promo))
+        sub = _rev_subcents(t)
+        snk = pc.take(snk_arr,
+                      pc.index_in(t["l_suppkey"], value_set=skeys))
+        g = pa.table({"l_orderkey": t["l_orderkey"], "supp_nk": snk,
+                      "sub": sub}) \
+            .group_by(["l_orderkey", "supp_nk"]) \
+            .aggregate([("sub", "sum")])
+        return rename_agg(g, {"sub_sum": "sub"},
+                          ["l_orderkey", "supp_nk", "sub"])
 
-    partials = li.map_batches(
-        PromoSuppPartial,
-        fn_constructor_kwargs={"sup_ref": sup_ref, "promo_ref": promo_ref},
-        batch_format="pyarrow", batch_size=65536, concurrency=(1, 8))
+    partials = broadcast_map(li, promo_supp_partial,
+                             (sup_ref, promo_ref), batch_size=65536)
 
     if not part_small:
         # scale path: PROMO flag attached by ONE bucketed cogroup, then
@@ -2775,24 +2751,22 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
                                  pa.int64())}),
             batch_format="pyarrow")
 
-        class SuppPartialOnly(PromoSuppPartial):
-            def __call__(self, t: pa.Table) -> pa.Table:
-                sub = _rev_subcents(t)
-                snk = pc.take(self.snk, pc.index_in(
-                    t["l_suppkey"], value_set=self.skeys))
-                g = pa.table({"l_orderkey": t["l_orderkey"],
-                              "l_partkey": t["l_partkey"],
-                              "supp_nk": snk, "sub": sub}) \
-                    .group_by(["l_orderkey", "l_partkey", "supp_nk"]) \
-                    .aggregate([("sub", "sum")])
-                return rename_agg(g, {"sub_sum": "sub"},
-                                  ["l_orderkey", "l_partkey", "supp_nk",
-                                   "sub"])
+        def supp_partial_only(t: pa.Table, state) -> pa.Table:
+            skeys, snk_arr = state
+            sub = _rev_subcents(t)
+            snk = pc.take(snk_arr, pc.index_in(
+                t["l_suppkey"], value_set=skeys))
+            g = pa.table({"l_orderkey": t["l_orderkey"],
+                          "l_partkey": t["l_partkey"],
+                          "supp_nk": snk, "sub": sub}) \
+                .group_by(["l_orderkey", "l_partkey", "supp_nk"]) \
+                .aggregate([("sub", "sum")])
+            return rename_agg(g, {"sub_sum": "sub"},
+                              ["l_orderkey", "l_partkey", "supp_nk",
+                               "sub"])
 
-        keyed = li.map_batches(
-            SuppPartialOnly,
-            fn_constructor_kwargs={"sup_ref": sup_ref, "promo_ref": None},
-            batch_format="pyarrow", batch_size=65536, concurrency=(1, 8))
+        keyed = broadcast_map(li, supp_partial_only, sup_ref,
+                              batch_size=65536)
 
         def keep_promo(t: pa.Table) -> pa.Table:
             t = t.filter(pc.equal(t["is_promo"], pa.scalar(1, pa.int64())))
@@ -2861,21 +2835,16 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
                               ct.column("c_nationkey").cast(pa.int64())
                                 .combine_chunks()))
 
-        class YearCombine:
-            def __init__(self, ref):
-                self.keys, self.nk = (
-                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+        def year_combine(t: pa.Table, state) -> pa.Table:
+            keys, nk = state
+            cnk = pc.take(nk, pc.index_in(
+                t["o_custkey"], value_set=keys))
+            return combine_year(pa.table({
+                "o_year": t["o_year"], "supp_nk": t["supp_nk"],
+                "c_nationkey": cnk, "sub": t["sub"]}))
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                cnk = pc.take(self.nk, pc.index_in(
-                    t["o_custkey"], value_set=self.keys))
-                return combine_year(pa.table({
-                    "o_year": t["o_year"], "supp_nk": t["supp_nk"],
-                    "c_nationkey": cnk, "sub": t["sub"]}))
-
-        part_year = by_cust.map_batches(
-            YearCombine, fn_constructor_kwargs={"ref": lookup_ref},
-            batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+        part_year = broadcast_map(by_cust, year_combine,
+                                  lookup_ref).to_pandas()
     else:
         cust = cust_src.map_batches(
             lambda t: pa.table({"doc_id": t["c_custkey"],
@@ -3018,28 +2987,24 @@ def q14_promo_share(sf_dir: str) -> pd.DataFrame:
                        pc.cast(pc.equal(pt["p_type"], "PROMO"), pa.int64())
                          .combine_chunks()))
 
-        class PromoPartial:
-            def __init__(self, ref):
-                self.keys, self.flag = (
-                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+        def promo_partial(t: pa.Table, state) -> pa.Table:
+            keys, flag = state
+            t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                                 pc.less(t["l_shipdate"], hi)))
+            promo = pc.take(flag, pc.index_in(
+                t["l_partkey"], value_set=keys))
+            g = pa.table({
+                "l_month": pc.cast(pc.month(t["l_shipdate"]), pa.int64()),
+                "is_promo": promo, "sub": _rev_subcents(t)}) \
+                .group_by(["l_month", "is_promo"]) \
+                .aggregate([("sub", "sum")])
+            return rename_agg(g, {"sub_sum": "sub"},
+                              ["l_month", "is_promo", "sub"])
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
-                                     pc.less(t["l_shipdate"], hi)))
-                promo = pc.take(self.flag, pc.index_in(
-                    t["l_partkey"], value_set=self.keys))
-                g = pa.table({
-                    "l_month": pc.cast(pc.month(t["l_shipdate"]), pa.int64()),
-                    "is_promo": promo, "sub": _rev_subcents(t)}) \
-                    .group_by(["l_month", "is_promo"]) \
-                    .aggregate([("sub", "sum")])
-                return rename_agg(g, {"sub_sum": "sub"},
-                                  ["l_month", "is_promo", "sub"])
+        from .joins import broadcast_map
 
-        cells = li.map_batches(
-            PromoPartial, fn_constructor_kwargs={"ref": ref},
-            batch_format="pyarrow", batch_size=65536,
-            concurrency=(1, 8)).to_pandas()
+        cells = broadcast_map(li, promo_partial, ref,
+                              batch_size=65536).to_pandas()
     else:
         def keyed_partial(t: pa.Table) -> pa.Table:
             t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
@@ -3159,24 +3124,20 @@ def q12_ship_priority(sf_dir: str) -> pd.DataFrame:
                                      ot["o_orderpriority"].combine_chunks())
         ref = ray.put((keys, packed))
 
-        class DelayPartial:
-            def __init__(self, ref):
-                self.keys, self.packed = (
-                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+        def delay_partial(t: pa.Table, state) -> pa.Table:
+            keys, packed = state
+            t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                                 pc.less(t["l_shipdate"], hi)))
+            pk = pc.take(packed, pc.index_in(
+                t["l_orderkey"], value_set=keys))
+            sd = pc.divide(pc.cast(t["l_shipdate"], pa.int64()),
+                           pa.scalar(day_us))
+            return _cells_from(sd, pk)
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
-                                     pc.less(t["l_shipdate"], hi)))
-                pk = pc.take(self.packed, pc.index_in(
-                    t["l_orderkey"], value_set=self.keys))
-                sd = pc.divide(pc.cast(t["l_shipdate"], pa.int64()),
-                               pa.scalar(day_us))
-                return _cells_from(sd, pk)
+        from .joins import broadcast_map
 
-        cells = li.map_batches(
-            DelayPartial, fn_constructor_kwargs={"ref": ref},
-            batch_format="pyarrow", batch_size=65536,
-            concurrency=(1, 8)).to_pandas()
+        cells = broadcast_map(li, delay_partial, ref,
+                              batch_size=65536).to_pandas()
     else:
         def keyed_partial(t: pa.Table) -> pa.Table:
             t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
@@ -3304,20 +3265,15 @@ def q17_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
             .column("p_partkey").combine_chunks()
         bref = ray.put(brand_keys)
 
-        class QtyPartial:
-            def __init__(self, ref):
-                self.keys = (ray.get(ref)
-                             if isinstance(ref, ray.ObjectRef) else ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                t = t.filter(pc.is_in(t["l_partkey"], value_set=self.keys))
-                g = pa.table({
-                    "l_partkey": t["l_partkey"],
-                    "qty": pc.cast(t["l_quantity"], pa.int64())}) \
-                    .group_by("l_partkey") \
-                    .aggregate([("qty", "sum"), ("qty", "count")])
-                return rename_agg(g, {"qty_sum": "qsum", "qty_count": "cnt"},
-                                  ["l_partkey", "qsum", "cnt"])
+        def qty_partial(t: pa.Table, keys) -> pa.Table:
+            t = t.filter(pc.is_in(t["l_partkey"], value_set=keys))
+            g = pa.table({
+                "l_partkey": t["l_partkey"],
+                "qty": pc.cast(t["l_quantity"], pa.int64())}) \
+                .group_by("l_partkey") \
+                .aggregate([("qty", "sum"), ("qty", "count")])
+            return rename_agg(g, {"qty_sum": "qsum", "qty_count": "cnt"},
+                              ["l_partkey", "qsum", "cnt"])
 
         def add_bk(t: pa.Table) -> pa.Table:
             return t.append_column("__bk", _bucket_of(t["l_partkey"], 256))
@@ -3328,9 +3284,9 @@ def q17_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
             return rename_agg(f, {"qsum_sum": "qsum", "cnt_sum": "cnt"},
                               ["l_partkey", "qsum", "cnt"])
 
-        stats = li.map_batches(
-            QtyPartial, fn_constructor_kwargs={"ref": bref},
-            batch_format="pyarrow", batch_size=65536, concurrency=(1, 8)) \
+        from .joins import broadcast_map
+
+        stats = broadcast_map(li, qty_partial, bref, batch_size=65536) \
             .map_batches(add_bk, batch_format="pyarrow") \
             .groupby("__bk").map_groups(bucket_final,
                                         batch_format="pyarrow") \
@@ -3340,31 +3296,25 @@ def q17_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
         scnt = pa.array([r["cnt"] for r in stats], pa.int64())
         sref = ray.put((skeys, sqsum, scnt))
 
-        class SmallQtySum:
-            def __init__(self, ref):
-                self.keys, self.qsum, self.cnt = (
-                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+        def small_qty_sum(t: pa.Table, state) -> pa.Table:
+            keys, qsum, cnt = state
+            idx = pc.index_in(t["l_partkey"], value_set=keys)
+            hit = pc.is_valid(idx)
+            t = t.filter(hit)
+            idx = idx.filter(hit)
+            qty = pc.cast(t["l_quantity"], pa.int64())
+            lhs = pc.multiply(pc.multiply(qty, pa.scalar(5, pa.int64())),
+                              pc.take(cnt, idx))
+            keep = pc.less(lhs, pc.take(qsum, idx))
+            t = t.filter(keep)
+            cents = pc.cast(pc.round(pc.multiply(
+                t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+            s = pc.sum(cents)
+            return pa.table({"cents": pa.array(
+                [int(s.as_py() or 0)], pa.int64())})
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                idx = pc.index_in(t["l_partkey"], value_set=self.keys)
-                hit = pc.is_valid(idx)
-                t = t.filter(hit)
-                idx = idx.filter(hit)
-                qty = pc.cast(t["l_quantity"], pa.int64())
-                lhs = pc.multiply(pc.multiply(qty, pa.scalar(5, pa.int64())),
-                                  pc.take(self.cnt, idx))
-                keep = pc.less(lhs, pc.take(self.qsum, idx))
-                t = t.filter(keep)
-                cents = pc.cast(pc.round(pc.multiply(
-                    t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
-                s = pc.sum(cents)
-                return pa.table({"cents": pa.array(
-                    [int(s.as_py() or 0)], pa.int64())})
-
-        total = li.map_batches(
-            SmallQtySum, fn_constructor_kwargs={"ref": sref},
-            batch_format="pyarrow", batch_size=65536,
-            concurrency=(1, 8)).sum("cents")
+        total = broadcast_map(li, small_qty_sum, sref,
+                              batch_size=65536).sum("cents")
     else:
         # scale path: brand flag + per-part stats both attach by bucketed
         # cogroups; encode (qsum, cnt) -> qsum*2^32 + cnt
@@ -3491,30 +3441,26 @@ def q19_disjunct_revenue(sf_dir: str) -> pd.DataFrame:
         ref = ray.put((pt.column("p_partkey").combine_chunks(),
                        pt.column("enc").combine_chunks()))
 
-        class DisjunctSum:
-            def __init__(self, ref):
-                self.keys, self.enc = (
-                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+        def disjunct_sum(t: pa.Table, state) -> pa.Table:
+            keys, enc_arr = state
+            idx = pc.index_in(t["l_partkey"], value_set=keys)
+            hit = pc.is_valid(idx)
+            t = t.filter(hit)
+            enc = pc.take(enc_arr, idx.filter(hit))
+            qlo = pc.divide(enc, pa.scalar(64, pa.int64()))
+            qhi = pc.subtract(enc, pc.multiply(
+                qlo, pa.scalar(64, pa.int64())))
+            qty = pc.cast(t["l_quantity"], pa.int64())
+            keep = pc.and_(pc.greater_equal(qty, qlo),
+                           pc.less_equal(qty, qhi))
+            s = pc.sum(_rev_subcents(t.filter(keep)))
+            return pa.table({"sub": pa.array([int(s.as_py() or 0)],
+                                             pa.int64())})
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                idx = pc.index_in(t["l_partkey"], value_set=self.keys)
-                hit = pc.is_valid(idx)
-                t = t.filter(hit)
-                enc = pc.take(self.enc, idx.filter(hit))
-                qlo = pc.divide(enc, pa.scalar(64, pa.int64()))
-                qhi = pc.subtract(enc, pc.multiply(
-                    qlo, pa.scalar(64, pa.int64())))
-                qty = pc.cast(t["l_quantity"], pa.int64())
-                keep = pc.and_(pc.greater_equal(qty, qlo),
-                               pc.less_equal(qty, qhi))
-                s = pc.sum(_rev_subcents(t.filter(keep)))
-                return pa.table({"sub": pa.array([int(s.as_py() or 0)],
-                                                 pa.int64())})
+        from .joins import broadcast_map
 
-        total = li.map_batches(
-            DisjunctSum, fn_constructor_kwargs={"ref": ref},
-            batch_format="pyarrow", batch_size=65536,
-            concurrency=(1, 8)).sum("sub")
+        total = broadcast_map(li, disjunct_sum, ref,
+                              batch_size=65536).sum("sub")
     else:
         ranges = part_src.map_batches(
             lambda t: (lambda r: pa.table({"doc_id": r["p_partkey"],
@@ -4417,28 +4363,24 @@ def q2_min_cost_supplier(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
         eu_keys = st.column("s_suppkey").combine_chunks()
     bref = ray.put((cand_keys, eu_keys))
 
-    class PairMin:
-        def __init__(self, ref):
-            self.cand, self.eu = (ray.get(ref)
-                                  if isinstance(ref, ray.ObjectRef) else ref)
+    def pair_min(t: pa.Table, state) -> pa.Table:
+        cand, eu = state
+        if cand is not None:
+            t = t.filter(pc.is_in(t["l_partkey"], value_set=cand))
+        if eu is not None:
+            t = t.filter(pc.is_in(t["l_suppkey"], value_set=eu))
+        cents = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        g = pa.table({"l_partkey": t["l_partkey"],
+                      "l_suppkey": t["l_suppkey"], "cents": cents}) \
+            .group_by(["l_partkey", "l_suppkey"]) \
+            .aggregate([("cents", "min")])
+        return rename_agg(g, {"cents_min": "cents"},
+                          ["l_partkey", "l_suppkey", "cents"])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self.cand is not None:
-                t = t.filter(pc.is_in(t["l_partkey"], value_set=self.cand))
-            if self.eu is not None:
-                t = t.filter(pc.is_in(t["l_suppkey"], value_set=self.eu))
-            cents = pc.cast(pc.round(pc.multiply(
-                t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
-            g = pa.table({"l_partkey": t["l_partkey"],
-                          "l_suppkey": t["l_suppkey"], "cents": cents}) \
-                .group_by(["l_partkey", "l_suppkey"]) \
-                .aggregate([("cents", "min")])
-            return rename_agg(g, {"cents_min": "cents"},
-                              ["l_partkey", "l_suppkey", "cents"])
+    from .joins import broadcast_map
 
-    pairs = li.map_batches(PairMin, fn_constructor_kwargs={"ref": bref},
-                           batch_format="pyarrow", batch_size=65536,
-                           concurrency=(1, 8))
+    pairs = broadcast_map(li, pair_min, bref, batch_size=65536)
     pair_cols = [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
                  ("cents", pa.int64())]
     if not part_small:
@@ -4565,32 +4507,27 @@ def q9_product_type_profit(sf_dir: str) -> pd.DataFrame:
         snk = pc.cast(st["s_nationkey"], pa.int64()).combine_chunks()
         bref = ray.put((pkeys, rc, skeys, snk))
 
-        class Q9Partial:
-            def __init__(self, ref):
-                self.pk, self.rc, self.sk, self.nk = (
-                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+        def q9_partial(t: pa.Table, state) -> pa.Table:
+            pk, rc_arr, sk, nk_arr = state
+            idx = pc.index_in(t["l_partkey"], value_set=pk)
+            hit = pc.is_valid(idx)
+            t = t.filter(hit)
+            rc = pc.take(rc_arr, idx.filter(hit))
+            cost = pc.multiply(pc.multiply(
+                pc.cast(t["l_quantity"], pa.int64()), rc),
+                pa.scalar(100, pa.int64()))
+            amt = pc.subtract(_rev_subcents(t), cost)
+            nk = pc.take(nk_arr, pc.index_in(t["l_suppkey"],
+                                             value_set=sk))
+            yr = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
+            g = pa.table({"nk": nk, "ship_year": yr, "amt": amt}) \
+                .group_by(["nk", "ship_year"]).aggregate([("amt", "sum")])
+            return rename_agg(g, {"amt_sum": "amt"},
+                              ["nk", "ship_year", "amt"])
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                idx = pc.index_in(t["l_partkey"], value_set=self.pk)
-                hit = pc.is_valid(idx)
-                t = t.filter(hit)
-                rc = pc.take(self.rc, idx.filter(hit))
-                cost = pc.multiply(pc.multiply(
-                    pc.cast(t["l_quantity"], pa.int64()), rc),
-                    pa.scalar(100, pa.int64()))
-                amt = pc.subtract(_rev_subcents(t), cost)
-                nk = pc.take(self.nk, pc.index_in(t["l_suppkey"],
-                                                  value_set=self.sk))
-                yr = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
-                g = pa.table({"nk": nk, "ship_year": yr, "amt": amt}) \
-                    .group_by(["nk", "ship_year"]).aggregate([("amt", "sum")])
-                return rename_agg(g, {"amt_sum": "amt"},
-                                  ["nk", "ship_year", "amt"])
+        from .joins import broadcast_map
 
-        partials = li.map_batches(Q9Partial,
-                                  fn_constructor_kwargs={"ref": bref},
-                                  batch_format="pyarrow", batch_size=65536,
-                                  concurrency=(1, 8))
+        partials = broadcast_map(li, q9_partial, bref, batch_size=65536)
     else:
         # scale path: two cogroup attaches, each post-hook re-partials so
         # only slim aggregate rows ride every exchange
@@ -4699,22 +4636,17 @@ def q11_important_parts(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
         keys = st.column("s_suppkey").combine_chunks()
         bref = ray.put(keys)
 
-        class ValPartial:
-            def __init__(self, ref):
-                self.keys = (ray.get(ref)
-                             if isinstance(ref, ray.ObjectRef) else ref)
+        def val_partial(t: pa.Table, keys) -> pa.Table:
+            t = t.filter(pc.is_in(t["l_suppkey"], value_set=keys))
+            g = pa.table({"l_partkey": t["l_partkey"],
+                          "sub": _rev_subcents(t)}) \
+                .group_by("l_partkey").aggregate([("sub", "sum")])
+            return rename_agg(g, {"sub_sum": "sub"},
+                              ["l_partkey", "sub"])
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                t = t.filter(pc.is_in(t["l_suppkey"], value_set=self.keys))
-                g = pa.table({"l_partkey": t["l_partkey"],
-                              "sub": _rev_subcents(t)}) \
-                    .group_by("l_partkey").aggregate([("sub", "sum")])
-                return rename_agg(g, {"sub_sum": "sub"},
-                                  ["l_partkey", "sub"])
+        from .joins import broadcast_map
 
-        rows = li.map_batches(ValPartial, fn_constructor_kwargs={"ref": bref},
-                              batch_format="pyarrow", batch_size=65536,
-                              concurrency=(1, 8))
+        rows = broadcast_map(li, val_partial, bref, batch_size=65536)
     else:
         def pair_partial(t: pa.Table) -> pa.Table:
             g = pa.table({"l_partkey": t["l_partkey"],
@@ -4840,30 +4772,26 @@ def q16_supplier_cnt(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
             .column("s_suppkey").combine_chunks()
     bref = ray.put((enc_keys, enc_vals, excl))
 
-    class PairEnc:
-        def __init__(self, ref):
-            self.ek, self.ev, self.excl = (
-                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+    def pair_enc(t: pa.Table, state) -> pa.Table:
+        ek, ev, excl_keys = state
+        g = t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        if excl_keys is not None:
+            g = g.filter(pc.invert(pc.coalesce(
+                pc.is_in(g["l_suppkey"], value_set=excl_keys),
+                pa.scalar(False))))
+        if ek is not None:
+            idx = pc.index_in(g["l_partkey"], value_set=ek)
+            hit = pc.is_valid(idx)
+            g = g.filter(hit)
+            enc = pc.take(ev, idx.filter(hit))
+            g = pa.table({"enc": enc, "l_suppkey": g["l_suppkey"]}) \
+                .group_by(["enc", "l_suppkey"]).aggregate([])
+            return g.select(["enc", "l_suppkey"])
+        return g.select(["l_partkey", "l_suppkey"])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            g = t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
-            if self.excl is not None:
-                g = g.filter(pc.invert(pc.coalesce(
-                    pc.is_in(g["l_suppkey"], value_set=self.excl),
-                    pa.scalar(False))))
-            if self.ek is not None:
-                idx = pc.index_in(g["l_partkey"], value_set=self.ek)
-                hit = pc.is_valid(idx)
-                g = g.filter(hit)
-                enc = pc.take(self.ev, idx.filter(hit))
-                g = pa.table({"enc": enc, "l_suppkey": g["l_suppkey"]}) \
-                    .group_by(["enc", "l_suppkey"]).aggregate([])
-                return g.select(["enc", "l_suppkey"])
-            return g.select(["l_partkey", "l_suppkey"])
+    from .joins import broadcast_map
 
-    pairs = li.map_batches(PairEnc, fn_constructor_kwargs={"ref": bref},
-                           batch_format="pyarrow", batch_size=65536,
-                           concurrency=(1, 8))
+    pairs = broadcast_map(li, pair_enc, bref, batch_size=65536)
     if not part_small:
         enc_ds = part_src.map_batches(_q16_encode, batch_format="pyarrow")
 
@@ -4966,25 +4894,20 @@ def q20_dominant_suppliers(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
             .column("p_partkey").combine_chunks()
     bref = ray.put(cand)
 
-    class QtyPairs:
-        def __init__(self, ref):
-            self.cand = (ray.get(ref)
-                         if isinstance(ref, ray.ObjectRef) else ref)
+    def qty_pairs(t: pa.Table, cand_keys) -> pa.Table:
+        if cand_keys is not None:
+            t = t.filter(pc.is_in(t["l_partkey"], value_set=cand_keys))
+        g = pa.table({"l_partkey": t["l_partkey"],
+                      "l_suppkey": t["l_suppkey"],
+                      "q": pc.cast(t["l_quantity"], pa.int64())}) \
+            .group_by(["l_partkey", "l_suppkey"]) \
+            .aggregate([("q", "sum")])
+        return rename_agg(g, {"q_sum": "q"},
+                          ["l_partkey", "l_suppkey", "q"])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self.cand is not None:
-                t = t.filter(pc.is_in(t["l_partkey"], value_set=self.cand))
-            g = pa.table({"l_partkey": t["l_partkey"],
-                          "l_suppkey": t["l_suppkey"],
-                          "q": pc.cast(t["l_quantity"], pa.int64())}) \
-                .group_by(["l_partkey", "l_suppkey"]) \
-                .aggregate([("q", "sum")])
-            return rename_agg(g, {"q_sum": "q"},
-                              ["l_partkey", "l_suppkey", "q"])
+    from .joins import broadcast_map
 
-    pairs = li.map_batches(QtyPairs, fn_constructor_kwargs={"ref": bref},
-                           batch_format="pyarrow", batch_size=65536,
-                           concurrency=(1, 8))
+    pairs = broadcast_map(li, qty_pairs, bref, batch_size=65536)
     if not part_small:
         def cand_flags(t: pa.Table) -> pa.Table:
             f = t.filter(pc.equal(t["p_type"], Q20_TYPE))
