@@ -524,8 +524,10 @@ class SimHasher:
 
 
 def d_simhash(sf_dir: str) -> pd.DataFrame:
-    out = _docs(sf_dir).map_batches(SimHasher, batch_format="pyarrow",
-                                    concurrency=(1, 4)).to_pandas()
+    from .text import _warm
+
+    out = _docs(sf_dir).map_batches(_warm(SimHasher),
+                                    batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1490,18 +1492,14 @@ def x_neardup_keep_best(sf_dir: str, threshold: float = 0.5,
     cmap_cl = pa.array(clus["cluster"].to_numpy(), pa.int64())
     ref = ray.put((cmap_ids, cmap_cl))
 
-    class AssignCluster:
-        def __init__(self, ref):
-            self.ids, self.cl = (ray.get(ref)
-                                 if isinstance(ref, ray.ObjectRef) else ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t["doc_id"], value_set=self.ids)
-            cl = pc.if_else(pc.is_valid(idx),
-                            pc.take(self.cl, idx), t["doc_id"])
-            out = pa.table({"doc_id": t["doc_id"], "cluster": cl,
-                            "n_chars": t["n_chars"], "lang": t["lang"]})
-            return out.append_column("__bk", _bucket_of(cl, n_buckets))
+    def assign_cluster(t: pa.Table, state) -> pa.Table:
+        ids, cl_arr = state
+        idx = pc.index_in(t["doc_id"], value_set=ids)
+        cl = pc.if_else(pc.is_valid(idx),
+                        pc.take(cl_arr, idx), t["doc_id"])
+        out = pa.table({"doc_id": t["doc_id"], "cluster": cl,
+                        "n_chars": t["n_chars"], "lang": t["lang"]})
+        return out.append_column("__bk", _bucket_of(cl, n_buckets))
 
     def survivors(g: pa.Table) -> pa.Table:
         order = pc.sort_indices(g, sort_keys=[
@@ -1513,10 +1511,12 @@ def x_neardup_keep_best(sf_dir: str, threshold: float = 0.5,
         return rename_agg(out, {"lang_first": "lang",
                                 "lang_first_count": "n"}, ["lang", "n"])
 
-    out = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                          columns=["doc_id", "n_chars", "lang"]) \
-        .map_batches(AssignCluster, fn_constructor_kwargs={"ref": ref},
-                     batch_format="pyarrow", concurrency=(1, 8)) \
+    from .joins import broadcast_map
+
+    out = broadcast_map(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars", "lang"]),
+        assign_cluster, ref) \
         .groupby("__bk").map_groups(
             lambda g: survivors(g.drop_columns(["__bk"])),
             batch_format="pyarrow").to_pandas()
