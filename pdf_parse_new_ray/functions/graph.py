@@ -64,9 +64,39 @@ def _vertex_census(edges: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
         .groupby("__vb").map_groups(deg_merge, batch_format="pyarrow")
 
 
+# below this many vertices the per-shard incoming-mass partial is a DENSE
+# float64 vector (8 B x n <= 8 MB) cheap enough to return from plain Ray
+# tasks, so the whole iteration loop runs as bulk-synchronous raw tasks
+# over pre-indexed edge shards — the brief's "raw tasks only where the
+# Dataset API can't express the semantics" case: a 10-step iterative
+# refinement pays ~0.3-0.4 s of Ray Data operator launch + driver pandas
+# merge PER ITERATION (measured 4.5 s of g_pagerank_copurchase's 5 s at
+# sf0.1), while a pre-indexed task round is ~30 ms.
+PAGERANK_TASK_VERTICES = 1_000_000
+
+
+@ray.remote
+def _pr_prep_shard(block: pa.Table, nodes: np.ndarray):
+    """Edge block -> (src_idx, dst_idx) int32 index arrays into the sorted
+    vertex census (computed ONCE; iterations then skip the searchsorted)."""
+    src = block.column("src").to_numpy(zero_copy_only=False)
+    dst = block.column("dst").to_numpy(zero_copy_only=False)
+    return (np.searchsorted(nodes, src).astype(np.int32),
+            np.searchsorted(nodes, dst).astype(np.int32))
+
+
+@ray.remote
+def _pr_shard_contrib(shard, share: np.ndarray, n: int) -> np.ndarray:
+    """One BSP round on one shard: dense incoming-mass partial via a
+    single C-loop bincount (deterministic sequential summation)."""
+    src_idx, dst_idx = shard
+    return np.bincount(dst_idx, weights=share[src_idx], minlength=n)
+
+
 def pagerank_edges(edges: rd.Dataset, damping: float = PAGERANK_DAMPING,
                    n_iters: int = PAGERANK_ITERS, top_k: int | None = None,
-                   force_cogroup: bool = False) -> pd.DataFrame:
+                   force_cogroup: bool = False,
+                   force_ray_data: bool = False) -> pd.DataFrame:
     """PageRank over a directed edge Dataset with int64 columns
     (src, dst) — duplicate edges count as parallel edges.  Returns
     (node, rank) sorted by node, rank mass summing to 1 over all nodes
@@ -110,6 +140,36 @@ def pagerank_edges(edges: rd.Dataset, damping: float = PAGERANK_DAMPING,
     nodes = deg["node"].to_numpy().astype(np.int64)[order]
     out_deg = deg["deg"].to_numpy().astype(np.float64)[order]
     rank = np.full(n, 1.0 / n)
+
+    if not force_ray_data and n <= PAGERANK_TASK_VERTICES:
+        # raw-task BSP path: shards prepared once (plasma-resident index
+        # arrays), then n_iters rounds of one tiny task per shard; the
+        # driver folds <= blocks dense partials per round in waves of 8
+        # so peak transfer is bounded at 8 x 8n bytes.
+        blocks = edges.get_internal_block_refs()
+        nodes_ref = ray.put(nodes)
+        shards = [_pr_prep_shard.remote(b, nodes_ref) for b in blocks]
+        for _ in range(n_iters):
+            share = np.divide(rank, out_deg, out=np.zeros_like(rank),
+                              where=out_deg > 0)
+            share_ref = ray.put(share)
+            futs = [_pr_shard_contrib.remote(s, share_ref, n)
+                    for s in shards]
+            incoming = np.zeros(n, np.float64)
+            while futs:
+                done, futs = ray.wait(futs,
+                                      num_returns=min(8, len(futs)))
+                for v in ray.get(done):
+                    incoming += v
+            dangling = float(rank[out_deg == 0].sum())
+            rank = ((1.0 - damping) / n
+                    + damping * (incoming + dangling / n))
+        out = pd.DataFrame({"node": nodes, "rank": rank})
+        if top_k is not None:
+            out = out.sort_values(["rank", "node"],
+                                  ascending=[False, True]) \
+                .head(top_k).reset_index(drop=True)
+        return out
 
     def contribs_for(rank_ref):
         def contribs(t: pa.Table) -> pa.Table:

@@ -1575,6 +1575,36 @@ def test_pagerank_cogroup_scale_path_matches_broadcast(ray_session, tmp_path):
                        atol=1e-12)
 
 
+def test_pagerank_task_path_matches_ray_data(ray_session, tmp_path):
+    """The raw-task BSP fast path (pre-indexed shards + per-round bincount
+    partials) matches the Ray Data broadcast iteration to 1e-12 on the
+    same edges, including dangling mass and top-k."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf_parse_new_ray.functions.graph import pagerank_edges
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 60, 500).astype(np.int64)
+    dst = rng.randint(0, 70, 500).astype(np.int64)  # nodes 60-69 dangle
+    keep = src != dst
+    pq.write_table(pa.table({"src": pa.array(src[keep], pa.int64()),
+                             "dst": pa.array(dst[keep], pa.int64())}),
+                   str(tmp_path / "edges.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "edges.parquet"))
+    task = pagerank_edges(ds)                       # n << gate: task path
+    rdat = pagerank_edges(ds, force_ray_data=True)  # Ray Data iteration
+    assert list(task["node"]) == list(rdat["node"])
+    assert np.allclose(task["rank"].to_numpy(), rdat["rank"].to_numpy(),
+                       atol=1e-12)
+    assert abs(task["rank"].sum() - 1.0) < 1e-9
+    topt = pagerank_edges(ds, top_k=5)
+    want = rdat.sort_values(["rank", "node"], ascending=[False, True]) \
+        .head(5).reset_index(drop=True)
+    assert list(topt["node"]) == list(want["node"])
+
+
 def test_pagerank_copurchase_runs(ray_session):
     from pdf_parse_new_ray.functions.graph import g_pagerank_copurchase
 
