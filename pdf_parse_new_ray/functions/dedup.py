@@ -362,17 +362,35 @@ def lsh_pairs(bands: rd.Dataset, *, legacy: bool = False) -> rd.Dataset:
     """Shared LSH pair stage: bands(doc_id:int64, bucket:uint64) → deduped
     (a, b, capped) candidate pairs.  `legacy=True` forces the per-fine-
     bucket dispatch (test-only semantic reference)."""
-    from ray.data.aggregate import Max
-
     if legacy:
         pairs = bands.groupby("bucket").map_groups(
             _bucket_pairs, batch_format="pyarrow")
     else:
         pairs = bands.map_batches(_coarse_bucket, batch_format="pyarrow") \
             .groupby("__bk").map_groups(_bucket_pairs_multi, batch_format="pyarrow")
-    # a pair can surface from several bands: dedupe with a tiny keyed groupby
-    # (16-byte rows), keeping capped=True if any band capped it
-    return pairs.groupby(["a", "b"]).aggregate(Max("capped", alias_name="capped"))
+    # a pair can surface from several bands: dedupe keeping capped=True if
+    # any band capped it.  ONE pair-bucketed shuffle + an Arrow group_by
+    # per bucket — the Ray-native groupby(["a","b"]).aggregate(Max) this
+    # replaces paid one combine per DISTINCT pair (measured 6.6 s of the
+    # 8 s d_embedding_neardup_lsh wall on 57k pairs at sf0.1; the same
+    # per-key pattern d_exact_dedup's docstring quantifies at ~12 s/147k).
+    from .joins import _bucket_of
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        key = pc.add(pc.multiply(t["a"], pa.scalar(1_000_003, pa.int64())),
+                     t["b"])
+        return t.append_column("__pb", _bucket_of(key, 256))
+
+    def merge_pairs(g: pa.Table) -> pa.Table:
+        f = pa.table({"a": g["a"], "b": g["b"],
+                      "c": pc.cast(g["capped"], pa.uint8())}) \
+            .group_by(["a", "b"]).aggregate([("c", "max")])
+        return pa.table({
+            "a": f["a"], "b": f["b"],
+            "capped": pc.cast(f["c_max"], pa.bool_())})
+
+    return pairs.map_batches(tag_pair, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(merge_pairs, batch_format="pyarrow")
 
 
 from .joins import attach_value as _attach_value  # shared cogroup attach
