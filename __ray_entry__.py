@@ -555,16 +555,36 @@ def _phash_neardup_pairs(sf_dir: str):
             "capped": pa.array(capped[keep]),
         })
 
-    from ray.data.aggregate import Max, Min
-
     # multi-band collisions dedupe DISTRIBUTED on the pair key (hamming is
-    # identical across bands for the same pair; Min is a formality) — the
-    # driver only ever sees the final near-dup pairs
+    # identical across bands for the same pair; min is a formality) — the
+    # driver only ever sees the final near-dup pairs.  ONE ref_a-bucketed
+    # shuffle + per-bucket Arrow group_by, not a Ray-native keyed
+    # aggregate (one accumulator per distinct pair — the lsh_pairs
+    # dedupe this mirrors measured that pattern at 6.6 s/57k pairs).
+    from pdf_parse_new_ray.state import checkpoint as ckpt
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__pb", ckpt.partition_column(t.column("ref_a"), 256))
+
+    def merge_pairs(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = pa.table({"ref_a": g["ref_a"], "ref_b": g["ref_b"],
+                      "hamming": g["hamming"],
+                      "c": pc.cast(g["capped"], pa.uint8())}) \
+            .group_by(["ref_a", "ref_b"]) \
+            .aggregate([("hamming", "min"), ("c", "max")])
+        return pa.table({
+            "ref_a": f["ref_a"], "ref_b": f["ref_b"],
+            "hamming": f["hamming_min"],
+            "capped": pc.cast(f["c_max"], pa.bool_())})
+
     df = hashes.map_batches(bands, batch_format="pyarrow") \
         .groupby("__bk").map_groups(bucket_pairs_multi, batch_format="pyarrow") \
-        .groupby(["ref_a", "ref_b"]).aggregate(
-            Min("hamming", alias_name="hamming"),
-            Max("capped", alias_name="capped")).to_pandas()
+        .map_batches(tag_pair, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(merge_pairs, batch_format="pyarrow") \
+        .to_pandas()
     if df.empty:
         return pd.DataFrame({"ref_a": pd.Series(dtype="object"),
                              "ref_b": pd.Series(dtype="object"),
