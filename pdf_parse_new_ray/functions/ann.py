@@ -92,9 +92,16 @@ def e_knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFram
     ``n_queries`` vectors."""
     q_ids, q = _query_matrix(sf_dir, n_queries)
     ref = ray.put((q_ids, q))
-    local = _emb(sf_dir).map_batches(
-        BruteForceTopK, fn_constructor_kwargs={"queries_ref": ref, "k": k},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+    from .joins import broadcast_map
+
+    # task mode: the broadcast (q_ids, q) resolves once per worker via the
+    # module cache; the per-batch rebuild is a normalize of n_queries x d
+    # floats — no state worth an actor pool here (spin-up dominated the
+    # 2000-vector bench scan)
+    local = broadcast_map(
+        _emb(sf_dir),
+        lambda t, state: BruteForceTopK(state, k)(t),
+        ref, batch_size=4096,
     ).to_pandas()
     # global merge of per-batch top-k
     local = local[local["query_id"] != local["vec_id"]]

@@ -1378,28 +1378,22 @@ def d_semdedup(sf_dir: str, eps: float = SEMDEDUP_EPS,
     vec_ref = ray.put((ids_all, m_all))
     cents_ref = ray.put(cents)
 
-    class Assign:
-        def __init__(self, cents_ref):
-            self.cents = (ray.get(cents_ref)
-                          if isinstance(cents_ref, ray.ObjectRef)
-                          else cents_ref)
+    def assign(t: pa.Table, cents) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "ccos": pa.array([], pa.float64())})
+        from .ann import emb_matrix as _em
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return pa.table({"cluster": pa.array([], pa.int64()),
-                                 "vec_id": pa.array([], pa.int64()),
-                                 "ccos": pa.array([], pa.float64())})
-            from .ann import emb_matrix as _em
-
-            m = _em(t)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = m @ self.cents.T
-            a = sims.argmax(axis=1)
-            return pa.table({
-                "cluster": pa.array(a.astype(np.int64), pa.int64()),
-                "vec_id": t.column("vec_id").cast(pa.int64()),
-                "ccos": pa.array(sims[np.arange(len(a)), a], pa.float64()),
-            })
+        m = _em(t)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ cents.T
+        a = sims.argmax(axis=1)
+        return pa.table({
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            "vec_id": t.column("vec_id").cast(pa.int64()),
+            "ccos": pa.array(sims[np.arange(len(a)), a], pa.float64()),
+        })
 
     class ClusterDedup:
         def __init__(self, vec_ref, eps: float, cap: int):
@@ -1472,11 +1466,12 @@ def d_semdedup(sf_dir: str, eps: float = SEMDEDUP_EPS,
                 "capped": pa.array(np.full(n, capped, bool), pa.bool_()),
             })
 
-    out = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"]) \
-        .map_batches(Assign, fn_constructor_kwargs={"cents_ref": cents_ref},
-                     batch_format="pyarrow", batch_size=4096,
-                     concurrency=(1, 8)) \
+    from .joins import broadcast_map
+
+    out = broadcast_map(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        assign, cents_ref, batch_size=4096) \
         .groupby("cluster") \
         .map_groups(ClusterDedup,
                     fn_constructor_kwargs={"vec_ref": vec_ref, "eps": eps,
