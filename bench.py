@@ -150,6 +150,7 @@ def run_bench(num_cpus: int, headline_only: bool = False) -> dict:
         "q_trailing_hour_sum": relational.q_trailing_hour_sum,
         "q8_market_share": relational.q8_market_share,
         "q10_returned_revenue": relational.q10_returned_revenue,
+        "q12_ship_priority": relational.q12_ship_priority,
         "q17_small_qty_revenue": relational.q17_small_qty_revenue,
         "q_value_quantiles_by_type": relational.q_value_quantiles_by_type,
         "q_cms_heavy_hitters": relational.q_cms_heavy_hitters,
