@@ -353,9 +353,11 @@ def test_differential_sweep_vs_live_reference():
     diff = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(diff)
     cases = diff.build_cases(10)
-    failures = [name for name, pdf in cases
-                if parse_pdf(pdf)["text"] != diff.ref_text(pdf)]
-    assert not failures, f"byte-exact parity broken: {failures}"
+    failures = [
+        (name, field) for name, pdf in cases
+        if (field := diff.full_mismatch(diff.ours_full(parse_pdf, pdf),
+                                        diff.ref_full(pdf)))]
+    assert not failures, f"full-surface parity broken: {failures}"
 
 
 def test_tounicode_surrogate_pairs():
