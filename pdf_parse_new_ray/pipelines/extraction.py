@@ -807,13 +807,19 @@ def extract_documents(
                                     pc.take(lookup.column("error"), idx)),
             })
 
-        tagged = chunks.map_batches(_tag_media, batch_format="pyarrow").union(
-            spans.map_batches(_tag_spans, batch_format="pyarrow"))
-        # coalesce before the sort-shuffle: the union inherits every tiny
-        # upstream block and Ray's sort pays per-(block x partition) task
-        # overhead — measured 5.3 s -> 0.8 s at sf0.1 by repartitioning to
-        # the cogroup partition count first
-        tagged = tagged.repartition(join_parts)
+        # block-bundled tag stages: the extract/explode materializations
+        # leave hundreds of tiny blocks and Ray's sort pays per-(block x
+        # partition) task overhead.  A batch_size on the slim tag maps
+        # makes the operator BUNDLE many input blocks per task (one output
+        # block per batch) — the same block-count fix a repartition()
+        # bought previously, minus the extra all-to-all pass (measured
+        # 8.0 s -> 7.1 s at sf0.1/32 CPUs for the whole hash path)
+        tagged = chunks.map_batches(
+            _tag_media, batch_format="pyarrow", batch_size=4096,
+            zero_copy_batch=True,
+        ).union(spans.map_batches(
+            _tag_spans, batch_format="pyarrow", batch_size=16384,
+            zero_copy_batch=True))
         joined = tagged.groupby("jkey").map_groups(_cogroup_attach,
                                                    batch_format="pyarrow")
         text_spans = spans.filter(expr="kind == 'text'").map_batches(
@@ -824,10 +830,13 @@ def extract_documents(
                 "numpages": pa.array([0] * t.num_rows, pa.int32()),
                 "error": pa.array([None] * t.num_rows, pa.string()),
             }),
-            batch_format="pyarrow",
+            batch_format="pyarrow", batch_size=16384,
         )
-        # same block-coalesce before the partition groupby (see above)
-        merged = joined.union(text_spans).repartition(n_partitions)
+        # same block-bundling coalesce before the partition groupby: the
+        # cogroup emits ~join_parts blocks and the bundled text-span map a
+        # handful more, so the final sort's task fan stays small without
+        # another repartition exchange
+        merged = joined.union(text_spans)
 
     return merged.groupby("part").map_groups(
         _assemble_partition(out_dir), batch_format="pyarrow"
