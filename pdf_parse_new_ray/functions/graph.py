@@ -446,6 +446,86 @@ TRIANGLE_BROADCAST_EDGES = 20_000_000
 # task-mode orient map (resolved once per worker, not per batch)
 _TASK_RANK_CACHE: dict = {}
 
+# below this many pair-partial rows the whole edge set collapses on the
+# driver (8 B/key — 20M = 160 MB) and degrees / orientation / sharding
+# are one vectorized pass there; wedge closure fans out as raw tasks
+# over src-aligned slices of the plasma-resident oriented arrays.  This
+# skips THREE sort-shuffles (pair dedupe, degree census, wedge bucket)
+# that each cost ~0.5-1 s of fixed exchange time at bench scale — the
+# same small-graph duality as the PageRank raw-task BSP path.  Above
+# the gate (100 TB corpora) the fully distributed path below runs.
+TRIANGLE_DRIVER_PAIRS = 20_000_000
+
+
+@ray.remote
+def _tri_close_shard(state, lo: int, hi: int) -> int:
+    """Wedge closure over one src-aligned slice of the oriented edge
+    arrays: shift-k wedge enumeration (src-sorted, dst_rank-minor) with
+    immediate sorted-membership counting against the full oriented key
+    array — no wedge row ever leaves the task."""
+    s_all, d_all, ek = state
+    s = s_all[lo:hi]
+    d = d_all[lo:hi]
+    n = len(s)
+    if n == 0 or len(ek) == 0:
+        return 0
+    total = 0
+    k = 1
+    while True:
+        same = s[:-k] == s[k:] if k < n else np.zeros(0, bool)
+        if not same.any():
+            break
+        wk = d[:-k][same] * (1 << 32) + d[k:][same]
+        idx = np.searchsorted(ek, wk)
+        idx[idx == len(ek)] = 0
+        total += int((ek[idx] == wk).sum())
+        k += 1
+    return total
+
+
+def _triangle_driver_close(pair_parts: "rd.Dataset") -> pd.DataFrame:
+    """Small-graph fast path: distinct edges, degrees, orientation and
+    src-sharding in one driver pass over the collected pair keys; wedge
+    closure as raw tasks over plasma-resident slices."""
+    kt = pair_parts.map_batches(
+        lambda t: pa.table({"k": pc.add(
+            pc.multiply(t["a"], pa.scalar(1 << 32, pa.int64())), t["b"])}),
+        batch_format="pyarrow").to_pandas()
+    keys = np.unique(kt["k"].to_numpy().astype(np.int64))
+    n_e = len(keys)
+    if n_e == 0:
+        return pd.DataFrame({"n_nodes": [0], "n_edges": [0],
+                             "n_triangles": [0]})
+    a = (keys >> 32).astype(np.int64)
+    b = (keys & 0xFFFFFFFF).astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    deg = (np.bincount(ia, minlength=len(nodes))
+           + np.bincount(ib, minlength=len(nodes)))
+    # same rank key as the distributed path: degree-major, id-minor
+    rk = deg.astype(np.int64) * (1 << 32) + nodes
+    ra, rb = rk[ia], rk[ib]
+    src = np.where(ra < rb, a, b)
+    dst = np.where(ra < rb, b, a)
+    dstr = np.where(ra < rb, rb, ra)
+    order = np.lexsort((dstr, src))
+    s = np.ascontiguousarray(src[order])
+    d = np.ascontiguousarray(dst[order])
+    ek = np.sort(s * (1 << 32) + d)
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_shards = max(1, min(n_cpus, n_e // 20_000 + 1))
+    pos = (np.arange(1, n_shards) * n_e) // n_shards
+    cuts = np.unique(np.concatenate(
+        [[0], np.searchsorted(s, s[pos]), [n_e]]))  # align on src runs
+    ref = ray.put((s, d, ek))
+    futs = [_tri_close_shard.remote(ref, int(lo), int(hi))
+            for lo, hi in zip(cuts[:-1], cuts[1:]) if hi > lo]
+    tri = int(sum(ray.get(futs)))
+    return pd.DataFrame({"n_nodes": [int(len(nodes))],
+                         "n_edges": [int(n_e)],
+                         "n_triangles": [tri]})
+
 
 def g_triangle_count(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     """Exact triangle count of the co-purchase graph (distinct part
@@ -510,8 +590,16 @@ def g_triangle_count(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     def dedupe(g: pa.Table) -> pa.Table:
         return g.drop_columns(["__pk"]).group_by(["a", "b"]).aggregate([])
 
-    edges = li.groupby("__bk").map_groups(pairs, batch_format="pyarrow") \
-        .materialize() \
+    pair_parts = li.groupby("__bk").map_groups(
+        pairs, batch_format="pyarrow").materialize()
+    # small-graph fast path: the pair partials fit the driver — skip the
+    # dedupe / census / wedge shuffles entirely (gated off whenever a
+    # forced-path test zeroes either distributed gate)
+    if (pair_parts.count() <= TRIANGLE_DRIVER_PAIRS
+            and TRIANGLE_BROADCAST_NODES and TRIANGLE_BROADCAST_EDGES):
+        return _triangle_driver_close(pair_parts)
+
+    edges = pair_parts \
         .groupby("__pk").map_groups(dedupe, batch_format="pyarrow") \
         .materialize()
     n_edges = edges.count()

@@ -1760,7 +1760,11 @@ def test_triangle_count_cogroup_path_matches_broadcast(ray_session,
     from pdf_parse_new_ray.functions import graph
 
     sf = "/root/testdata/sf0.001"
-    base = graph.g_triangle_count(sf)
+    base = graph.g_triangle_count(sf)  # driver fast path at this scale
+    # force the distributed broadcast-orient + broadcast-closure path
+    monkeypatch.setattr(graph, "TRIANGLE_DRIVER_PAIRS", 0)
+    dist = graph.g_triangle_count(sf)
+    pd.testing.assert_frame_equal(base, dist)
     monkeypatch.setattr(graph, "TRIANGLE_BROADCAST_NODES", 0)
     forced = graph.g_triangle_count(sf)
     pd.testing.assert_frame_equal(base, forced)
