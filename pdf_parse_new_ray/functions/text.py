@@ -15,6 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
@@ -679,6 +680,13 @@ def t_lang_mix_sample(sf_dir: str) -> pd.DataFrame:
 # corpus bigram-LM document scoring (CCNet-style fluency proxy)
 # ---------------------------------------------------------------------------
 
+# below this many gram rows the corpus bigram-frequency table folds on
+# the driver (per-batch Arrow partials; 24 B/row — 5M = 120 MB transfer
+# bound) and document scoring is a shuffle-free broadcast searchsorted
+# pass; above it the bucketed two-exchange plan runs (100 TB corpora)
+BIGRAM_BROADCAST_ROWS = 5_000_000
+
+
 def t_bigram_lm_score(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     """Corpus-LM document scoring (the CCNet idea with an integer-exact
     statistic): build the corpus-wide bigram frequency table, then
@@ -686,13 +694,17 @@ def t_bigram_lm_score(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     bigrams — fluent, typical text scores high; gibberish and
     boilerplate-free outliers score low.
 
-    ONE shuffle does both passes: every occurrence row (bigram hash,
-    doc_id, occ) lands in its hash bucket, so the bucket-local Arrow
-    group_by IS the global frequency table for those bigrams, and the
-    per-row occ x corpus_count products fold per-doc in the same pass
-    (all counting in int64 — no float drift); the final per-doc merge
-    is a tiny groupby."""
+    Small-corpus fast path (gram rows under BIGRAM_BROADCAST_ROWS):
+    the materialized (h, doc_id, occ) gram rows yield the corpus
+    frequency table in one driver fold of per-batch Arrow partials;
+    scoring is then a shuffle-free broadcast_map searchsorted pass —
+    zero exchanges.  Scale path: ONE hash-bucket shuffle computes the
+    global counts AND the per-row occ x corpus_count products per
+    bucket, and the per-doc merge rides a doc-bucketed map_groups
+    (never a per-distinct-doc Ray-native aggregate).  All counting in
+    int64 — no float drift."""
     from .dedup import _gram_hash64
+    from .joins import broadcast_map
 
     word = re.compile(r"[a-z0-9]+")
 
@@ -721,36 +733,84 @@ def t_bigram_lm_score(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
                              .astype(np.int32)),
         })
 
-    def per_bucket(g: pa.Table) -> pa.Table:
-        from .joins import rename_agg
+    gds = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(grams, batch_format="pyarrow").materialize()
 
-        if g.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "n_bigrams": pa.array([], pa.int64()),
-                             "total_freq": pa.array([], pa.int64())})
-        cnt = rename_agg(g.group_by("h").aggregate([("occ", "sum")]),
-                         {"occ_sum": "c"})
-        # vectorized corpus-count attach: position of each row's h in
-        # the bucket-local (== global for these hashes) count table
-        idx = pc.index_in(g.column("h"), value_set=cnt.column("h"))
-        c_row = pc.take(cnt.column("c"), idx)
-        score = pc.multiply_checked(pc.cast(g.column("occ"), pa.int64()),
-                                    pc.cast(c_row, pa.int64()))
-        per = pa.table({"doc_id": g.column("doc_id"),
-                        "occ": g.column("occ"), "part": score}) \
-            .group_by("doc_id").aggregate([("occ", "sum"),
-                                           ("part", "sum")])
-        return rename_agg(per, {"occ_sum": "n_bigrams",
-                                "part_sum": "total_freq"},
-                          ["doc_id", "n_bigrams", "total_freq"])
+    if gds.count() <= BIGRAM_BROADCAST_ROWS:
+        # broadcast path: fold per-batch (h, occ) partials on the driver
+        # into the corpus frequency table, then score each batch against
+        # the broadcast sorted table — no shuffle at all
+        parts = gds.map_batches(
+            lambda t: t.select(["h", "occ"]).group_by("h")
+            .aggregate([("occ", "sum")]),
+            batch_format="pyarrow").to_pandas()
+        hp = parts["h"].to_numpy().astype(np.uint64)
+        op = parts["occ_sum"].to_numpy().astype(np.int64)
+        hs, inv = np.unique(hp, return_inverse=True)
+        cs = np.zeros(len(hs), np.int64)
+        np.add.at(cs, inv, op)  # exact int64 fold
+        ref = ray.put((hs, cs))
 
-    out = _docs(sf_dir, ["doc_id", "text"]) \
-        .map_batches(grams, batch_format="pyarrow") \
-        .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow") \
-        .groupby("doc_id").aggregate(
-            Sum("n_bigrams", alias_name="n_bigrams"),
-            Sum("total_freq", alias_name="total_freq")) \
-        .to_pandas()
+        def score_bc(t: pa.Table, state) -> pa.Table:
+            hs_w, cs_w = state
+            h = t.column("h").to_numpy(zero_copy_only=False)
+            occ = t.column("occ").to_numpy(zero_copy_only=False)
+            c_row = cs_w[np.searchsorted(hs_w, h)]
+            per = pa.table({
+                "doc_id": t.column("doc_id"),
+                "occ": t.column("occ"),
+                "part": pa.array(occ * c_row, pa.int64()),
+            }).group_by("doc_id").aggregate([("occ", "sum"),
+                                             ("part", "sum")])
+            return per
+
+        out = broadcast_map(gds, score_bc, ref).to_pandas() \
+            .groupby("doc_id", as_index=False).sum()
+        out.columns = ["doc_id", "n_bigrams", "total_freq"]
+    else:
+        def per_bucket(g: pa.Table) -> pa.Table:
+            from .joins import rename_agg
+
+            if g.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "n_bigrams": pa.array([], pa.int64()),
+                                 "total_freq": pa.array([], pa.int64()),
+                                 "__dbk": pa.array([], pa.int32())})
+            cnt = rename_agg(g.group_by("h").aggregate([("occ", "sum")]),
+                             {"occ_sum": "c"})
+            # vectorized corpus-count attach: position of each row's h in
+            # the bucket-local (== global for these hashes) count table
+            idx = pc.index_in(g.column("h"), value_set=cnt.column("h"))
+            c_row = pc.take(cnt.column("c"), idx)
+            score = pc.multiply_checked(
+                pc.cast(g.column("occ"), pa.int64()),
+                pc.cast(c_row, pa.int64()))
+            per = pa.table({"doc_id": g.column("doc_id"),
+                            "occ": g.column("occ"), "part": score}) \
+                .group_by("doc_id").aggregate([("occ", "sum"),
+                                               ("part", "sum")])
+            per = rename_agg(per, {"occ_sum": "n_bigrams",
+                                   "part_sum": "total_freq"},
+                             ["doc_id", "n_bigrams", "total_freq"])
+            return per.append_column("__dbk", pc.cast(
+                pc.bit_wise_and(per.column("doc_id"),
+                                pa.scalar(63, pa.int64())), pa.int32()))
+
+        def merge_docs(g: pa.Table) -> pa.Table:
+            from .joins import rename_agg
+
+            t = g.drop_columns(["__dbk"]).group_by("doc_id").aggregate(
+                [("n_bigrams", "sum"), ("total_freq", "sum")])
+            return rename_agg(t, {"n_bigrams_sum": "n_bigrams",
+                                  "total_freq_sum": "total_freq"},
+                              ["doc_id", "n_bigrams", "total_freq"])
+
+        out = gds \
+            .groupby("__bk").map_groups(per_bucket,
+                                        batch_format="pyarrow") \
+            .groupby("__dbk").map_groups(merge_docs,
+                                         batch_format="pyarrow") \
+            .to_pandas()
     out["n_bigrams"] = out["n_bigrams"].astype("int64")
     out["total_freq"] = out["total_freq"].astype("int64")
     # no rounded-division column: total_freq / n_bigrams is derivable,

@@ -1024,6 +1024,15 @@ def test_bigram_lm_score_planted(ray_session, tmp_path):
     assert rows[1].n_bigrams == 3 and rows[1].total_freq == 7
     # doc 2: (a b)=3, (b c)=1 -> total 4 of 2
     assert rows[2].n_bigrams == 2 and rows[2].total_freq == 4
+    # the bucketed scale path (broadcast gate forced to 0) must agree
+    orig = text.BIGRAM_BROADCAST_ROWS
+    text.BIGRAM_BROADCAST_ROWS = 0
+    try:
+        forced = text.t_bigram_lm_score(str(tmp_path))
+    finally:
+        text.BIGRAM_BROADCAST_ROWS = orig
+    pd_testing_equal = out.equals(forced)
+    assert pd_testing_equal, (out, forced)
 
 
 def test_props_value_stats_vectorized(ray_session, tmp_path):
