@@ -1550,12 +1550,15 @@ def q_bloom_semi_join(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
     filtered orders keys build a bloom filter (map-only partial bitmaps
     OR-merged on the driver — 128 KiB each), the broadcast bloom prunes
     the fact table BEFORE any shuffle (at 100 TB this cuts the exchange
-    by ~96%), and the surviving candidates go through the exact bucketed
-    cogroup (functions/joins.attach_value) which drops bloom false
-    positives — results are exactly the plain join's.  Per-order
-    aggregation happens inside the cogroup's ``post`` hook (map-side
+    by ~96%), and the surviving candidates go through an exact
+    verify which drops bloom false positives — results are exactly the
+    plain join's.  Under BROADCAST_DIM_ROWS filtered orders the exact
+    verify is a sorted-key searchsorted FUSED into the same broadcast
+    pass as the bloom (zero shuffles end to end); above the gate it
+    rides the bucketed cogroup (functions/joins.attach_value) with
+    per-order aggregation in the cogroup's ``post`` hook (map-side
     combine), so only final groups reach the driver."""
-    from .joins import attach_value, rename_agg
+    from .joins import attach_value, broadcast_map, rename_agg
 
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
         .map_batches(lambda t: t.filter(pc.greater(
@@ -1573,13 +1576,63 @@ def q_bloom_semi_join(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
                              np.uint8(1) << (pos & 7).astype(np.uint8))
         return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
 
+    import ray
+
+    li_cols = ["l_orderkey", "l_extendedprice", "l_discount"]
+    if orders_m.count() <= BROADCAST_DIM_ROWS:
+        # the gate already pulls every filtered key to the driver, so
+        # the bloom bitmap builds right there — no partial-bitmap pass
+        okeys = np.sort(orders_m.to_pandas()["o_orderkey"]
+                        .to_numpy().astype(np.int64))
+        bloom = np.zeros(_BLOOM_BITS // 8, np.uint8)
+        if len(okeys):
+            pos = _bloom_positions(okeys).ravel()
+            np.bitwise_or.at(bloom, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+        bloom_ref = ray.put(bloom)
+        keys_ref = ray.put(okeys)
+
+        def prune_verify(t: pa.Table, state) -> pa.Table:
+            bits, ok_w = state
+            keys = t.column("l_orderkey").combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            pos = _bloom_positions(keys)
+            hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            cand = t.filter(pa.array(hit.all(axis=1)))
+            # exact verify on the bloom survivors — false positives out
+            k = cand.column("l_orderkey").combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(ok_w, k)
+            idx[idx == len(ok_w)] = 0
+            cand = cand.filter(pa.array(ok_w[idx] == k)) \
+                if len(ok_w) else cand.slice(0, 0)
+            cents = pc.cast(pc.round(pc.multiply(
+                cand.column("l_extendedprice"), pa.scalar(100.0))),
+                pa.int64())
+            disc = pc.cast(pc.round(pc.multiply(
+                cand.column("l_discount"), pa.scalar(100.0))), pa.int64())
+            rev = pc.multiply(cents, pc.subtract(pa.scalar(100), disc))
+            part = pa.table({"o_orderkey": cand.column("l_orderkey"),
+                             "rev": rev}) \
+                .group_by("o_orderkey").aggregate([("rev", "sum"),
+                                                   ("rev", "count")])
+            return part
+
+        parts_df = broadcast_map(
+            _rp(sf_dir, "lineitem", li_cols), prune_verify,
+            (bloom_ref, keys_ref)).to_pandas()
+        out = parts_df.groupby("o_orderkey", as_index=False).sum()
+        out.columns = ["o_orderkey", "rev", "n_items"]
+        out["revenue"] = ((out["rev"].astype("int64") + 50) // 100) / 100.0
+        out["n_items"] = out["n_items"].astype("int64")
+        out = out[["o_orderkey", "n_items", "revenue"]]
+        return out.sort_values("o_orderkey").reset_index(drop=True)
+
     parts = orders_m.map_batches(
         bloom_partial, batch_format="pyarrow").to_pandas()["bloom"]
     bloom = np.zeros(_BLOOM_BITS // 8, np.uint8)
     for b in parts:
         bloom |= np.frombuffer(b, np.uint8)
-
-    import ray
     bloom_ref = ray.put(bloom)
 
     class BloomPrune:
@@ -1607,8 +1660,7 @@ def q_bloom_semi_join(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
             return pa.table({"l_orderkey": cand.column("l_orderkey"),
                              "rev": rev})
 
-    cand = _rp(sf_dir, "lineitem",
-               ["l_orderkey", "l_extendedprice", "l_discount"]) \
+    cand = _rp(sf_dir, "lineitem", li_cols) \
         .map_batches(BloomPrune(), batch_format="pyarrow")
 
     def post(t: pa.Table) -> pa.Table:  # map-side combine inside cogroup

@@ -845,6 +845,15 @@ def test_bloom_semi_join_matches_exact(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out, exp[["o_orderkey", "n_items", "revenue"]],
         check_dtype=False)
+    # the above-gate cogroup verify must agree with the fused
+    # broadcast verify bit for bit
+    orig = relational.BROADCAST_DIM_ROWS
+    relational.BROADCAST_DIM_ROWS = 0
+    try:
+        forced = relational.q_bloom_semi_join(str(tmp_path))
+    finally:
+        relational.BROADCAST_DIM_ROWS = orig
+    pd.testing.assert_frame_equal(out, forced)
 
 
 def test_knn_filtered_respects_predicate(ray_session):
