@@ -24,6 +24,70 @@ def _rp(sf_dir: str, table: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _dim_pandas(sf_dir: str, table: str, columns=None, filters=None):
+    """Driver-local read of a DIMENSION table when its parquet metadata
+    row count fits BROADCAST_DIM_ROWS — a Ray read operator costs
+    ~0.2-0.3 s of launch per query for a table the driver parses in
+    single-digit ms (nation is 25 rows at every SF).  Returns None above
+    the gate; callers fall back to the distributed ``_rp`` read."""
+    import pyarrow.parquet as pq_
+
+    path = f"{sf_dir}/{table}.parquet"
+    if pq_.ParquetFile(path).metadata.num_rows > BROADCAST_DIM_ROWS:
+        return None
+    return pq_.read_table(path, columns=columns,
+                          filters=filters).to_pandas()
+
+
+def _orders_custkey_ref(sf_dir: str):
+    """Size-gated broadcast of the (o_orderkey -> o_custkey) map: sorted
+    key array + aligned custkeys in plasma, or None above the gate (the
+    caller then runs its bucketed cogroup).  The gate reads parquet
+    METADATA only — no Ray read operator is launched to decide."""
+    od = _dim_pandas(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    if od is None:
+        return None
+    ok = od["o_orderkey"].to_numpy().astype(np.int64)
+    o = np.argsort(ok)
+    return ray.put((ok[o], od["o_custkey"].to_numpy().astype(np.int64)[o]))
+
+
+def _custkey_probe(extra_cols: list, combine, out_name="o_custkey"):
+    """fn(batch, (sorted_orderkeys, values)) for broadcast_map: inner
+    searchsorted membership on l_orderkey, value attach (custkey or any
+    per-order int64 encode) as ``out_name``, then the caller's per-batch
+    combine — the task-mode mirror of attach_value's in-bucket
+    probe+combine."""
+    def probe(t: pa.Table, state) -> pa.Table:
+        ok_w, ck_w = state
+        k = t.column("l_orderkey").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        if len(ok_w) == 0:
+            empty = {out_name: pa.array([], pa.int64())}
+            for c in extra_cols:
+                empty[c] = t.column(c).slice(0, 0)
+            return combine(pa.table(empty))
+        idx = np.searchsorted(ok_w, k)
+        idx[idx == len(ok_w)] = 0
+        hit = ok_w[idx] == k
+        f = t.filter(pa.array(hit))
+        cols = {out_name: pa.array(ck_w[idx[hit]], pa.int64())}
+        for c in extra_cols:
+            cols[c] = f[c]
+        return combine(pa.table(cols))
+    return probe
+
+
+def _nation_map(sf_dir: str) -> dict:
+    """(n_nationkey -> n_name) lookup — 25 rows at every TPC-H SF, so
+    the driver read always wins; Ray fallback kept for the gate."""
+    nat = _dim_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
+    if nat is not None:
+        return dict(zip(nat["n_nationkey"], nat["n_name"]))
+    return {r["n_nationkey"]: r["n_name"]
+            for r in _rp(sf_dir, "nation").take_all()}
+
+
 # dimension tables at or below this row count broadcast (value_set /
 # index_in arrays); above it the bucketed cogroup (functions/joins.py)
 # runs.  One knob so tests can force the distributed path on small data.
@@ -267,10 +331,20 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         g = t.group_by("o_custkey").aggregate([("rev", "sum")])
         return rename_agg(g, {"rev_sum": "rev"}, ["o_custkey", "rev"])
 
-    by_cust = attach_value(
-        partials, orders, "l_orderkey", "o_custkey", pa.int64(),
-        [("l_orderkey", pa.int64()), ("rev", pa.float64())],
-        post=combine_cust)
+    # orders side size-gated like the customer side below: broadcast the
+    # (orderkey -> custkey) arrays under the gate (metadata row count),
+    # bucketed cogroup above it — under both gates q5 has NO exchange
+    omap_ref = _orders_custkey_ref(sf_dir)
+    if omap_ref is not None:
+        from .joins import broadcast_map as _bm
+
+        by_cust = _bm(partials, _custkey_probe(["rev"], combine_cust),
+                      omap_ref)
+    else:
+        by_cust = attach_value(
+            partials, orders, "l_orderkey", "o_custkey", pa.int64(),
+            [("l_orderkey", pa.int64()), ("rev", pa.float64())],
+            post=combine_cust)
 
     def combine_nation(t: pa.Table) -> pa.Table:
         g = t.group_by("c_nationkey").aggregate([("rev", "sum")])
@@ -313,7 +387,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
             post=combine_nation).to_pandas()
     res = part_nat.groupby("c_nationkey", as_index=False).agg(revenue=("rev", "sum"))
 
-    nation = {r["n_nationkey"]: r["n_name"] for r in _rp(sf_dir, "nation").take_all()}
+    nation = _nation_map(sf_dir)
     res["n_name"] = res["c_nationkey"].map(nation)
     res = res.drop(columns=["c_nationkey"])[["n_name", "revenue"]]
     res = res.sort_values("n_name").reset_index(drop=True)
@@ -1444,8 +1518,33 @@ def q_pareto_customers(sf_dir: str, n_buckets: int = 256,
     totals (tiny) give exclusive prefix offsets on the driver; (4) each
     range bucket sorts locally and adds its offset — the classic
     distributed prefix-sum, no global sort materialization.  Ordering and
-    cents arithmetic are integer-exact vs the oracle's window SQL."""
+    cents arithmetic are integer-exact vs the oracle's window SQL.
+
+    Under BROADCAST_DIM_ROWS orders rows (parquet metadata, no read)
+    the whole prefix-sum runs on the driver — one pandas fold of a
+    driver-sized table beats three exchanges; the distributed
+    prefix-sum plan above the gate is unchanged."""
     from .joins import _bucket_of, rename_agg
+
+    if write_dir is None:
+        od = _dim_pandas(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        if od is not None:
+            cents_all = np.round(od["o_totalprice"].to_numpy()
+                                 * 100.0).astype(np.int64)
+            df = pd.DataFrame({"o_custkey": od["o_custkey"].to_numpy(),
+                               "cents": cents_all}) \
+                .groupby("o_custkey", as_index=False)["cents"].sum() \
+                .sort_values(["cents", "o_custkey"],
+                             ascending=[False, True])
+            c = df["cents"].to_numpy()
+            cum = np.cumsum(c)
+            total = int(c.sum())
+            keep = (cum - c) * 2 < total
+            return pd.DataFrame({
+                "o_custkey": df["o_custkey"].to_numpy()[keep],
+                "revenue": c[keep] / 100.0,
+                "cum_share": np.round(cum[keep] / total, 6),
+            }).reset_index(drop=True)
 
     def per_bucket_cents(g: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(
@@ -1485,9 +1584,11 @@ def q_pareto_customers(sf_dir: str, n_buckets: int = 256,
             .aggregate([("cents", "sum")])
         return rename_agg(g, {"cents_sum": "total"}, ["__rb", "total"])
 
+    # <= 65 range buckets x n_blocks partial rows: the driver pandas
+    # fold replaces a Ray-native keyed aggregate (one sort-shuffle)
     bt = tagged.map_batches(bucket_totals, batch_format="pyarrow") \
-        .groupby("__rb").aggregate(Sum("total", alias_name="total")) \
-        .to_pandas().sort_values("__rb")
+        .to_pandas().groupby("__rb", as_index=False)["total"].sum() \
+        .sort_values("__rb")
     total_all = int(bt["total"].sum())
     # exclusive prefix in DESCENDING revenue order = suffix of ascending
     rb_ids = bt["__rb"].to_numpy()
@@ -2291,11 +2392,22 @@ def q7_nation_pair_revenue(sf_dir: str) -> pd.DataFrame:
         return rename_agg(g, {"rev_sum": "rev"},
                           ["o_custkey", "supp_nk", "l_year", "rev"])
 
-    by_cust = attach_value(
-        partials, orders, "l_orderkey", "o_custkey", pa.int64(),
-        [("l_orderkey", pa.int64()), ("supp_nk", pa.int64()),
-         ("l_year", pa.int64()), ("rev", pa.int64())],
-        post=combine_cust)
+    # orders side is ALSO size-gated (parquet metadata, no read): under
+    # the gate the (orderkey -> custkey) map broadcasts and the attach
+    # fuses into the same task pipeline as the lineitem partials — the
+    # query then has NO exchange at all; above it the bucketed cogroup
+    omap_ref = _orders_custkey_ref(sf_dir)
+    if omap_ref is not None:
+        by_cust = broadcast_map(
+            partials,
+            _custkey_probe(["supp_nk", "l_year", "rev"], combine_cust),
+            omap_ref)
+    else:
+        by_cust = attach_value(
+            partials, orders, "l_orderkey", "o_custkey", pa.int64(),
+            [("l_orderkey", pa.int64()), ("supp_nk", pa.int64()),
+             ("l_year", pa.int64()), ("rev", pa.int64())],
+            post=combine_cust)
 
     def combine_pair(t: pa.Table) -> pa.Table:
         g = t.group_by(["supp_nk", "cust_nk", "l_year"]) \
@@ -2336,8 +2448,7 @@ def q7_nation_pair_revenue(sf_dir: str) -> pd.DataFrame:
     res = res[res["supp_nk"] != res["cust_nk"]]
     # exact half-up cent rounding of the integer sub-cent total
     res["revenue"] = (res["rev"].astype("int64") + 50) // 100 / 100.0
-    nation = {r["n_nationkey"]: r["n_name"]
-              for r in _rp(sf_dir, "nation").take_all()}
+    nation = _nation_map(sf_dir)
     res["supp_nation"] = res["supp_nk"].map(nation)
     res["cust_nation"] = res["cust_nk"].map(nation)
     return res[["supp_nation", "cust_nation", "l_year", "revenue"]] \
@@ -2858,11 +2969,25 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
         return rename_agg(g, {"sub_sum": "sub"},
                           ["o_custkey", "o_year", "supp_nk", "sub"])
 
-    by_cust = attach_value(
-        partials, orders, "l_orderkey", "cy", pa.int64(),
-        [("l_orderkey", pa.int64()), ("supp_nk", pa.int64()),
-         ("sub", pa.int64())],
-        post=combine_cust)
+    od = _dim_pandas(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_orderdate"])
+    if od is not None:
+        ok = od["o_orderkey"].to_numpy().astype(np.int64)
+        cy = (od["o_custkey"].to_numpy().astype(np.int64) * 8
+              + (od["o_orderdate"].dt.year.to_numpy().astype(np.int64)
+                 - 1995))
+        o = np.argsort(ok)
+        by_cust = broadcast_map(
+            partials,
+            _custkey_probe(["supp_nk", "sub"], combine_cust,
+                           out_name="cy"),
+            ray.put((ok[o], cy[o])))
+    else:
+        by_cust = attach_value(
+            partials, orders, "l_orderkey", "cy", pa.int64(),
+            [("l_orderkey", pa.int64()), ("supp_nk", pa.int64()),
+             ("sub", pa.int64())],
+            post=combine_cust)
 
     nat = pq_.read_table(f"{sf_dir}/nation.parquet",
                          columns=["n_nationkey", "n_regionkey"])
@@ -2944,8 +3069,13 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
     Custkeys are bucket-exclusive after the re-bucket, so the per-bucket
     sums are FINAL and a per-bucket top-k is exact (q_top_suppliers
     pattern); ordering is by exact sub-cents then custkey, so the LIMIT
-    boundary can never be float-tie-dependent."""
-    from .joins import _bucket_of, attach_value, rename_agg
+    boundary can never be float-tie-dependent.
+
+    The 1995Q4 filter keeps ~3.5% of orders, so under BROADCAST_DIM_ROWS
+    the (orderkey -> custkey) map broadcasts and the attach fuses into
+    the lineitem scan (one searchsorted per batch) — the whole query
+    then pays ONE shuffle (the custkey re-bucket) instead of two."""
+    from .joins import _bucket_of, attach_value, broadcast_map, rename_agg
 
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_returnflag",
                                   "l_extendedprice", "l_discount"])
@@ -2962,25 +3092,67 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
 
     lo = pa.scalar(pd.Timestamp(Q10_DATE_LO))
     hi = pa.scalar(pd.Timestamp(Q10_DATE_HI))
-    orders = _rp(sf_dir, "orders",
-                 ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        lambda t: (lambda f: pa.table({"doc_id": f["o_orderkey"],
-                                       "value": f["o_custkey"]}))(
-            t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
-                             pc.less(t["o_orderdate"], hi)))),
-        batch_format="pyarrow")
+
+    def _orders_map(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        return pa.table({"doc_id": f["o_orderkey"],
+                         "value": f["o_custkey"]})
+
+    od = _dim_pandas(
+        sf_dir, "orders", ["o_orderkey", "o_custkey"],
+        filters=[("o_orderdate", ">=", pd.Timestamp(Q10_DATE_LO)),
+                 ("o_orderdate", "<", pd.Timestamp(Q10_DATE_HI))])
 
     def combine_cust(t: pa.Table) -> pa.Table:
         g = t.group_by("o_custkey").aggregate([("sub", "sum")])
         return rename_agg(g, {"sub_sum": "sub"}, ["o_custkey", "sub"])
 
-    by_cust = attach_value(
-        partials, orders, "l_orderkey", "o_custkey", pa.int64(),
-        [("l_orderkey", pa.int64()), ("sub", pa.int64())],
-        post=combine_cust)
-
     def add_bk(t: pa.Table) -> pa.Table:
         return t.append_column("__bk", _bucket_of(t["o_custkey"], 256))
+
+    if od is not None:
+        ok = od["o_orderkey"].to_numpy().astype(np.int64)
+        o = np.argsort(ok)
+        ref = ray.put((ok[o],
+                       od["o_custkey"].to_numpy().astype(np.int64)[o]))
+
+        def probe(t: pa.Table, state) -> pa.Table:
+            ok_w, ck_w = state
+            k = t.column("l_orderkey").combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            if len(ok_w) == 0:
+                return add_bk(combine_cust(pa.table(
+                    {"o_custkey": pa.array([], pa.int64()),
+                     "sub": pa.array([], pa.int64())})))
+            idx = np.searchsorted(ok_w, k)
+            idx[idx == len(ok_w)] = 0
+            hit = ok_w[idx] == k
+            f = t.filter(pa.array(hit))
+            part = combine_cust(pa.table({
+                "o_custkey": pa.array(ck_w[idx[hit]], pa.int64()),
+                "sub": f["sub"]}))
+            return add_bk(part)
+
+        by_cust = broadcast_map(partials, probe, ref).materialize()
+        if by_cust.count() <= BROADCAST_DIM_ROWS:
+            # per-batch custkey partials are driver-sized: fold there,
+            # zero shuffles end to end
+            cand = by_cust.to_pandas().groupby("o_custkey",
+                                               as_index=False)["sub"].sum()
+            top = cand.sort_values(["sub", "o_custkey"],
+                                   ascending=[False, True]) \
+                .head(Q10_TOP_K)
+            return _q10_attach_winners(sf_dir, top)
+    else:
+        orders = _rp(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(_orders_map, batch_format="pyarrow")
+        by_cust = attach_value(
+            partials, orders, "l_orderkey", "o_custkey", pa.int64(),
+            [("l_orderkey", pa.int64()), ("sub", pa.int64())],
+            post=combine_cust).map_batches(add_bk,
+                                           batch_format="pyarrow")
 
     def bucket_topk(g: pa.Table) -> pa.Table:
         f = g.group_by("o_custkey").aggregate([("sub", "sum")])
@@ -2989,20 +3161,28 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
                                               ("o_custkey", "ascending")])
         return f.take(order.slice(0, Q10_TOP_K))
 
-    cand = by_cust.map_batches(add_bk, batch_format="pyarrow") \
+    cand = by_cust \
         .groupby("__bk").map_groups(bucket_topk, batch_format="pyarrow") \
         .to_pandas()
     top = cand.sort_values(["sub", "o_custkey"],
                            ascending=[False, True]).head(Q10_TOP_K)
+    return _q10_attach_winners(sf_dir, top)
 
-    keys = pa.array(sorted(top["o_custkey"]), pa.int64())
-    winners = _rp(sf_dir, "customer",
-                  ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]) \
-        .map_batches(lambda t: t.filter(pc.is_in(t["c_custkey"],
-                                                 value_set=keys)),
-                     batch_format="pyarrow").to_pandas()
-    nation = {r["n_nationkey"]: r["n_name"]
-              for r in _rp(sf_dir, "nation").take_all()}
+
+def _q10_attach_winners(sf_dir: str, top: pd.DataFrame) -> pd.DataFrame:
+    """Q10 tail: semi-filtered customer read + nation name attach for
+    the global top-20 (shared by the zero-shuffle and bucketed plans)."""
+    key_list = sorted(int(k) for k in top["o_custkey"])
+    cust_cols = ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    winners = _dim_pandas(sf_dir, "customer", cust_cols,
+                          filters=[("c_custkey", "in", key_list)])
+    if winners is None:
+        keys = pa.array(key_list, pa.int64())
+        winners = _rp(sf_dir, "customer", cust_cols) \
+            .map_batches(lambda t: t.filter(pc.is_in(t["c_custkey"],
+                                                     value_set=keys)),
+                         batch_format="pyarrow").to_pandas()
+    nation = _nation_map(sf_dir)
     out = top.rename(columns={"o_custkey": "c_custkey"}) \
         .merge(winners, on="c_custkey", how="left")
     out["n_name"] = out["c_nationkey"].map(nation)
