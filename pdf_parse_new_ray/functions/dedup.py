@@ -202,25 +202,42 @@ class MinHasher:
         return vals.min(axis=0)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        """Batched signatures: gram hashes for the WHOLE batch concatenate
-        into one (G, 1) column, the 64 permutations apply in a single
-        broadcast, and per-doc minima fall out of one np.minimum.reduceat
-        over the doc offsets — bit-identical to per-doc `signature()`
-        (test_dedup.py::test_minhash_batched_signatures) without a numpy
-        round-trip per document."""
+        """Batched signatures: grams dedupe ACROSS the batch first (a
+        trigram shared by many docs hashes + permutes once), the 64
+        permutations apply to the unique grams in a single broadcast
+        with Mersenne-fold reduction instead of a 64-bit modulo, and
+        per-doc minima fall out of one np.minimum.reduceat over a
+        gather of the unique rows — bit-identical to per-doc
+        `signature()` (test_dedup.py::test_minhash_batched_signatures)
+        without a numpy round-trip per document."""
         texts = t.column("text").to_pylist()
         counts = np.empty(len(texts), dtype=np.int64)
-        parts: list[np.ndarray] = []
+        gidx: dict[str, int] = {}
+        idx_parts: list[list[int]] = []
         for i, x in enumerate(texts):
-            sh = self.shingles(x)
-            counts[i] = len(sh)
-            if sh:
-                parts.append(np.fromiter(sh, dtype=np.uint64, count=len(sh)))
+            words = _WORD.findall((x or "").lower())
+            if len(words) < self.k:
+                grams = {" ".join(words)} if words else set()
+            else:
+                grams = {" ".join(words[j:j + self.k])
+                         for j in range(len(words) - self.k + 1)}
+            counts[i] = len(grams)
+            if grams:
+                idx_parts.append(
+                    [gidx.setdefault(g, len(gidx)) for g in grams])
         sigs = np.full((len(texts), self.n_perm), _MERSENNE, dtype=np.uint64)
         nz = counts > 0
-        if parts:
-            h = np.concatenate(parts)[:, None]                   # (G, 1)
-            vals = (h * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        if gidx:
+            hu = np.fromiter((_gram_hash64(g) for g in gidx),
+                             dtype=np.uint64, count=len(gidx))[:, None]
+            x = hu * self.a[None, :] + self.b[None, :]  # wraps mod 2^64
+            # x mod (2^61-1) by folding: (x & M) + (x >> 61), one
+            # conditional subtract — exact for any uint64 x
+            v = (x & _MERSENNE) + (x >> np.uint64(61))
+            v -= (v >= _MERSENNE).astype(np.uint64) * _MERSENNE
+            gather = np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in idx_parts])
+            vals = v[gather]
             offsets = np.zeros(int(nz.sum()), dtype=np.int64)
             np.cumsum(counts[nz][:-1], out=offsets[1:])
             sigs[nz] = np.minimum.reduceat(vals, offsets, axis=0)
