@@ -1102,6 +1102,11 @@ def d_incremental_dedup(sf_dir: str, n_batches: int = 2,
 
 SUBSTR_GRAM_N = 15
 
+# below this many (hash, doc_id) gram rows the document-frequency table
+# folds on the driver and the dup-set probe is a shuffle-free broadcast
+# pass; above it the hash-bucket exchange runs (100 TB corpora)
+SUBSTR_BROADCAST_ROWS = 5_000_000
+
 
 def d_substring_dedup(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     """Exact-substring duplication census — the suffix-array dedup of
@@ -1174,11 +1179,67 @@ def d_substring_dedup(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
                                             pa.int64()),
                          "n_dup": pc.cast(nd, pa.int64())})
 
-    out = _docs(sf_dir).map_batches(grams, batch_format="pyarrow") \
-        .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow") \
-        .groupby("doc_id").aggregate(Sum("n_grams", alias_name="n_grams"),
-                                     Sum("n_dup", alias_name="n_dup")) \
-        .to_pandas()
+    gds = _docs(sf_dir).map_batches(grams, batch_format="pyarrow") \
+        .materialize()
+
+    if gds.count() <= SUBSTR_BROADCAST_ROWS:
+        # broadcast path (same template as t_bigram_lm_score): fold
+        # per-batch df partials on the driver, broadcast the sorted
+        # df>=2 hash set, score each batch shuffle-free
+        import ray
+
+        from .joins import broadcast_map
+
+        parts = gds.map_batches(
+            lambda t: t.select(["h"]).group_by("h")
+            .aggregate([("h", "count")]),
+            batch_format="pyarrow").to_pandas()
+        hp = parts["h"].to_numpy().astype(np.uint64)
+        cp = parts["h_count"].to_numpy().astype(np.int64)
+        hs, inv = np.unique(hp, return_inverse=True)
+        dfc = np.zeros(len(hs), np.int64)
+        np.add.at(dfc, inv, cp)
+        shared_ref = ray.put(hs[dfc >= 2])
+
+        def score_bc(t: pa.Table, shared) -> pa.Table:
+            h = t.column("h").to_numpy(zero_copy_only=False)
+            if len(shared):
+                idx = np.searchsorted(shared, h)
+                idx[idx == len(shared)] = 0
+                dup = (shared[idx] == h).astype(np.int64)
+            else:
+                dup = np.zeros(len(h), np.int64)
+            per = pa.table({
+                "doc_id": t.column("doc_id"),
+                "one": pa.array(np.ones(len(h), np.int64)),
+                "dup": pa.array(dup),
+            }).group_by("doc_id").aggregate([("one", "sum"),
+                                             ("dup", "sum")])
+            return per
+
+        out = broadcast_map(gds, score_bc, shared_ref).to_pandas() \
+            .groupby("doc_id", as_index=False).sum()
+        out.columns = ["doc_id", "n_grams", "n_dup"]
+    else:
+        def merge_docs(g: pa.Table) -> pa.Table:
+            t = g.drop_columns(["__dbk"]).group_by("doc_id").aggregate(
+                [("n_grams", "sum"), ("n_dup", "sum")])
+            return rename_agg(t, {"n_grams_sum": "n_grams",
+                                  "n_dup_sum": "n_dup"},
+                              ["doc_id", "n_grams", "n_dup"])
+
+        def tag_dbk(t: pa.Table) -> pa.Table:
+            return t.append_column("__dbk", pc.cast(
+                pc.bit_wise_and(t.column("doc_id"),
+                                pa.scalar(63, pa.int64())), pa.int32()))
+
+        out = gds \
+            .groupby("__bk").map_groups(per_bucket,
+                                        batch_format="pyarrow") \
+            .map_batches(tag_dbk, batch_format="pyarrow") \
+            .groupby("__dbk").map_groups(merge_docs,
+                                         batch_format="pyarrow") \
+            .to_pandas()
     out["n_grams"] = out["n_grams"].astype("int64")
     out["n_dup"] = out["n_dup"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)

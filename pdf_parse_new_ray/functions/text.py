@@ -958,6 +958,9 @@ def t_sequence_pack(sf_dir: str, seq_len: int = SEQ_LEN,
 # ---------------------------------------------------------------------------
 
 DSIR_BUCKETS = 4096        # hashed feature dimension (DSIR's 10^4 scale)
+# below this many gram rows the bounded (rcnt, tcnt) feature table folds
+# on the driver and scoring is a shuffle-free broadcast pass
+DSIR_BROADCAST_ROWS = 5_000_000
 DSIR_TARGET_LANG = "en"    # target distribution = the English slice
 
 
@@ -1050,25 +1053,65 @@ def t_dsir_importance(sf_dir: str, n_shuffle: int = 256) -> pd.DataFrame:
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
-    partials = docs.map_batches(grams, batch_format="pyarrow") \
-        .groupby("__bk").map_groups(
+    gds = docs.map_batches(grams, batch_format="pyarrow").materialize()
+
+    if gds.count() <= DSIR_BROADCAST_ROWS:
+        # broadcast path: the feature space is bounded (DSIR_BUCKETS
+        # dense int64 cells), so the global (rcnt, tcnt) table folds on
+        # the driver from per-batch Arrow partials and scoring is one
+        # shuffle-free broadcast pass
+        from .joins import broadcast_map
+
+        def cnt_partial(t: pa.Table) -> pa.Table:
+            tocc = pc.multiply(t["occ"], t["is_tgt"])
+            return pa.table({"b": t["b"], "r": t["occ"], "t": tocc}) \
+                .group_by("b").aggregate([("r", "sum"), ("t", "sum")])
+
+        parts = gds.map_batches(cnt_partial,
+                                batch_format="pyarrow").to_pandas()
+        rcnt = np.zeros(DSIR_BUCKETS, np.int64)
+        tcnt = np.zeros(DSIR_BUCKETS, np.int64)
+        bi = parts["b"].to_numpy().astype(np.int64)
+        np.add.at(rcnt, bi, parts["r_sum"].to_numpy().astype(np.int64))
+        np.add.at(tcnt, bi, parts["t_sum"].to_numpy().astype(np.int64))
+        ref = ray.put((rcnt, tcnt))
+
+        def score_bc(t: pa.Table, state) -> pa.Table:
+            rc_w, tc_w = state
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            occ = t.column("occ").to_numpy(zero_copy_only=False)
+            per = pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_occ": t.column("occ"),
+                "tmass": pa.array(occ * (tc_w[b] + 1), pa.int64()),
+                "rmass": pa.array(occ * (rc_w[b] + 1), pa.int64()),
+            }).group_by("doc_id").aggregate([
+                ("n_occ", "sum"), ("tmass", "sum"), ("rmass", "sum")])
+            return per
+
+        out = broadcast_map(gds, score_bc, ref).to_pandas() \
+            .groupby("doc_id", as_index=False).sum()
+        out.columns = ["doc_id", "n_occ", "tmass", "rmass"]
+    else:
+        partials = gds.groupby("__bk").map_groups(
             lambda g: per_bucket(g.drop_columns(["__bk"])),
             batch_format="pyarrow")
 
-    def add_dbk(t: pa.Table) -> pa.Table:
-        return t.append_column("__bk", _bucket_of(t["doc_id"], 256))
+        def add_dbk(t: pa.Table) -> pa.Table:
+            return t.append_column("__bk", _bucket_of(t["doc_id"], 256))
 
-    def per_doc(g: pa.Table) -> pa.Table:
-        f = g.group_by("doc_id").aggregate([
-            ("n_occ", "sum"), ("tmass", "sum"), ("rmass", "sum")])
-        return rename_agg(f, {"n_occ_sum": "n_occ", "tmass_sum": "tmass",
-                              "rmass_sum": "rmass"},
-                          ["doc_id", "n_occ", "tmass", "rmass"])
+        def per_doc(g: pa.Table) -> pa.Table:
+            f = g.group_by("doc_id").aggregate([
+                ("n_occ", "sum"), ("tmass", "sum"), ("rmass", "sum")])
+            return rename_agg(f, {"n_occ_sum": "n_occ",
+                                  "tmass_sum": "tmass",
+                                  "rmass_sum": "rmass"},
+                              ["doc_id", "n_occ", "tmass", "rmass"])
 
-    out = partials.map_batches(add_dbk, batch_format="pyarrow") \
-        .groupby("__bk").map_groups(
-            lambda g: per_doc(g.drop_columns(["__bk"])),
-            batch_format="pyarrow").to_pandas()
+        out = partials.map_batches(add_dbk, batch_format="pyarrow") \
+            .groupby("__bk").map_groups(
+                lambda g: per_doc(g.drop_columns(["__bk"])),
+                batch_format="pyarrow").to_pandas()
 
     # global totals: R = all bigram occurrences, T = the target slice's
     # (per-doc n_occ split by lang — a tiny column-pruned read)

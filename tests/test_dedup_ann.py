@@ -1010,6 +1010,14 @@ def test_substring_dedup_planted(ray_session, tmp_path):
     assert rows[1].n_grams == 4 and rows[1].n_dup == 1
     assert rows[2].n_grams == 4 and rows[2].n_dup == 1
     assert rows[3].n_dup == 0 and rows[3].n_grams > 0
+    # the bucketed scale path (broadcast gate forced to 0) must agree
+    orig = dedup.SUBSTR_BROADCAST_ROWS
+    dedup.SUBSTR_BROADCAST_ROWS = 0
+    try:
+        forced = dedup.d_substring_dedup(str(tmp_path))
+    finally:
+        dedup.SUBSTR_BROADCAST_ROWS = orig
+    assert out.equals(forced)
 
 
 def test_bigram_lm_score_planted(ray_session, tmp_path):
@@ -1042,6 +1050,23 @@ def test_bigram_lm_score_planted(ray_session, tmp_path):
         text.BIGRAM_BROADCAST_ROWS = orig
     pd_testing_equal = out.equals(forced)
     assert pd_testing_equal, (out, forced)
+
+
+def test_dsir_broadcast_matches_bucketed(ray_session):
+    """The DSIR broadcast fast path (driver-folded dense feature table)
+    must reproduce the two-exchange bucketed plan bit for bit."""
+    from pdf_parse_new_ray.functions import text
+
+    sf = "/root/testdata/sf0.001"
+    base = text.t_dsir_importance(sf)
+    orig = text.DSIR_BROADCAST_ROWS
+    text.DSIR_BROADCAST_ROWS = 0
+    try:
+        forced = text.t_dsir_importance(sf)
+    finally:
+        text.DSIR_BROADCAST_ROWS = orig
+    assert base.equals(forced)
+    assert len(base) > 0
 
 
 def test_props_value_stats_vectorized(ray_session, tmp_path):
