@@ -179,9 +179,11 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     # value_set while the segment fits, bucketed cogroup when it doesn't
     # (a TPC-H-scale segment is ~1/5 of all customers — not broadcastable)
     if cust.count() <= BROADCAST_DIM_ROWS:
-        seg_keys = sorted(
-            r["c_custkey"] for r in
-            cust.filter(expr="c_mktsegment == 'BUILDING'").take_all())
+        # driver read under the gate (metadata row count): the segment
+        # key fetch costs ms instead of a Ray read + take_all pass
+        cp = _dim_pandas(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+                         filters=[("c_mktsegment", "==", "BUILDING")])
+        seg_keys = sorted(int(k) for k in cp["c_custkey"])
         keys_ref = ray.put(seg_keys)
         ck = ("q3keys", keys_ref.hex())
 
@@ -229,8 +231,23 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     if orders.count() <= BROADCAST_DIM_ROWS:
         # Arrow-native materialize (gated small): keeps the source
         # timestamp unit exact — a pandas roundtrip would silently
-        # rewrite timestamp[s] to [us] and break result-dtype parity
-        sel_tab = pa.concat_tables(ray.get(sel_orders.to_arrow_refs()))
+        # rewrite timestamp[s] to [us] and break result-dtype parity.
+        # Under the customer gate the selection builds straight on the
+        # driver (pq.read_table stays Arrow); otherwise drain the
+        # distributed selection's blocks
+        if cust.count() <= BROADCAST_DIM_ROWS:
+            import pyarrow.parquet as pq_
+
+            ot = pq_.read_table(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                filters=[("o_orderdate", "<",
+                          pd.Timestamp("1995-03-15"))])
+            sel_tab = ot.filter(pc.is_in(
+                ot["o_custkey"],
+                value_set=pa.array(seg_keys, pa.int64())))
+        else:
+            sel_tab = pa.concat_tables(ray.get(sel_orders.to_arrow_refs()))
         sel_ref = ray.put(sel_tab)
         jk = ("q3join", sel_ref.hex())
 
