@@ -93,6 +93,11 @@ def _nation_map(sf_dir: str) -> dict:
 # runs.  One knob so tests can force the distributed path on small data.
 BROADCAST_DIM_ROWS = 2_000_000
 
+# fact tables at or below this row count let mergeable per-batch partials
+# (sketch cells, bounded count tables) fold on the driver instead of a
+# Ray-native keyed aggregate; above it the distributed merge runs
+EVENTS_DRIVER_ROWS = 20_000_000
+
 # task-mode warm broadcast state for q3's gated small-scale path (keyed by
 # the ObjectRef hex so distinct queries/inputs never share state)
 _Q3_TASK_STATE: dict = {}
@@ -1990,9 +1995,15 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
         g = t.group_by("user_id").aggregate([("user_id", "count")])
         return rename_agg(g, {"user_id_count": "n"}, ["user_id", "n"])
 
-    out = ev.map_batches(partial, batch_format="pyarrow") \
-        .groupby("user_id").aggregate(Sum("n", alias_name="n")) \
-        .to_pandas()
+    part_ds = ev.map_batches(partial, batch_format="pyarrow")
+    if ev.count() <= EVENTS_DRIVER_ROWS:
+        # |users| x n_blocks partials fit the driver under the gate —
+        # pandas fold instead of a Ray-native per-user aggregate
+        out = part_ds.to_pandas().groupby("user_id",
+                                          as_index=False)["n"].sum()
+    else:
+        out = part_ds.groupby("user_id") \
+            .aggregate(Sum("n", alias_name="n")).to_pandas()
     out["n"] = out["n"].astype("int64")
     out = out.sort_values(["n", "user_id"], ascending=[False, True]) \
         .head(HEAVY_HITTER_K)
@@ -3800,22 +3811,37 @@ def q_cms_heavy_hitters(sf_dir: str) -> pd.DataFrame:
             "cnt": pa.array(np.concatenate(cnts), pa.int64()),
         })
 
-    cells = ev.map_batches(sketch_partial, batch_format="pyarrow",
-                           batch_size=65536) \
-        .groupby(["row", "bucket"]).aggregate(Sum("cnt", alias_name="cnt")) \
-        .take_all()
+    # the sketch is elementwise-mergeable, so under an events-row gate
+    # (parquet metadata) the per-batch sparse partials fold straight
+    # into the driver's matrix — no keyed exchange at all; above the
+    # gate (where blocks x 16k cells would swamp the driver) the
+    # 4096-group Ray aggregate merges distributed
+    driver_fold = ev.count() <= EVENTS_DRIVER_ROWS
+    part_ds = ev.map_batches(sketch_partial, batch_format="pyarrow",
+                             batch_size=65536)
     cms = np.zeros((CMS_DEPTH, CMS_WIDTH), np.int64)
-    for r in cells:
-        cms[r["row"], r["bucket"]] = r["cnt"]
+    if driver_fold:
+        cdf = part_ds.to_pandas()
+        np.add.at(cms, (cdf["row"].to_numpy(), cdf["bucket"].to_numpy()),
+                  cdf["cnt"].to_numpy())
+    else:
+        cells = part_ds \
+            .groupby(["row", "bucket"]) \
+            .aggregate(Sum("cnt", alias_name="cnt")).take_all()
+        for r in cells:
+            cms[r["row"], r["bucket"]] = r["cnt"]
 
     # exact top-k candidates: the q_heavy_hitters combiner shape
     def count_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("user_id").aggregate([("user_id", "count")])
         return rename_agg(g, {"user_id_count": "n"}, ["user_id", "n"])
 
-    exact = ev.map_batches(count_partial, batch_format="pyarrow") \
-        .groupby("user_id").aggregate(Sum("n", alias_name="n")) \
-        .to_pandas()
+    cnt_ds = ev.map_batches(count_partial, batch_format="pyarrow")
+    if driver_fold:
+        exact = cnt_ds.to_pandas().groupby("user_id", as_index=False)["n"].sum()
+    else:
+        exact = cnt_ds.groupby("user_id") \
+            .aggregate(Sum("n", alias_name="n")).to_pandas()
     exact["n"] = exact["n"].astype("int64")
     top = exact.sort_values(["n", "user_id"], ascending=[False, True]) \
         .head(CMS_TOP_K).reset_index(drop=True)
