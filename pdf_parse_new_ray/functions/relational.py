@@ -2603,8 +2603,14 @@ def q_copurchase_pairs(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     # output is pair partials, far smaller than the fact table)
     partials = li.groupby("__bk").map_groups(
         pairs, batch_format="pyarrow").materialize()
-    df = partials.groupby("__pk").map_groups(topk, batch_format="pyarrow") \
-        .to_pandas()
+    if partials.count() <= EVENTS_DRIVER_ROWS:
+        # pair partials fit the driver (triangle-count gate shape):
+        # pandas fold + global top-K replaces the second exchange
+        df = partials.to_pandas() \
+            .groupby(["p_a", "p_b"], as_index=False)["support"].sum()
+    else:
+        df = partials.groupby("__pk") \
+            .map_groups(topk, batch_format="pyarrow").to_pandas()
     df = df.drop(columns=[c for c in ("__pk",) if c in df.columns])
     df = df.sort_values(["support", "p_a", "p_b"],
                         ascending=[False, True, True]) \
