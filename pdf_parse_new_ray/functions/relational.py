@@ -2636,8 +2636,36 @@ def q_decile_stats(sf_dir: str, k: int = NTILE_K,
     decile = global_rank * k // N; per-bucket partial (decile, n, cents,
     min, max) aggregates merge on the driver.  No global sort
     materialization; ties are broken by orderkey so the rank — and the
-    decile cut — is deterministic and matches the oracle's row_number."""
+    decile cut — is deterministic and matches the oracle's row_number.
+
+    Under BROADCAST_DIM_ROWS orders rows (metadata) the exact ranking
+    runs on the driver — one lexsort of a driver-sized table; the
+    distributed range-partition rank plan above the gate is unchanged."""
     from .joins import rename_agg
+
+    od = _dim_pandas(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    if od is not None:
+        cents = np.round(od["o_totalprice"].to_numpy()
+                         * 100.0).astype(np.int64)
+        okey = od["o_orderkey"].to_numpy().astype(np.int64)
+        o = np.lexsort((okey, cents))
+        cents = cents[o]
+        n_total = len(cents)
+        dec = np.arange(n_total, dtype=np.int64) * k // n_total
+        uniq, inv = np.unique(dec, return_inverse=True)
+        n_ = np.bincount(inv)
+        sum_ = np.zeros(len(uniq), np.int64)
+        np.add.at(sum_, inv, cents)
+        min_ = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(min_, inv, cents)
+        max_ = np.full(len(uniq), np.iinfo(np.int64).min)
+        np.maximum.at(max_, inv, cents)
+        out = pd.DataFrame({
+            "decile": uniq, "n_orders": n_.astype("int64"),
+            "total_price": sum_ / 100.0,
+            "min_price": min_ / 100.0, "max_price": max_ / 100.0,
+        })
+        return out.sort_values("decile").reset_index(drop=True)
 
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
@@ -2671,9 +2699,11 @@ def q_decile_stats(sf_dir: str, k: int = NTILE_K,
             .aggregate([("__rb", "count")])
         return rename_agg(g, {"__rb_count": "n"}, ["__rb", "n"])
 
+    # <= 65 x n_blocks partial rows: driver pandas fold, not a
+    # Ray-native keyed aggregate (one sort-shuffle saved)
     bt = tagged.map_batches(range_counts, batch_format="pyarrow") \
-        .groupby("__rb").aggregate(Sum("n", alias_name="n")) \
-        .to_pandas().sort_values("__rb")
+        .to_pandas().groupby("__rb", as_index=False)["n"].sum() \
+        .sort_values("__rb")
     n_total = int(bt["n"].sum())
     rb_ids = bt["__rb"].to_numpy()
     counts = bt["n"].to_numpy().astype(np.int64)
