@@ -3942,10 +3942,18 @@ def q_value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
             .group_by(["event_type", "vb"]).aggregate([("cnt", "sum")])
         return rename_agg(g, {"cnt_sum": "cnt"}, ["event_type", "vb", "cnt"])
 
-    hist = ev.map_batches(hist_partial, batch_format="pyarrow",
-                          batch_size=65536) \
-        .groupby(["event_type", "vb"]).aggregate(Sum("cnt", alias_name="cnt")) \
-        .to_pandas()
+    driver_fold = ev.count() <= EVENTS_DRIVER_ROWS
+    hist_parts = ev.map_batches(hist_partial, batch_format="pyarrow",
+                                batch_size=65536)
+    if driver_fold:
+        # (type, vb) cells are bounded by rows: pandas fold beats the
+        # Ray-native per-cell aggregate under the gate
+        hist = hist_parts.to_pandas() \
+            .groupby(["event_type", "vb"], as_index=False)["cnt"].sum()
+    else:
+        hist = hist_parts \
+            .groupby(["event_type", "vb"]) \
+            .aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
     hist["cnt"] = hist["cnt"].astype("int64")
     hist = hist.sort_values(["event_type", "vb"]).reset_index(drop=True)
 
@@ -3988,10 +3996,30 @@ def q_value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
             "quantile": pa.array(qs, pa.float64()),
             "value": pa.array(vals, pa.float64())})
 
-    out = ev.map_batches(pick_rows, batch_format="pyarrow",
-                         batch_size=65536) \
-        .groupby("key").map_groups(per_bucket, batch_format="pyarrow") \
-        .to_pandas()
+    picked_ds = ev.map_batches(pick_rows, batch_format="pyarrow",
+                               batch_size=65536)
+    if driver_fold:
+        # the located buckets hold ~n/2^20 rows each x (types x
+        # quantiles) cells — driver-sized under the gate; sort + pick
+        # per key without the keyed exchange.  NB: pandas' string
+        # hashtable truncates at embedded NUL, so grouping on the raw
+        # "etype\x00vb" key silently collapses buckets — group on the
+        # parsed (etype, vb) columns instead.
+        pk = picked_ds.to_pandas()
+        sp = pk["key"].str.rsplit("\x00", n=1, expand=True)
+        pk["etype"], pk["vb"] = sp[0], sp[1].astype("int64")
+        rows = []
+        for (etype, vb), g in pk.groupby(["etype", "vb"], sort=False):
+            v = np.sort(g["value"].to_numpy())
+            for q, off in need[(etype, int(vb))]:
+                rows.append((etype, q, float(v[off])))
+        out = pd.DataFrame(rows,
+                           columns=["event_type", "quantile", "value"])
+    else:
+        out = picked_ds \
+            .groupby("key").map_groups(per_bucket,
+                                       batch_format="pyarrow") \
+            .to_pandas()
     return out.sort_values(["event_type", "quantile"]).reset_index(drop=True)
 
 

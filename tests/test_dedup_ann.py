@@ -1980,3 +1980,24 @@ def test_pagerank_broadcast_premerge_matches(ray_session, tmp_path, monkeypatch)
     assert list(merged["node"]) == list(plain["node"])
     assert np.allclose(merged["rank"].to_numpy(), plain["rank"].to_numpy(),
                        atol=1e-12)
+
+
+def test_events_driver_fold_forced_paths_equal(ray_session, monkeypatch):
+    """Every EVENTS_DRIVER_ROWS / dim-metadata driver fold must equal its
+    distributed path exactly: force the gates to 0 and re-run the gated
+    queries (heavy hitters, CMS, copurchase top-K, decile ranks, the
+    continuous-quantile two-pass) at sf0.001."""
+    from pdf_parse_new_ray.functions import relational
+
+    sf = "/root/testdata/sf0.001"
+    queries = [relational.q_heavy_hitters, relational.q_cms_heavy_hitters,
+               relational.q_copurchase_pairs, relational.q_decile_stats,
+               relational.q_value_quantiles_by_type]
+    fast = [q(sf) for q in queries]
+    monkeypatch.setattr(relational, "EVENTS_DRIVER_ROWS", 0)
+    monkeypatch.setattr(relational, "BROADCAST_DIM_ROWS", 0)
+    for q, want in zip(queries, fast):
+        got = q(sf)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_exact=False, atol=1e-9)
