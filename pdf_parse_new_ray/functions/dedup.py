@@ -429,17 +429,17 @@ def _minhash_batch(t: pa.Table) -> pa.Table:
 def _candidate_pairs(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset]:
     """Shared LSH front-end: (deduped candidate pair dataset with `capped`
     flag, per-doc signature dataset)."""
+    # materialize sigs FIRST so the band/pair lineage reads the cached
+    # blocks: materializing pairs before sigs re-executes the corpus
+    # signature scan a second time (measured 1.4 s of d_minhash_pairs'
+    # 3.5 s wall at sf0.1).  Keeping both materialized also remains the
+    # documented fix for the union+groupby shared-lineage executor
+    # deadlock at low parallelism, and signatures are ~64x smaller than
+    # the text so the spill cost is trivial
     sigs = _docs(sf_dir).map_batches(_minhash_batch, batch_format="pyarrow",
-                                     batch_size=256)
+                                     batch_size=256).materialize()
     bands = sigs.map_batches(_band_rows, batch_format="pyarrow")
-    pairs = lsh_pairs(bands)
-    # materialize both: (a) signatures are ~64x smaller than the text, and
-    # both attach passes need them — recomputing the corpus text scan twice
-    # would cost more than spilling sig blocks; (b) chaining two
-    # union+groupby stages over one shared lineage deadlocks Ray Data's
-    # streaming executor at low parallelism (observed at num_cpus=4), and a
-    # materialize boundary between the shuffles is the documented fix
-    return pairs.materialize(), sigs.materialize()
+    return lsh_pairs(bands).materialize(), sigs
 
 
 # below this many candidate pairs the signature attach runs as a driver-

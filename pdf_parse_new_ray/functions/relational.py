@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
@@ -37,6 +38,23 @@ def _dim_pandas(sf_dir: str, table: str, columns=None, filters=None):
         return None
     return pq_.read_table(path, columns=columns,
                           filters=filters).to_pandas()
+
+
+def _fact_fold_driver(sf_dir: str, table: str, columns, fold):
+    """Driver fast path for the one-bucketed-shuffle window family
+    (sessionization / as-of / LAG / rolling / trailing-RANGE / first-last
+    / transitions / watermark): each fold is already a vectorized
+    MULTI-key pass whose per-key segments are independent, and the caller
+    lands every output row on the driver anyway — so under the fact
+    metadata gate the keyed exchange that co-locates each key's rows is
+    pure overhead.  Run the SAME fold once over the whole driver-read
+    table (identical sort keys → identical per-key segments → identical
+    rows).  Returns None above the gate; callers keep their bucketed
+    cogroup, and the `write_dir` scale hatch never takes this path."""
+    path = f"{sf_dir}/{table}.parquet"
+    if pq.read_metadata(path).num_rows > EVENTS_DRIVER_ROWS:
+        return None
+    return fold(pq.read_table(path, columns=columns))
 
 
 def _orders_custkey_ref(sf_dir: str):
@@ -665,6 +683,15 @@ def q_sessionization(sf_dir: str, gap_minutes: int = 30,
             "sum_value": pa.array(np.round(sums, 4), pa.float64()),
         })
 
+    if write_dir is None:
+        t = _fact_fold_driver(sf_dir, "events",
+                              ["event_id", "ts", "user_id", "value"],
+                              sessions)
+        if t is not None:
+            return t.to_pandas() \
+                .sort_values(["user_id", "session_id"]) \
+                .reset_index(drop=True)
+
     ev = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
     ev = ev.map_batches(
         lambda t: t.append_column("__bk", _bucket_of(t.column("user_id"), n_buckets)),
@@ -747,6 +774,14 @@ def q_asof_view_before_click(sf_dir: str, n_buckets: int = 256,
             "view_value": pa.array(
                 [float(v) if h else None for v, h in zip(view_val, ok)], pa.float64()),
         })
+
+    if write_dir is None:
+        t = _fact_fold_driver(
+            sf_dir, "events",
+            ["event_id", "ts", "user_id", "event_type", "value"], asof)
+        if t is not None:
+            return t.to_pandas().sort_values("event_id") \
+                .reset_index(drop=True)
 
     ev = _rp(sf_dir, "events",
              columns=["event_id", "ts", "user_id", "event_type", "value"])
@@ -1047,6 +1082,16 @@ def q_running_balance(sf_dir: str, n_buckets: int = 256,
             "running_total": pa.array(run / 100.0, pa.float64()),
         })
 
+    if write_dir is None:
+        t = _fact_fold_driver(
+            sf_dir, "orders",
+            ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+            fold)
+        if t is not None:
+            return t.to_pandas() \
+                .sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
+                .reset_index(drop=True)
+
     orders = _rp(sf_dir, "orders",
                  ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
     orders = orders.map_batches(
@@ -1102,6 +1147,14 @@ def q_rolling_avg(sf_dir: str, window: int = 5, n_buckets: int = 256,
             "rolling_avg": pa.array(
                 frame_sum / (1e6 * frame_len), pa.float64()),
         })
+
+    if write_dir is None:
+        t = _fact_fold_driver(sf_dir, "events",
+                              ["event_id", "ts", "user_id", "value"], fold)
+        if t is not None:
+            return t.to_pandas() \
+                .sort_values(["user_id", "ts", "event_id"]) \
+                .reset_index(drop=True)
 
     ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
     ev = ev.map_batches(
@@ -1189,6 +1242,12 @@ def q_event_lag(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
             "gap_us": gap,
         })
 
+    t = _fact_fold_driver(sf_dir, "events",
+                          ["event_id", "ts", "user_id", "event_type"], fold)
+    if t is not None:
+        return t.to_pandas().sort_values(["user_id", "ts", "event_id"]) \
+            .reset_index(drop=True)
+
     ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
     ev = ev.map_batches(
         lambda t: t.append_column("__bk", _bucket_of(t.column("user_id"), n_buckets)),
@@ -1226,6 +1285,11 @@ def q_user_first_last(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
             "n_events": pa.array(np.diff(np.concatenate((starts, [n]))),
                                  pa.int64()),
         })
+
+    t = _fact_fold_driver(sf_dir, "events",
+                          ["event_id", "ts", "user_id", "event_type"], fold)
+    if t is not None:
+        return t.to_pandas().sort_values("user_id").reset_index(drop=True)
 
     ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
     ev = ev.map_batches(
@@ -1324,6 +1388,11 @@ def q_orders_above_customer_avg(sf_dir: str,
             "o_custkey": kept.column("o_custkey"),
             "o_totalprice": kept.column("o_totalprice"),
         })
+
+    t = _fact_fold_driver(sf_dir, "orders",
+                          ["o_orderkey", "o_custkey", "o_totalprice"], fold)
+    if t is not None:
+        return t.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
 
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     orders = orders.map_batches(
@@ -1842,14 +1911,21 @@ def q_event_transitions(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
         return rename_agg(t, {"n_sum": "n"},
                           ["prev_type", "event_type", "n"])
 
-    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-    ev = ev.map_batches(
-        lambda t: t.append_column(
-            "__bk", _bucket_of(t.column("user_id"), n_buckets)),
-        batch_format="pyarrow")
-    out = ev.groupby("__bk").map_groups(fold, batch_format="pyarrow") \
-        .groupby(["prev_type", "event_type"]) \
-        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    t = _fact_fold_driver(sf_dir, "events",
+                          ["event_id", "ts", "user_id", "event_type"], fold)
+    if t is not None:
+        # one global fold already collapses to |types|^2 exact counts
+        out = t.to_pandas()
+    else:
+        ev = _rp(sf_dir, "events",
+                 ["event_id", "ts", "user_id", "event_type"])
+        ev = ev.map_batches(
+            lambda t: t.append_column(
+                "__bk", _bucket_of(t.column("user_id"), n_buckets)),
+            batch_format="pyarrow")
+        out = ev.groupby("__bk").map_groups(fold, batch_format="pyarrow") \
+            .groupby(["prev_type", "event_type"]) \
+            .aggregate(Sum("n", alias_name="n")).to_pandas()
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["prev_type", "event_type"]) \
         .reset_index(drop=True)
@@ -1920,16 +1996,23 @@ def q_late_data_drop(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
                               "late_sum": "n_late_dropped"},
                           ["window_start", "n_on_time", "n_late_dropped"])
 
-    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
-    ev = ev.map_batches(
-        lambda t: t.append_column(
-            "__bk", _bucket_of(t.column("user_id"), n_buckets)),
-        batch_format="pyarrow")
-    out = ev.groupby("__bk").map_groups(fold, batch_format="pyarrow") \
-        .groupby("window_start").aggregate(
-            Sum("n_on_time", alias_name="n_on_time"),
-            Sum("n_late_dropped", alias_name="n_late_dropped")) \
-        .to_pandas()
+    t = _fact_fold_driver(sf_dir, "events",
+                          ["event_id", "ts", "user_id"], fold)
+    if t is not None:
+        # the global fold's in-table group_by is already the final
+        # per-window count — per-user watermark segments are identical
+        out = t.to_pandas()
+    else:
+        ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+        ev = ev.map_batches(
+            lambda t: t.append_column(
+                "__bk", _bucket_of(t.column("user_id"), n_buckets)),
+            batch_format="pyarrow")
+        out = ev.groupby("__bk").map_groups(fold, batch_format="pyarrow") \
+            .groupby("window_start").aggregate(
+                Sum("n_on_time", alias_name="n_on_time"),
+                Sum("n_late_dropped", alias_name="n_late_dropped")) \
+            .to_pandas()
     out["n_on_time"] = out["n_on_time"].astype("int64")
     out["n_late_dropped"] = out["n_late_dropped"].astype("int64")
     # Ray's groupby narrows timestamp[us] to [s]; restore the source unit
@@ -2547,6 +2630,41 @@ def q_copurchase_pairs(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     The driver merges K x n_buckets candidate rows."""
     from .joins import _bucket_of, rename_agg
 
+    if pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows \
+            <= EVENTS_DRIVER_ROWS:
+        # the whole pair census is one lexsort + shift-k walk under the
+        # fact gate (metadata only): skip the orderkey sort-shuffle AND
+        # the partial-support exchange; distributed plan kept above it
+        t = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey", "l_partkey"])
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        o = np.lexsort((pk, ok))
+        ok, pk = ok[o], pk[o]
+        n = len(ok)
+        pa_l, pb_l = [], []
+        k = 1
+        while True:
+            same = ok[:-k] == ok[k:] if k < n else np.zeros(0, bool)
+            if not same.any():
+                break
+            a, b = pk[:-k][same], pk[k:][same]
+            neq = a != b
+            pa_l.append(a[neq])
+            pb_l.append(b[neq])
+            k += 1
+        df = pd.DataFrame({
+            "p_a": np.concatenate(pa_l) if pa_l else np.array([], np.int64),
+            "p_b": np.concatenate(pb_l) if pb_l else np.array([], np.int64),
+        })
+        df = df.groupby(["p_a", "p_b"], as_index=False).size() \
+            .rename(columns={"size": "support"})
+        df = df.sort_values(["support", "p_a", "p_b"],
+                            ascending=[False, True, True]) \
+            .head(COPURCHASE_TOP_K).reset_index(drop=True)
+        df["support"] = df["support"].astype("int64")
+        return df
+
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     li = li.map_batches(
         lambda t: t.append_column(
@@ -2876,8 +2994,13 @@ def q_trailing_hour_sum(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
                                      pa.float64()),
         })
 
-    df = ev.groupby("__bk").map_groups(fold, batch_format="pyarrow") \
-        .to_pandas()
+    t = _fact_fold_driver(sf_dir, "events",
+                          ["event_id", "user_id", "ts", "value"], fold)
+    if t is not None:
+        df = t.to_pandas()
+    else:
+        df = ev.groupby("__bk").map_groups(fold, batch_format="pyarrow") \
+            .to_pandas()
     return df.sort_values(["user_id", "ts", "event_id"]) \
         .reset_index(drop=True)
 

@@ -1992,12 +1992,27 @@ def test_events_driver_fold_forced_paths_equal(ray_session, monkeypatch):
     sf = "/root/testdata/sf0.001"
     queries = [relational.q_heavy_hitters, relational.q_cms_heavy_hitters,
                relational.q_copurchase_pairs, relational.q_decile_stats,
-               relational.q_value_quantiles_by_type]
+               relational.q_value_quantiles_by_type,
+               # the _fact_fold_driver window family
+               relational.q_sessionization,
+               relational.q_asof_view_before_click,
+               relational.q_running_balance, relational.q_rolling_avg,
+               relational.q_event_lag, relational.q_user_first_last,
+               relational.q_orders_above_customer_avg,
+               relational.q_event_transitions, relational.q_late_data_drop,
+               relational.q_trailing_hour_sum]
     fast = [q(sf) for q in queries]
     monkeypatch.setattr(relational, "EVENTS_DRIVER_ROWS", 0)
     monkeypatch.setattr(relational, "BROADCAST_DIM_ROWS", 0)
     for q, want in zip(queries, fast):
         got = q(sf)
-        pd.testing.assert_frame_equal(
-            got.reset_index(drop=True), want.reset_index(drop=True),
-            check_exact=False, atol=1e-9)
+        # datetime64 unit (ns vs us) may differ between the driver-read
+        # and take_all paths; values must not
+        def _us(df):
+            df = df.reset_index(drop=True)
+            for c in df.columns:
+                if str(df[c].dtype).startswith("datetime64"):
+                    df[c] = df[c].astype("datetime64[us]")
+            return df
+        pd.testing.assert_frame_equal(_us(got), _us(want),
+                                      check_exact=False, atol=1e-9)
