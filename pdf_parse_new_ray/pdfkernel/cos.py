@@ -302,6 +302,13 @@ class Lexer:
     def _read_literal_string(self) -> Token:
         data, n = self.data, len(self.data)
         pos = self.pos + 1
+        # fast path: no escape or nesting before the closing ')' — one
+        # C-speed scan + slice (same bytes the loop below would emit)
+        m = _STR_SPECIAL_RE.search(data, pos)
+        if m is not None and data[m.start()] == 0x29:
+            end = m.start()
+            self.pos = end + 1
+            return Token("str", data[pos:end])
         out = bytearray()
         depth = 1
         while pos < n:
@@ -377,6 +384,7 @@ class Lexer:
 import re as _re
 
 # fast-lexer token patterns: accept sets identical to the byte loops above
+_STR_SPECIAL_RE = _re.compile(rb"[\\()]")
 _SKIP_RE = _re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
 _NUM_RE = _re.compile(rb"[0-9+\-.][0-9.+\-]*")
 _NAME_RE = _re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
@@ -561,10 +569,12 @@ class Parser:
         kind = tok.kind
         if kind == "int":
             # possible reference: int int R
-            if self._peek(0).kind == "int" and self._peek(1).kind == "op" and self._peek(1).value == "R":
-                gen = self._next().value
-                self._next()
-                return Ref(tok.value, gen)
+            if self._peek(0).kind == "int":
+                t1 = self._peek(1)
+                if t1.kind == "op" and t1.value == "R":
+                    gen = self._next().value
+                    self._next()
+                    return Ref(tok.value, gen)
             return tok.value
         if kind in ("num", "str", "name", "bool", "null"):
             return tok.value

@@ -99,6 +99,11 @@ def bidi_text(s: str, vertical: bool) -> tuple[str, str]:
     exactly as the reference renders it."""
     if vertical or not s:
         return s, "ttb" if vertical else "ltr"
+    if s.isascii():
+        # ASCII has no R/AL/AN bidi classes, so num_bidi is 0 by
+        # construction and the algorithm below returns (s, "ltr") —
+        # skip the per-char classification (C-speed check)
+        return s, "ltr"
     n = len(s)
     types = [_bidi_char_type(ord(ch)) for ch in s]
     num_bidi = sum(1 for t in types if t in ("R", "AL", "AN"))
@@ -561,11 +566,18 @@ class TextExtractor:
                 return 0.0, 0.0
             return (m[0] * x + m[1] * y) / scale, (m[2] * x + m[3] * y) / scale
 
-        def compare_with_last_position(glyph_width) -> bool:
-            # get_current_text_transform inlined to LOCAL SCALARS: this
-            # runs once per glyph and the tuple it used to build was the
-            # kernel's single largest allocation site (same arithmetic,
-            # same operation order — bit-identical results)
+        # Per-run hoisted transform state: within one build_text_content_item
+        # run only text_matrix slots 4/5 mutate (glyph advances); tm[0..3],
+        # font size/h-scale/rise, ctm, nan_risk and font are fixed until the
+        # next operator.  The run-constant half of the per-glyph transform
+        # (p0..p3, the ctm products c0..c3, the rise cross-terms, the rotate
+        # classification) is computed ONCE here with the exact expressions
+        # the per-glyph formula used — same operands, same order, so results
+        # stay bit-identical while the hot path does 4 multiply-adds per
+        # glyph instead of 12.
+        run_h = [None] * 10
+
+        def _hoist_run() -> None:
             tm = ts.text_matrix
             fs = ts.font_size
             w_ = fs * ts.text_h_scale
@@ -576,17 +588,17 @@ class TextExtractor:
                 p1 = tm[1] * w_
                 p2 = tm[2] * fs
                 p3 = tm[3] * fs
-                p4 = tm[2] * rise + tm[4]
-                p5 = tm[3] * rise + tm[5]
+                k4 = tm[2] * rise  # p4 = k4 + tm[4], identical op order
+                k5 = tm[3] * rise
                 if c is IDENTITY:
-                    c0, c1, c2, c3, pos_x, pos_y = p0, p1, p2, p3, p4, p5
+                    c0, c1, c2, c3 = p0, p1, p2, p3
+                    cm = None
                 else:
                     c0 = c[0] * p0 + c[2] * p1
                     c1 = c[1] * p0 + c[3] * p1
                     c2 = c[0] * p2 + c[2] * p3
                     c3 = c[1] * p2 + c[3] * p3
-                    pos_x = c[0] * p4 + c[2] * p5 + c[4]
-                    pos_y = c[1] * p4 + c[3] * p5 + c[5]
+                    cm = c
             else:
                 # non-finite state takes the exact formula — ±0.0 cross
                 # terms + the always-applied outer multiply, so NaN poisons
@@ -597,15 +609,38 @@ class TextExtractor:
                 p1 = tm[1] * w_ + zz3
                 p2 = zz0 + tm[2] * fs
                 p3 = zz1 + tm[3] * fs
-                p4 = zz0 + tm[2] * rise + tm[4]
-                p5 = zz1 + tm[3] * rise + tm[5]
+                k4 = zz0 + tm[2] * rise  # (zz0 + tm2*rise) + tm4 ≡ original
+                k5 = zz1 + tm[3] * rise
                 c0 = c[0] * p0 + c[2] * p1
                 c1 = c[1] * p0 + c[3] * p1
                 c2 = c[0] * p2 + c[2] * p3
                 c3 = c[1] * p2 + c[3] * p3
-                pos_x = c[0] * p4 + c[2] * p5 + c[4]
-                pos_y = c[1] * p4 + c[3] * p5 + c[5]
-            font = ts.font
+                cm = c
+            rot = -1
+            if c0 and c1 == 0 and c2 == 0:
+                rot = 0 if c0 > 0 else 180
+            elif c1 and c0 == 0 and c3 == 0:
+                rot = 90 if c1 > 0 else 270
+            run_h[0] = tm
+            run_h[1] = cm
+            run_h[2] = c0
+            run_h[3] = c1
+            run_h[4] = c2
+            run_h[5] = c3
+            run_h[6] = k4
+            run_h[7] = k5
+            run_h[8] = rot
+            run_h[9] = ts.font
+
+        def compare_with_last_position(glyph_width) -> bool:
+            tm, cm, c0, c1, c2, c3, k4, k5, rotate, font = run_h
+            p4 = k4 + tm[4]
+            p5 = k5 + tm[5]
+            if cm is None:
+                pos_x, pos_y = p4, p5
+            else:
+                pos_x = cm[0] * p4 + cm[2] * p5 + cm[4]
+                pos_y = cm[1] * p4 + cm[3] * p5 + cm[5]
             if font is not None and font.vertical:
                 if (pos_x < view_box[0] or pos_x > view_box[2]
                         or pos_y + glyph_width < view_box[1] or pos_y > view_box[3]):
@@ -620,11 +655,6 @@ class TextExtractor:
             last_x, last_y = prev[4], prev[5]
             if last_x == pos_x and last_y == pos_y:
                 return True
-            rotate = -1
-            if c0 and c1 == 0 and c2 == 0:
-                rotate = 0 if c0 > 0 else 180
-            elif c1 and c0 == 0 and c3 == 0:
-                rotate = 90 if c1 > 0 else 270
             if rotate == 90:
                 pos_x, pos_y = pos_y, pos_x
                 last_x, last_y = last_y, last_x
@@ -702,6 +732,7 @@ class TextExtractor:
 
         def build_text_content_item(chars: Optional[bytes], extra_spacing: float) -> None:
             font = ts.font
+            _hoist_run()
             if not chars:
                 char_spacing = ts.char_spacing + extra_spacing
                 if char_spacing:
@@ -733,6 +764,11 @@ class TextExtractor:
             # matrices propagate exactly as the reference's full formula
             z4h, z5h = tm[2] * 0.0, tm[3] * 0.0  # horizontal: y == 0
             z4v, z5v = tm[0] * 0.0, tm[1] * 0.0  # vertical:  x == 0
+            # _run_transform inlined below (per-glyph prevTransform tuple):
+            # bind the hoisted run constants as loop locals
+            r_cm = run_h[1]
+            r_c0, r_c1, r_c2, r_c3 = run_h[2], run_h[3], run_h[4], run_h[5]
+            r_k4, r_k5 = run_h[6], run_h[7]
             for i, glyph in enumerate(glyphs):
                 if glyph.is_format_mark:
                     continue
@@ -767,7 +803,7 @@ class TextExtractor:
                         tm[4] = z4v + tm[2] * scaled_dim + tm[4]
                         tm[5] = z5v + tm[3] * scaled_dim + tm[5]
                     continue
-                chunk = ensure_tci()
+                chunk = tci if tci["initialized"] else ensure_tci()
                 if glyph.is_diacritic:
                     scaled_dim = 0.0
                 if not vertical:
@@ -781,7 +817,16 @@ class TextExtractor:
                     scaled_dim = abs(scaled_dim)
                     chunk["height"] += scaled_dim
                 if scaled_dim:
-                    chunk["prevTransform"] = get_current_text_transform()
+                    # _run_transform() inlined (same expressions)
+                    p4 = r_k4 + tm[4]
+                    p5 = r_k5 + tm[5]
+                    if r_cm is None:
+                        chunk["prevTransform"] = (r_c0, r_c1, r_c2, r_c3, p4, p5)
+                    else:
+                        chunk["prevTransform"] = (
+                            r_c0, r_c1, r_c2, r_c3,
+                            r_cm[0] * p4 + r_cm[2] * p5 + r_cm[4],
+                            r_cm[1] * p4 + r_cm[3] * p5 + r_cm[5])
                 gu = glyph.unicode
                 # save_last_char(gu) inlined
                 p = two_pos[0]
