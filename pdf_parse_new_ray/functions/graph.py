@@ -455,6 +455,11 @@ _TASK_RANK_CACHE: dict = {}
 # same small-graph duality as the PageRank raw-task BSP path.  Above
 # the gate (100 TB corpora) the fully distributed path below runs.
 TRIANGLE_DRIVER_PAIRS = 20_000_000
+# lineitem-metadata gate for the full driver stage-1 (pair census on the
+# driver, the q_copurchase_pairs fold): pairs ≈ 3× rows for ≤7-item
+# orders, so 6M rows keeps the distinct-pair array within the same
+# memory budget TRIANGLE_DRIVER_PAIRS bounds for the collected partials
+TRIANGLE_DRIVER_ROWS = 6_000_000
 
 
 @ray.remote
@@ -492,6 +497,12 @@ def _triangle_driver_close(pair_parts: "rd.Dataset") -> pd.DataFrame:
             pc.multiply(t["a"], pa.scalar(1 << 32, pa.int64())), t["b"])}),
         batch_format="pyarrow").to_pandas()
     keys = np.unique(kt["k"].to_numpy().astype(np.int64))
+    return _triangle_close_keys(keys)
+
+
+def _triangle_close_keys(keys: np.ndarray) -> pd.DataFrame:
+    """Orientation + sharded wedge closure over the sorted distinct
+    oriented-by-id pair keys (a*2^32+b, a<b)."""
     n_e = len(keys)
     if n_e == 0:
         return pd.DataFrame({"n_nodes": [0], "n_edges": [0],
@@ -506,13 +517,20 @@ def _triangle_driver_close(pair_parts: "rd.Dataset") -> pd.DataFrame:
     # same rank key as the distributed path: degree-major, id-minor
     rk = deg.astype(np.int64) * (1 << 32) + nodes
     ra, rb = rk[ia], rk[ib]
-    src = np.where(ra < rb, a, b)
-    dst = np.where(ra < rb, b, a)
-    dstr = np.where(ra < rb, rb, ra)
-    order = np.lexsort((dstr, src))
+    lo_is_a = ra < rb
+    src = np.where(lo_is_a, a, b)
+    dst = np.where(lo_is_a, b, a)
+    # (src, dst-rank) sort via ONE packed int64 argsort instead of a
+    # 2-key lexsort: rank POSITION (dense, < n_nodes < 2^31) orders
+    # identically to the rank VALUE (rk is unique per node), and
+    # src < 2^31 by the repo-wide pair-encode convention
+    rank_pos = np.empty(len(nodes), dtype=np.int64)
+    rank_pos[np.argsort(rk)] = np.arange(len(nodes), dtype=np.int64)
+    dpos = rank_pos[np.where(lo_is_a, ib, ia)]
+    order = np.argsort(src * (1 << 31) + dpos)
     s = np.ascontiguousarray(src[order])
     d = np.ascontiguousarray(dst[order])
-    ek = np.sort(s * (1 << 32) + d)
+    ek = np.sort(src * (1 << 32) + dst)
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     n_shards = max(1, min(n_cpus, n_e // 20_000 + 1))
     pos = (np.arange(1, n_shards) * n_e) // n_shards
@@ -550,6 +568,38 @@ def g_triangle_count(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     Returns (n_nodes, n_edges, n_triangles) — all exact int64, oracled
     against DuckDB's three-way self-join."""
     from .joins import _bucket_of, attach_value, rename_agg
+
+    # full driver stage-1 under the lineitem METADATA gate (the
+    # q_copurchase_pairs fold): the whole distinct-edge census is one
+    # lexsort + shift-k walk on the driver, skipping the orderkey
+    # sort-shuffle AND the pair-partial collect; distributed stage-1
+    # kept above the gate and whenever a forced-path test zeroes any
+    # distributed gate
+    import pyarrow.parquet as _pq
+
+    if (_pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+            <= TRIANGLE_DRIVER_ROWS and TRIANGLE_DRIVER_PAIRS
+            and TRIANGLE_BROADCAST_NODES and TRIANGLE_BROADCAST_EDGES):
+        t = _pq.read_table(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey"])
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        o = np.lexsort((pk, ok))
+        ok, pk = ok[o], pk[o]
+        n = len(ok)
+        keys_l = []
+        k = 1
+        while True:
+            same = ok[:-k] == ok[k:] if k < n else np.zeros(0, bool)
+            if not same.any():
+                break
+            a, b = pk[:-k][same], pk[k:][same]
+            neq = a != b  # a < b (pk sorted within order)
+            keys_l.append(a[neq].astype(np.int64) * (1 << 32) + b[neq])
+            k += 1
+        keys = (np.unique(np.concatenate(keys_l)) if keys_l
+                else np.array([], np.int64))
+        return _triangle_close_keys(keys)
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey"])

@@ -1803,7 +1803,11 @@ def test_triangle_count_cogroup_path_matches_broadcast(ray_session,
     from pdf_parse_new_ray.functions import graph
 
     sf = "/root/testdata/sf0.001"
-    base = graph.g_triangle_count(sf)  # driver fast path at this scale
+    base = graph.g_triangle_count(sf)  # driver stage-1 at this scale
+    # force the distributed stage-1 + collected-pair-partials driver close
+    monkeypatch.setattr(graph, "TRIANGLE_DRIVER_ROWS", 0)
+    pair_route = graph.g_triangle_count(sf)
+    pd.testing.assert_frame_equal(base, pair_route)
     # force the distributed broadcast-orient + broadcast-closure path
     monkeypatch.setattr(graph, "TRIANGLE_DRIVER_PAIRS", 0)
     dist = graph.g_triangle_count(sf)
