@@ -2380,6 +2380,27 @@ def q18_large_volume_customers(sf_dir: str,
 
 KMV_K = 64
 
+# per-worker uid → md5-high-8-bytes cache for the KMV sketch: user ids
+# repeat heavily across batches (and event types), so each distinct uid
+# pays its md5 once per worker process; bounded, like the token caches
+_KMV_H_CACHE: dict = {}
+
+
+def _kmv_hash_many(uids: np.ndarray) -> np.ndarray:
+    import hashlib
+
+    cache = _KMV_H_CACHE
+    out = np.empty(len(uids), dtype=np.uint64)
+    for i, u in enumerate(uids.tolist()):
+        h = cache.get(u)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.md5(str(u).encode()).digest()[:8], "big")
+            if len(cache) < (1 << 21):
+                cache[u] = h
+        out[i] = h
+    return out
+
 
 def q_kmv_distinct(sf_dir: str, k: int = KMV_K) -> pd.DataFrame:
     """K-minimum-values distinct-count sketch per event_type: the classic
@@ -2392,40 +2413,62 @@ def q_kmv_distinct(sf_dir: str, k: int = KMV_K) -> pd.DataFrame:
     exact count when the merged sketch holds < k values, else
     (k-1) * 2^64 / h_k.  At 100 TB the shuffle carries only sketch rows —
     never a distinct-key exchange like exact COUNT DISTINCT needs."""
-    import hashlib
-
     ev = _rp(sf_dir, "events", ["event_type", "user_id"])
 
     def sketch(t: pa.Table) -> pa.Table:
         et = t.column("event_type").to_numpy(zero_copy_only=False)
         uid = t.column("user_id").to_numpy(zero_copy_only=False)
-        out_t, out_h = [], []
-        for ty in np.unique(et):
-            uids = np.unique(uid[et == ty])
-            hs = np.sort(np.array(
-                [int.from_bytes(
-                    hashlib.md5(str(int(u)).encode()).digest()[:8], "big")
-                 for u in uids], dtype=np.uint64))[:k]
-            out_t.extend([str(ty)] * len(hs))
-            out_h.extend(hs.tolist())
-        return pa.table({"event_type": pa.array(out_t, pa.string()),
-                         "h": pa.array(out_h, pa.uint64())})
+        # hash each DISTINCT uid once per batch (a uid active in many
+        # types used to md5 once per type), through a per-worker cache
+        # that persists across batches
+        codes, types = pd.factorize(et, sort=True)
+        u_uid, uid_idx = np.unique(uid, return_inverse=True)
+        h_all = _kmv_hash_many(u_uid)
+        # distinct (type, uid) pairs via one packed int64 unique
+        upk = np.unique(codes.astype(np.int64) * len(u_uid) + uid_idx)
+        ty_idx = upk // len(u_uid)
+        h = h_all[upk % len(u_uid)]
+        order = np.lexsort((h, ty_idx))
+        ty_s, h_s = ty_idx[order], h[order]
+        starts = np.flatnonzero(np.r_[True, ty_s[1:] != ty_s[:-1]])
+        rank = np.arange(len(ty_s)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(ty_s)]))
+        keep = rank < k  # k smallest hashes per type: the partial sketch
+        return pa.table({
+            "event_type": pa.array(
+                np.asarray(types, dtype=object)[ty_s[keep]], pa.string()),
+            "h": pa.array(h_s[keep], pa.uint64()),
+        })
 
-    def merge(g: pa.Table) -> pa.Table:
-        ty = g.column("event_type")[0].as_py()
-        hs = np.unique(g.column("h").to_numpy(zero_copy_only=False))[:k]
+    def _estimate(hs: np.ndarray) -> tuple[int, float]:
+        hs = np.unique(hs)[:k]
         n = len(hs)
         est = float(n) if n < k else (k - 1) * 18446744073709551616.0 \
             / float(hs[-1])
+        return n, round(est, 4)
+
+    def merge(g: pa.Table) -> pa.Table:
+        ty = g.column("event_type")[0].as_py()
+        n, est = _estimate(g.column("h").to_numpy(zero_copy_only=False))
         return pa.table({
             "event_type": pa.array([ty], pa.string()),
             "n_sketch": pa.array([n], pa.int64()),
-            "est_distinct": pa.array([round(est, 4)], pa.float64()),
+            "est_distinct": pa.array([est], pa.float64()),
         })
 
-    df = ev.map_batches(sketch, batch_format="pyarrow") \
-        .groupby("event_type").map_groups(merge, batch_format="pyarrow") \
-        .to_pandas()
+    parts = ev.map_batches(sketch, batch_format="pyarrow")
+    if ev.count() <= EVENTS_DRIVER_ROWS:
+        # the KMV partials are keyed-mergeable and tiny (≤ k × n_types
+        # per batch), so below the events gate they fold on the driver
+        # instead of paying the keyed exchange
+        pdf = parts.to_pandas()
+        rows = [(ty, *_estimate(grp["h"].to_numpy()))
+                for ty, grp in pdf.groupby("event_type", sort=True)]
+        return pd.DataFrame(rows, columns=["event_type", "n_sketch",
+                                           "est_distinct"]) \
+            .reset_index(drop=True)
+    df = parts.groupby("event_type").map_groups(
+        merge, batch_format="pyarrow").to_pandas()
     return df.sort_values("event_type").reset_index(drop=True)
 
 
@@ -4261,39 +4304,47 @@ def q_hll_distinct(sf_dir: str) -> pd.DataFrame:
     mergeable sketch; no distinct-key exchange ever happens.  The raw
     estimate is reported uncorrected (no small-range linear counting —
     that branch needs ln(); documented, not hidden)."""
-    import hashlib
-
     ev = _rp(sf_dir, "events", ["event_type", "user_id"])
 
     def registers(t: pa.Table) -> pa.Table:
         et = t.column("event_type").to_numpy(zero_copy_only=False)
         uid = t.column("user_id").to_numpy(zero_copy_only=False)
-        out_t, out_i, out_r = [], [], []
-        for ty in np.unique(et):
-            uids = np.unique(uid[et == ty])
-            hs = np.array(
-                [int.from_bytes(
-                    hashlib.md5(str(int(u)).encode()).digest()[:8], "big")
-                 for u in uids], dtype=np.uint64)
-            idx = (hs >> np.uint64(_HLL_WBITS)).astype(np.int64)
-            w = hs & np.uint64((1 << _HLL_WBITS) - 1)
-            rank = np.where(w > 0,
-                            _HLL_WBITS + 1 - _bit_length64(w),
-                            _HLL_WBITS + 1).astype(np.int64)
-            # batch-local register max (partial sketch)
-            g = pa.table({"idx": idx, "rank": rank}) \
-                .group_by("idx").aggregate([("rank", "max")])
-            out_t.extend([str(ty)] * g.num_rows)
-            out_i.extend(g.column("idx").to_pylist())
-            out_r.extend(g.column("rank_max").to_pylist())
-        return pa.table({"event_type": pa.array(out_t, pa.string()),
-                         "idx": pa.array(out_i, pa.int64()),
-                         "rank": pa.array(out_r, pa.int64())})
+        # distinct (type, uid) once, uids hashed through the shared
+        # per-worker md5 cache (same hash as the KMV sketch)
+        codes, types = pd.factorize(et, sort=True)
+        u_uid, uid_idx = np.unique(uid, return_inverse=True)
+        h_all = _kmv_hash_many(u_uid)
+        upk = np.unique(codes.astype(np.int64) * len(u_uid) + uid_idx)
+        ty_idx = upk // len(u_uid)
+        hs = h_all[upk % len(u_uid)]
+        idx = (hs >> np.uint64(_HLL_WBITS)).astype(np.int64)
+        w = hs & np.uint64((1 << _HLL_WBITS) - 1)
+        rank = np.where(w > 0,
+                        _HLL_WBITS + 1 - _bit_length64(w),
+                        _HLL_WBITS + 1).astype(np.int64)
+        # batch-local register max per (type, idx): one packed-key sort
+        key = ty_idx * HLL_M + idx
+        order = np.lexsort((-rank, key))
+        k_s, r_s = key[order], rank[order]
+        first = np.r_[True, k_s[1:] != k_s[:-1]]
+        k_f, r_f = k_s[first], r_s[first]
+        return pa.table({
+            "event_type": pa.array(
+                np.asarray(types, dtype=object)[k_f // HLL_M], pa.string()),
+            "idx": pa.array(k_f % HLL_M, pa.int64()),
+            "rank": pa.array(r_f, pa.int64())})
 
-    regs = ev.map_batches(registers, batch_format="pyarrow",
-                          batch_size=65536) \
-        .groupby(["event_type", "idx"]) \
-        .aggregate(Max("rank", alias_name="mj")).to_pandas()
+    parts = ev.map_batches(registers, batch_format="pyarrow",
+                           batch_size=65536)
+    if ev.count() <= EVENTS_DRIVER_ROWS:
+        # register partials are keyed-mergeable (max) and bounded by
+        # types × 1024 per batch — fold on the driver below the gate
+        regs = parts.to_pandas().groupby(
+            ["event_type", "idx"], as_index=False)["rank"].max() \
+            .rename(columns={"rank": "mj"})
+    else:
+        regs = parts.groupby(["event_type", "idx"]) \
+            .aggregate(Max("rank", alias_name="mj")).to_pandas()
 
     rows = []
     for ty, g in regs.groupby("event_type", sort=True):
