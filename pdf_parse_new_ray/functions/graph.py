@@ -382,6 +382,62 @@ def g_pagerank_copurchase(sf_dir: str) -> pd.DataFrame:
     from .joins import _bucket_of  # noqa: F401  (documented pairing)
     from .relational import _rp
 
+    # driver fold under the shared lineitem METADATA gate (the triangle /
+    # copurchase census fold): the symmetric edge multiset is one lexsort
+    # + shift-k walk and 10 BSP rounds are 10 bincounts — the identical
+    # iteration formula the raw-task path runs, so ranks agree to float
+    # merge-order noise (≤1e-12, the same bound the task-vs-Ray-Data
+    # pytest locks).  Distributed plans keep running above the gate and
+    # when a forced-path test zeroes any gate.
+    import pyarrow.parquet as _pq
+
+    if (_pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+            <= TRIANGLE_DRIVER_ROWS and PAGERANK_TASK_VERTICES
+            and PAGERANK_BROADCAST_VERTICES):
+        t = _pq.read_table(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey"])
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        o = np.lexsort((pk, ok))
+        ok, pk = ok[o], pk[o]
+        nn = len(ok)
+        a_l, b_l = [], []
+        k = 1
+        while True:
+            same = ok[:-k] == ok[k:] if k < nn else np.zeros(0, bool)
+            if not same.any():
+                break
+            a, b = pk[:-k][same], pk[k:][same]
+            neq = a != b
+            a_l.append(a[neq])
+            b_l.append(b[neq])
+            k += 1
+        if not a_l:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "rank": pd.Series(dtype="float64")})
+        a = np.concatenate(a_l).astype(np.int64)
+        b = np.concatenate(b_l).astype(np.int64)
+        src = np.concatenate((a, b))
+        dst = np.concatenate((b, a))
+        nodes = np.unique(src)  # symmetric: every endpoint is a source
+        n = len(nodes)
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        out_deg = np.bincount(si, minlength=n).astype(np.float64)
+        rank = np.full(n, 1.0 / n)
+        for _ in range(PAGERANK_ITERS):
+            share = np.divide(rank, out_deg, out=np.zeros_like(rank),
+                              where=out_deg > 0)
+            incoming = np.bincount(di, weights=share[si], minlength=n)
+            dangling = float(rank[out_deg == 0].sum())
+            rank = ((1.0 - PAGERANK_DAMPING) / n
+                    + PAGERANK_DAMPING * (incoming + dangling / n))
+        pr = pd.DataFrame({"node": nodes, "rank": rank})
+        pr = pr.sort_values(["rank", "node"], ascending=[False, True]) \
+            .head(20).reset_index(drop=True)
+        pr["rank"] = pr["rank"].round(8)
+        return pr
+
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     n_buckets = 256
 

@@ -1648,12 +1648,18 @@ def test_pagerank_task_path_matches_ray_data(ray_session, tmp_path):
     assert list(topt["node"]) == list(want["node"])
 
 
-def test_pagerank_copurchase_runs(ray_session):
+def test_pagerank_copurchase_runs(ray_session, monkeypatch):
+    from pdf_parse_new_ray.functions import graph
     from pdf_parse_new_ray.functions.graph import g_pagerank_copurchase
 
-    out = g_pagerank_copurchase("/root/testdata/sf0.001")
+    out = g_pagerank_copurchase("/root/testdata/sf0.001")  # driver fold
     assert len(out) == 20
     assert (out["rank"].to_numpy()[:-1] >= out["rank"].to_numpy()[1:]).all()
+    # forcing the distributed census + BSP task path must reproduce the
+    # driver fold (identical iteration formula, float merge-order only)
+    monkeypatch.setattr(graph, "TRIANGLE_DRIVER_ROWS", 0)
+    dist = g_pagerank_copurchase("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(out, dist, check_exact=False, atol=1e-9)
 
 
 def test_ngram_containment_detects_subset_doc(ray_session, tmp_path):
