@@ -38,13 +38,26 @@ def _content_hash(text: str) -> str:
     return hashlib.md5((text or "").encode("utf-8")).hexdigest()
 
 
+# bounded per-worker gram → hash memo: natural-language grams are
+# Zipfian, so the top ~half-million strings cover most occurrences and a
+# dict hit (~100 ns) replaces an md5 (~1 µs) on every repeat — shared by
+# every gram-hash call site (MinHash shingles, Jaccard/winnowing grams,
+# bigram LM / DSIR features, census buckets)
+_GRAM_H_CACHE: dict = {}
+
+
 def _gram_hash64(gram: str) -> int:
     """64-bit gram hash = first 8 bytes of md5, big-endian — the same
     value DuckDB computes as ('0x' || substr(md5(g), 1, 16))::UBIGINT,
     which is what makes the MinHash/Jaccard family SQL-oracle-able.
     (int.from_bytes on the raw digest == parsing the first 16 hex
     chars, minus the hex round-trip cost.)"""
-    return int.from_bytes(hashlib.md5(gram.encode()).digest()[:8], "big")
+    h = _GRAM_H_CACHE.get(gram)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(gram.encode()).digest()[:8], "big")
+        if len(_GRAM_H_CACHE) < (1 << 19):
+            _GRAM_H_CACHE[gram] = h
+    return h
 
 
 def oracle_ctes(threshold: float) -> str:
