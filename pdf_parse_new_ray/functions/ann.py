@@ -22,6 +22,28 @@ def _emb(sf_dir: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
 
 
+# task-mode per-worker instance cache for the light-state scan stages
+# (query LUTs, hyperplane tensors, centroid tables — all rebuild in ~ms):
+# keeps the stateful-class API and the once-per-worker init of an actor
+# pool, without the ~1-3 s per-query pool spin-up or its (1, 4) core cap
+# (text._warm is the argless version; this one keys on the constructor
+# state, including the ray.put ref when the state derives from it).
+# Heavy state (media decoders) stays on real actor pools.
+_TASK_STAGE_CACHE: dict = {}
+
+
+def _warm_stage(cls, key, kwargs):
+    def run(t: pa.Table) -> pa.Table:
+        inst = _TASK_STAGE_CACHE.get(key)
+        if inst is None:
+            if len(_TASK_STAGE_CACHE) > 64:
+                _TASK_STAGE_CACHE.clear()
+            inst = _TASK_STAGE_CACHE[key] = cls(**kwargs)
+        return inst(t)
+
+    return run
+
+
 def emb_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
     """``list<float>`` column → (n, d) float64 matrix WITHOUT per-element
     Python objects: flatten() hands back the child values buffer (offset-
@@ -235,15 +257,15 @@ def e_knn_lsh(sf_dir: str, n_queries: int = 5, k: int = 5,
     ref = ray.put((q_ids, q))
 
     local = _emb(sf_dir).map_batches(
-        LshSigner,
-        fn_constructor_kwargs={"dim": q.shape[1], "n_planes": n_planes,
-                               "n_tables": n_tables},
-        batch_format="pyarrow", concurrency=(1, 4), batch_size=4096,
+        _warm_stage(LshSigner, ("lshsig", q.shape[1], n_planes, n_tables),
+                    {"dim": q.shape[1], "n_planes": n_planes,
+                     "n_tables": n_tables}),
+        batch_format="pyarrow", batch_size=4096,
     ).map_batches(
-        LshTopK,
-        fn_constructor_kwargs={"queries_ref": ref, "q_codes": q_codes,
-                               "n_tables": n_tables, "k": k},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+        _warm_stage(LshTopK, ("lshtop", ref, n_tables, k),
+                    {"queries_ref": ref, "q_codes": q_codes,
+                     "n_tables": n_tables, "k": k}),
+        batch_format="pyarrow", batch_size=4096,
     ).to_pandas()
     if local.empty:
         return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
@@ -392,10 +414,10 @@ def e_knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5,
     cents = _train_centroids(sf_dir, n_cells)
     ref = ray.put((q_ids, q))
     local = _emb(sf_dir).map_batches(
-        IvfTopK,
-        fn_constructor_kwargs={"queries_ref": ref, "cents": cents,
-                               "n_probe": n_probe, "k": k},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+        _warm_stage(IvfTopK, ("ivf", ref, n_probe, k),
+                    {"queries_ref": ref, "cents": cents,
+                     "n_probe": n_probe, "k": k}),
+        batch_format="pyarrow", batch_size=4096,
     ).to_pandas()
     if local.empty:
         return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
@@ -476,8 +498,9 @@ def e_knn_filtered(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
     q_ids, q, q_labels = _query_matrix_with_labels(sf_dir, n_queries)
     ref = ray.put((q_ids, q, q_labels))
     local = _emb(sf_dir, columns=["vec_id", "embedding", "label"]).map_batches(
-        FilteredTopK, fn_constructor_kwargs={"queries_ref": ref, "k": k},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+        _warm_stage(FilteredTopK, ("filt", ref, k),
+                    {"queries_ref": ref, "k": k}),
+        batch_format="pyarrow", batch_size=4096,
     ).to_pandas()
     local = local[local["query_id"] != local["vec_id"]]
     local["rank_key"] = -local["cosine"]
@@ -547,8 +570,8 @@ def e_centroid_assign(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     out = _emb(sf_dir, columns=["label", "embedding"]).map_batches(
-        Assign, batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, 4),
+        _warm_stage(Assign, ("cent_assign", ref), {}),
+        batch_format="pyarrow", batch_size=4096,
     ).groupby(["label", "assigned"]).aggregate(Sum("n", alias_name="n")) \
         .to_pandas()
     out["n"] = out["n"].astype("int64")
@@ -672,11 +695,10 @@ def e_knn_pq(sf_dir: str, n_queries: int = 5, k: int = 5,
     books = _train_pq(sf_dir, m_sub=m_sub, n_codes=n_codes)
     ref = ray.put((q_ids, q))
     local = _emb(sf_dir).map_batches(
-        PqTopK,
-        fn_constructor_kwargs={"queries_ref": ref, "books": books,
-                               "k": k,
-                               "shortlist": shortlist_factor * k},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+        _warm_stage(PqTopK, ("pq", ref, k, shortlist_factor * k),
+                    {"queries_ref": ref, "books": books, "k": k,
+                     "shortlist": shortlist_factor * k}),
+        batch_format="pyarrow", batch_size=4096,
     ).to_pandas()
     if local.empty:
         return pd.DataFrame({"query_id": pd.Series(dtype="int64"),

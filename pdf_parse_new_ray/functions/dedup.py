@@ -732,10 +732,13 @@ def d_embedding_neardup(sf_dir: str, threshold: float = 0.8,
     ids = t.column("vec_id").to_numpy()
     m = emb_matrix(t)
     ref = ray.put((ids, m))
+    from .ann import _warm_stage
+
     pairs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"]).map_batches(
-        _CosinePairFinder, fn_constructor_kwargs={"all_ref": ref, "threshold": threshold},
-        batch_size=256, batch_format="pyarrow", concurrency=(1, 4),
+        _warm_stage(_CosinePairFinder, ("cospair", ref, threshold),
+                    {"all_ref": ref, "threshold": threshold}),
+        batch_size=256, batch_format="pyarrow",
     ).take_all()
     df = pd.DataFrame(pairs, columns=["id_a", "id_b", "cosine"])
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
