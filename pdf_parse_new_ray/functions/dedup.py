@@ -744,6 +744,11 @@ def d_embedding_neardup(sf_dir: str, threshold: float = 0.8,
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+# embeddings metadata gate for the all-driver LSH near-dup fold
+# (500k × 64 float64 ≈ 256 MB matrix, candidate pairs star-capped)
+EMBED_LSH_DRIVER_ROWS = 500_000
+
+
 def _embedding_neardup_lsh(sf_dir: str, threshold: float,
                            n_planes: int = 6, n_tables: int = 12) -> pd.DataFrame:
     """Scale path: random-hyperplane bucket rows (16 bytes each — vectors
@@ -769,6 +774,50 @@ def _embedding_neardup_lsh(sf_dir: str, threshold: float,
     n_rows = emb.count()
     n_planes = max(n_planes,
                    min(24, int(np.ceil(np.log2(max(n_rows, 2) / 4.0)))))
+
+    if n_rows <= EMBED_LSH_DRIVER_ROWS and BROADCAST_PAIR_ROWS:
+        # driver fold under the embeddings metadata gate: sign, the
+        # fine-bucket segment walk, pair dedupe and the exact-cosine
+        # verify are all one vectorized pass over the in-memory matrix —
+        # the three keyed exchanges (coarse-bucket pairs, pair dedupe,
+        # candidate fetch) are pure overhead at this size.  Identical
+        # pair semantics: _bucket_pairs_multi IS the distributed
+        # per-bucket walk, star caps included.
+        import pyarrow.parquet as _pq
+
+        from .ann import LshSigner, emb_matrix
+
+        t = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        m = emb_matrix(t)
+        signer = LshSigner(dim=m.shape[1], n_planes=n_planes,
+                           n_tables=n_tables)
+        codes = signer.sign(m)
+        keys = (np.arange(n_tables, dtype=np.uint64)[None, :]
+                << np.uint64(n_planes)) + codes.astype(np.uint64)
+        p = _bucket_pairs_multi(pa.table({
+            "doc_id": pa.array(np.repeat(ids, n_tables), pa.int64()),
+            "bucket": pa.array(keys.reshape(-1), pa.uint64())}))
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        if p.num_rows == 0:
+            return empty
+        pr = p.to_pandas().groupby(["a", "b"], as_index=False)["capped"] \
+            .max()
+        order = np.argsort(ids)
+        ia = order[np.searchsorted(ids[order], pr["a"].to_numpy())]
+        ib = order[np.searchsorted(ids[order], pr["b"].to_numpy())]
+        va, vb = m[ia], m[ib]
+        cos = (va * vb).sum(axis=1) / (
+            np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1))
+        df = pd.DataFrame({"id_a": pr["a"], "id_b": pr["b"],
+                           "cosine": np.round(cos, 6)})
+        df = df[df["cosine"] >= threshold]
+        if df.empty:
+            return empty
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
     def bucket_rows(t: pa.Table) -> pa.Table:
         from .ann import LshSigner, emb_matrix, ids_array

@@ -144,9 +144,11 @@ def test_knn_lsh_matches_bruteforce_on_colliders(ray_session, planted_embeddings
             assert abs(ex[(q, v)] - c) < 1e-9
 
 
-def test_embedding_neardup_lsh_matches_brute(ray_session, planted_embeddings_dir):
+def test_embedding_neardup_lsh_matches_brute(ray_session, planted_embeddings_dir,
+                                             monkeypatch):
     """The LSH-bucketed scale path must find the planted near-identical
-    pair with exact cosines equal to the brute-force plan."""
+    pair with exact cosines equal to the brute-force plan — on BOTH the
+    driver fold and the forced distributed exchanges."""
     from pdf_parse_new_ray.functions import dedup
 
     brute = dedup.d_embedding_neardup(planted_embeddings_dir, method="brute")
@@ -154,6 +156,9 @@ def test_embedding_neardup_lsh_matches_brute(ray_session, planted_embeddings_dir
     assert list(zip(lsh["id_a"], lsh["id_b"])) == list(zip(brute["id_a"], brute["id_b"]))
     assert (lsh["cosine"] == brute["cosine"]).all()
     assert (0, 1) in set(zip(lsh["id_a"], lsh["id_b"]))
+    monkeypatch.setattr(dedup, "EMBED_LSH_DRIVER_ROWS", 0)
+    dist = dedup.d_embedding_neardup(planted_embeddings_dir, method="lsh")
+    pd.testing.assert_frame_equal(lsh, dist)
 
 
 def test_q3_cogroup_semi_join_matches_broadcast(ray_session, monkeypatch):
