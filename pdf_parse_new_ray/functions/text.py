@@ -344,11 +344,15 @@ def t_top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     feeds contamination / boilerplate analyses).
 
     Scale plan: per-batch Counter partials collapse each batch to its
-    DISTINCT grams before the only shuffle (a groupby bounded by
-    vocabulary-squared-observed, not by corpus rows); after the merge each
-    block holds disjoint grams, so a per-block local top-k reduces driver
-    traffic to k x num_blocks rows."""
+    DISTINCT grams before the only shuffle; under a 5M-partial-row gate
+    the mergeable (gram, n) partials fold on the driver, above it they
+    merge through ONE gram-bucketed map_groups (Arrow group_by + local
+    top-k per bucket — never a Ray-native per-distinct-gram aggregate),
+    so driver traffic is k x n_buckets rows."""
     from collections import Counter
+
+    from .dedup import _gram_hash64
+    from .joins import rename_agg
 
     word = re.compile(r"[a-z]+")
 
@@ -357,20 +361,29 @@ def t_top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
         for text in t.column("text").to_pylist():
             ws = word.findall((text or "").lower())
             c.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        grams = list(c.keys())
         return pa.table({
-            "gram": pa.array(list(c.keys()), pa.string()),
+            "gram": pa.array(grams, pa.string()),
             "n": pa.array(list(c.values()), pa.int64()),
+            "__gb": pa.array([_gram_hash64(g) & 255 for g in grams],
+                             pa.int32()),
         })
 
-    def local_topk(t: pa.Table) -> pa.Table:
-        order = pc.sort_indices(t, sort_keys=[("n", "descending"),
-                                              ("gram", "ascending")])
-        return t.take(order[:k])
+    parts = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow").materialize()
+    if parts.count() <= DSIR_BROADCAST_ROWS:
+        df = parts.to_pandas().groupby("gram", as_index=False)["n"].sum()
+    else:
+        def bucket_merge(g: pa.Table) -> pa.Table:
+            t = g.drop_columns(["__gb"]).group_by("gram") \
+                .aggregate([("n", "sum")])
+            t = rename_agg(t, {"n_sum": "n"}, ["gram", "n"])
+            order = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                                  ("gram", "ascending")])
+            return t.take(order[:k])
 
-    merged = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow") \
-        .groupby("gram").aggregate(Sum("n", alias_name="n")) \
-        .map_batches(local_topk, batch_format="pyarrow")
-    df = merged.to_pandas()
+        df = parts.groupby("__gb").map_groups(
+            bucket_merge, batch_format="pyarrow").to_pandas()
     df = df.sort_values(["n", "gram"], ascending=[False, True]).head(k)
     return df.reset_index(drop=True)[["gram", "n"]]
 

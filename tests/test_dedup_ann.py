@@ -441,6 +441,16 @@ def test_top_bigrams_known_counts(ray_session, tmp_path):
     ora = con.execute(sql).fetchdf()
     pd.testing.assert_frame_equal(
         out.sort_index(axis=1), ora.sort_index(axis=1), check_dtype=False)
+    # forcing the gram-bucketed distributed merge must match the driver fold
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(tx, "DSIR_BROADCAST_ROWS", 0)
+        dist = tx.t_top_bigrams(str(tmp_path), k=3)
+        pd.testing.assert_frame_equal(out, dist)
+    finally:
+        mp.undo()
 
 
 def test_above_median_by_lang_exact(ray_session, tmp_path):
