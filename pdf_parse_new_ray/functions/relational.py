@@ -1180,6 +1180,10 @@ def q_event_type_pivot(sf_dir: str) -> pd.DataFrame:
     matches the oracle's window-order-independent SUM bit-for-bit."""
     import numpy as np
 
+    from .joins import _bucket_of, rename_agg
+
+    sum_cols = [f"n_{ty}" for ty in EVENT_TYPES] + ["purchase_micro"]
+
     def partial(t: pa.Table) -> pa.Table:
         et = t.column("event_type")
         cols = {"user_id": t.column("user_id")}
@@ -1189,13 +1193,30 @@ def q_event_type_pivot(sf_dir: str) -> pd.DataFrame:
                                              pa.scalar(1e6))), pa.int64())
         cols["purchase_micro"] = pc.if_else(
             pc.equal(et, "purchase"), micro, pa.scalar(0, pa.int64()))
-        return pa.table(cols)
+        # batch-local per-user partials: the exchange (or driver fold)
+        # sees one row per (batch, user), never one per event row
+        g = pa.table(cols).group_by("user_id").aggregate(
+            [(c, "sum") for c in sum_cols])
+        g = rename_agg(g, {f"{c}_sum": c for c in sum_cols},
+                       ["user_id"] + sum_cols)
+        return g.append_column("__ub", _bucket_of(g["user_id"], 256))
 
-    aggs = [Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in EVENT_TYPES]
-    aggs.append(Sum("purchase_micro", alias_name="purchase_micro"))
-    out = _rp(sf_dir, "events", ["user_id", "event_type", "value"]) \
-        .map_batches(partial, batch_format="pyarrow") \
-        .groupby("user_id").aggregate(*aggs).to_pandas()
+    ev = _rp(sf_dir, "events", ["user_id", "event_type", "value"])
+    parts = ev.map_batches(partial, batch_format="pyarrow")
+    if ev.count() <= EVENTS_DRIVER_ROWS:
+        # per-user partials are keyed-mergeable — fold on the driver
+        # below the events gate instead of a per-distinct-user exchange
+        out = parts.to_pandas().drop(columns=["__ub"]) \
+            .groupby("user_id", as_index=False)[sum_cols].sum()
+    else:
+        def merge(g: pa.Table) -> pa.Table:
+            t = g.drop_columns(["__ub"]).group_by("user_id").aggregate(
+                [(c, "sum") for c in sum_cols])
+            return rename_agg(t, {f"{c}_sum": c for c in sum_cols},
+                              ["user_id"] + sum_cols)
+
+        out = parts.groupby("__ub").map_groups(
+            merge, batch_format="pyarrow").to_pandas()
     out["purchase_value"] = out["purchase_micro"] / 1e6
     out = out.drop(columns=["purchase_micro"])
     return out.sort_values("user_id").reset_index(drop=True)
