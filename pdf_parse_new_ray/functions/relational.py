@@ -2949,6 +2949,23 @@ def q_event_age(sf_dir: str, n_buckets: int = 64,
     small groupby — never a raw-event exchange."""
     from .joins import attach_value_salted, rename_agg
 
+    def fold(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({"event_id": t["event_id"].to_numpy(),
+                           "user_id": t["user_id"].to_numpy(),
+                           "us": us})
+        first = df.groupby("user_id")["us"].transform("min")
+        out = pd.DataFrame({"event_id": df["event_id"],
+                            "user_id": df["user_id"],
+                            "age_us": df["us"] - first})
+        return out.sort_values("event_id").reset_index(drop=True)
+
+    folded = _fact_fold_driver(sf_dir, "events",
+                               ["event_id", "user_id", "ts"], fold)
+    if folded is not None:
+        return folded
+
     ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def min_partial(t: pa.Table) -> pa.Table:
