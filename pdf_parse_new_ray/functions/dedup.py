@@ -34,6 +34,17 @@ def _docs(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+# documents metadata gate for driver folds of per-doc mergeable partials
+# (fingerprints, paragraph hashes): ~60 B/row → 10M docs ≈ 600 MB
+DOCS_DRIVER_ROWS = 10_000_000
+
+
+def _docs_meta_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as _pq
+
+    return _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
 def _content_hash(text: str) -> str:
     return hashlib.md5((text or "").encode("utf-8")).hexdigest()
 
@@ -170,8 +181,18 @@ def d_exact_dedup(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
                                 "doc_id_count": "group_size"},
                           ["fingerprint", "keep_doc_id", "group_size"])
 
-    out = _docs(sf_dir).map_batches(fp, batch_format="pyarrow") \
-        .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow").to_pandas()
+    parts = _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+    if _docs_meta_rows(sf_dir) <= DOCS_DRIVER_ROWS:
+        # one 16-byte-ish row per doc: below the documents metadata gate
+        # the fingerprint fold runs on the driver — the bucketed
+        # exchange only earns its cost past driver memory
+        out = parts.to_pandas().groupby("fingerprint", as_index=False) \
+            .agg(keep_doc_id=("doc_id", "min"),
+                 group_size=("doc_id", "count"))
+        out["group_size"] = out["group_size"].astype("int64")
+    else:
+        out = parts.groupby("__bk").map_groups(
+            per_bucket, batch_format="pyarrow").to_pandas()
     return out.sort_values("fingerprint").reset_index(drop=True)
 
 
@@ -942,9 +963,19 @@ def d_paragraph_dedup(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
                          ["para_md5", "n_docs", "n_occurrences"])
         return out.filter(pc.greater(out["n_occurrences"], pa.scalar(1)))
 
-    out = _docs(sf_dir).map_batches(explode, batch_format="pyarrow") \
-        .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow") \
-        .to_pandas()
+    parts = _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+    if _docs_meta_rows(sf_dir) * 8 <= DOCS_DRIVER_ROWS:
+        # paragraphs ≈ docs × small factor: fold the hash rows on the
+        # driver below the gate instead of the md5-bucketed exchange
+        pdf = parts.to_pandas()
+        out = pdf.groupby("para_md5", as_index=False).agg(
+            n_docs=("doc_id", "nunique"), n_occurrences=("doc_id", "count"))
+        out = out[out["n_occurrences"] > 1]
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["n_occurrences"] = out["n_occurrences"].astype("int64")
+    else:
+        out = parts.groupby("__bk").map_groups(
+            per_bucket, batch_format="pyarrow").to_pandas()
     if out.empty:  # no cross-document paragraph reuse in this corpus
         return pd.DataFrame({"para_md5": pd.Series(dtype="object"),
                              "n_docs": pd.Series(dtype="int64"),
@@ -1082,11 +1113,21 @@ def d_dedup_keep_longest(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
                           ["fingerprint", "keep_doc_id", "keep_n_chars",
                            "group_size"])
 
-    out = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                          columns=["doc_id", "text", "n_chars"]) \
-        .map_batches(fp, batch_format="pyarrow") \
-        .groupby("__bk").map_groups(per_bucket, batch_format="pyarrow") \
-        .to_pandas()
+    parts = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "n_chars"]) \
+        .map_batches(fp, batch_format="pyarrow")
+    if _docs_meta_rows(sf_dir) <= DOCS_DRIVER_ROWS:
+        pdf = parts.to_pandas().sort_values(
+            ["fingerprint", "n_chars", "doc_id"],
+            ascending=[True, False, True])
+        out = pdf.groupby("fingerprint", as_index=False).agg(
+            keep_doc_id=("doc_id", "first"),
+            keep_n_chars=("n_chars", "first"),
+            group_size=("doc_id", "count"))
+        out["group_size"] = out["group_size"].astype("int64")
+    else:
+        out = parts.groupby("__bk").map_groups(
+            per_bucket, batch_format="pyarrow").to_pandas()
     return out.sort_values("fingerprint").reset_index(drop=True)
 
 

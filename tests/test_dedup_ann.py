@@ -63,6 +63,20 @@ def test_exact_dedup_groups_planted(ray_session, planted_docs_dir):
     assert groups.loc[0, "group_size"] == 2
 
 
+def test_dedup_driver_folds_match_bucketed(ray_session, monkeypatch):
+    """The exact-dedup family's driver folds must equal the forced
+    md5-bucketed exchanges row for row (sf0.001)."""
+    from pdf_parse_new_ray.functions import dedup
+
+    sf = "/root/testdata/sf0.001"
+    queries = [dedup.d_exact_dedup, dedup.d_paragraph_dedup,
+               dedup.d_dedup_keep_longest]
+    fast = [q(sf) for q in queries]
+    monkeypatch.setattr(dedup, "DOCS_DRIVER_ROWS", 0)
+    for q, want in zip(queries, fast):
+        pd.testing.assert_frame_equal(q(sf), want)
+
+
 def test_minhash_finds_planted_near_dups(ray_session, planted_docs_dir):
     from pdf_parse_new_ray.functions import dedup
 
