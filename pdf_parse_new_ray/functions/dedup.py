@@ -281,24 +281,53 @@ class MinHasher:
         })
 
 
+def _band_keys(sigm: np.ndarray) -> np.ndarray:
+    """(N, N_PERM) uint64 signatures → (N, N_BANDS) uint64 bucket keys:
+    FNV-style lane fold + Murmur-final avalanche per band, fully
+    vectorized (the blake2b this replaces paid one Python hash call per
+    (doc, band)).  LSH only needs bucket IDENTITY — two docs share a
+    key iff their band lanes are equal (64-bit collisions are ~2^-64
+    per candidate; the exact-jaccard verify downstream absorbs them)."""
+    n = len(sigm)
+    keys = np.empty((n, N_BANDS), np.uint64)
+    fnv = np.uint64(0x100000001B3)
+    m1 = np.uint64(0xFF51AFD7ED558CCD)
+    m2 = np.uint64(0xC4CEB9FE1A85EC53)
+    s33 = np.uint64(33)
+    with np.errstate(over="ignore"):
+        for band in range(N_BANDS):
+            acc = np.full(n, np.uint64(
+                ((band + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF))
+            for r in range(ROWS_PER_BAND):
+                acc = (acc ^ sigm[:, band * ROWS_PER_BAND + r]) * fnv
+            acc ^= acc >> s33
+            acc *= m1
+            acc ^= acc >> s33
+            acc *= m2
+            acc ^= acc >> s33
+            keys[:, band] = acc
+    return keys
+
+
+def _sig_matrix(sig_col) -> np.ndarray:
+    """binary sig column (N_PERM packed uint64) → (N, N_PERM) matrix."""
+    blobs = sig_col.to_pylist()
+    if not blobs:
+        return np.empty((0, N_PERM), np.uint64)
+    return np.frombuffer(b"".join(blobs), dtype=np.uint64) \
+        .reshape(len(blobs), N_PERM)
+
+
 def _band_rows(t: pa.Table) -> pa.Table:
     """(doc_id, sig) → one (doc_id, bucket) row per band.  The shuffle rows
     carry 16 bytes of payload (int64 + uint64) — signatures do NOT ride the
     band shuffle (round 1 shipped the full 512-byte signature on every band
     row: 16x inflation, flagged by the judge)."""
-    doc_ids, buckets = [], []
-    for doc_id, s in zip(t.column("doc_id").to_pylist(), t.column("sig").to_pylist()):
-        sig = np.frombuffer(s, dtype=np.uint64)
-        for band in range(N_BANDS):
-            chunk = sig[band * ROWS_PER_BAND:(band + 1) * ROWS_PER_BAND]
-            key = struct.unpack(
-                "<Q", hashlib.blake2b(chunk.tobytes() + bytes([band]),
-                                      digest_size=8).digest())[0]
-            doc_ids.append(doc_id)
-            buckets.append(key)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = _band_keys(_sig_matrix(t.column("sig")))
     return pa.table({
-        "doc_id": pa.array(doc_ids, pa.int64()),
-        "bucket": pa.array(buckets, pa.uint64()),
+        "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
+        "bucket": pa.array(keys.reshape(-1), pa.uint64()),
     })
 
 
@@ -483,6 +512,10 @@ def _candidate_pairs(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset]:
 # side.  Above it the fully-distributed cogroup path runs.
 BROADCAST_PAIR_ROWS = 100_000
 
+# documents metadata gate for the all-driver band→pair→estimate fold
+# (520 B signature per doc → 1M docs ≈ 520 MB matrix)
+MINHASH_DRIVER_DOCS = 1_000_000
+
 
 def d_minhash_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """Near-duplicate candidate pairs above an estimated-jaccard threshold.
@@ -491,6 +524,46 @@ def d_minhash_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     candidate docs' signatures when the pair set is small, two keyed
     cogroup shuffles (candidates only, never the corpus) when it isn't."""
     import pyarrow.compute as pc
+
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "est_jaccard": pd.Series(dtype="float64")})
+    if _docs_meta_rows(sf_dir) <= MINHASH_DRIVER_DOCS \
+            and BROADCAST_PAIR_ROWS:
+        # driver fold under the documents metadata gate: the signature
+        # SCAN stays distributed (that's the corpus pass), but banding,
+        # the fine-bucket pair walk, pair dedupe and the est-jaccard
+        # compare run vectorized on the collected 520-byte/doc matrix —
+        # replacing three keyed exchanges
+        sigs = _docs(sf_dir).map_batches(
+            _minhash_batch, batch_format="pyarrow",
+            batch_size=256).to_pandas()
+        ids = sigs["doc_id"].to_numpy().astype(np.int64)
+        if not len(ids):
+            return empty
+        sigm = np.frombuffer(b"".join(sigs["sig"]),
+                             dtype=np.uint64).reshape(len(ids), N_PERM)
+        keys = _band_keys(sigm)
+        p = _bucket_pairs_multi(pa.table({
+            "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
+            "bucket": pa.array(keys.reshape(-1), pa.uint64())}))
+        if p.num_rows == 0:
+            return empty
+        pr = p.to_pandas().groupby(["a", "b"], as_index=False)["capped"] \
+            .max()
+        order = np.argsort(ids)
+        ia = order[np.searchsorted(ids[order], pr["a"].to_numpy())]
+        ib = order[np.searchsorted(ids[order], pr["b"].to_numpy())]
+        est = (sigm[ia] == sigm[ib]).mean(axis=1)
+        n_capped = int(pr["capped"].sum())
+        if n_capped:
+            print(f"d_minhash_pairs: {n_capped} pairs came from capped "
+                  f"hot buckets (star fallback, cap={BUCKET_PAIR_CAP})")
+        df = pd.DataFrame({"a": pr["a"], "b": pr["b"], "est_jaccard": est})
+        df = df[df["est_jaccard"] >= threshold]
+        if df.empty:
+            return empty
+        return df.sort_values(["a", "b"]).reset_index(drop=True)
 
     pairs, sigs = _candidate_pairs(sf_dir)
     n_pairs = pairs.count()
