@@ -1723,6 +1723,7 @@ def d_semdedup(sf_dir: str, eps: float = SEMDEDUP_EPS,
                 "capped": pa.array(np.full(n, capped, bool), pa.bool_()),
             })
 
+    from .ann import _warm_stage as _ann_warm_stage
     from .joins import broadcast_map
 
     out = broadcast_map(
@@ -1730,10 +1731,11 @@ def d_semdedup(sf_dir: str, eps: float = SEMDEDUP_EPS,
                         columns=["vec_id", "embedding"]),
         assign, cents_ref, batch_size=4096) \
         .groupby("cluster") \
-        .map_groups(ClusterDedup,
-                    fn_constructor_kwargs={"vec_ref": vec_ref, "eps": eps,
-                                           "cap": SEMDEDUP_CLUSTER_CAP},
-                    batch_format="pyarrow", concurrency=(1, 8)) \
+        .map_groups(_ann_warm_stage(
+            ClusterDedup, ("clusterdedup", vec_ref, eps),
+            {"vec_ref": vec_ref, "eps": eps,
+             "cap": SEMDEDUP_CLUSTER_CAP}),
+            batch_format="pyarrow") \
         .to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
 
