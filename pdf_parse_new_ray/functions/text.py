@@ -587,8 +587,10 @@ def t_decontamination(sf_dir: str) -> pd.DataFrame:
                 "n_overlap": pa.array(out_o, pa.int64()),
             })
 
-    out = docs.map_batches(Overlap, batch_format="pyarrow",
-                           concurrency=(1, 8)).to_pandas()
+    from .ann import _warm_stage
+
+    out = docs.map_batches(_warm_stage(Overlap, ("decon_overlap", ref), {}),
+                           batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -913,7 +915,7 @@ def t_sequence_pack(sf_dir: str, seq_len: int = SEQ_LEN,
             return pa.table({"doc_id": t.column("doc_id"),
                              "n_tokens": pa.array(n, pa.int64())})
 
-    counts = docs.map_batches(CountTokens, concurrency=(1, 8),
+    counts = docs.map_batches(_warm(CountTokens),
                               batch_format="pyarrow").materialize()
 
     def sample_ids(t: pa.Table) -> pa.Table:
