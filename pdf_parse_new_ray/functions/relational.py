@@ -2717,16 +2717,23 @@ def q_copurchase_pairs(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
             pa_l.append(a[neq])
             pb_l.append(b[neq])
             k += 1
-        df = pd.DataFrame({
-            "p_a": np.concatenate(pa_l) if pa_l else np.array([], np.int64),
-            "p_b": np.concatenate(pb_l) if pb_l else np.array([], np.int64),
-        })
-        df = df.groupby(["p_a", "p_b"], as_index=False).size() \
-            .rename(columns={"size": "support"})
+        if pa_l:
+            a = np.concatenate(pa_l).astype(np.int64)
+            b = np.concatenate(pb_l).astype(np.int64)
+            # packed-key census instead of a pandas 2-key groupby
+            # (partkeys < 2^31, the repo-wide pair-encode convention)
+            key, support = np.unique(a * (1 << 32) + b,
+                                     return_counts=True)
+            df = pd.DataFrame({"p_a": key >> 32,
+                               "p_b": key & 0xFFFFFFFF,
+                               "support": support.astype(np.int64)})
+        else:
+            df = pd.DataFrame({"p_a": pd.Series(dtype="int64"),
+                               "p_b": pd.Series(dtype="int64"),
+                               "support": pd.Series(dtype="int64")})
         df = df.sort_values(["support", "p_a", "p_b"],
                             ascending=[False, True, True]) \
             .head(COPURCHASE_TOP_K).reset_index(drop=True)
-        df["support"] = df["support"].astype("int64")
         return df
 
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
