@@ -20,6 +20,7 @@ from collections.abc import Callable
 from typing import Any
 
 from pdf_parse_new_ray.functions import ann, dedup, graph, relational, text
+from pdf_parse_new_ray.functions.ann import _warm_stage
 from pdf_parse_new_ray.functions.text import TOKEN_PATTERN, WORD_PATTERN
 
 
@@ -147,8 +148,8 @@ def _media_features(sf_dir: str):
 
     base = _corpus_for(sf_dir)
     rows = rd.read_parquet(f"{base}/media").map_batches(
-        MediaFeatureExtractor, concurrency=(1, 4), batch_size=16,
-        batch_format="pyarrow",
+        _warm_stage(MediaFeatureExtractor, ("mfe",), {}),
+        batch_size=16, batch_format="pyarrow",
     ).take_all()
     return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
 
@@ -169,7 +170,7 @@ def _pdf_images(sf_dir: str):
     m = _re.search(r"sf([0-9.]+)", sf_dir)
     base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
     rows = rd.read_parquet(base, columns=["media_ref", "bytes"]).map_batches(
-        PdfImageExtractor, concurrency=(1, 4), batch_size=8,
+        _warm_stage(PdfImageExtractor, ("pdfimg",), {}), batch_size=8,
         batch_format="pyarrow",
     ).take_all()
     return pd.DataFrame(
@@ -191,8 +192,8 @@ def _media_features_mixed(sf_dir: str):
     m = _re.search(r"sf([0-9.]+)", sf_dir)
     base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
     rows = rd.read_parquet(base, columns=["media_ref", "bytes"]).map_batches(
-        MediaFeatureExtractor, concurrency=(1, 4), batch_size=16,
-        batch_format="pyarrow",
+        _warm_stage(MediaFeatureExtractor, ("mfe",), {}),
+        batch_size=16, batch_format="pyarrow",
     ).take_all()
     return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
 
@@ -213,7 +214,7 @@ def _audio_features(sf_dir: str):
     m = _re.search(r"sf([0-9.]+)", sf_dir)
     base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
     rows = rd.read_parquet(base, columns=["media_ref", "bytes"]).map_batches(
-        AudioFeatureExtractor, concurrency=(1, 4), batch_size=16,
+        _warm_stage(AudioFeatureExtractor, ("afe",), {}), batch_size=16,
         batch_format="pyarrow",
     ).take_all()
     return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
@@ -326,7 +327,7 @@ def _image_phash(sf_dir: str):
     m = _re.search(r"sf([0-9.]+)", sf_dir)
     base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
     rows = rd.read_parquet(base, columns=["media_ref", "bytes"]).map_batches(
-        ImagePHasher, concurrency=(1, 4), batch_size=16,
+        _warm_stage(ImagePHasher, ("phash",), {}), batch_size=16,
         batch_format="pyarrow",
     ).take_all()
     return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
@@ -350,8 +351,9 @@ def _image_resize(sf_dir: str):
     m = _re.search(r"sf([0-9.]+)", sf_dir)
     base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
     rows = rd.read_parquet(base, columns=["media_ref", "bytes"]).map_batches(
-        ImageResizer, fn_constructor_kwargs={"height": 16, "width": 16},
-        concurrency=(1, 4), batch_size=16, batch_format="pyarrow",
+        _warm_stage(ImageResizer, ("resize", 16, 16),
+                    {"height": 16, "width": 16}),
+        batch_size=16, batch_format="pyarrow",
     ).drop_columns(["resized_png"]).take_all()
     return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
 
@@ -373,8 +375,9 @@ def _video_frame_sample(sf_dir: str):
     m = _re.search(r"sf([0-9.]+)", sf_dir)
     base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
     rows = rd.read_parquet(base, columns=["media_ref", "bytes"]).map_batches(
-        VideoFrameSampler, fn_constructor_kwargs={"stride": 3, "max_frames": 8},
-        concurrency=(1, 4), batch_size=16, batch_format="pyarrow",
+        _warm_stage(VideoFrameSampler, ("vfs", 3, 8),
+                    {"stride": 3, "max_frames": 8}),
+        batch_size=16, batch_format="pyarrow",
     ).take_all()
     return pd.DataFrame(
         sorted(rows, key=lambda r: (r["media_ref"], r["frame_index"])))
@@ -399,7 +402,7 @@ def _phash_dup_groups(sf_dir: str, n_buckets: int = 64):
     m = _re.search(r"sf([0-9.]+)", sf_dir)
     base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
     hashes = rd.read_parquet(base, columns=["media_ref", "bytes"]) \
-        .map_batches(ImagePHasher, concurrency=(1, 4), batch_size=16,
+        .map_batches(_warm_stage(ImagePHasher, ("phash",), {}), batch_size=16,
                      batch_format="pyarrow")
 
     def prep(t: pa.Table) -> pa.Table:
@@ -456,7 +459,7 @@ def _phash_neardup_pairs(sf_dir: str):
     m = _re.search(r"sf([0-9.]+)", sf_dir)
     base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
     hashes = rd.read_parquet(base, columns=["media_ref", "bytes"]) \
-        .map_batches(ImagePHasher, concurrency=(1, 4), batch_size=16,
+        .map_batches(_warm_stage(ImagePHasher, ("phash",), {}), batch_size=16,
                      batch_format="pyarrow")
 
     def bands(t: pa.Table) -> pa.Table:
