@@ -149,7 +149,7 @@ def _media_features(sf_dir: str):
     base = _corpus_for(sf_dir)
     rows = rd.read_parquet(f"{base}/media").map_batches(
         _warm_stage(MediaFeatureExtractor, ("mfe",), {}),
-        batch_size=16, batch_format="pyarrow",
+        batch_size=128, batch_format="pyarrow",
     ).take_all()
     return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
 
@@ -193,7 +193,7 @@ def _media_features_mixed(sf_dir: str):
     base = mixed_media_dir_for(float(m.group(1)) if m else 0.001)
     rows = rd.read_parquet(base, columns=["media_ref", "bytes"]).map_batches(
         _warm_stage(MediaFeatureExtractor, ("mfe",), {}),
-        batch_size=16, batch_format="pyarrow",
+        batch_size=128, batch_format="pyarrow",
     ).take_all()
     return pd.DataFrame(sorted(rows, key=lambda r: r["media_ref"]))
 
