@@ -564,6 +564,13 @@ def q_user_event_stats(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
             "span_seconds": pa.array(np.round(span, 1), pa.float64()),
         })
 
+    folded = _fact_fold_driver(
+        sf_dir, "events", ["user_id", "ts", "value"],
+        lambda t: per_bucket(t).to_pandas().sort_values("user_id")
+        .reset_index(drop=True))
+    if folded is not None:
+        return folded
+
     ev = _rp(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
         lambda t: t.append_column("__bk", _bucket_of(t.column("user_id"), n_buckets)),
         batch_format="pyarrow")
@@ -937,13 +944,26 @@ def q_top_orders_per_customer(sf_dir: str, n: int = 2,
             "o_totalprice": t.column("o_totalprice"),
         })
 
+    def _finish(t: pa.Table) -> pd.DataFrame:
+        out = t.to_pandas().sort_values(["o_custkey", "rnk"]) \
+            .reset_index(drop=True)
+        return _round_cols(out, {"o_totalprice": 2})
+
+    # the fold's per-customer segments are independent, so under the
+    # orders metadata gate the SAME per_bucket pass runs once on the
+    # driver (the _fact_fold_driver window-family shape)
+    folded = _fact_fold_driver(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"],
+        lambda t: _finish(per_bucket(t)))
+    if folded is not None:
+        return folded
+
     ds = _rp(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]) \
         .map_batches(
             lambda t: t.append_column("__bk", _bucket_of(t.column("o_custkey"), n_buckets)),
             batch_format="pyarrow")
     out = ds.groupby("__bk").map_groups(per_bucket, batch_format="pyarrow").to_pandas()
-    out = out.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
-    return _round_cols(out, {"o_totalprice": 2})
+    return _finish(pa.Table.from_pandas(out, preserve_index=False))
 
 
 # ---------------------------------------------------------------------------

@@ -2042,7 +2042,8 @@ def test_events_driver_fold_forced_paths_equal(ray_session, monkeypatch):
                relational.q_event_transitions, relational.q_late_data_drop,
                relational.q_trailing_hour_sum, relational.q_kmv_distinct,
                relational.q_hll_distinct, relational.q_event_type_pivot,
-               relational.q_event_age]
+               relational.q_event_age, relational.q_top_orders_per_customer,
+               relational.q_user_event_stats]
     fast = [q(sf) for q in queries]
     monkeypatch.setattr(relational, "EVENTS_DRIVER_ROWS", 0)
     monkeypatch.setattr(relational, "BROADCAST_DIM_ROWS", 0)
