@@ -813,6 +813,17 @@ def q_customers_without_orders(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame
 
     from .joins import _bucket_of
 
+    cd = _dim_pandas(sf_dir, "customer", ["c_custkey", "c_name"])
+    if cd is not None and pq.read_metadata(
+            f"{sf_dir}/orders.parquet").num_rows <= EVENTS_DRIVER_ROWS:
+        # both sides fit the driver gates: one vectorized np.isin
+        ok = np.unique(pq.read_table(f"{sf_dir}/orders.parquet",
+                                     columns=["o_custkey"])
+                       ["o_custkey"].to_numpy())
+        keep = ~np.isin(cd["c_custkey"].to_numpy(), ok)
+        out = cd[keep][["c_custkey", "c_name"]]
+        return out.sort_values("c_custkey").reset_index(drop=True)
+
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
     orders = _rp(sf_dir, "orders", ["o_custkey"])
 
@@ -1347,6 +1358,16 @@ def q_customers_with_orders(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
     on custkey with batch-local key dedupe before the shuffle; the probe
     keeps hits instead of misses."""
     from .joins import _bucket_of
+
+    cd = _dim_pandas(sf_dir, "customer", ["c_custkey", "c_name"])
+    if cd is not None and pq.read_metadata(
+            f"{sf_dir}/orders.parquet").num_rows <= EVENTS_DRIVER_ROWS:
+        ok = np.unique(pq.read_table(f"{sf_dir}/orders.parquet",
+                                     columns=["o_custkey"])
+                       ["o_custkey"].to_numpy())
+        keep = np.isin(cd["c_custkey"].to_numpy(), ok)
+        out = cd[keep][["c_custkey", "c_name"]]
+        return out.sort_values("c_custkey").reset_index(drop=True)
 
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
     orders = _rp(sf_dir, "orders", ["o_custkey"])
@@ -2185,6 +2206,33 @@ def q_session_overlap_counts(sf_dir: str, gap_minutes: int = 30,
             "s": pa.array(ts[starts], pa.int64()),
             "e": pa.array(ts[ends], pa.int64()),
         })
+
+    def fold(t: pa.Table) -> pd.DataFrame:
+        # driver fold: the SAME sessionize pass over the whole table,
+        # then one global sorted-probe point-in-interval count — the
+        # three exchanges (session build, time-bucket join, per-session
+        # partial sum) collapse to two searchsorted calls
+        st = sessions(t)
+        ev_ts = np.sort(pc.cast(t.column("ts"), pa.int64())
+                        .to_numpy(zero_copy_only=False))
+        s = st.column("s").to_numpy(zero_copy_only=False)
+        e = st.column("e").to_numpy(zero_copy_only=False)
+        cnt = (np.searchsorted(ev_ts, e, side="right")
+               - np.searchsorted(ev_ts, s, side="left")).astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": st.column("user_id").to_numpy(),
+            "session_id": st.column("session_id").to_numpy(),
+            "session_start": s.astype("datetime64[us]"),
+            "session_end": e.astype("datetime64[us]"),
+            "n_overlap": cnt,
+        })
+        return df.sort_values(["user_id", "session_id"]) \
+            .reset_index(drop=True)
+
+    folded = _fact_fold_driver(sf_dir, "events",
+                               ["event_id", "ts", "user_id"], fold)
+    if folded is not None:
+        return folded
 
     ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
     sess = ev.map_batches(

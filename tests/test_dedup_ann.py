@@ -2043,7 +2043,10 @@ def test_events_driver_fold_forced_paths_equal(ray_session, monkeypatch):
                relational.q_trailing_hour_sum, relational.q_kmv_distinct,
                relational.q_hll_distinct, relational.q_event_type_pivot,
                relational.q_event_age, relational.q_top_orders_per_customer,
-               relational.q_user_event_stats]
+               relational.q_user_event_stats,
+               relational.q_session_overlap_counts,
+               relational.q_customers_without_orders,
+               relational.q_customers_with_orders]
     fast = [q(sf) for q in queries]
     monkeypatch.setattr(relational, "EVENTS_DRIVER_ROWS", 0)
     monkeypatch.setattr(relational, "BROADCAST_DIM_ROWS", 0)
