@@ -1759,6 +1759,37 @@ def x_neardup_keep_best(sf_dir: str, threshold: float = 0.5,
     from .joins import _bucket_of, rename_agg
 
     clus = d_dup_clusters(sf_dir, threshold=threshold)
+
+    if _docs_meta_rows(sf_dir) <= DOCS_DRIVER_ROWS:
+        # driver fold: cluster assign (sorted-probe), the keep-longest
+        # argmax and the per-lang census are one lexsort pass — the
+        # broadcast scan + cluster-bucketed exchange only earn their
+        # cost past driver memory
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars", "lang"])
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        nch = t["n_chars"].to_numpy().astype(np.int64)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        mids = clus["doc_id"].to_numpy().astype(np.int64)
+        mcl = clus["cluster"].to_numpy().astype(np.int64)
+        o = np.argsort(mids)
+        mids, mcl = mids[o], mcl[o]
+        pos = np.searchsorted(mids, did)
+        pos[pos == len(mids)] = 0
+        hit = (mids[pos] == did) if len(mids) else np.zeros(len(did), bool)
+        cl = np.where(hit, mcl[pos] if len(mids) else 0, did)
+        order = np.lexsort((did, -nch, cl))
+        cl_s, lang_s = cl[order], lang[order]
+        win = np.ones(len(cl_s), dtype=bool)
+        win[1:] = cl_s[1:] != cl_s[:-1]
+        out = pd.DataFrame({"lang": lang_s[win]}) \
+            .groupby("lang", as_index=False).size() \
+            .rename(columns={"size": "n_survivors"})
+        out["n_survivors"] = out["n_survivors"].astype("int64")
+        return out.sort_values("lang").reset_index(drop=True)
+
     cmap_ids = pa.array(clus["doc_id"].to_numpy(), pa.int64())
     cmap_cl = pa.array(clus["cluster"].to_numpy(), pa.int64())
     ref = ray.put((cmap_ids, cmap_cl))

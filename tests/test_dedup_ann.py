@@ -70,7 +70,8 @@ def test_dedup_driver_folds_match_bucketed(ray_session, monkeypatch):
 
     sf = "/root/testdata/sf0.001"
     queries = [dedup.d_exact_dedup, dedup.d_paragraph_dedup,
-               dedup.d_dedup_keep_longest, dedup.d_minhash_pairs]
+               dedup.d_dedup_keep_longest, dedup.d_minhash_pairs,
+               dedup.x_neardup_keep_best]
     fast = [q(sf) for q in queries]
     monkeypatch.setattr(dedup, "DOCS_DRIVER_ROWS", 0)
     monkeypatch.setattr(dedup, "MINHASH_DRIVER_DOCS", 0)
