@@ -245,9 +245,9 @@ def t_tfidf_top_terms(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
     (2) scored rows re-bucket by doc_id and each bucket emits the argmax
     row per document (tfidf DESC, term ASC tie-break)."""
     from ..state import checkpoint as ckpt
+    from .dedup import DOCS_DRIVER_ROWS, _docs_meta_rows
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    n_docs = docs.count()
+    n_docs = _docs_meta_rows(sf_dir)  # == docs.count(), metadata only
     word = re.compile(r"[a-z]+")
 
     def explode(t: pa.Table) -> pa.Table:
@@ -295,10 +295,21 @@ def t_tfidf_top_terms(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
             best[["doc_id", "term", "tf", "df", "tfidf"]],
             preserve_index=False)
 
-    out = docs.map_batches(explode, batch_format="pyarrow") \
-        .groupby("__bk").map_groups(score_bucket, batch_format="pyarrow") \
-        .groupby("__dbk").map_groups(top_per_doc, batch_format="pyarrow") \
-        .to_pandas()
+    if n_docs <= DOCS_DRIVER_ROWS:
+        # driver fold: the term buckets partition terms, so df computed
+        # over the WHOLE exploded table is the same per-bucket df; both
+        # exchanges collapse to the same three passes run once
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+        out = top_per_doc(score_bucket(explode(t))).to_pandas()
+    else:
+        docs = _docs(sf_dir, ["doc_id", "text"])
+        out = docs.map_batches(explode, batch_format="pyarrow") \
+            .groupby("__bk").map_groups(score_bucket, batch_format="pyarrow") \
+            .groupby("__dbk").map_groups(top_per_doc, batch_format="pyarrow") \
+            .to_pandas()
     out["tfidf"] = out["tfidf"].round(6)
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -916,7 +927,24 @@ def t_sequence_pack(sf_dir: str, seq_len: int = SEQ_LEN,
                              "n_tokens": pa.array(n, pa.int64())})
 
     counts = docs.map_batches(_warm(CountTokens),
-                              batch_format="pyarrow").materialize()
+                              batch_format="pyarrow")
+
+    from .dedup import DOCS_DRIVER_ROWS, _docs_meta_rows
+
+    if _docs_meta_rows(sf_dir) <= DOCS_DRIVER_ROWS:
+        # driver fold: tokenization stays distributed; the prefix sum
+        # over (doc_id, n_tokens) rows is one driver cumsum — the
+        # sample/range-totals/per-range exchanges are pure overhead
+        # below the documents gate
+        cdf = counts.to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+        n = cdf["n_tokens"].to_numpy().astype(np.int64)
+        cum_prev = np.cumsum(n) - n
+        cdf["seq_id"] = cum_prev // seq_len
+        cdf["seq_offset"] = cum_prev % seq_len
+        return cdf[["doc_id", "n_tokens", "seq_id", "seq_offset"]]
+
+    counts = counts.materialize()
 
     def sample_ids(t: pa.Table) -> pa.Table:
         ids = np.sort(t.column("doc_id").to_numpy(zero_copy_only=False))
@@ -1275,17 +1303,29 @@ def t_gram_novelty(sf_dir: str, n_shuffle: int = 256) -> pd.DataFrame:
                               "n_novel_sum": "n_novel"},
                           ["doc_id", "n_grams", "n_novel"])
 
-    out = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                          columns=["doc_id", "text"]) \
-        .map_batches(grams, batch_format="pyarrow") \
-        .groupby("__bk").map_groups(
-            lambda g: per_bucket(g.drop_columns(["__bk"])),
-            batch_format="pyarrow") \
-        .materialize() \
-        .map_batches(add_dbk, batch_format="pyarrow") \
-        .groupby("__bk").map_groups(
-            lambda g: per_doc(g.drop_columns(["__bk"])),
-            batch_format="pyarrow").to_pandas()
+    from .dedup import DOCS_DRIVER_ROWS, _docs_meta_rows
+
+    if _docs_meta_rows(sf_dir) <= DOCS_DRIVER_ROWS:
+        # driver fold: per_bucket over the WHOLE gram table computes the
+        # same global first-occurrence (buckets partition grams) and
+        # already emits complete per-doc sums — both exchanges collapse
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+        out = per_bucket(grams(t).drop_columns(["__bk"])).to_pandas()
+    else:
+        out = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]) \
+            .map_batches(grams, batch_format="pyarrow") \
+            .groupby("__bk").map_groups(
+                lambda g: per_bucket(g.drop_columns(["__bk"])),
+                batch_format="pyarrow") \
+            .materialize() \
+            .map_batches(add_dbk, batch_format="pyarrow") \
+            .groupby("__bk").map_groups(
+                lambda g: per_doc(g.drop_columns(["__bk"])),
+                batch_format="pyarrow").to_pandas()
     out["novelty"] = out["n_novel"].to_numpy().astype(np.float64) \
         / out["n_grams"].to_numpy().astype(np.float64)
     return out.sort_values("doc_id").reset_index(drop=True)

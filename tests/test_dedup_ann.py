@@ -69,9 +69,12 @@ def test_dedup_driver_folds_match_bucketed(ray_session, monkeypatch):
     from pdf_parse_new_ray.functions import dedup
 
     sf = "/root/testdata/sf0.001"
+    from pdf_parse_new_ray.functions import text as tx
+
     queries = [dedup.d_exact_dedup, dedup.d_paragraph_dedup,
                dedup.d_dedup_keep_longest, dedup.d_minhash_pairs,
-               dedup.x_neardup_keep_best]
+               dedup.x_neardup_keep_best, tx.t_tfidf_top_terms,
+               tx.t_gram_novelty, tx.t_sequence_pack]
     fast = [q(sf) for q in queries]
     monkeypatch.setattr(dedup, "DOCS_DRIVER_ROWS", 0)
     monkeypatch.setattr(dedup, "MINHASH_DRIVER_DOCS", 0)
