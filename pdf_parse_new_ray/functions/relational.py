@@ -1640,6 +1640,20 @@ def q_cohort_retention(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
         return rename_agg(out, {"count_all": "n_users"},
                           ["cohort_week", "week_offset", "n_users"])
 
+    def _finish(parts: pd.DataFrame) -> pd.DataFrame:
+        out = parts.groupby(["cohort_week", "week_offset"],
+                            as_index=False)["n_users"].sum()
+        out["n_users"] = out["n_users"].astype("int64")
+        return out.sort_values(["cohort_week", "week_offset"]) \
+            .reset_index(drop=True)
+
+    # buckets partition users, so the SAME cells pass over the whole
+    # table yields identical cell counts — driver fold under the gate
+    folded = _fact_fold_driver(sf_dir, "events", ["ts", "user_id"],
+                               lambda t: _finish(cells(t).to_pandas()))
+    if folded is not None:
+        return folded
+
     ev = _rp(sf_dir, "events", columns=["ts", "user_id"])
     ev = ev.map_batches(
         lambda t: t.append_column("__bk", _bucket_of(t.column("user_id"),
@@ -1647,11 +1661,7 @@ def q_cohort_retention(sf_dir: str, n_buckets: int = 256) -> pd.DataFrame:
         batch_format="pyarrow")
     parts = ev.groupby("__bk").map_groups(cells, batch_format="pyarrow") \
         .to_pandas()
-    out = parts.groupby(["cohort_week", "week_offset"],
-                        as_index=False)["n_users"].sum()
-    out["n_users"] = out["n_users"].astype("int64")
-    return out.sort_values(["cohort_week", "week_offset"]) \
-        .reset_index(drop=True)
+    return _finish(parts)
 
 
 # ---------------------------------------------------------------------------

@@ -2050,7 +2050,8 @@ def test_events_driver_fold_forced_paths_equal(ray_session, monkeypatch):
                relational.q_user_event_stats,
                relational.q_session_overlap_counts,
                relational.q_customers_without_orders,
-               relational.q_customers_with_orders]
+               relational.q_customers_with_orders,
+               relational.q_cohort_retention]
     fast = [q(sf) for q in queries]
     monkeypatch.setattr(relational, "EVENTS_DRIVER_ROWS", 0)
     monkeypatch.setattr(relational, "BROADCAST_DIM_ROWS", 0)
