@@ -1471,7 +1471,21 @@ def _levenshtein_many(a_list: list[np.ndarray],
     return res
 
 
-def d_levenshtein_pairs(sf_dir: str) -> pd.DataFrame:
+def _coarse_block_str(t: pa.Table, col: str = "block") -> pa.Table:
+    """Append `__bk` = md5-derived coarse bucket of a STRING blocking key
+    (per-batch dictionary encode keeps the md5 count at distinct-values,
+    not rows) — the string-key analogue of `_coarse_bucket`."""
+    dec = t.column(col).combine_chunks().dictionary_encode()
+    uniq = dec.dictionary.to_pylist()
+    coarse = np.fromiter(
+        (int.from_bytes(hashlib.md5(u.encode()).digest()[:4], "big")
+         % N_COARSE_BUCKETS for u in uniq),
+        dtype=np.int32, count=len(uniq))
+    idx = dec.indices.to_numpy(zero_copy_only=False)
+    return t.append_column("__bk", pa.array(coarse[idx], pa.int32()))
+
+
+def d_levenshtein_pairs(sf_dir: str, *, legacy: bool = False) -> pd.DataFrame:
     """Blocked edit-distance verify — the classic entity-resolution
     blocking + pairwise-verify shape: documents block on
     (lang, n_chars // LEV_BLOCK_CHARS), each block keeps its
@@ -1530,9 +1544,69 @@ def d_levenshtein_pairs(sf_dir: str) -> pd.DataFrame:
                          "id_b": pa.array(ids[ib], pa.int64()),
                          "dist": pa.array(dist, pa.int64())})
 
-    df = docs.map_batches(prep, batch_format="pyarrow") \
-        .groupby("block").map_groups(verify, batch_format="pyarrow") \
-        .to_pandas()
+    def verify_multi(g: pa.Table) -> pa.Table:
+        """ONE Python call per coarse bucket: every fine block inside it
+        is a sorted segment; per-segment cap, shift-k same-segment masks
+        emit ALL blocks' (i, i+k) row pairs at once, and the byte-DP runs
+        over the whole coarse bucket's pair list in bounded chunks —
+        exactly the pair set of mapping `verify` per distinct block
+        (test_levenshtein_dispatch_equivalence forces both paths)."""
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        order = pc.sort_indices(g, sort_keys=[("block", "ascending"),
+                                              ("doc_id", "ascending")])
+        g = g.take(order)
+        blk = g.column("block").to_numpy(zero_copy_only=False)
+        new_seg = np.ones(len(blk), dtype=bool)
+        new_seg[1:] = blk[1:] != blk[:-1]
+        seg_start = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        rank = np.arange(len(blk)) - seg_start[seg_id]
+        g = g.filter(pa.array(rank < LEV_BLOCK_CAP))
+        if g.num_rows < 2:
+            return empty
+        blk = g.column("block").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        new_seg = np.ones(len(blk), dtype=bool)
+        new_seg[1:] = blk[1:] != blk[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        sizes = np.diff(np.append(np.flatnonzero(new_seg), len(blk)))
+        rows = np.arange(len(blk))
+        ia_l, ib_l = [], []
+        for k in range(1, int(sizes.max())):
+            same = seg_id[:-k] == seg_id[k:]
+            if not same.any():
+                break
+            ia_l.append(rows[:-k][same])
+            ib_l.append(rows[k:][same])
+        if not ia_l:
+            return empty
+        ia = np.concatenate(ia_l)
+        ib = np.concatenate(ib_l)
+        bufs = [np.frombuffer(s.encode("utf-8") if s is not None else b"",
+                              np.uint8)
+                for s in g.column("prefix").to_pylist()]
+        chunk = 1 << 16  # bounds the DP's (pairs x prefix) work matrices
+        dist = np.concatenate([
+            _levenshtein_many([bufs[i] for i in ia[o:o + chunk]],
+                              [bufs[j] for j in ib[o:o + chunk]])
+            for o in range(0, len(ia), chunk)])
+        return pa.table({"id_a": pa.array(ids[ia], pa.int64()),
+                         "id_b": pa.array(ids[ib], pa.int64()),
+                         "dist": pa.array(dist, pa.int64())})
+
+    prepped = docs.map_batches(prep, batch_format="pyarrow")
+    if legacy:
+        verified = prepped.groupby("block").map_groups(
+            verify, batch_format="pyarrow")
+    else:
+        verified = prepped.map_batches(_coarse_block_str,
+                                       batch_format="pyarrow") \
+            .groupby("__bk").map_groups(verify_multi, batch_format="pyarrow")
+    df = verified.to_pandas()
     if df.empty:
         return pd.DataFrame({c: pd.Series(dtype="int64")
                              for c in ("id_a", "id_b", "dist")})

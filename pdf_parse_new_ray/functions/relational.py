@@ -305,31 +305,50 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
                               ascending=[False, True]).head(10).reset_index(drop=True)
         return _round_cols(out, {"revenue": 2})
 
-    # join partitions scale with DATA (rows per partition target) and are
-    # capped by the cluster — a fixed count would cap fact-fact join
-    # parallelism on a real cluster, while a pure cluster count pays
-    # aggregator-actor startup for nothing at small scale (measured +30%
-    # on this query at sf0.1)
+    # Fact-fact leg: ONE orderkey-bucketed cogroup (joins.attach_value —
+    # raw-task hash exchange) attaches o_orderdate to the lineitem
+    # revenue partials.  A bucket holds EVERY partial of its orderkeys,
+    # so the post hook computes FINAL per-order revenue and forwards only
+    # the bucket's top-10 — the driver merges n_buckets x 10 rows, never
+    # the order-cardinality result (the previous Ray-native join +
+    # groupby here paid two sort exchanges plus aggregator-actor spin-up:
+    # 8.7 s forced-distributed at sf0.1 vs 2.4 s for this plan).
+    # Buckets scale with DATA, capped by the cluster (fixed counts would
+    # cap a real cluster's fact-fact parallelism).
+    from .joins import attach_value, rename_agg
+
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    n_join = min(max(4, li_rows // 250_000), 2 * cpus)
-    joined = li.join(sel_orders.map_batches(
-        lambda t: pa.table({"l_orderkey": t["o_orderkey"], "o_orderdate": t["o_orderdate"]}),
-        batch_format="pyarrow"), join_type="inner", num_partitions=n_join,
-        on=("l_orderkey",), aggregator_ray_remote_args={"num_cpus": 0.5})
-    out = joined.groupby("l_orderkey").aggregate(
-        Sum("revenue_part", alias_name="revenue"),
-        Min("o_orderdate", alias_name="o_orderdate"),
-    ).to_pandas()
-    out = out.rename(columns={"l_orderkey": "o_orderkey"})
-    # Ray's Min aggregate narrows timestamp[us] to [s]; restore the source
-    # unit so both q3 plans (broadcast fold / shuffle join) agree exactly
-    src_unit = orders.schema().base_schema.field("o_orderdate").type.unit
-    out["o_orderdate"] = out["o_orderdate"].astype(f"datetime64[{src_unit}]")
-    out = out.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10).reset_index(drop=True)
-    return _round_cols(out, {"revenue": 2})
+    n_buckets = 1 << max(2, min(max(cpus, li_rows // 250_000),
+                                4096)).bit_length() - 1
+
+    ovals = sel_orders.map_batches(
+        lambda t: pa.table({"doc_id": t["o_orderkey"],
+                            "value": t["o_orderdate"]}),
+        batch_format="pyarrow")
+    odate_type = orders.schema().base_schema.field("o_orderdate").type
+
+    def topk_post(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate(
+            [("revenue_part", "sum"), ("o_orderdate", "min")])
+        g = rename_agg(g, {"revenue_part_sum": "revenue",
+                           "o_orderdate_min": "o_orderdate"},
+                       ["l_orderkey", "o_orderdate", "revenue"])
+        idx = pc.sort_indices(g, sort_keys=[("revenue", "descending"),
+                                            ("l_orderkey", "ascending")])
+        return g.take(idx.slice(0, 10))
+
+    cells = attach_value(
+        li, ovals, "l_orderkey", "o_orderdate", odate_type,
+        [("l_orderkey", pa.int64()), ("revenue_part", pa.float64())],
+        n_buckets=n_buckets, post=topk_post)
+    out = cells.to_pandas().rename(columns={"l_orderkey": "o_orderkey"})
+    out = out.sort_values(["revenue", "o_orderkey"],
+                          ascending=[False, True]).head(10).reset_index(drop=True)
+    return _round_cols(out[["o_orderkey", "revenue", "o_orderdate"]],
+                       {"revenue": 2})
 
 
 # ---------------------------------------------------------------------------

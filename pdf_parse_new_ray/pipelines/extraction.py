@@ -536,6 +536,7 @@ def extract_documents(
     config=None,  # ExtractionConfig overrides the shape kwargs when given
     progress=None,  # name of a state.progress actor (optional)
     verbosity: int = 0,  # reference verbosityLevel (lib/pdf-parse.js:51)
+    compact: bool = False,  # opt-in post-commit in-place fragment compaction
 ) -> rd.Dataset:
     """Full interleaved-corpus extraction.
 
@@ -708,6 +709,13 @@ def extract_documents(
         for m in agg.values():
             m["content_hash"] = format(m.pop("_hash"), "032x")
         recs = ckpt.commit_partitions(out_dir, run_id, agg)
+        if compact:
+            # opt-in post-job hygiene: collapse each partition's streamed
+            # fragments into one file, lineage-preserving (resume still
+            # skips; readers see identical rows).  The hash path writes
+            # one file per partition already, so only this streaming
+            # fragment path needs it.
+            ckpt.compact_partitions_inplace(out_dir)
         return rd.from_items([
             {"partition": int(r["partition"]), "n_docs": int(r["n_docs"]),
              "pages": int(r["pages"]), "errors": int(r["errors"]),

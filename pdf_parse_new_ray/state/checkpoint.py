@@ -235,6 +235,50 @@ def read_output(out_dir: str) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def compact_partitions_inplace(out_dir: str, min_files: int = 2) -> dict:
+    """Opt-in post-job hygiene (VERDICT r4 item 6): rewrite each completed
+    partition's fragment files as ONE file, atomically repointing the
+    partition's LINEAGE record at it — completion status, metrics and
+    content_hash survive, so a resume still skips the partition and
+    readers see identical rows.  Crash-safe ordering: new file first,
+    atomic lineage rename second (readers switch here), fragment deletes
+    last — a crash at any point leaves only orphan files that every
+    reader already ignores.  Driver-side, one partition in memory at a
+    time; O(completed partitions) work."""
+    done = sorted(completed_partitions(out_dir))
+    n_compacted = files_removed = 0
+    rows = 0
+    for k in done:
+        files = partition_files(out_dir, k)
+        if len(files) < min_files:
+            continue
+        t = pa.concat_tables([pq.read_table(p) for p in files])
+        part_dir = os.path.join(out_dir, f"part={k}")
+        name = f"compact-{uuid.uuid4().hex[:12]}.parquet"
+        path = os.path.join(part_dir, name)
+        pq.write_table(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        lpath = os.path.join(lineage_dir(out_dir), f"part-{k}.json")
+        with open(lpath) as f:
+            rec = json.load(f)
+        rec["files"] = [name]
+        rec["bytes"] = os.path.getsize(path)
+        rec["compacted_from"] = rec.get("compacted_from", 0) + len(files)
+        with open(lpath + ".tmp", "w") as f:
+            json.dump(rec, f)
+        os.replace(lpath + ".tmp", lpath)
+        for p in files:
+            try:
+                os.remove(p)
+                files_removed += 1
+            except OSError:
+                pass  # orphan — ignored by readers
+        rows += t.num_rows
+        n_compacted += 1
+    return {"n_partitions_compacted": n_compacted,
+            "n_files_removed": files_removed, "rows": rows}
+
+
 def compact_partitions(out_dir: str, target_bytes: int = 64 * 1024 * 1024,
                        compacted_dir: str | None = None) -> dict:
     """Small-file compaction for a completed partitioned output: greedily

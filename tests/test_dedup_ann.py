@@ -1418,6 +1418,44 @@ def test_levenshtein_pairs_blocking_and_cap(ray_session, tmp_path):
     assert hot_pairs["id_b"].max() == 100 + cap - 1
 
 
+def test_levenshtein_dispatch_equivalence(ray_session, tmp_path):
+    """The vectorized coarse-bucket multi-block verify (live plan) must
+    emit EXACTLY the (id_a, id_b, dist) rows of the legacy per-distinct-
+    block dispatch — planted near-dups, a hot capped block, many small
+    blocks across langs, and docs landing alone in a block."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_new_ray.functions import dedup
+
+    rng = np.random.default_rng(23)
+    rows = {"doc_id": [], "text": [], "lang": [], "n_chars": []}
+    did = 0
+    for lang in ("en", "fr", "de", "ja"):
+        for blk in range(6):
+            for _ in range(int(rng.integers(1, 6))):
+                txt = "".join(chr(97 + int(c)) for c in
+                              rng.integers(0, 26, 64 * blk + 40))
+                rows["doc_id"].append(did)
+                rows["text"].append(txt)
+                rows["lang"].append(lang)
+                rows["n_chars"].append(len(txt))
+                did += 1
+    # hot block past the cap
+    for i in range(dedup.LEV_BLOCK_CAP + 7):
+        rows["doc_id"].append(did)
+        rows["text"].append(f"qq{i:03d}" + "w" * 90)
+        rows["lang"].append("en")
+        rows["n_chars"].append(95)
+        did += 1
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    live = dedup.d_levenshtein_pairs(str(tmp_path))
+    leg = dedup.d_levenshtein_pairs(str(tmp_path), legacy=True)
+    assert len(live) > 0
+    assert live.reset_index(drop=True).equals(leg.reset_index(drop=True))
+
+
 def test_q7_cogroup_path_matches_broadcast(ray_session, monkeypatch):
     """Forcing the customer attach onto the distributed cogroup path must
     reproduce the broadcast-path result exactly (same gate-duality check
@@ -1544,6 +1582,61 @@ def test_salted_attach_matches_unsalted_on_hot_key(ray_session, tmp_path):
         .to_pandas().sort_values("row").reset_index(drop=True)
     assert a.equals(b)
     assert (b[b["k"] == 7]["v"] == 70).all() and len(b) == 1000
+
+
+def test_attach_exchange_paths_equal(ray_session, tmp_path, monkeypatch):
+    """The raw-task hash_exchange attach (default) and the Dataset-native
+    sort-exchange fallback must produce identical rows — plain and salted,
+    with and without the ``post`` map-side-combine hook, including keys
+    with no value row (inner-join drop) and empty buckets."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf_parse_new_ray.functions import joins
+
+    rng = np.random.default_rng(11)
+    n, m = 20_000, 500
+    # keys 0..2m-1 but values only for 0..m-1 -> half the keys drop
+    pq.write_table(pa.table({
+        "k": pa.array(rng.integers(0, 2 * m, n), pa.int64()),
+        "row": pa.array(np.arange(n), pa.int64()),
+    }), str(tmp_path / "pairs.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(m), pa.int64()),
+        "value": pa.array(rng.normal(size=m)),
+    }), str(tmp_path / "vals.parquet"))
+
+    def post(t):
+        return t.group_by("k").aggregate([("v", "sum")]) \
+            .rename_columns(["k", "vsum"])
+
+    def run(fn, **kw):
+        pairs = rd.read_parquet(str(tmp_path / "pairs.parquet")) \
+            .repartition(8)
+        vals = rd.read_parquet(str(tmp_path / "vals.parquet"))
+        cols = [("k", pa.int64()), ("row", pa.int64())]
+        df = fn(pairs, vals, "k", "v", pa.float64(), cols, **kw).to_pandas()
+        if "vsum" in df.columns:  # partials: merge before comparing
+            return df.groupby("k")["vsum"].sum().sort_index()
+        return df.sort_values(["row"]).reset_index(drop=True)
+
+    results = {}
+    for flag in (True, False):
+        monkeypatch.setattr(joins, "USE_HASH_EXCHANGE", flag)
+        results[flag, "plain"] = run(joins.attach_value)
+        results[flag, "salt"] = run(joins.attach_value_salted, n_salts=4)
+        results[flag, "post"] = run(joins.attach_value, post=post)
+    for kind in ("plain", "salt", "post"):
+        a, b = results[True, kind], results[False, kind]
+        assert len(a) == len(b) and len(a) > 0
+        if kind == "post":
+            assert np.allclose(a.to_numpy(), b.to_numpy())
+            assert (a.index == b.index).all()
+        else:
+            assert a.equals(b)
+    assert results[True, "plain"].equals(results[True, "salt"])
 
 
 def test_trailing_hour_sum_peers_and_fallback(ray_session, tmp_path,

@@ -102,6 +102,50 @@ def test_write_mode_and_resume(ray_session, small_corpus, tmp_path):
     assert metrics3 == []
 
 
+def test_compact_inplace_then_resume(ray_session, small_corpus, tmp_path):
+    """VERDICT r4 item 6: streamed-fragment write -> in-place compaction
+    -> reader sees identical rows, each partition is ONE file, and a
+    resume still skips every completed partition (lineage preserved)."""
+    import glob
+
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+    from pdf_parse_new_ray.state import checkpoint as ckpt
+
+    out = str(tmp_path / "outc")
+    extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=out, n_partitions=8, batch_size=4,  # small batches: many fragments
+    ).take_all()
+    before = ckpt.read_output(out).sort_by("doc_id")
+    n_files_before = len(glob.glob(os.path.join(out, "part=*", "*.parquet")))
+
+    stats = ckpt.compact_partitions_inplace(out)
+    after = ckpt.read_output(out).sort_by("doc_id")
+    assert after.equals(before)                      # identical rows
+    n_files_after = len(glob.glob(os.path.join(out, "part=*", "*.parquet")))
+    assert n_files_after == 8 <= n_files_before      # one file per partition
+    assert stats["n_files_removed"] >= stats["n_partitions_compacted"] * 2 \
+        or stats["n_partitions_compacted"] == 0
+    assert ckpt.completed_partitions(out) == set(range(8))
+
+    # resume after compaction is a no-op: all partitions still complete
+    metrics = extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=out, n_partitions=8,
+    ).take_all()
+    assert metrics == []
+    assert ckpt.read_output(out).sort_by("doc_id").equals(before)
+
+    # the pipeline-level opt-in flag produces the compacted layout directly
+    out2 = str(tmp_path / "outc2")
+    extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=out2, n_partitions=8, batch_size=4, compact=True,
+    ).take_all()
+    assert len(glob.glob(os.path.join(out2, "part=*", "*.parquet"))) == 8
+    assert ckpt.read_output(out2).sort_by("doc_id").equals(before)
+
+
 def test_resume_config_mismatch_raises(ray_session, small_corpus, tmp_path):
     # resuming under a different partition count would mis-skip docs —
     # the manifest must refuse it
