@@ -886,6 +886,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def planted() -> dict[str, Callable[[str], tuple]]:
+    """Planted ground truth for queries SQL can't oracle: name →
+    fn(sf_dir) -> (expected_df, key_cols).  The expected values come from
+    the fixture generators' own knowledge (source pixels, PCM params,
+    container fields, oracle_docs span text) — never from running the
+    engine; tools/check_queries.run_checks value-compares them the same
+    way it compares DuckDB oracles."""
+    from pdf_parse_new_ray.fixtures.planted import planted as _registry
+
+    return _registry()
+
+
 def oracle_sql() -> dict[str, str]:
     tok = TOKEN_PATTERN.replace("'", "''")
     word = WORD_PATTERN

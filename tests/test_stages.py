@@ -626,3 +626,47 @@ def test_video_frame_sample_and_resize_queries(ray_session):
     assert ok["pixel_digest"].str.len().eq(16).all()
     assert set(ok["media_type"]) >= {"png", "jpeg", "gif"}
     assert (~rz[rz["media_type"] == "junk"]["decoded"]).all()
+
+
+def test_planted_truth_registry_and_checks(ray_session):
+    """Planted generator-truth value checks (VERDICT r4 item 5): the
+    registry covers >=13 of the rows-only queries, the harness's
+    compare_planted verifies the real stage output against the sidecar
+    at sf0.001 for the media families, and a perturbed value is caught
+    (the comparison is exact, not structural)."""
+    import importlib.util
+    import pathlib
+
+    import __ray_entry__ as entry
+
+    planted = entry.planted()
+    oracles = set(entry.oracle_sql())
+    qs = entry.queries()
+    assert len(planted) >= 13
+    for name in planted:
+        assert name in qs and name not in oracles, name
+
+    spec = importlib.util.spec_from_file_location(
+        "check_queries",
+        pathlib.Path(__file__).resolve().parent.parent / "tools" / "check_queries.py")
+    cq = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cq)
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("m_audio_features", "m_pdf_images", "m_image_phash",
+                 "m_image_resize", "m_video_frame_sample"):
+        mine = cq.to_pandas(qs[name](sf))
+        exp, keys = planted[name](sf)
+        verdict = cq.compare_planted(mine, exp, keys)
+        assert verdict.startswith("planted-OK"), f"{name}: {verdict}"
+
+    # negative: a single perturbed value must fail the comparison
+    exp, keys = planted["m_audio_features"](sf)
+    mine = cq.to_pandas(qs["m_audio_features"](sf))
+    bad = mine.copy()
+    bad.loc[bad["decoded"], "rms"] = 0.5
+    assert cq.compare_planted(bad, exp, keys).startswith("planted-VALUES")
+    # and a dropped expected row must fail the coverage gate
+    assert cq.compare_planted(
+        mine[mine["media_ref"] != exp["media_ref"].iloc[0]], exp, keys
+    ).startswith("ROWS")

@@ -67,6 +67,32 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> str:
         return "VALUES: " + str(e).splitlines()[-1][:160]
 
 
+def compare_planted(mine: pd.DataFrame, exp: pd.DataFrame,
+                    keys: list[str]) -> str:
+    """Value-compare a query result against planted generator truth:
+    filter the result to the expected keys (the truth may cover a row
+    subset, e.g. only losslessly-decodable images), then require exact
+    equality on the expected columns.  Keys are null-free and unique, so
+    rows align by key sort (value columns may hold nulls, which object
+    sorts would choke on)."""
+    missing_cols = [c for c in exp.columns if c not in mine.columns]
+    if missing_cols:
+        return f"COLS missing {missing_cols}"
+    mk = pd.MultiIndex.from_frame(mine[keys])
+    ek = pd.MultiIndex.from_frame(exp[keys])
+    sub = mine.loc[mk.isin(ek), list(exp.columns)]
+    if len(sub) != len(exp):
+        return f"ROWS {len(sub)} vs planted {len(exp)}"
+    a = sub.sort_values(keys).reset_index(drop=True)
+    b = exp[list(exp.columns)].sort_values(keys).reset_index(drop=True)
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                      check_exact=True)
+        return f"planted-OK ({len(exp)} rows x {len(exp.columns)} cols)"
+    except AssertionError as e:
+        return "planted-VALUES: " + str(e).splitlines()[-1][:160]
+
+
 def run_checks(sf_dir: str, only: set[str] | None = None,
                verbose: bool = True) -> tuple[int, int, list[str]]:
     """Run every queries() entry vs its oracle on sf_dir using the
@@ -81,6 +107,7 @@ def run_checks(sf_dir: str, only: set[str] | None = None,
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    planted = entrymod.planted() if hasattr(entrymod, "planted") else {}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -111,9 +138,16 @@ def run_checks(sf_dir: str, only: set[str] | None = None,
                 n_bad += 1
                 continue
             verdict = compare(name, mine, oracle)
+        elif name in planted:
+            try:
+                exp, keys = planted[name](sf_dir)
+                verdict = compare_planted(mine, exp, keys)
+            except Exception as e:  # noqa: BLE001
+                verdict = f"planted-ERROR {type(e).__name__}: {e}"
         else:
             verdict = f"rows-only ({len(mine)} rows)"
-        ok = verdict == "OK" or verdict.startswith("rows-only")
+        ok = (verdict == "OK" or verdict.startswith("rows-only")
+              or verdict.startswith("planted-OK"))
         n_ok += ok
         n_bad += not ok
         if not ok:
