@@ -652,9 +652,18 @@ class TextExtractor:
             if font is None or tci["prevTransform"] is None:
                 return True
             prev = tci["prevTransform"]
-            last_x, last_y = prev[4], prev[5]
-            if last_x == pos_x and last_y == pos_y:
+            if prev[4] == pos_x and prev[5] == pos_y:
                 return True
+            return cwlp_tail(pos_x, pos_y, prev)
+
+        def cwlp_tail(pos_x, pos_y, prev) -> bool:
+            # slow tail of compare_with_last_position: everything after the
+            # same-position early return.  Split out so the glyph loop can
+            # inline the cheap head (position + viewport + same-pos check,
+            # ~80% of calls end there) without a frame for this part.
+            c0, c1, c2, c3, rotate, font = (run_h[2], run_h[3], run_h[4],
+                                            run_h[5], run_h[8], run_h[9])
+            last_x, last_y = prev[4], prev[5]
             if rotate == 90:
                 pos_x, pos_y = pos_y, pos_x
                 last_x, last_y = last_y, last_x
@@ -769,6 +778,7 @@ class TextExtractor:
             r_cm = run_h[1]
             r_c0, r_c1, r_c2, r_c3 = run_h[2], run_h[3], run_h[4], run_h[5]
             r_k4, r_k5 = run_h[6], run_h[7]
+            vb0, vb1, vb2, vb3 = view_box
             for i, glyph in enumerate(glyphs):
                 if glyph.is_format_mark:
                     continue
@@ -794,15 +804,39 @@ class TextExtractor:
                     two_last[p] = " "
                     two_pos[0] = np_
                     continue
-                if not glyph.is_diacritic and not compare_with_last_position(scaled_dim):
-                    if not vertical:
-                        dx = scaled_dim * h_scale
-                        tm[4] = tm[0] * dx + z4h + tm[4]
-                        tm[5] = tm[1] * dx + z5h + tm[5]
+                if not glyph.is_diacritic:
+                    # compare_with_last_position's cheap head inlined
+                    # (position from the hoisted run constants + viewport
+                    # test + same-position early accept — ~80% of the 1.7M
+                    # per-glyph calls end here); cwlp_tail for the rest
+                    p4 = r_k4 + tm[4]
+                    p5 = r_k5 + tm[5]
+                    if r_cm is None:
+                        pos_x = p4
+                        pos_y = p5
                     else:
-                        tm[4] = z4v + tm[2] * scaled_dim + tm[4]
-                        tm[5] = z5v + tm[3] * scaled_dim + tm[5]
-                    continue
+                        pos_x = r_cm[0] * p4 + r_cm[2] * p5 + r_cm[4]
+                        pos_y = r_cm[1] * p4 + r_cm[3] * p5 + r_cm[5]
+                    if vertical:
+                        ok = not (pos_x < vb0 or pos_x > vb2
+                                  or pos_y + scaled_dim < vb1 or pos_y > vb3)
+                    else:
+                        ok = not (pos_x + scaled_dim < vb0 or pos_x > vb2
+                                  or pos_y < vb1 or pos_y > vb3)
+                    if ok:
+                        prev = tci["prevTransform"]
+                        if prev is not None and (prev[4] != pos_x
+                                                 or prev[5] != pos_y):
+                            ok = cwlp_tail(pos_x, pos_y, prev)
+                    if not ok:
+                        if not vertical:
+                            dx = scaled_dim * h_scale
+                            tm[4] = tm[0] * dx + z4h + tm[4]
+                            tm[5] = tm[1] * dx + z5h + tm[5]
+                        else:
+                            tm[4] = z4v + tm[2] * scaled_dim + tm[4]
+                            tm[5] = z5v + tm[3] * scaled_dim + tm[5]
+                        continue
                 chunk = tci if tci["initialized"] else ensure_tci()
                 if glyph.is_diacritic:
                     scaled_dim = 0.0
