@@ -484,3 +484,44 @@ def test_verbosity_logs_absorbed_errors(ray_session, tmp_path, caplog):
         assert not caplog.records
         PdfExtractor(verbosity=1)(batch)
         assert any("bad-blob" in r.message for r in caplog.records)
+
+
+def test_scale_proof_digest_detects_differences(ray_session, small_corpus, tmp_path):
+    """tools/scale_proof's distributed span-sequence digest is the sf1.0
+    equality evidence — pin that it (a) matches extraction output against
+    the oracle, (b) catches a single-span text mutation, and (c) catches a
+    within-doc span reorder (sequence order is part of the digest even
+    though the cross-doc fold is commutative)."""
+    import pyarrow.parquet as pq
+    from tools.scale_proof import _digest_dataset
+
+    from pdf_parse_new_ray.pipelines.extraction import extract_documents
+
+    out_dir = str(tmp_path / "out")
+    extract_documents(
+        f"{small_corpus}/documents_interleaved", f"{small_corpus}/media",
+        out_dir=out_dir, n_partitions=4,
+    ).take_all()
+    n_out, d_out = _digest_dataset(out_dir)
+    n_ora, d_ora = _digest_dataset(f"{small_corpus}/oracle_docs")
+    assert (n_out, d_out) == (n_ora, d_ora)
+
+    # mutate one span's text -> digest must move
+    t = pq.read_table(f"{small_corpus}/oracle_docs")
+    rows = t.to_pylist()
+    rows[3]["spans"][0]["text"] += "!"
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pylist(rows, schema=t.schema),
+                   str(tmp_path / "mut.parquet"))
+    n_m, d_m = _digest_dataset(str(tmp_path / "mut.parquet"))
+    assert n_m == n_ora and d_m != d_ora
+
+    # reorder spans inside one multi-span doc -> digest must move
+    rows2 = t.to_pylist()
+    multi = next(r for r in rows2 if len(r["spans"]) >= 2)
+    multi["spans"] = list(reversed(multi["spans"]))
+    pq.write_table(pa.Table.from_pylist(rows2, schema=t.schema),
+                   str(tmp_path / "reord.parquet"))
+    n_r, d_r = _digest_dataset(str(tmp_path / "reord.parquet"))
+    assert n_r == n_ora and d_r != d_ora
