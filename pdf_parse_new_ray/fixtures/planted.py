@@ -314,6 +314,72 @@ def planted_media_features_corpus(sf_dir: str):
     return exp.sort_values("media_ref").reset_index(drop=True), ["media_ref"]
 
 
+def planted_extract_metadata(sf_dir: str):
+    """documentInfo truth from the GENERATOR's seeding contract: corpus
+    media PDFs are built by make_seeded_pdf(seed*1_000_003 + media_seq)
+    with Title=f"doc-{pdf_seed}" / Producer="pdfgen/0.1" (pdfgen.py:421),
+    media_ref = f"pdf-{media_seq-1:06d}" (corpus.py), a constant %PDF-1.4
+    header, and no Author/Creator/dates/linearization.  The ~8% encrypted
+    slice stores Title/Producer RC4/AES-encrypted, so title equality here
+    also value-checks transparent Info-string decryption."""
+    import pyarrow.dataset as pads
+
+    base = _corpus_base(sf_dir)
+    media = pads.dataset(os.path.join(base, "media")).to_table(
+        columns=["media_ref", "numpages"]).to_pandas()
+    seed = 42  # corpus_dir_for generation seed (corpus.py:189)
+    exp = pd.DataFrame({
+        "media_ref": media["media_ref"],
+        "numpages": media["numpages"].astype("int64"),
+        "pdf_version": "1.4",
+        "title": [f"doc-{seed * 1_000_003 + int(r[4:]) + 1}"
+                  for r in media["media_ref"]],
+        "author": None,
+        "producer": "pdfgen/0.1",
+        "creator": None,
+        "creation_date": None,
+        "mod_date": None,
+        "is_linearized": False,
+        "error": None,
+    })
+    return exp.sort_values("media_ref").reset_index(drop=True), ["media_ref"]
+
+
+def planted_curation_funnel(sf_dir: str):
+    """Funnel-count truth re-derived from oracle_docs span text: the same
+    word/distinct-ratio gates, md5 fingerprint dedup and hash%2 subsample
+    arithmetic applied once, scalar-side, to the generator's known
+    extraction output (never the engine's)."""
+    import re
+
+    import numpy as np
+
+    docs, _, _ = _read_oracle(_corpus_base(sf_dir))
+    word = re.compile(r"[A-Za-z0-9]+")
+    n_docs = len(docs)
+    n_pass = 0
+    pass_fps = set()
+    for spans in docs["spans"]:
+        spans = sorted(spans, key=lambda s: s["offset"])
+        text = "\x00".join(s["text"] or "" for s in spans)
+        plain = text.replace("\x00", " ")
+        words = word.findall(plain)
+        nw = len(words)
+        ok = (nw >= 30 and (len(set(words)) / nw if nw else 0.0) >= 0.05
+              and "{" not in plain)
+        if ok:
+            n_pass += 1
+            pass_fps.add(hashlib.md5(text.encode("utf-8")).hexdigest())
+    fps = np.array(sorted(pass_fps), dtype=object)
+    sampled = int((pd.util.hash_array(fps, categorize=False)
+                   % np.uint64(2) == 0).sum()) if len(fps) else 0
+    exp = pd.DataFrame({
+        "stage": ["extracted", "quality_pass", "after_dedup", "sampled"],
+        "n_docs": [n_docs, n_pass, len(pass_fps), sampled],
+    })
+    return exp, ["stage"]
+
+
 def planted() -> dict:
     """Query name → expected-values builder (the planted-truth registry
     consumed by tools/check_queries.run_checks and __ray_entry__)."""
@@ -331,4 +397,6 @@ def planted() -> dict:
         "x_extract_maxpages": planted_extract_maxpages,
         "x_extract_titles_render": planted_extract_titles_render,
         "x_extract_then_dedup": planted_extract_then_dedup,
+        "x_extract_metadata": planted_extract_metadata,
+        "x_curation_funnel": planted_curation_funnel,
     }
